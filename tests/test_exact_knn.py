@@ -1,0 +1,74 @@
+"""exact_knn correctness: both impls vs a DuckDB oracle on real testdata."""
+
+import duckdb
+import pytest
+
+
+def _oracle(sf_dir, metric, k=10):
+    dist = {
+        "cosine": (
+            "1.0 - list_inner_product(q.v, b.v) / "
+            "(sqrt(list_inner_product(q.v,q.v)) * sqrt(list_inner_product(b.v,b.v)))"
+        ),
+        "l2": "sqrt(list_inner_product(q.v,q.v) + list_inner_product(b.v,b.v) "
+        "- 2*list_inner_product(q.v,b.v))",
+        "ip": "-list_inner_product(q.v, b.v)",
+    }[metric]
+    con = duckdb.connect()
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+               FROM '{sf_dir}/embeddings.parquet'),
+         q AS (SELECT vec_id qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id id, v FROM e WHERE vec_id % 10 <> 0),
+         d AS (SELECT q.qid, b.id, {dist} AS dist FROM q, b),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist, id) rnk
+               FROM d)
+    SELECT qid, rnk, id, round(dist, 6) dist FROM r WHERE rnk <= {k}
+    ORDER BY qid, rnk
+    """
+    return con.sql(sql).fetchall()
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+@pytest.mark.parametrize("impl", ["expr", "blocked"])
+def test_exact_knn_vs_duckdb(spark, sf_dir, tables, metric, impl):
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    got = (
+        exact_knn(
+            q, b, k=10, metric=metric, impl=impl,
+            q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+        )
+        .withColumn("dist", F.round("dist", 6))
+        .orderBy("qid", "nbr_rank")
+        .collect()
+    )
+    want = _oracle(sf_dir, metric)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["qid"], g["nbr_rank"], g["neighbor_id"]) == (w[0], w[1], w[2])
+        assert abs(g["dist"] - w[3]) < 2e-6
+
+
+def test_recall_of_exact_is_one(spark, tables):
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.metrics import mean_recall_at_k
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(20)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    knn = exact_knn(q, b, k=5, metric="cosine", impl="blocked",
+                    q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding")
+    lists = knn.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("nbr_rank", "neighbor_id"))).alias("s")
+    ).select("qid", F.col("s.neighbor_id").alias("pred_ids"))
+    truth = lists.select("qid", F.col("pred_ids").alias("gt_ids"))
+    assert mean_recall_at_k(lists, truth, 5) == 1.0

@@ -1,0 +1,138 @@
+"""Deterministic cross-engine hashing primitives.
+
+Everything here must produce *identical* values in Spark and DuckDB so the
+driver's oracle hash-compare works: the base string hash is the first 8 hex
+chars of md5 (both engines agree on md5), and all derived hashes (MinHash
+affine family, LCG hyperplanes for SimHash) are plain integer arithmetic on
+top of it. No engine-native hash() (murmur vs wyhash mismatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps affine-hash products inside int64.
+MERSENNE31 = 2_147_483_647
+# Deterministic affine coefficients (a_i, b_i) = f(i) — same formula usable
+# in SQL on the oracle side.
+_A_MUL = 1_103_515_245
+_A_ADD = 12_345
+_B_MUL = 69_069
+_B_ADD = 1
+
+
+def det_hash64(s: Column | str) -> Column:
+    """First 8 md5 hex chars → BIGINT in [0, 2^32). DuckDB equivalent:
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+DET_HASH64_SQL = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+def minhash_signature(grams: Column, num_hashes: int) -> Column:
+    """MinHash signature over an array<string> of shingles.
+
+    h_i(s) = (a_i * det_hash64(s) + b_i) mod (2^31-1), with
+    a_i = (i+1)*_A_MUL + _A_ADD, b_i = (i+1)*_B_MUL + _B_ADD.
+    Pure Column expression — JVM-side, no UDF. Empty shingle set → all
+    MERSENNE31 sentinels.
+    """
+    hashed = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h: F.pmod(
+                        (
+                            (i + 1).cast("long") * F.lit(_A_MUL) + F.lit(_A_ADD)
+                        ) % F.lit(MERSENNE31) * (h % F.lit(MERSENNE31))
+                        + (i + 1).cast("long") * F.lit(_B_MUL)
+                        + F.lit(_B_ADD),
+                        F.lit(MERSENNE31),
+                    ),
+                )
+            ),
+            F.lit(MERSENNE31).cast("long"),
+        ),
+    )
+    return sig
+
+
+def minhash_signature_sql(grams_sql: str, num_hashes: int) -> str:
+    """DuckDB SQL mirroring :func:`minhash_signature` exactly."""
+    return f"""
+    list_transform(range(0, {num_hashes}), i ->
+      coalesce(
+        list_min(list_transform({grams_sql}, g ->
+          ((((i+1)*{_A_MUL} + {_A_ADD}) % {MERSENNE31})
+            * ((('0x' || substr(md5(g), 1, 8))::BIGINT) % {MERSENNE31})
+           + (i+1)*{_B_MUL} + {_B_ADD}) % {MERSENNE31})),
+        {MERSENNE31}))
+    """
+
+
+def lcg_plane_value(bit: Column, dim: Column) -> Column:
+    """Pseudo-random hyperplane entry in [-0.5, 0.5) from (bit, dim) —
+    a tiny LCG, reproducible in SQL both engines (SimHash hyperplanes;
+    replaces the reference's np.random.randn planes, simple_sim_hash.py:7-9).
+    """
+    seed = (bit * F.lit(73_856_093) + dim * F.lit(19_349_663) + F.lit(83_492_791)) % F.lit(
+        MERSENNE31
+    )
+    mixed = (seed * F.lit(_A_MUL) + F.lit(_A_ADD)) % F.lit(MERSENNE31)
+    return mixed.cast("double") / F.lit(float(MERSENNE31)) - F.lit(0.5)
+
+
+LCG_PLANE_SQL = (
+    "((((bit*73856093 + dim*19349663 + 83492791) % 2147483647)"
+    " * 1103515245 + 12345) % 2147483647)::DOUBLE / 2147483647.0 - 0.5"
+)
+
+
+def simhash_bits(vec: Column, num_bits: int = 16) -> Column:
+    """SimHash of a float vector: bit j = (v · plane_j) >= 0, bit-packed to
+    BIGINT (reference semantics simple_sim_hash.py:12-18, hyperplanes
+    replaced by the deterministic LCG family)."""
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * lcg_plane_value(j, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            proj,
+            F.sequence(F.lit(0), F.lit(num_bits - 1)),
+            lambda p, j: F.when(p >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_bits_sql(vec_sql: str, num_bits: int = 16) -> str:
+    """DuckDB SQL mirroring :func:`simhash_bits` (1-based list indexing)."""
+    plane = (
+        "((((bit*73856093 + (i-1)*19349663 + 83492791) % 2147483647)"
+        " * 1103515245 + 12345) % 2147483647)::DOUBLE / 2147483647.0 - 0.5"
+    )
+    return f"""
+    list_sum(list_transform(range(0, {num_bits}), bit ->
+      CASE WHEN list_sum(list_transform({vec_sql}, (x, i) ->
+                  x::DOUBLE * ({plane}))) >= 0
+           THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT
+    """

@@ -1,0 +1,75 @@
+"""Vector distance kernels as Catalyst Column expressions.
+
+Re-expresses the reference's distance surface (cosine `hnsw_cosine.py:13-30`,
+L2 `hnsw_cosine_status.py:14-31`, inner product `roargraph_python.py:108-126`,
+unit-norm `hnsw_cosine.py:32-36`) as pure SQL expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. The reference hard-codes
+d=200 in its batch kernel (`hnsw_cosine.py:24`); these are dimension-generic.
+
+All arithmetic is float64 over a float32-stored vector column, with the
+accumulation running sequentially left-to-right — the same formula and
+order DuckDB's ``list_inner_product`` uses, so oracle comparisons agree to
+~1 ulp. The numpy fast path lives in ``operators/exact_knn.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+METRICS = ("cosine", "l2", "ip")
+
+
+def to_double_array(v: Column | str) -> Column:
+    """Cast array<float> → array<double> so all kernels accumulate in f64."""
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-sum dot product: aggregate(zip_with(a, b, *), 0.0, +)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def unit_norm(a: Column | str, eps: float = 1e-12) -> Column:
+    """L2-normalize with an epsilon guard (reference `hnsw_cosine.py:32-36`)."""
+    n = l2_norm(a)
+    return F.when(n > eps, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def cosine_dist(a: Column | str, b: Column | str) -> Column:
+    """1 - dot(a,b) / (||a||·||b||) — works on non-normalized inputs too."""
+    return F.lit(1.0) - dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_dist(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance via direct sum of squared differences."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def ip_dist(a: Column | str, b: Column | str) -> Column:
+    """Negative inner product (MIPS ordering; reference roargraph_python.py:112)."""
+    return -dot(a, b)
+
+
+def metric_dist(a: Column | str, b: Column | str, metric: str) -> Column:
+    if metric == "cosine":
+        return cosine_dist(a, b)
+    if metric == "l2":
+        return l2_dist(a, b)
+    if metric == "ip":
+        return ip_dist(a, b)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")

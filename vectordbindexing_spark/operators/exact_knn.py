@@ -1,0 +1,149 @@
+"""Exact k-nearest-neighbor join (the brute-force KNN of SURVEY §2.4).
+
+Reference semantics: all-pairs distance then per-query top-k
+(`roargraph_python.py:155-162` — full distance matrix + argsort[:k];
+FAISS IndexFlat in the notebooks). Two Spark physical strategies:
+
+* ``impl="expr"``  — declarative theta join: crossJoin + distance
+  expression + rank window. Catalyst handles broadcast of the small side
+  and AQE coalescing. This is the oracle-matching formulation and is also
+  what you want when *both* sides are large but the candidate set was
+  already pruned (e.g. after an LSH bucket join).
+
+* ``impl="blocked"`` — broadcast the query matrix (queries are the small
+  side in batch serving), stream the base table through a numpy matmul
+  kernel with ``mapInPandas``, emitting only a *partial top-k per Arrow
+  batch* (k·n_q rows per batch, never the full distance matrix), then a
+  final global top-k window. This is the 100 TB path: one scan of base,
+  no shuffle of vectors, shuffle volume O(batches · n_q · k).
+
+Both accumulate in float64 so results agree with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.vector import METRICS, metric_dist, to_double_array
+from vectordbindexing_spark.operators.topk import topk_per_group
+
+_BLOCKED_THRESHOLD_QUERIES = 100_000  # above this, queries don't broadcast
+
+
+def _pairwise_dist(Q: np.ndarray, B: np.ndarray, metric: str) -> np.ndarray:
+    """(n_q, d) × (n_b, d) → (n_q, n_b) float64 distance matrix."""
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1)
+        bn = np.linalg.norm(B, axis=1)
+        return 1.0 - (Q @ B.T) / np.outer(qn, bn)
+    if metric == "l2":
+        # ||q-b||² = ||q||² + ||b||² - 2·q·b ; clamp tiny negatives from cancellation
+        d2 = (
+            np.sum(Q * Q, axis=1)[:, None]
+            + np.sum(B * B, axis=1)[None, :]
+            - 2.0 * (Q @ B.T)
+        )
+        return np.sqrt(np.maximum(d2, 0.0))
+    if metric == "ip":
+        return -(Q @ B.T)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def exact_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    impl: str = "auto",
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+) -> DataFrame:
+    """Top-k nearest base rows per query.
+
+    Returns ``(qid, nbr_rank, neighbor_id, dist)`` with rank 1..k ordered
+    by (dist asc, neighbor_id asc).
+    """
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}")
+    if impl == "auto":
+        impl = "blocked"
+    if impl == "expr":
+        return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+    if impl == "blocked":
+        return _exact_knn_blocked(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataFrame:
+    q = queries.select(
+        F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
+    )
+    b = base.select(
+        F.col(b_id).cast("long").alias("neighbor_id"), to_double_array(b_vec).alias("_bv")
+    )
+    # crossJoin: Catalyst broadcasts the smaller side (BroadcastNestedLoopJoin)
+    pairs = q.crossJoin(b).withColumn("dist", metric_dist("_qv", "_bv", metric))
+    ranked = topk_per_group(
+        pairs.select("qid", "neighbor_id", "dist"),
+        ["qid"],
+        "dist",
+        k,
+        tie_col="neighbor_id",
+    )
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
+
+
+def _exact_knn_blocked(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataFrame:
+    spark = queries.sparkSession
+    qrows = (
+        queries.select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
+        .toPandas()
+    )
+    n_q = len(qrows)
+    if n_q == 0:
+        return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+    if n_q > _BLOCKED_THRESHOLD_QUERIES:
+        # Query side too big to broadcast → fall back to the declarative join
+        return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+    qids = qrows["qid"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bQ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bids = pdf["bid"].to_numpy()
+            D = _pairwise_dist(bQ, B, metric)
+            kk = min(k, D.shape[1])
+            # partial selection per query (argpartition = reference's
+            # np.argpartition path, hnsw_cosine.py:146-148), then exact
+            # sort of just the k survivors
+            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            rows_d = np.take_along_axis(D, idx, axis=1)
+            order = np.argsort(rows_d, axis=1, kind="stable")
+            idx = np.take_along_axis(idx, order, axis=1)
+            rows_d = np.take_along_axis(rows_d, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(bqids, kk),
+                    "neighbor_id": bids[idx].ravel(),
+                    "dist": rows_d.ravel(),
+                }
+            )
+
+    b = base.select(F.col(b_id).cast("long").alias("bid"), F.col(b_vec).alias("v"))
+    partial = b.mapInPandas(
+        partial_topk, schema="qid long, neighbor_id long, dist double"
+    )
+    ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
