@@ -1,0 +1,102 @@
+"""Graph build + ANN search: invariants and recall floors vs exact oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+def test_assign_levels_distribution(spark, emb):
+    from vectordbindexing_spark.operators.graph import assign_levels
+
+    lv = assign_levels(emb, id_col="vec_id", M=16)
+    counts = {r["level"]: r["cnt"] for r in
+              lv.groupBy("level").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert counts[0] > 0.85 * n  # P(level>=1) = 1/16
+    assert max(counts) <= 7
+    # deterministic: same result twice
+    lv2 = {r["vec_id"]: r["level"] for r in
+           assign_levels(emb, id_col="vec_id", M=16).collect()}
+    lv1 = {r["vec_id"]: r["level"] for r in lv.collect()}
+    assert lv1 == lv2
+
+
+def test_knn_graph_invariants(spark, emb):
+    from vectordbindexing_spark.operators.graph import degree_stats, knn_graph, mutualize
+
+    g = knn_graph(emb.limit(200), k=5, metric="cosine",
+                  id_col="vec_id", vec_col="embedding")
+    rows = g.collect()
+    assert all(r["src"] != r["dst"] for r in rows)  # no self-loops
+    deg = degree_stats(g).collect()[0]
+    assert deg["max_degree"] == 5 and deg["min_degree"] == 5
+    m = mutualize(g, max_degree=8)
+    mdeg = degree_stats(m).collect()[0]
+    assert mdeg["max_degree"] <= 8
+    # mutualize keeps edge set symmetric-before-cap: spot check no dup pairs
+    assert m.groupBy("layer", "src", "dst").count().filter("count > 1").count() == 0
+
+
+def test_two_layer_search_recall(spark, emb):
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    edges = build_two_layer_index(b, M0=16, M1=8, metric="cosine",
+                                  id_col="vec_id", vec_col="embedding")
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    got = graph_search(q, idx, k=10, ef_search=64,
+                       q_id="vec_id", q_vec="embedding")
+    ex = exact_knn(q, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    rec = (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(F.avg("r"))
+        .collect()[0][0]
+    )
+    assert rec >= 0.9, f"graph search recall@10 too low: {rec}"
+
+
+def test_roargraph_build_and_search_recall(spark, emb):
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import degree_stats, roargraph_build
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+
+    train_q = emb.filter(F.col("vec_id") % 10 == 5)  # train queries
+    test_q = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5))
+    edges = roargraph_build(
+        train_q, b, k_nn=50, n_targets=10, M_pjbp=16, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    st = degree_stats(edges).collect()[0]
+    assert st["avg_degree"] > 2  # reference sanity floor (README.md:101-121)
+    assert st["max_degree"] <= 32
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    got = graph_search(test_q, idx, k=10, ef_search=64,
+                       q_id="vec_id", q_vec="embedding")
+    ex = exact_knn(test_q, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    epx = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    rec = (
+        gp.join(epx, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(F.avg("r"))
+        .collect()[0][0]
+    )
+    # reference band for python RoarGraph: 0.60-0.85 (hnsw_optimization/README.md:97)
+    assert rec >= 0.6, f"roargraph recall@10 too low: {rec}"

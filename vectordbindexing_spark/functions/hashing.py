@@ -82,10 +82,15 @@ def lcg_plane_value(bit: Column, dim: Column) -> Column:
     a tiny LCG, reproducible in SQL both engines (SimHash hyperplanes;
     replaces the reference's np.random.randn planes, simple_sim_hash.py:7-9).
     """
-    seed = (bit * F.lit(73_856_093) + dim * F.lit(19_349_663) + F.lit(83_492_791)) % F.lit(
-        MERSENNE31
-    )
-    mixed = (seed * F.lit(_A_MUL) + F.lit(_A_ADD)) % F.lit(MERSENNE31)
+    b = bit.cast("long")
+    d = dim.cast("long")
+    m31 = F.lit(MERSENNE31).cast("long")
+    seed = (
+        b * F.lit(73_856_093).cast("long")
+        + d * F.lit(19_349_663).cast("long")
+        + F.lit(83_492_791).cast("long")
+    ) % m31
+    mixed = (seed * F.lit(_A_MUL).cast("long") + F.lit(_A_ADD).cast("long")) % m31
     return mixed.cast("double") / F.lit(float(MERSENNE31)) - F.lit(0.5)
 
 
@@ -95,39 +100,41 @@ LCG_PLANE_SQL = (
 )
 
 
-def simhash_bits(vec: Column, num_bits: int = 16) -> Column:
+def simhash_bits(vec: Column, num_bits: int = 16, table: int = 0) -> Column:
     """SimHash of a float vector: bit j = (v · plane_j) >= 0, bit-packed to
     BIGINT (reference semantics simple_sim_hash.py:12-18, hyperplanes
-    replaced by the deterministic LCG family)."""
+    replaced by the deterministic LCG family). ``table`` offsets the plane
+    family for multi-table LSH (independent hash tables)."""
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(num_bits - 1)),
         lambda j: F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double") * lcg_plane_value(j, i),
+                lambda x, i: x.cast("double")
+                * lcg_plane_value(j + F.lit(table * num_bits), i),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
     )
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(num_bits)])
     return F.aggregate(
         F.zip_with(
             proj,
-            F.sequence(F.lit(0), F.lit(num_bits - 1)),
-            lambda p, j: F.when(p >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            weights,
+            lambda p, w: F.when(p >= 0, w).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
-def simhash_bits_sql(vec_sql: str, num_bits: int = 16) -> str:
+def simhash_bits_sql(vec_sql: str, num_bits: int = 16, table: int = 0) -> str:
     """DuckDB SQL mirroring :func:`simhash_bits` (1-based list indexing)."""
     plane = (
-        "((((bit*73856093 + (i-1)*19349663 + 83492791) % 2147483647)"
+        f"(((((bit + {table * num_bits})*73856093 + (i-1)*19349663 + 83492791)"
+        " % 2147483647)"
         " * 1103515245 + 12345) % 2147483647)::DOUBLE / 2147483647.0 - 0.5"
     )
     return f"""

@@ -1,0 +1,242 @@
+"""Graph-index construction operators (SURVEY §2.8), DataFrame-native.
+
+The reference's sequential HNSW insert (`hnsw_cosine.py:264-311`) is
+order-dependent and unparallelizable; we adopt the bulk-build formulation of
+its own C++ core (`hnsw.cpp:52-118`: assign levels first, then build each
+layer's kNN graph) which is embarrassingly parallel. Acceptance is recall
+parity, not edge-for-edge equality (SURVEY §7 "What's hard").
+
+Edge tables are ``(layer INT, src BIGINT, dst BIGINT, dist DOUBLE)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.hashing import det_hash64
+from vectordbindexing_spark.operators.exact_knn import exact_knn
+from vectordbindexing_spark.operators.topk import topk_per_group
+
+MAX_LEVEL = 7
+
+
+def assign_levels(
+    df: DataFrame, id_col: str = "id", M: int = 16
+) -> DataFrame:
+    """Geometric level column: P(level ≥ l) = M^-l  (hnsw_cosine.py:102-109,
+    hnsw.cpp:44-50 clamps to 2 layers with P=1/M).
+
+    Deterministic: u = md5-hash(id)/2^32 instead of seeded rand(), and the
+    floor(-ln u / ln M) is re-expressed as exact integer threshold counts
+    (u < M^-l) so any engine reproduces it bit-for-bit. Requires M a power
+    of two (default 16 → thresholds 2^(32-4l)).
+    """
+    import math
+
+    bits = int(math.log2(M))
+    if 2**bits != M:
+        raise ValueError("M must be a power of two for exact thresholds")
+    h = det_hash64(F.col(id_col).cast("string"))
+    level = sum(
+        (h < F.lit(2 ** (32 - bits * l)).cast("long")).cast("int")
+        for l in range(1, MAX_LEVEL + 1)
+        if 32 - bits * l > 0
+    )
+    return df.withColumn("level", level)
+
+
+ASSIGN_LEVELS_SQL_TEMPLATE = (
+    "(SELECT {cols}, ({terms}) AS level FROM {table})"
+)
+
+
+def assign_levels_sql(table: str, cols: str, id_col: str, M: int = 16) -> str:
+    import math
+
+    bits = int(math.log2(M))
+    h = f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN {h} < {2 ** (32 - bits * l)} THEN 1 ELSE 0 END)"
+        for l in range(1, MAX_LEVEL + 1)
+        if 32 - bits * l > 0
+    )
+    return ASSIGN_LEVELS_SQL_TEMPLATE.format(cols=cols, terms=terms, table=table)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    impl: str = "blocked",
+    layer: int = 0,
+) -> DataFrame:
+    """Directed kNN graph: each node → its k nearest others (self excluded)."""
+    knn = exact_knn(
+        df, df, k=k + 1, metric=metric, impl=impl,
+        q_id=id_col, q_vec=vec_col, b_id=id_col, b_vec=vec_col,
+    )
+    edges = knn.filter(F.col("neighbor_id") != F.col("qid"))
+    edges = topk_per_group(
+        edges.select(
+            F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"), "dist"
+        ),
+        ["src"], "dist", k, tie_col="dst", rank_name="_rn",
+    ).drop("_rn")
+    return edges.select(F.lit(layer).alias("layer"), "src", "dst", "dist")
+
+
+def mutualize(edges: DataFrame, max_degree: int) -> DataFrame:
+    """Make edges bidirectional, then cap each node's out-degree at
+    ``max_degree`` keeping nearest (reference `_add_link` prune,
+    hnsw_cosine.py:313-332; reverse-edge cap roargraph_python.py:284-293)."""
+    rev = edges.select(
+        "layer", F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
+    )
+    alle = edges.unionByName(rev).dropDuplicates(["layer", "src", "dst"])
+    return (
+        topk_per_group(alle, ["layer", "src"], "dist", max_degree,
+                       tie_col="dst", rank_name="_rn")
+        .drop("_rn")
+        .select("layer", "src", "dst", "dist")
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-layer degree statistics (roargraph_python.py:421-434)."""
+    deg = edges.groupBy("layer", "src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("layer")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("degree").alias("n_edges"),
+            F.round(F.avg("degree"), 4).alias("avg_degree"),
+            F.max("degree").alias("max_degree"),
+            F.min("degree").alias("min_degree"),
+        )
+        .orderBy("layer")
+    )
+
+
+def entry_points(edges: DataFrame, layer: int = 0, n: int = 1) -> DataFrame:
+    """Top-n max-degree nodes of a layer (roargraph_python.py:164-175;
+    top-3 variant :344-351). Ties broken by smaller id."""
+    deg = (
+        edges.filter(F.col("layer") == layer)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        topk_per_group(
+            deg.withColumn("_g", F.lit(1)), ["_g"], "degree", n,
+            tie_col="src", rank_name="ep_rank", ascending=False,
+        )
+        .select(F.col("ep_rank"), F.col("src").alias("node_id"), "degree")
+    )
+
+
+def build_two_layer_index(
+    base: DataFrame,
+    M0: int = 32,
+    M1: int = 16,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    M_level: int = 16,
+) -> DataFrame:
+    """Two-layer bulk build mirroring the C++ core's 3 passes
+    (hnsw.cpp:52-118): deterministic level assignment → layer-1 kNN graph
+    over level≥1 nodes → layer-0 kNN graph over all nodes; both mutualized.
+
+    Each layer build is a self-KNN join — at 100 TB the layer-0 pass runs
+    through the LSH-bucketed candidate path (plans.knn_planner) instead of
+    the dense blocked kernel; semantics identical.
+    """
+    leveled = assign_levels(base, id_col=id_col, M=M_level)
+    upper = leveled.filter(F.col("level") >= 1)
+    l1 = knn_graph(upper, M1, metric, id_col, vec_col, layer=1)
+    l0 = knn_graph(base, M0, metric, id_col, vec_col, layer=0)
+    return mutualize(l1.unionByName(l0), max_degree=2 * max(M0, M1))
+
+
+def roargraph_build(
+    queries: DataFrame,
+    base: DataFrame,
+    k_nn: int = 100,
+    n_targets: int = 10,
+    M_pjbp: int = 32,
+    occlude_alpha: float = 1.0,
+    metric: str = "ip",
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+) -> DataFrame:
+    """RoarGraph projection-graph build (roargraph_python.py:295-323):
+
+    1. exact query→base KNN(k_nn)  (build_learn_base_knn :155-162)
+    2. per query: pivot targets = top-``n_targets``; remaining top-k are
+       occlusion-pruned as that target's neighbors (prune_candidates
+       :177-231, α=1.0) — order-dependent scan → applyInPandas per query
+    3. reverse edges, degree cap 2·M_pjbp (:284-293)
+
+    Returns edge table (layer=0, src, dst, dist).
+    """
+    import numpy as np
+    import pandas as pd
+
+    knn = exact_knn(
+        queries, base, k=k_nn, metric=metric, impl="blocked",
+        q_id=q_id, q_vec=q_vec, b_id=b_id, b_vec=b_vec,
+    )
+    bvec = base.select(
+        F.col(b_id).cast("long").alias("neighbor_id"),
+        F.col(b_vec).alias("_nv"),
+    )
+    enriched = knn.join(bvec, "neighbor_id").select(
+        "qid", "nbr_rank", "neighbor_id", "dist", "_nv"
+    )
+
+    def prune_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("nbr_rank")
+        ids = pdf["neighbor_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_nv"]])
+        if metric == "cosine":
+            n = np.linalg.norm(V, axis=1)
+            D = 1.0 - (V @ V.T) / np.outer(n, n)
+        elif metric == "l2":
+            sq = np.sum(V * V, axis=1)
+            D = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * (V @ V.T), 0))
+        else:  # ip
+            D = -(V @ V.T)
+        src, dst, dd = [], [], []
+        n_t = min(n_targets, len(ids))
+        for t in range(n_t):
+            # candidates: all other top-k members, nearest-to-target first
+            order = np.argsort(D[t], kind="stable")
+            picked: list[int] = []
+            for c in order:
+                if c == t:
+                    continue
+                # occlusion rule: c survives iff no already-picked r is a
+                # closer "shortcut" (α·d(c,r) < d(c,t) prunes c)
+                if all(
+                    occlude_alpha * D[c, r] >= D[c, t] for r in picked
+                ):
+                    picked.append(int(c))
+                if len(picked) >= M_pjbp:
+                    break
+            for c in picked:
+                src.append(int(ids[t])); dst.append(int(ids[c])); dd.append(float(D[t, c]))
+        return pd.DataFrame({"src": src, "dst": dst, "dist": dd})
+
+    edges = enriched.groupBy("qid").applyInPandas(
+        prune_group, schema="src long, dst long, dist double"
+    ).dropDuplicates(["src", "dst"])
+    capped = mutualize(
+        edges.select(F.lit(0).alias("layer"), "src", "dst", "dist"),
+        max_degree=2 * M_pjbp,
+    )
+    return capped

@@ -1,0 +1,207 @@
+"""Graph ANN search (SURVEY §2.9) — the serving path.
+
+The reference searches one query at a time over in-memory dicts
+(`hnsw_cosine.py:445-527`) or C++ arrays (`hnsw.cpp:631-815`). Spark
+formulation: compact the edge DataFrame into a CSR adjacency + vector
+matrix ("index artifact"), broadcast it, and run the beam search inside
+``mapInPandas`` over the *query* DataFrame — queries stream through
+executors in Arrow batches, each executor holds one shared read-only copy
+of the index. This is the batch-serving unit the reference's
+``batch_search`` loops over (`hnsw.cpp:817-828`).
+
+For indexes larger than executor memory the build-side tables stay
+DataFrames and search becomes iterative frontier joins (not needed at the
+driver's scale factors; the compact path covers ≤ tens of GB per executor).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CompactIndex:
+    """CSR adjacency per layer + row-aligned vector matrix."""
+
+    ids: np.ndarray            # (n,) int64 original ids
+    vecs: np.ndarray           # (n, d) float32
+    indptr: dict[int, np.ndarray]
+    indices: dict[int, np.ndarray]
+    entry_points: np.ndarray   # (m,) positions (not ids)
+    metric: str = "cosine"
+
+    def dist(self, q: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        V = self.vecs[pos].astype(np.float64)
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q)
+            vn = np.linalg.norm(V, axis=1)
+            return 1.0 - (V @ q) / (vn * qn)
+        if self.metric == "l2":
+            d = V - q
+            return np.sqrt(np.sum(d * d, axis=1))
+        return -(V @ q)
+
+
+def compact_index(
+    edges: DataFrame,
+    base: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    metric: str = "cosine",
+    num_entry_points: int = 3,
+) -> CompactIndex:
+    """Collect edge + vector DataFrames into a CompactIndex artifact.
+
+    Driver-side collect — the artifact is the thing you broadcast; for a
+    production deployment you'd persist it to parquet and memory-map it.
+    """
+    from vectordbindexing_spark.operators.graph import entry_points
+
+    vec_rows = (
+        base.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    ids = np.array([r["id"] for r in vec_rows], dtype=np.int64)
+    vecs = np.stack([np.asarray(r["v"], dtype=np.float32) for r in vec_rows])
+    pos_of = {int(i): p for p, i in enumerate(ids)}
+
+    edge_rows = edges.select("layer", "src", "dst").collect()
+    by_layer: dict[int, dict[int, list[int]]] = {}
+    for r in edge_rows:
+        by_layer.setdefault(r["layer"], {}).setdefault(
+            pos_of[r["src"]], []
+        ).append(pos_of[r["dst"]])
+    indptr, indices = {}, {}
+    n = len(ids)
+    for layer, adj in by_layer.items():
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        for p in range(n):
+            ptr[p + 1] = ptr[p] + len(adj.get(p, ()))
+        idx = np.empty(ptr[-1], dtype=np.int64)
+        for p in range(n):
+            nbrs = adj.get(p, ())
+            idx[ptr[p] : ptr[p] + len(nbrs)] = nbrs
+        indptr[layer], indices[layer] = ptr, idx
+
+    eps = entry_points(edges, layer=max(by_layer) if by_layer else 0,
+                       n=num_entry_points).collect()
+    ep_pos = np.array(
+        [pos_of[r["node_id"]] for r in eps if r["node_id"] in pos_of],
+        dtype=np.int64,
+    )
+    if len(ep_pos) == 0:
+        ep_pos = np.array([0], dtype=np.int64)
+    return CompactIndex(ids, vecs, indptr, indices, ep_pos, metric)
+
+
+def _beam_search_layer(
+    index: CompactIndex,
+    q: np.ndarray,
+    layer: int,
+    entries: np.ndarray,
+    ef: int,
+    max_hops: int = 500,
+) -> list[tuple[float, int]]:
+    """Best-first beam search with candidate min-heap + result max-heap and
+    early exit (reference `_search_layer` hnsw_cosine.py:445-473; hop cap
+    from roargraph_python.py:376)."""
+    indptr = index.indptr.get(layer)
+    indices = index.indices.get(layer)
+    if indptr is None:
+        return [(float(d), int(p)) for d, p in
+                zip(index.dist(q, entries), entries)]
+    visited = np.zeros(len(index.ids), dtype=bool)
+    entries = np.unique(entries)
+    d0 = index.dist(q, entries)
+    cand = [(float(d), int(p)) for d, p in zip(d0, entries)]
+    heapq.heapify(cand)
+    result = [(-d, p) for d, p in cand]
+    heapq.heapify(result)
+    while len(result) > ef:
+        heapq.heappop(result)
+    visited[entries] = True
+    hops = 0
+    while cand and hops < max_hops:
+        d, p = heapq.heappop(cand)
+        worst = -result[0][0]
+        if d > worst and len(result) >= ef:
+            break
+        hops += 1
+        nbrs = indices[indptr[p] : indptr[p + 1]]
+        nbrs = nbrs[~visited[nbrs]]
+        if len(nbrs) == 0:
+            continue
+        visited[nbrs] = True
+        dn = index.dist(q, nbrs)
+        for dd, pp in zip(dn, nbrs):
+            if len(result) < ef or dd < -result[0][0]:
+                heapq.heappush(cand, (float(dd), int(pp)))
+                heapq.heappush(result, (-float(dd), int(pp)))
+                if len(result) > ef:
+                    heapq.heappop(result)
+    return [(-d, p) for d, p in result]
+
+
+def graph_search(
+    queries: DataFrame,
+    index: CompactIndex,
+    k: int = 10,
+    ef_search: int = 64,
+    num_entry_points: int = 3,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+) -> DataFrame:
+    """Batch ANN search: broadcast the index, stream query batches through
+    a mapInPandas kernel running the layered beam search per query.
+
+    Two-phase like the C++ multi-entry search (hnsw.cpp:769-815): beam on
+    the top layer to pick entry seeds, then beam on layer 0.
+    Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn.
+    """
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(index)
+    layers_desc = sorted(index.indptr.keys(), reverse=True)
+
+    def run(batches):
+        idx: CompactIndex = bc.value
+        for pdf in batches:
+            qids, ranks, nids, dists = [], [], [], []
+            for qid, v in zip(pdf["qid"], pdf["v"]):
+                q = np.asarray(v, dtype=np.float64)
+                entries = idx.entry_points
+                for layer in layers_desc:
+                    if layer == 0:
+                        res = _beam_search_layer(
+                            idx, q, 0, entries, max(ef_search, k)
+                        )
+                    else:
+                        up = _beam_search_layer(
+                            idx, q, layer, entries, max(ef_search, k)
+                        )
+                        up.sort()
+                        entries = np.array(
+                            [p for _, p in up[:num_entry_points]], dtype=np.int64
+                        )
+                if not layers_desc:
+                    res = _beam_search_layer(idx, q, 0, idx.entry_points, ef_search)
+                res.sort(key=lambda t: (t[0], idx.ids[t[1]]))
+                for r, (d, p) in enumerate(res[:k], start=1):
+                    qids.append(qid); ranks.append(r)
+                    nids.append(int(idx.ids[p])); dists.append(float(d))
+            yield pd.DataFrame(
+                {"qid": qids, "nbr_rank": ranks, "neighbor_id": nids, "dist": dists}
+            )
+
+    q = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    )
+    return q.mapInPandas(
+        run, schema="qid long, nbr_rank long, neighbor_id long, dist double"
+    )
