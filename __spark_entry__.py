@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``queries()`` exposes one entry per implemented operator from SURVEY.md §2;
-``oracle_sql()`` gives the DuckDB-equivalent SQL the driver hash-compares
-against at sf=0.01. Every computed column is aliased identically on both
-sides, and every float column is rounded (cross-engine drift is ~1 ulp,
-measured 2.2e-16; rounding granularity 1e-6 makes hashes stable).
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the north-star LLM-pipeline operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL the driver hash-compares against at sf=0.01.
+Oracle generators live in vectordbindexing_spark.oracles — each mirrors the
+Spark operator exactly (same formulas, deterministic cross-engine hashes,
+same tie-breaks and rounding; measured float drift ~1 ulp vs the 1e-6
+rounding granularity).
+
+Non-SQL-expressible ops (graph/IVF ANN serving, whitening — iterative or
+SVD-based) have no oracle entry → driver records rows-only; their numeric
+correctness is pinned by tests/ (recall floors vs the exact-KNN oracle,
+numpy parity for whitening).
 """
 
 from __future__ import annotations
@@ -14,7 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectordbindexing_spark import oracles
 from vectordbindexing_spark.io.tables import load_table
+
+Query = Callable[[SparkSession, str], DataFrame]
 
 
 def _emb_split(spark: SparkSession, sf_dir: str):
@@ -25,49 +35,197 @@ def _emb_split(spark: SparkSession, sf_dir: str):
     return q, b
 
 
-def _knn_query(metric: str) -> Callable[[SparkSession, str], DataFrame]:
+# ---------------------------------------------------------------- ANN / vectors
+
+def _knn_query(metric: str) -> Query:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from vectordbindexing_spark.operators.exact_knn import exact_knn
 
         q, b = _emb_split(spark, sf_dir)
-        return (
-            exact_knn(
-                q, b, k=10, metric=metric, impl="blocked",
-                q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
-            )
-            .withColumn("dist", F.round("dist", 6))
-            .orderBy("qid", "nbr_rank")
-        )
+        return exact_knn(
+            q, b, k=10, metric=metric, impl="blocked",
+            q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+        ).withColumn("dist", F.round("dist", 6))
 
     return run
 
 
-_KNN_DIST_SQL = {
-    "cosine": (
-        "1.0 - list_inner_product(q.v, b.v) / "
-        "(sqrt(list_inner_product(q.v,q.v)) * sqrt(list_inner_product(b.v,b.v)))"
-    ),
-    "l2": (
-        "sqrt(greatest(list_inner_product(q.v,q.v) + list_inner_product(b.v,b.v) "
-        "- 2*list_inner_product(q.v,b.v), 0.0))"
-    ),
-    "ip": "-list_inner_product(q.v, b.v)",
-}
+def _lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.lsh import lsh_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return lsh_knn(
+        q, b, k=10, metric="cosine", num_bits=6, num_tables=8,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+        bucket_cap=None,
+    ).withColumn("dist", F.round("dist", 6))
 
 
-def _knn_oracle(metric: str, k: int = 10) -> str:
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
-         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
-         d AS (SELECT q.qid, b.id, {_KNN_DIST_SQL[metric]} AS dist FROM q, b),
-         r AS (SELECT qid, id, dist,
-                      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
-               FROM d)
-    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
-    FROM r WHERE rnk <= {k}
-    """
+def _simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.lsh import simhash_buckets
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simhash_buckets(
+        emb, id_col="vec_id", vec_col="embedding", num_bits=16,
+        num_tables=1, bucket_cap=None,
+    )
+
+
+def _hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.graph import assign_levels
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_levels(emb, id_col="vec_id", M=16).select(
+        F.col("vec_id").alias("id"), "level"
+    )
+
+
+def _knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.graph import (
+        degree_stats,
+        knn_graph,
+        mutualize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=10, metric="cosine", id_col="vec_id", vec_col="embedding")
+    return degree_stats(mutualize(g, max_degree=16)).select(
+        "layer",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "avg_degree",
+        F.col("max_degree").cast("long").alias("max_degree"),
+        F.col("min_degree").cast("long").alias("min_degree"),
+    )
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+
+
+def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only showcase: build two-layer graph index, serve queries,
+    report recall@10 vs the exact oracle (computed in-Spark)."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+
+    q, b = _emb_split(spark, sf_dir)
+    edges = build_two_layer_index(
+        b, M0=16, M1=8, metric="cosine", id_col="vec_id", vec_col="embedding"
+    )
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    got = graph_search(q, idx, k=10, ef_search=64,
+                       q_id="vec_id", q_vec="embedding")
+    ex = exact_knn(q, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("r"), 4).alias("recall_at_10"),
+        )
+    )
+
+
+def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF (k-means inverted lists) approximate KNN."""
+    from vectordbindexing_spark.operators.ivf import ivf_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return ivf_knn(
+        q, b, k=10, nlist=16, nprobe=4, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
+def _whitening_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PCA-whitening fit+transform (Norm method); outputs the
+    whitened L2 norm per vector (SVD not SQL-expressible)."""
+    from vectordbindexing_spark.operators.preprocess import (
+        whitening_fit,
+        whitening_transform,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = whitening_fit(emb, vec_col="embedding", mode="pca")
+    out = whitening_transform(emb, model, vec_col="embedding")
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("wvec", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("whitened_norm"),
+    )
+
+
+# ---------------------------------------------------------------- dedup / text
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import exact_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(docs, text_col="text", id_col="doc_id")
+
+
+def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=16, bands=8, threshold=0.5,
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import jaccard_ngram_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return jaccard_ngram_pairs(docs, text_col="text", id_col="doc_id",
+                               n=3, threshold=0.2)
+
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.textops import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs, text_col="text", id_col="doc_id")
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, text_col="text", id_col="doc_id")
+
+
+def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs, text_col="text", id_col="doc_id")
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.textops import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------- relational
 
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -85,87 +243,115 @@ def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-_TPCH_Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1998-03-15"
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
 
 
-def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectordbindexing_spark.operators.dedup import exact_dedup_stats
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.events import hourly_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_stats(docs, text_col="text", id_col="doc_id")
-
-
-_DEDUP_EXACT_SQL = """
-SELECT md5(text) AS fingerprint,
-       min(doc_id) AS keep_id,
-       count(*) AS n_copies
-FROM documents
-GROUP BY md5(text)
-"""
+    return hourly_stats(load_table(spark, sf_dir, "events"))
 
 
-def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectordbindexing_spark.operators.textops import token_stats
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.events import sessionize
 
-    docs = load_table(spark, sf_dir, "documents")
-    return token_stats(docs, text_col="text", id_col="doc_id")
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
-_TEXT_TOKEN_STATS_SQL = """
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks,
-         length(text) AS n_chars
-  FROM documents
-)
-SELECT doc_id,
-       n_chars,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct_tokens,
-       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4)
-           AS avg_token_len
-FROM t
-"""
-
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact cosine top-10 ANN join on sf0.001 embeddings."""
     return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries() -> dict[str, Query]:
     return {
+        # ANN / vector search (SURVEY §2.3/2.4/2.6/2.9)
         "knn_exact_cosine": _knn_query("cosine"),
         "knn_exact_l2": _knn_query("l2"),
         "knn_exact_ip": _knn_query("ip"),
-        "tpch_q1_pricing_summary": _tpch_q1,
+        "lsh_knn_cosine": _lsh_knn,
+        "simhash_buckets": _simhash_buckets,
+        "ivf_knn_cosine": _ivf_knn,
+        "ann_two_layer_recall": _ann_two_layer_recall,
+        # graph build (SURVEY §2.8)
+        "hnsw_level_assignment": _hnsw_levels,
+        "knn_graph_degree_stats": _knn_graph_degree_stats,
+        # preprocessing (SURVEY §2.10)
+        "whitening_pca_norms": _whitening_pca,
+        # dedup (north star)
         "dedup_exact": _dedup_exact,
+        "minhash_neardup": _minhash_neardup,
+        "jaccard_neardup_pairs": _jaccard_pairs,
+        "embedding_neardup": _embedding_neardup,
+        # text analysis (north star)
         "text_token_stats": _text_token_stats,
+        "text_quality_score": _text_quality,
+        "text_lang_id": _text_lang_id,
+        "doc_fingerprint": _doc_fingerprint,
+        # relational / events
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "events_hourly_stats": _events_hourly,
+        "events_sessionize": _events_sessionize,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from vectordbindexing_spark.operators.textops import LANG_MARKERS, STOPWORDS
+
     return {
-        "knn_exact_cosine": _knn_oracle("cosine"),
-        "knn_exact_l2": _knn_oracle("l2"),
-        "knn_exact_ip": _knn_oracle("ip"),
-        "tpch_q1_pricing_summary": _TPCH_Q1_SQL,
-        "dedup_exact": _DEDUP_EXACT_SQL,
-        "text_token_stats": _TEXT_TOKEN_STATS_SQL,
+        "knn_exact_cosine": oracles.knn_exact_sql("cosine"),
+        "knn_exact_l2": oracles.knn_exact_sql("l2"),
+        "knn_exact_ip": oracles.knn_exact_sql("ip"),
+        "lsh_knn_cosine": oracles.lsh_knn_sql(num_bits=6, num_tables=8, k=10),
+        "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
+        "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
+        "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(
+            k=10, max_degree=16
+        ),
+        "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "minhash_neardup": oracles.minhash_neardup_sql(
+            n=3, num_hashes=16, bands=8, threshold=0.5
+        ),
+        "jaccard_neardup_pairs": (
+            oracles.jaccard_pairs_sql(n=3, threshold=0.2).replace(
+                "FROM documents", "FROM documents WHERE doc_id % 5 = 0"
+            )
+        ),
+        "embedding_neardup": oracles.embedding_neardup_sql(threshold=0.4),
+        "text_token_stats": oracles.TEXT_TOKEN_STATS_SQL,
+        "text_quality_score": oracles.quality_score_sql(STOPWORDS),
+        "text_lang_id": oracles.lang_id_sql(LANG_MARKERS),
+        "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
+        "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,
+        "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,
+        "events_hourly_stats": oracles.EVENTS_HOURLY_SQL,
+        "events_sessionize": oracles.sessionize_sql(gap_minutes=30),
+        # no oracle (rows-only): ann_two_layer_recall, ivf_knn_cosine,
+        # whitening_pca_norms — iterative / SVD, not SQL-expressible.
     }

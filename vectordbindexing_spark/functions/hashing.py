@@ -31,17 +31,24 @@ def det_hash64(s: Column | str) -> Column:
 DET_HASH64_SQL = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
 
 
-def minhash_signature(grams: Column, num_hashes: int) -> Column:
-    """MinHash signature over an array<string> of shingles.
+def gram_hashes(grams: Column) -> Column:
+    """array<string> shingles → array<long> md5-based hashes (compute once
+    per row; minhash_signature's per-i lambda would otherwise re-evaluate
+    the md5 array num_hashes times)."""
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_signature(hashed: Column, num_hashes: int) -> Column:
+    """MinHash signature over an array<long> of pre-hashed shingles
+    (see :func:`gram_hashes`).
 
     h_i(s) = (a_i * det_hash64(s) + b_i) mod (2^31-1), with
     a_i = (i+1)*_A_MUL + _A_ADD, b_i = (i+1)*_B_MUL + _B_ADD.
     Pure Column expression — JVM-side, no UDF. Empty shingle set → all
     MERSENNE31 sentinels.
     """
-    hashed = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
@@ -128,6 +135,54 @@ def simhash_bits(vec: Column, num_bits: int = 16, table: int = 0) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def det_hash64_py(s: str) -> int:
+    """Python twin of :func:`det_hash64` (first 8 md5 hex chars of the
+    UTF-8 bytes → int)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def minhash_signature_np(hashes, num_hashes: int):
+    """numpy twin of :func:`minhash_signature`: (n_grams,) int64 hashes →
+    (num_hashes,) int64 signature. Empty input → all-MERSENNE31 sentinels.
+    Identical int64 arithmetic to the Column/SQL versions."""
+    import numpy as np
+
+    if len(hashes) == 0:
+        return np.full(num_hashes, MERSENNE31, dtype=np.int64)
+    h = np.asarray(hashes, dtype=np.int64) % MERSENNE31
+    i = np.arange(1, num_hashes + 1, dtype=np.int64)[:, None]
+    a = (i * _A_MUL + _A_ADD) % MERSENNE31
+    b = i * _B_MUL + _B_ADD
+    return ((a * h[None, :] + b) % MERSENNE31).min(axis=1)
+
+
+def lcg_planes_np(num_bits: int, dim: int, table: int = 0):
+    """(num_bits, dim) float64 hyperplane matrix — numpy twin of
+    :func:`lcg_plane_value` (identical int64 arithmetic, bit-for-bit)."""
+    import numpy as np
+
+    j = np.arange(num_bits, dtype=np.int64)[:, None] + table * num_bits
+    i = np.arange(dim, dtype=np.int64)[None, :]
+    seed = (j * 73_856_093 + i * 19_349_663 + 83_492_791) % MERSENNE31
+    mixed = (seed * _A_MUL + _A_ADD) % MERSENNE31
+    return mixed.astype("float64") / float(MERSENNE31) - 0.5
+
+
+def simhash_bits_np(V, num_bits: int = 16, table: int = 0):
+    """Vectorized SimHash over a (n, d) matrix → (n,) int64 buckets.
+    Matches :func:`simhash_bits` / :func:`simhash_bits_sql` (the f64 matmul
+    vs sequential-sum difference only matters when a projection magnitude
+    is ≲1e-15 — negligible for real data)."""
+    import numpy as np
+
+    P = lcg_planes_np(num_bits, V.shape[1], table)
+    proj = V.astype(np.float64) @ P.T
+    weights = (1 << np.arange(num_bits, dtype=np.int64))
+    return ((proj >= 0) @ weights).astype(np.int64)
 
 
 def simhash_bits_sql(vec_sql: str, num_bits: int = 16, table: int = 0) -> str:

@@ -1,0 +1,56 @@
+"""Event-stream batch analytics: tumbling-window aggregation and gap-based
+sessionization. These are the batch twins of the Structured Streaming path
+(vectordbindexing_spark.streaming) — identical column semantics, so a
+stream job's output can be validated against these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_stats(events: DataFrame) -> DataFrame:
+    """Per (event_type, hour) tumbling-window counts + value aggregates."""
+    return (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_minutes``. Output per user:
+    n_sessions, n_events, longest session length (events).
+
+    Single shuffle on user_id; the lag/cumsum windows reuse that
+    partitioning (no extra exchange).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("sess_events")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("sess_events").alias("n_events"),
+            F.max("sess_events").alias("max_session_events"),
+        )
+    )

@@ -141,7 +141,11 @@ def _exact_knn_blocked(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> Da
                 }
             )
 
-    b = base.select(F.col(b_id).cast("long").alias("bid"), F.col(b_vec).alias("v"))
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    b = repartition_for_compute(
+        base.select(F.col(b_id).cast("long").alias("bid"), F.col(b_vec).alias("v"))
+    )
     partial = b.mapInPandas(
         partial_topk, schema="qid long, neighbor_id long, dist double"
     )

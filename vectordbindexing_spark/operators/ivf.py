@@ -1,0 +1,172 @@
+"""IVF (inverted-file) approximate KNN — the scale path for similarity
+search over embedding columns (north-star operator; complements the
+graph index with a shuffle-free partition-pruned search).
+
+Build: distributed Lloyd k-means (mapInPandas partial sums — one pass per
+iteration over the data, only (k·d) floats shuffle to the driver), then an
+assignment table (cid, id). Search: probe the ``nprobe`` nearest centroids
+per query and score only those cells — candidate volume n·nprobe/k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.vector import metric_dist, to_double_array
+from vectordbindexing_spark.operators.topk import topk_per_group
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> np.ndarray:
+    """Lloyd k-means, deterministic init (k smallest ids). Returns (k, d)
+    float64 centroid matrix. Each iteration: executors emit per-partition
+    (cluster_sum, cluster_count) partials; driver reduces — O(k·d·parts)
+    traffic, no shuffle of the data itself."""
+    init_rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in init_rows])
+    spark = df.sparkSession
+    data = df.select(F.col(vec_col).alias("v"))
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cl = bc.value
+            kk, d = Cl.shape
+            sums = np.zeros((kk, d))
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                d2 = (
+                    np.sum(X * X, axis=1)[:, None]
+                    - 2 * X @ Cl.T
+                    + np.sum(Cl * Cl, axis=1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1)
+            out = pd.DataFrame(
+                {
+                    "cid": np.arange(kk, dtype=np.int64),
+                    "cnt": counts,
+                    "s": [row.tolist() for row in sums],
+                }
+            )
+            yield out[out["cnt"] > 0]
+
+        agg = data.mapInPandas(
+            partials, schema="cid long, cnt long, s array<double>"
+        ).toPandas()
+        newC = C.copy()
+        for cid, grp in agg.groupby("cid"):
+            tot = grp["cnt"].sum()
+            if tot > 0:
+                newC[cid] = np.sum(np.stack(grp["s"].to_list()), axis=0) / tot
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(cid, id) inverted-list assignment via broadcast centroid matmul."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            d2 = (
+                np.sum(X * X, axis=1)[:, None]
+                - 2 * X @ C.T
+                + np.sum(C * C, axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {"cid": np.argmin(d2, axis=1), "id": pdf["i"].to_numpy()}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, schema="cid long, id long")
+
+
+def ivf_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    max_iter: int = 5,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF search end-to-end: fit (or reuse) centroids, assign base, probe
+    nprobe cells per query, exact-score candidates, per-query top-k.
+
+    Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(base, nlist, max_iter, b_id, b_vec)
+    assign = ivf_assign(base, centroids, b_id, b_vec)
+
+    # query → nprobe nearest centroids (tiny: k×d broadcast matmul on driver
+    # side expressed declaratively via a centroid literal table)
+    spark = queries.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        schema="cid long, cvec array<double>",
+    )
+    q = queries.select(
+        F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "cdist", metric_dist("_qv", "cvec", "l2")
+    )
+    probes = (
+        topk_per_group(qc, ["qid"], "cdist", nprobe, tie_col="cid", rank_name="_pr")
+        .select("qid", "_qv", "cid")
+    )
+    cand = probes.join(assign, "cid").select(
+        "qid", "_qv", F.col("id").alias("neighbor_id")
+    )
+    bv = base.select(
+        F.col(b_id).cast("long").alias("neighbor_id"),
+        to_double_array(b_vec).alias("_bv"),
+    )
+    scored = cand.join(bv, "neighbor_id").withColumn(
+        "dist", metric_dist("_qv", "_bv", metric)
+    )
+    ranked = topk_per_group(
+        scored.select("qid", "neighbor_id", "dist"), ["qid"], "dist", k,
+        tie_col="neighbor_id",
+    )
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")

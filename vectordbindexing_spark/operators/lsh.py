@@ -11,26 +11,25 @@ Spark formulation: the bucket table is an equi-join key — candidate volume
 scales with bucket collisions, not |Q|×|B|. This is the engine's scalable
 KNN pruning strategy (SURVEY §4 "candidate-pool pruning"). Hyperplanes are
 a deterministic LCG family (functions.hashing) instead of seeded
-np.random.randn so the DuckDB oracle can reproduce them exactly.
+np.random.randn so the DuckDB oracle reproduces them exactly. Hashing and
+distance scoring run as Arrow-batched numpy kernels (the reference's
+vectorized-matmul trick, `simple_sim_hash.py:13` / `hnsw_cosine.py:17-30`);
+joins/top-k stay declarative.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectordbindexing_spark.functions.hashing import simhash_bits
-from vectordbindexing_spark.functions.vector import metric_dist, to_double_array
+from vectordbindexing_spark.functions.hashing import simhash_bits_np
 from vectordbindexing_spark.operators.topk import topk_per_group
 
 DEFAULT_BUCKET_CAP = 20_000  # simple_sim_hash.py:10
-
-
-def _table_bucket(vec: Column, num_bits: int, table: int) -> Column:
-    """Bucket key for one LSH table, disjoint across tables."""
-    return simhash_bits(vec, num_bits, table) + F.lit(table * (1 << num_bits)).cast(
-        "long"
-    )
 
 
 def simhash_buckets(
@@ -47,18 +46,30 @@ def simhash_buckets(
     [t·2^bits, (t+1)·2^bits)). Cap keeps the ``bucket_cap`` smallest ids
     per bucket (deterministic), mirroring the reference's insertion cap.
     """
-    buckets = F.array(
-        *[_table_bucket(F.col(vec_col), num_bits, t) for t in range(num_tables)]
-    )
-    out = df.select(
-        F.col(id_col).cast("long").alias("id"), F.explode(buckets).alias("bucket")
-    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            ids = pdf["i"].to_numpy()
+            frames = []
+            for t in range(num_tables):
+                b = simhash_bits_np(V, num_bits, t) + t * (1 << num_bits)
+                frames.append(pd.DataFrame({"id": ids, "bucket": b}))
+            yield pd.concat(frames, ignore_index=True)
+
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    out = repartition_for_compute(
+        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+    ).mapInPandas(hash_batches, schema="id long, bucket long")
     if bucket_cap is not None:
         out = (
             topk_per_group(out, ["bucket"], "id", bucket_cap, rank_name="_rn")
             .drop("_rn")
         )
-    return out.select("id", "bucket")
+    return out
 
 
 def probe_buckets(bucket: Column, num_bits: int) -> Column:
@@ -68,6 +79,38 @@ def probe_buckets(bucket: Column, num_bits: int) -> Column:
         bucket.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(num_bits)
     ]
     return F.array(bucket, *flips)
+
+
+def _score_candidates(
+    cand: DataFrame, metric: str, qv: str = "_qv", bv: str = "_bv"
+) -> DataFrame:
+    """Row-vectorized distance kernel over candidate pairs (Arrow batches)."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[qv]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[bv]])
+            d = np.einsum("ij,ij->i", Q, B)
+            if metric == "cosine":
+                d = 1.0 - d / (
+                    np.linalg.norm(Q, axis=1) * np.linalg.norm(B, axis=1)
+                )
+            elif metric == "l2":
+                diff = Q - B
+                d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            else:  # ip
+                d = -d
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "dist": d,
+                }
+            )
+
+    return cand.mapInPandas(score, schema="qid long, neighbor_id long, dist double")
 
 
 def lsh_knn(
@@ -92,35 +135,25 @@ def lsh_knn(
     rows — recall/coverage tradeoff is (num_bits, num_tables).
     """
     bt = simhash_buckets(base, b_id, b_vec, num_bits, num_tables, bucket_cap)
-    q = queries.select(
-        F.col(q_id).cast("long").alias("qid"),
-        to_double_array(q_vec).alias("_qv"),
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        probe_buckets(
-                            _table_bucket(F.col(q_vec), num_bits, t), num_bits
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            )
-        ).alias("bucket"),
+    qb = simhash_buckets(
+        queries, q_id, q_vec, num_bits, num_tables, bucket_cap=None
+    ).withColumnRenamed("id", "qid")
+    probes = qb.select(
+        "qid", F.explode(probe_buckets(F.col("bucket"), num_bits)).alias("bucket")
     )
     cand = (
-        q.join(bt, "bucket")
-        .select("qid", "_qv", F.col("id").alias("neighbor_id"))
+        probes.join(bt, "bucket")
+        .select("qid", F.col("id").alias("neighbor_id"))
         .dropDuplicates(["qid", "neighbor_id"])
     )
+    qv = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("_qv")
+    )
     bv = base.select(
-        F.col(b_id).cast("long").alias("neighbor_id"), to_double_array(b_vec).alias("_bv")
+        F.col(b_id).cast("long").alias("neighbor_id"), F.col(b_vec).alias("_bv")
     )
-    scored = cand.join(bv, "neighbor_id").withColumn(
-        "dist", metric_dist("_qv", "_bv", metric)
+    scored = _score_candidates(
+        cand.join(qv, "qid").join(bv, "neighbor_id"), metric
     )
-    ranked = topk_per_group(
-        scored.select("qid", "neighbor_id", "dist"), ["qid"], "dist", k,
-        tie_col="neighbor_id",
-    )
+    ranked = topk_per_group(scored, ["qid"], "dist", k, tie_col="neighbor_id")
     return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")

@@ -199,8 +199,10 @@ def graph_search(
                 {"qid": qids, "nbr_rank": ranks, "neighbor_id": nids, "dist": dists}
             )
 
-    q = queries.select(
-        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    q = repartition_for_compute(
+        queries.select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
     )
     return q.mapInPandas(
         run, schema="qid long, nbr_rank long, neighbor_id long, dist double"

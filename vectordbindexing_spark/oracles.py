@@ -1,0 +1,326 @@
+"""DuckDB oracle SQL for the driver's t2 correctness gate.
+
+Every generator mirrors the corresponding Spark operator *exactly*
+(same formulas, same deterministic hashes, same tie-breaks, same
+rounding) so order-insensitive value hashes match. See
+functions.hashing for the cross-engine hash/LCG primitives.
+"""
+
+from __future__ import annotations
+
+from vectordbindexing_spark.functions.hashing import (
+    minhash_signature_sql,
+    simhash_bits_sql,
+)
+from vectordbindexing_spark.functions.text import WORDS_SQL, word_ngrams_sql
+
+KNN_DIST_SQL = {
+    "cosine": (
+        "1.0 - list_inner_product(q.v, b.v) / "
+        "(sqrt(list_inner_product(q.v,q.v)) * sqrt(list_inner_product(b.v,b.v)))"
+    ),
+    "l2": (
+        "sqrt(greatest(list_inner_product(q.v,q.v) + list_inner_product(b.v,b.v) "
+        "- 2*list_inner_product(q.v,b.v), 0.0))"
+    ),
+    "ip": "-list_inner_product(q.v, b.v)",
+}
+
+
+def knn_exact_sql(metric: str, k: int = 10) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         d AS (SELECT q.qid, b.id, {KNN_DIST_SQL[metric]} AS dist FROM q, b),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+               FROM d)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
+
+
+def simhash_buckets_sql(num_bits: int = 16) -> str:
+    return f"""
+    SELECT vec_id AS id,
+           {simhash_bits_sql('embedding::DOUBLE[]', num_bits)} AS bucket
+    FROM embeddings
+    """
+
+
+def lsh_knn_sql(num_bits: int = 6, num_tables: int = 8, k: int = 10) -> str:
+    """Mirrors operators.lsh.lsh_knn (cosine, no bucket cap)."""
+    base_arms = "\n      UNION ALL ".join(
+        f"SELECT id, v, ({simhash_bits_sql('v', num_bits, t)})"
+        f" + {t * (1 << num_bits)} AS bucket FROM b"
+        for t in range(num_tables)
+    )
+    flips = ", ".join(f"xor(bkt, {1 << j})" for j in range(num_bits))
+    query_arms = "\n      UNION ALL ".join(
+        f"SELECT qid, unnest([bkt, {flips}]) AS bucket FROM "
+        f"(SELECT qid, ({simhash_bits_sql('v', num_bits, t)})"
+        f" + {t * (1 << num_bits)} AS bkt FROM q)"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         bt AS ({base_arms}),
+         qt AS ({query_arms}),
+         cand AS (SELECT DISTINCT qt.qid, bt.id FROM qt JOIN bt USING (bucket)),
+         d AS (SELECT c.qid, c.id, {KNN_DIST_SQL['cosine']} AS dist
+               FROM cand c JOIN q ON q.qid = c.qid JOIN b ON b.id = c.id),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+               FROM d)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
+
+
+def hnsw_levels_sql(M: int = 16) -> str:
+    import math
+
+    bits = int(math.log2(M))
+    h = "(('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN {h} < {2 ** (32 - bits * l)} THEN 1 ELSE 0 END)"
+        for l in range(1, 8)
+        if 32 - bits * l > 0
+    )
+    return f"SELECT vec_id AS id, ({terms}) AS level FROM embeddings"
+
+
+def knn_graph_degree_stats_sql(k: int = 10, max_degree: int = 16) -> str:
+    """Mirrors knn_graph(k) → mutualize(max_degree) → degree_stats on the
+    full embeddings table (cosine)."""
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         d AS (SELECT q.id AS src, b.id AS dst,
+                      {KNN_DIST_SQL['cosine'].replace('q.v', 'q.v').replace('b.v', 'b.v')} AS dist
+               FROM e q, e b WHERE q.id <> b.id),
+         knn AS (SELECT src, dst, dist,
+                        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+                 FROM d),
+         g AS (SELECT src, dst, dist FROM knn WHERE rnk <= {k}),
+         sym AS (SELECT DISTINCT src, dst, dist FROM
+                   (SELECT src, dst, dist FROM g
+                    UNION ALL SELECT dst AS src, src AS dst, dist FROM g)),
+         capped AS (SELECT src, dst FROM
+                      (SELECT src, dst,
+                              row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+                       FROM sym) WHERE rnk <= {max_degree}),
+         deg AS (SELECT src, count(*) AS degree FROM capped GROUP BY src)
+    SELECT 0 AS layer,
+           count(*)::BIGINT AS n_nodes,
+           sum(degree)::BIGINT AS n_edges,
+           round(avg(degree), 4) AS avg_degree,
+           max(degree)::BIGINT AS max_degree,
+           min(degree)::BIGINT AS min_degree
+    FROM deg
+    """
+
+
+def minhash_neardup_sql(
+    n: int = 3, num_hashes: int = 16, bands: int = 8, threshold: float = 0.5
+) -> str:
+    rows_per_band = num_hashes // bands
+    grams = word_ngrams_sql("text", n)
+    sig = minhash_signature_sql("grams", num_hashes)
+    return f"""
+    WITH g AS (SELECT doc_id AS did, list_distinct({grams}) AS grams
+               FROM documents),
+         s AS (SELECT did, grams, {sig} AS sig FROM g),
+         banded AS (
+           SELECT did, grams, band_idx,
+                  array_to_string(list_transform(
+                      list_slice(sig, band_idx*{rows_per_band} + 1,
+                                 band_idx*{rows_per_band} + {rows_per_band}),
+                      x -> x::VARCHAR), '_') AS band_key
+           FROM s, unnest(range(0, {bands})) AS t(band_idx)),
+         cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b,
+                         a.grams AS ga, b.grams AS gb
+                  FROM banded a JOIN banded b
+                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.did < b.did),
+         j AS (SELECT id_a, id_b,
+                      round(len(list_intersect(ga, gb))::DOUBLE /
+                        (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6)
+                        AS jaccard
+               FROM cand)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def jaccard_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
+    grams = word_ngrams_sql("text", n)
+    return f"""
+    WITH g AS (SELECT doc_id AS did, list_distinct({grams}) AS grams
+               FROM documents),
+         p AS (SELECT a.did AS id_a, b.did AS id_b,
+                      round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                        (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+               FROM g a, g b WHERE a.did < b.did)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {threshold}
+    """
+
+
+def embedding_neardup_sql(threshold: float = 0.4) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      round(list_inner_product(a.v, b.v) /
+                        (sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+               FROM e a, e b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {threshold}
+    """
+
+
+def quality_score_sql(stopwords: tuple[str, ...]) -> str:
+    toks = WORDS_SQL.format(t="text")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks)::BIGINT AS n_tokens,
+           round(len(list_filter(toks, x -> list_contains({stop_list}, x)))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                 / length(text), 6) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                 / length(text), 6) AS upper_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS type_token_ratio,
+           (len(list_filter(toks, x -> list_contains({stop_list}, x))) > 0)
+               AS has_stopwords
+    FROM t
+    """
+
+
+def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
+    toks = WORDS_SQL.format(t="lower(text)")
+    arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"len(list_filter(toks, t -> list_contains("
+        f"[{', '.join(repr(m) for m in ms)}], t)))::BIGINT AS score FROM t"
+        for lang, ms in sorted(markers.items())
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+         s AS ({arms}),
+         r AS (SELECT doc_id, lang, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang DESC) AS rnk
+               FROM s)
+    SELECT doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+           score AS marker_hits
+    FROM r WHERE rnk = 1
+    """
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS fingerprint64
+FROM documents
+"""
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts::TIMESTAMP) AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+    WITH o AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+                      lag(ts::TIMESTAMP) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events),
+         f AS (SELECT user_id, event_id, ts,
+                      CASE WHEN prev_ts IS NULL
+                             OR date_diff('second', prev_ts, ts) > {gap_minutes * 60}
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM o),
+         s AS (SELECT user_id, event_id,
+                      sum(new_sess) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+               FROM f),
+         per_sess AS (SELECT user_id, sess_id, count(*) AS sess_events
+                      FROM s GROUP BY user_id, sess_id)
+    SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           sum(sess_events)::BIGINT AS n_events,
+           max(sess_events)::BIGINT AS max_session_events
+    FROM per_sess GROUP BY user_id
+    """
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+TPCH_Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+TEXT_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4)
+           AS avg_token_len
+FROM t
+"""
