@@ -1,0 +1,90 @@
+"""Seeded synthetic multimodal vector generator — semantics of the
+reference's `hnsw_optimization/data_loader.py:30-96` (per-modality Gaussian
+cluster center ×2.0 + noise ×0.5, L2-normalized, queries from the same
+centers with seed+1) and `roargraph_python.py:437-448`.
+
+Declarative formulation: `spark.range(n)` + deterministic hash-based
+Gaussians (Box–Muller over md5-derived uniforms) so any worker produces
+identical rows without a shared RNG state — the seeded-numpy equivalent
+that actually distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.vector import unit_norm
+
+TWO_PI = 6.283185307179586
+
+
+def _u01(tag: Column) -> Column:
+    """Deterministic uniform(0,1) from a string tag (md5 high 8 hex)."""
+    h = F.conv(F.substring(F.md5(tag), 1, 8), 16, 10).cast("double")
+    return (h + 0.5) / F.lit(4294967296.0)
+
+
+def _gauss(tag: Column) -> Column:
+    """Box–Muller from two derived uniforms."""
+    u1 = _u01(F.concat(tag, F.lit(":a")))
+    u2 = _u01(F.concat(tag, F.lit(":b")))
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(TWO_PI) * u2)
+
+
+def synthetic_vectors(
+    spark: SparkSession,
+    n: int,
+    dim: int,
+    n_modalities: int = 2,
+    seed: int = 42,
+    noise_seed: int | None = None,
+    center_scale: float = 2.0,
+    noise_scale: float = 0.5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, vec, modality) — unit-normalized Gaussian clusters.
+
+    vec = normalize(center(modality)·center_scale + noise(id)·noise_scale),
+    mirroring data_loader.py:68-96; modality = id % n_modalities. ``seed``
+    fixes the cluster centers; ``noise_seed`` (default seed) varies the
+    per-row noise so a query set can share centers (data_loader.py:62-64).
+    """
+    noise_seed = seed if noise_seed is None else noise_seed
+    df = spark.range(n).withColumnRenamed("id", "_i")
+    mod = (F.col("_i") % n_modalities).cast("int")
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    center_tag = F.concat(
+        F.lit(f"c:{seed}:"), mod.cast("string"), F.lit(":"), F.lit("d:")
+    )
+    noise_tag = F.concat(
+        F.lit(f"n:{noise_seed}:"), F.col("_i").cast("string"), F.lit(":d:")
+    )
+    vec = F.transform(
+        dims,
+        lambda d: (
+            _gauss(F.concat(center_tag, d.cast("string"))) * center_scale
+            + _gauss(F.concat(noise_tag, d.cast("string"))) * noise_scale
+        ).cast("float"),
+    )
+    return df.select(
+        F.col("_i").alias(id_col),
+        unit_norm(vec).alias(vec_col),
+        F.concat(F.lit("mod"), mod.cast("string")).alias("modality"),
+    )
+
+
+def synthetic_queries(
+    spark: SparkSession,
+    n: int,
+    dim: int,
+    n_modalities: int = 2,
+    seed: int = 42,
+    **kw,
+) -> DataFrame:
+    """Query set from the same modality centers, noise seed+1
+    (data_loader.py:62-64)."""
+    return synthetic_vectors(
+        spark, n, dim, n_modalities, seed=seed, noise_seed=seed + 1, **kw
+    ).withColumnRenamed("id", "qid")
