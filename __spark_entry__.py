@@ -144,7 +144,7 @@ def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, b = _emb_split(spark, sf_dir)
     return ivf_knn(
-        q, b, k=10, nlist=16, nprobe=4, metric="cosine",
+        q, b, k=10, nlist=16, nprobe=4, metric="cosine", max_iter=3,
         q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
     ).withColumn("dist", F.round("dist", 6))
 
@@ -223,6 +223,97 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+def _simhash_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import simhash_text_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_text_fingerprints(docs, text_col="text", id_col="doc_id")
+
+
+def _simhash_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import simhash_text_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_text_neardup(
+        docs, text_col="text", id_col="doc_id",
+        num_bits=32, max_hamming=3, bands=4,
+    )
+
+
+def _modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.graph import assign_levels
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lv = assign_levels(emb, id_col="vec_id", M=16)
+    return lv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("level"), 4).alias("avg_level"),
+        F.max("level").cast("long").alias("max_level"),
+        F.min("level").cast("long").alias("min_level"),
+    )
+
+
+def _train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference split predicate qid % 6 == 0 → test (hnsw_insert.ipynb)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn(
+            "split",
+            F.when(F.col("vec_id") % 6 == 0, "test").otherwise("train"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+    )
+
+
+def _recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.lsh import lsh_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    lsh = lsh_knn(
+        q, b, k=10, metric="cosine", num_bits=6, num_tables=8,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+        bucket_cap=None,
+    )
+    ex = exact_knn(
+        q, b, k=10, metric="cosine", impl="blocked",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    lp = lsh.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        ep.join(lp, "qid", "left")
+        .select(
+            (
+                F.coalesce(
+                    F.size(F.array_intersect("p", "g")), F.lit(0)
+                ).cast("double")
+                / 10.0
+            ).alias("rec")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("rec"), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def _events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", 0.1), 6).alias("p10"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
 
 
 # ---------------------------------------------------------------- relational
@@ -308,6 +399,13 @@ def queries() -> dict[str, Query]:
         "minhash_neardup": _minhash_neardup,
         "jaccard_neardup_pairs": _jaccard_pairs,
         "embedding_neardup": _embedding_neardup,
+        "simhash_text_fingerprints": _simhash_text_fp,
+        "simhash_text_neardup": _simhash_text_neardup,
+        # stats / eval (SURVEY §2.5/2.11)
+        "modality_stats": _modality_stats,
+        "train_test_split": _train_test_split,
+        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
+        "events_value_percentiles": _events_value_percentiles,
         # text analysis (north star)
         "text_token_stats": _text_token_stats,
         "text_quality_score": _text_quality,
@@ -344,6 +442,16 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "embedding_neardup": oracles.embedding_neardup_sql(threshold=0.4),
+        "simhash_text_fingerprints": oracles.simhash_text_fp_sql(num_bits=32),
+        "simhash_text_neardup": oracles.simhash_text_neardup_sql(
+            num_bits=32, max_hamming=3, bands=4
+        ),
+        "modality_stats": oracles.modality_stats_sql(M=16),
+        "train_test_split": oracles.TRAIN_TEST_SPLIT_SQL,
+        "recall_lsh_vs_exact": oracles.recall_lsh_vs_exact_sql(
+            num_bits=6, num_tables=8, k=10
+        ),
+        "events_value_percentiles": oracles.EVENTS_VALUE_PERCENTILES_SQL,
         "text_token_stats": oracles.TEXT_TOKEN_STATS_SQL,
         "text_quality_score": oracles.quality_score_sql(STOPWORDS),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS),

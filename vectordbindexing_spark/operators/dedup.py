@@ -200,6 +200,105 @@ def minhash_dedup_pairs(
     )
 
 
+def simhash_text_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 32,
+) -> DataFrame:
+    """Token-frequency SimHash fingerprint per document: bit j is set iff
+    Σ_tokens (±1 from bit j of the token's md5-hash) ≥ 0. The text twin of
+    the vector SimHash (simple_sim_hash.py semantics applied to a bag of
+    words). Arrow-batched kernel; exact-integer, cross-engine reproducible.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vectordbindexing_spark.functions.hashing import det_hash64_py
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    shifts = np.arange(num_bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+
+    def fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for text in pdf["txt"]:
+                toks = [t for t in text.split(" ") if t]
+                if not toks:
+                    fps.append(int(weights.sum()))  # empty → all bits set
+                    continue
+                h = np.array([det_hash64_py(t) for t in toks], dtype=np.int64)
+                signs = ((h[:, None] >> shifts[None, :]) & 1) * 2 - 1
+                bits = signs.sum(axis=0) >= 0
+                fps.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"did": pdf["did"], "fingerprint": fps})
+
+    return repartition_for_compute(
+        df.select(
+            F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("txt")
+        )
+    ).mapInPandas(fingerprints, schema="did long, fingerprint long")
+
+
+def simhash_text_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint → band-bucket equi-join
+    (pigeonhole: hamming ≤ bands-1 ⇒ some band identical) → exact hamming
+    verify via bit_count(xor). Candidate volume ∝ band collisions.
+    """
+    if max_hamming >= bands:
+        raise ValueError("need max_hamming < bands for the pigeonhole probe")
+    bits_per_band = num_bits // bands
+    mask = (1 << bits_per_band) - 1
+    fp = simhash_text_fingerprints(df, text_col, id_col, num_bits)
+    fp = fp.localCheckpoint(eager=True)  # reused by 2 join branches
+    banded = fp.select(
+        "did",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("fingerprint"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("did", "fingerprint", "band.band_idx", "band.band_key")
+    a = banded.select(
+        F.col("did").alias("id_a"), F.col("fingerprint").alias("fp_a"),
+        "band_idx", "band_key",
+    )
+    b = banded.select(
+        F.col("did").alias("id_b"), F.col("fingerprint").alias("fp_b"),
+        "band_idx", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -180,6 +180,97 @@ def embedding_neardup_sql(threshold: float = 0.4) -> str:
     """
 
 
+def simhash_text_fp_sql(num_bits: int = 32) -> str:
+    """Mirrors dedup.simhash_text_fingerprints (token-frequency SimHash)."""
+    toks = WORDS_SQL.format(t="text")
+    h = "(('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    return f"""
+    WITH d AS (SELECT doc_id AS did, {toks} AS toks FROM documents)
+    SELECT did,
+           list_sum(list_transform(range(0, {num_bits}), j ->
+             CASE WHEN coalesce(list_sum(list_transform(toks, t ->
+                         (({h} >> j) & 1) * 2 - 1)), 0) >= 0
+                  THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS fingerprint
+    FROM d
+    """
+
+
+def simhash_text_neardup_sql(
+    num_bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> str:
+    bits_per_band = num_bits // bands
+    mask = (1 << bits_per_band) - 1
+    fp = simhash_text_fp_sql(num_bits)
+    return f"""
+    WITH fp AS ({fp}),
+         banded AS (
+           SELECT did, fingerprint, band_idx,
+                  (fingerprint >> (band_idx * {bits_per_band})) & {mask} AS band_key
+           FROM fp, unnest(range(0, {bands})) AS t(band_idx)),
+         cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b,
+                         a.fingerprint AS fp_a, b.fingerprint AS fp_b
+                  FROM banded a JOIN banded b
+                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.did < b.did)
+    SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+def modality_stats_sql(M: int = 16) -> str:
+    """Per-modality (label) count + level stats — reference modality stats
+    (hnsw_cosine_norm.py:855-874) with deterministic levels."""
+    levels = hnsw_levels_sql(M)
+    return f"""
+    WITH lv AS ({levels}),
+         e AS (SELECT label, level FROM embeddings JOIN lv ON vec_id = lv.id)
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(level), 4) AS avg_level,
+           max(level)::BIGINT AS max_level,
+           min(level)::BIGINT AS min_level
+    FROM e GROUP BY label
+    """
+
+
+TRAIN_TEST_SPLIT_SQL = """
+SELECT CASE WHEN vec_id % 6 = 0 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n,
+       min(vec_id) AS min_id,
+       max(vec_id) AS max_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def recall_lsh_vs_exact_sql(num_bits: int = 6, num_tables: int = 8, k: int = 10) -> str:
+    """Mean recall@k of the LSH KNN against the exact KNN, entirely in SQL —
+    the reference's recall evaluation (roargraph_python.py:451-458) with
+    both sides reproduced."""
+    lsh = lsh_knn_sql(num_bits, num_tables, k)
+    exact = knn_exact_sql("cosine", k)
+    return f"""
+    WITH lshr AS ({lsh}),
+         exr AS ({exact}),
+         lp AS (SELECT qid, list(neighbor_id) AS p FROM lshr GROUP BY qid),
+         ep AS (SELECT qid, list(neighbor_id) AS g FROM exr GROUP BY qid),
+         r AS (SELECT ep.qid,
+                      coalesce(len(list_intersect(lp.p, ep.g)), 0)::DOUBLE / {k} AS rec
+               FROM ep LEFT JOIN lp ON ep.qid = lp.qid)
+    SELECT count(*) AS n_queries, round(avg(rec), 4) AS recall_at_k FROM r
+    """
+
+
+EVENTS_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.1), 6) AS p10,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def quality_score_sql(stopwords: tuple[str, ...]) -> str:
     toks = WORDS_SQL.format(t="text")
     stop_list = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
