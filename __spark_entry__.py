@@ -168,6 +168,50 @@ def _whitening_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_l2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idea-1023 per-dim variance-scaled L2 KNN (weights = 1/(σ²_k+ε))."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.preprocess import _moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s, ss, n = _moments(emb, "embedding")  # one pass, no shuffle
+    mean = s / n
+    variances = ss.diagonal() / n - mean * mean
+    weights = [1.0 / (v + 1e-6) for v in variances]
+    q, b = _emb_split(spark, sf_dir)
+    return exact_knn(
+        q, b, k=10, metric="weighted_l2", weights=weights,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 4))
+
+
+def _gt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth cleaning: drop out-of-corpus ids from per-query top-k
+    arrays (reference clean_ground_truth / out-of-range filtering)."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    knn = exact_knn(
+        q, b, k=10, metric="cosine", impl="blocked",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    lists = knn.groupBy("qid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("nbr_rank", "neighbor_id"))),
+            lambda s: s["neighbor_id"],
+        ).alias("ids")
+    )
+    cap = 250
+    cleaned = F.filter("ids", lambda x: x < F.lit(cap))
+    return lists.select(
+        "qid",
+        F.size("ids").cast("long").alias("n_raw"),
+        F.size(cleaned).cast("long").alias("n_clean"),
+        F.coalesce(F.array_min(cleaned), F.lit(-1)).cast("long").alias("min_clean"),
+        F.coalesce(F.array_max(cleaned), F.lit(-1)).cast("long").alias("max_clean"),
+    )
+
+
 # ---------------------------------------------------------------- dedup / text
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +443,8 @@ def queries() -> dict[str, Query]:
         "minhash_neardup": _minhash_neardup,
         "jaccard_neardup_pairs": _jaccard_pairs,
         "embedding_neardup": _embedding_neardup,
+        "weighted_l2_knn": _weighted_l2_knn,
+        "gt_clean_arrays": _gt_clean,
         "simhash_text_fingerprints": _simhash_text_fp,
         "simhash_text_neardup": _simhash_text_neardup,
         # stats / eval (SURVEY §2.5/2.11)
@@ -442,6 +488,8 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "embedding_neardup": oracles.embedding_neardup_sql(threshold=0.4),
+        "weighted_l2_knn": oracles.weighted_l2_knn_sql(k=10),
+        "gt_clean_arrays": oracles.gt_clean_sql(k=10, cap=250),
         "simhash_text_fingerprints": oracles.simhash_text_fp_sql(num_bits=32),
         "simhash_text_neardup": oracles.simhash_text_neardup_sql(
             num_bits=32, max_hamming=3, bands=4

@@ -65,6 +65,20 @@ def ip_dist(a: Column | str, b: Column | str) -> Column:
     return -dot(a, b)
 
 
+def weighted_l2_dist(a: Column | str, b: Column | str, inv_weights: Column) -> Column:
+    """Per-dimension scaled squared-L2:  Σ (a_k-b_k)² · w_k  with
+    w_k = 1/(α·σ²_mod1,k + (1-α)·σ²_mod2,k + ε) — the LC-CMD distance the
+    reference designs but never implements (Idea-1023.md:72-82).
+    ``inv_weights`` is the precomputed array<double> of w_k.
+    """
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(
+        F.zip_with(sq, inv_weights, lambda s, w: s * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def metric_dist(a: Column | str, b: Column | str, metric: str) -> Column:
     if metric == "cosine":
         return cosine_dist(a, b)

@@ -35,8 +35,16 @@ from vectordbindexing_spark.operators.topk import topk_per_group
 _BLOCKED_THRESHOLD_QUERIES = 100_000  # above this, queries don't broadcast
 
 
-def _pairwise_dist(Q: np.ndarray, B: np.ndarray, metric: str) -> np.ndarray:
+def _pairwise_dist(
+    Q: np.ndarray, B: np.ndarray, metric: str, weights: np.ndarray | None = None
+) -> np.ndarray:
     """(n_q, d) × (n_b, d) → (n_q, n_b) float64 distance matrix."""
+    if metric == "weighted_l2":
+        # Σ w_k (q_k-b_k)² = (Q²·w) + (B²·w) - 2 (Q∘w)Bᵀ  (Idea-1023.md:72-82)
+        qw = np.sum(Q * Q * weights, axis=1)
+        bw = np.sum(B * B * weights, axis=1)
+        cross = (Q * weights) @ B.T
+        return np.maximum(qw[:, None] + bw[None, :] - 2.0 * cross, 0.0)
     if metric == "cosine":
         qn = np.linalg.norm(Q, axis=1)
         bn = np.linalg.norm(B, axis=1)
@@ -64,12 +72,22 @@ def exact_knn(
     q_vec: str = "vec",
     b_id: str = "id",
     b_vec: str = "vec",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Top-k nearest base rows per query.
 
     Returns ``(qid, nbr_rank, neighbor_id, dist)`` with rank 1..k ordered
-    by (dist asc, neighbor_id asc).
+    by (dist asc, neighbor_id asc). ``metric='weighted_l2'`` (requires
+    ``weights``, blocked impl only) is the Idea-1023 variance-scaled
+    squared distance.
     """
+    if metric == "weighted_l2":
+        if weights is None:
+            raise ValueError("weighted_l2 requires weights")
+        return _exact_knn_blocked(
+            queries, base, k, metric, q_id, q_vec, b_id, b_vec,
+            weights=np.asarray(weights, dtype=np.float64),
+        )
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
     if impl == "auto":
@@ -100,7 +118,9 @@ def _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataF
     return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
 
 
-def _exact_knn_blocked(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataFrame:
+def _exact_knn_blocked(
+    queries, base, k, metric, q_id, q_vec, b_id, b_vec, weights=None
+) -> DataFrame:
     spark = queries.sparkSession
     qrows = (
         queries.select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
@@ -114,16 +134,16 @@ def _exact_knn_blocked(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> Da
         return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
-    bc = spark.sparkContext.broadcast((qids, Q))
+    bc = spark.sparkContext.broadcast((qids, Q, weights))
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bqids, bQ = bc.value
+        bqids, bQ, bw = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             bids = pdf["bid"].to_numpy()
-            D = _pairwise_dist(bQ, B, metric)
+            D = _pairwise_dist(bQ, B, metric, weights=bw)
             kk = min(k, D.shape[1])
             # partial selection per query (argpartition = reference's
             # np.argpartition path, hnsw_cosine.py:146-148), then exact

@@ -108,10 +108,12 @@ def _beam_search_layer(
     entries: np.ndarray,
     ef: int,
     max_hops: int = 500,
+    max_search_nodes: int | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first beam search with candidate min-heap + result max-heap and
     early exit (reference `_search_layer` hnsw_cosine.py:445-473; hop cap
-    from roargraph_python.py:376)."""
+    from roargraph_python.py:376; ``max_search_nodes`` visit budget from
+    hnsw_cosine_norm.py:349,697-720)."""
     indptr = index.indptr.get(layer)
     indices = index.indices.get(layer)
     if indptr is None:
@@ -127,8 +129,11 @@ def _beam_search_layer(
     while len(result) > ef:
         heapq.heappop(result)
     visited[entries] = True
+    n_visited = len(entries)
     hops = 0
     while cand and hops < max_hops:
+        if max_search_nodes is not None and n_visited >= max_search_nodes:
+            break
         d, p = heapq.heappop(cand)
         worst = -result[0][0]
         if d > worst and len(result) >= ef:
@@ -139,6 +144,7 @@ def _beam_search_layer(
         if len(nbrs) == 0:
             continue
         visited[nbrs] = True
+        n_visited += len(nbrs)
         dn = index.dist(q, nbrs)
         for dd, pp in zip(dn, nbrs):
             if len(result) < ef or dd < -result[0][0]:
@@ -157,12 +163,17 @@ def graph_search(
     num_entry_points: int = 3,
     q_id: str = "qid",
     q_vec: str = "vec",
+    max_search_nodes: int | None = None,
+    layer1_ef_multiplier: int = 2,
 ) -> DataFrame:
     """Batch ANN search: broadcast the index, stream query batches through
     a mapInPandas kernel running the layered beam search per query.
 
     Two-phase like the C++ multi-entry search (hnsw.cpp:769-815): beam on
-    the top layer to pick entry seeds, then beam on layer 0.
+    the top layer to pick entry seeds, then beam on layer 0. The upper-layer
+    beam runs at ``layer1_ef_multiplier``×ef (the "High" method's enhanced
+    layer-1 search, hnsw_cosine_status_high.py:524-734 layer1_ef=2*ef);
+    ``max_search_nodes`` caps visited nodes per layer (Norm method budget).
     Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn.
     """
     spark = queries.sparkSession
@@ -179,11 +190,14 @@ def graph_search(
                 for layer in layers_desc:
                     if layer == 0:
                         res = _beam_search_layer(
-                            idx, q, 0, entries, max(ef_search, k)
+                            idx, q, 0, entries, max(ef_search, k),
+                            max_search_nodes=max_search_nodes,
                         )
                     else:
                         up = _beam_search_layer(
-                            idx, q, layer, entries, max(ef_search, k)
+                            idx, q, layer, entries,
+                            layer1_ef_multiplier * max(ef_search, k),
+                            max_search_nodes=max_search_nodes,
                         )
                         up.sort()
                         entries = np.array(
@@ -206,4 +220,86 @@ def graph_search(
     )
     return q.mapInPandas(
         run, schema="qid long, nbr_rank long, neighbor_id long, dist double"
+    )
+
+
+def frontier_search(
+    queries: DataFrame,
+    edges: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    rounds: int = 4,
+    beam: int = 32,
+    layer: int = 0,
+    metric: str = "cosine",
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+    entry_df: DataFrame | None = None,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Distributed graph search via iterative frontier joins — the
+    giant-index path (SURVEY §4 item 2): the adjacency and vector tables
+    stay DataFrames (nothing broadcast), and one BFS/beam round is
+
+      frontier ⨝ edges → neighbor candidates → score → per-query top-beam
+
+    with an accumulated visited/result table. ``localCheckpoint`` every few
+    rounds truncates lineage (iteration on Spark grows plans otherwise).
+    O(rounds) shuffle stages; use the broadcast ``graph_search`` kernel
+    whenever the index fits in executor memory — this path trades latency
+    for unbounded index size.
+    """
+    from vectordbindexing_spark.operators.lsh import _score_candidates
+    from vectordbindexing_spark.operators.topk import topk_per_group
+
+    e = edges.filter(F.col("layer") == layer).select("src", "dst")
+    bv = base.select(
+        F.col(b_id).cast("long").alias("neighbor_id"), F.col(b_vec).alias("_bv")
+    )
+    qv = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("_qv")
+    ).localCheckpoint(eager=True)
+
+    if entry_df is None:
+        from vectordbindexing_spark.operators.graph import entry_points
+
+        entry_df = entry_points(edges, layer=layer, n=3).select(
+            F.col("node_id").alias("neighbor_id")
+        )
+    # seed: every query starts at the entry points
+    frontier = qv.select("qid", "_qv").crossJoin(F.broadcast(entry_df))
+    scored = _score_candidates(frontier.join(bv, "neighbor_id"), metric)
+    best = topk_per_group(scored, ["qid"], "dist", beam,
+                          tie_col="neighbor_id", rank_name="_rn").drop("_rn")
+    visited = best.select("qid", "neighbor_id").localCheckpoint(eager=True)
+    best = best.localCheckpoint(eager=True)
+
+    for r in range(rounds):
+        expand = (
+            best.withColumnRenamed("neighbor_id", "src")
+            .join(e, "src")
+            .select("qid", F.col("dst").alias("neighbor_id"))
+            .join(visited, ["qid", "neighbor_id"], "left_anti")  # visited filter
+            .dropDuplicates(["qid", "neighbor_id"])
+        )
+        if expand.isEmpty():
+            break
+        cand = expand.join(qv, "qid").join(bv, "neighbor_id")
+        new_scored = _score_candidates(cand, metric)
+        best = topk_per_group(
+            best.unionByName(new_scored), ["qid"], "dist", beam,
+            tie_col="neighbor_id", rank_name="_rn",
+        ).drop("_rn")
+        visited = visited.unionByName(
+            expand.select("qid", "neighbor_id")
+        ).dropDuplicates(["qid", "neighbor_id"])
+        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
+            best = best.localCheckpoint(eager=True)
+            visited = visited.localCheckpoint(eager=True)
+
+    return (
+        topk_per_group(best, ["qid"], "dist", k, tie_col="neighbor_id")
+        .select("qid", "nbr_rank", "neighbor_id", "dist")
     )

@@ -271,6 +271,48 @@ FROM events GROUP BY event_type
 """
 
 
+def weighted_l2_knn_sql(k: int = 10, eps: float = 1e-6) -> str:
+    """Mirrors the Idea-1023 variance-scaled L2 KNN: per-dim population
+    variance over the whole table → w_k = 1/(σ²_k+ε) → Σ (q-b)²·w."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ex AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+         var AS (SELECT i, avg(x*x) - avg(x)*avg(x) AS variance
+                 FROM ex GROUP BY i),
+         w AS (SELECT list(1.0/(variance + {eps}) ORDER BY i) AS wts FROM var),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         d AS (SELECT q.qid, b.id,
+                      list_sum(list_transform(q.v, (x, i) ->
+                        (x - b.v[i]) * (x - b.v[i]) * w.wts[i])) AS dist
+               FROM q, b, w),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+               FROM d)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 4) AS dist
+    FROM r WHERE rnk <= {k}
+    """
+
+
+def gt_clean_sql(k: int = 10, cap: int = 250) -> str:
+    knn = knn_exact_sql("cosine", k)
+    return f"""
+    WITH knn AS ({knn}),
+         lists AS (SELECT qid,
+                          list(neighbor_id ORDER BY nbr_rank) AS ids
+                   FROM knn GROUP BY qid),
+         c AS (SELECT qid, ids,
+                      list_filter(ids, x -> x < {cap}) AS clean
+               FROM lists)
+    SELECT qid,
+           len(ids)::BIGINT AS n_raw,
+           len(clean)::BIGINT AS n_clean,
+           coalesce(list_min(clean), -1)::BIGINT AS min_clean,
+           coalesce(list_max(clean), -1)::BIGINT AS max_clean
+    FROM c
+    """
+
+
 def quality_score_sql(stopwords: tuple[str, ...]) -> str:
     toks = WORDS_SQL.format(t="text")
     stop_list = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
