@@ -404,6 +404,50 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style local-supplier revenue: 6-way join through the star schema
+    (region→nation→customer/supplier→orders→lineitem) — exercises join
+    reordering + dimension broadcasts."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function query: rank each customer's orders by price, keep
+    top 3 (the engine's rank-window workhorse on a relational table)."""
+    from vectordbindexing_spark.operators.topk import topk_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], "o_totalprice", 3,
+        tie_col="o_orderkey", rank_name="price_rank", ascending=False,
+    )
+    return ranked.select(
+        "o_custkey", "price_rank", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.events import hourly_stats
 
@@ -460,6 +504,8 @@ def queries() -> dict[str, Query]:
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
         "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "top_orders_per_customer": _top_orders_per_customer,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
     }
@@ -506,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,
         "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,
+        "tpch_q5_local_supplier": oracles.TPCH_Q5_SQL,
+        "top_orders_per_customer": oracles.TOP_ORDERS_PER_CUSTOMER_SQL,
         "events_hourly_stats": oracles.EVENTS_HOURLY_SQL,
         "events_sessionize": oracles.sessionize_sql(gap_minutes=30),
         # no oracle (rows-only): ann_two_layer_recall, ivf_knn_cosine,

@@ -110,6 +110,132 @@ def traced_search(
     )
 
 
+def phase_analysis(
+    queries: DataFrame,
+    index: CompactIndex,
+    ef_search: int = 64,
+    stable_rounds: int = 3,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    max_hops: int = 2000,
+) -> DataFrame:
+    """Two-phase trace of the layer-0 beam search (Status method,
+    hnsw_cosine_status.py:604-753): phase 1 "fast approach" lasts while the
+    best-so-far keeps improving; phase 2 "beam refinement" starts once the
+    top-1 has been stable for ``stable_rounds`` expansions. Counts
+    cross-distribution edges traversed per phase when the index carries
+    edge_type flags (else zeros).
+
+    Output per query: steps in each phase + cross-edge usage — the
+    reference's evidence that augmentation edges accelerate the approach
+    phase.
+    """
+    import heapq
+
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(index)
+
+    def run(batches):
+        idx: CompactIndex = bc.value
+        indptr = idx.indptr.get(0)
+        indices = idx.indices.get(0)
+        xflag = (idx.edge_cross or {}).get(0)
+        for pdf in batches:
+            out = []
+            for qid, v in zip(pdf["qid"], pdf["v"]):
+                qv = np.asarray(v, dtype=np.float64)
+                visited = np.zeros(len(idx.ids), dtype=bool)
+                entries = np.unique(idx.entry_points)
+                d0 = idx.dist(qv, entries)
+                cand = [(float(d), int(p)) for d, p in zip(d0, entries)]
+                heapq.heapify(cand)
+                visited[entries] = True
+                best = min(cand)[0] if cand else float("inf")
+                since_improve = 0
+                phase = 1
+                p1_steps = p2_steps = 0
+                p1_cross = p2_cross = 0
+                hops = 0
+                while cand and hops < max_hops:
+                    d, p = heapq.heappop(cand)
+                    hops += 1
+                    if d < best:
+                        best = d
+                        since_improve = 0
+                    else:
+                        since_improve += 1
+                        if phase == 1 and since_improve >= stable_rounds:
+                            phase = 2
+                    if phase == 1:
+                        p1_steps += 1
+                    else:
+                        p2_steps += 1
+                    lo, hi = indptr[p], indptr[p + 1]
+                    nbrs = indices[lo:hi]
+                    mask = ~visited[nbrs]
+                    if xflag is not None:
+                        ncross = int(np.sum(xflag[lo:hi] & mask))
+                        if phase == 1:
+                            p1_cross += ncross
+                        else:
+                            p2_cross += ncross
+                    nbrs = nbrs[mask]
+                    if len(nbrs) == 0:
+                        continue
+                    visited[nbrs] = True
+                    for dd, pp in zip(idx.dist(qv, nbrs), nbrs):
+                        if len(cand) < ef_search or dd < best * 2:
+                            heapq.heappush(cand, (float(dd), int(pp)))
+                out.append(
+                    (qid, p1_steps, p2_steps, p1_cross, p2_cross)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "qid", "approach_steps", "beam_steps",
+                    "approach_cross_edges", "beam_cross_edges",
+                ],
+            )
+
+    q = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    )
+    return q.mapInPandas(
+        run,
+        schema="qid long, approach_steps long, beam_steps long, "
+        "approach_cross_edges long, beam_cross_edges long",
+    )
+
+
+def effort_percentile_queries(
+    traced: DataFrame,
+    probs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    value_col: str = "steps",
+) -> DataFrame:
+    """Representative query per effort percentile: approxQuantile the
+    effort distribution, then pick the query nearest each quantile value
+    (hnsw_baseline_analysis.ipynb cell 4 → 'which queries are P99-hard')."""
+    qs = traced.approxQuantile(value_col, list(probs), 0.001)
+    frames = []
+    for p, v in zip(probs, qs):
+        nearest = (
+            traced.withColumn("_gap", F.abs(F.col(value_col) - F.lit(float(v))))
+            .orderBy("_gap", "qid")
+            .limit(1)
+            .select(
+                F.lit(int(p * 100)).alias("percentile"),
+                F.lit(float(v)).alias("effort_value"),
+                "qid",
+                F.col(value_col).alias("query_effort"),
+            )
+        )
+        frames.append(nearest)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def steps_summary(traced: DataFrame) -> DataFrame:
     """mean/P50/P99 of steps — the reference's before/after-augmentation
     regression metric (hnsw_insert.ipynb cells 5-8)."""

@@ -35,6 +35,9 @@ class CompactIndex:
     indices: dict[int, np.ndarray]
     entry_points: np.ndarray   # (m,) positions (not ids)
     metric: str = "cosine"
+    # optional, CSR-parallel to indices: True where the edge is a
+    # cross-distribution augmentation edge (reference edge_flags)
+    edge_cross: dict[int, np.ndarray] | None = None
 
     def dist(self, q: np.ndarray, pos: np.ndarray) -> np.ndarray:
         V = self.vecs[pos].astype(np.float64)
@@ -72,23 +75,31 @@ def compact_index(
     vecs = np.stack([np.asarray(r["v"], dtype=np.float32) for r in vec_rows])
     pos_of = {int(i): p for p, i in enumerate(ids)}
 
-    edge_rows = edges.select("layer", "src", "dst").collect()
-    by_layer: dict[int, dict[int, list[int]]] = {}
+    has_type = "edge_type" in edges.columns
+    cols = ["layer", "src", "dst"] + (["edge_type"] if has_type else [])
+    edge_rows = edges.select(*cols).collect()
+    by_layer: dict[int, dict[int, list[tuple[int, bool]]]] = {}
     for r in edge_rows:
+        cross = has_type and r["edge_type"] == "cross_distribution"
         by_layer.setdefault(r["layer"], {}).setdefault(
             pos_of[r["src"]], []
-        ).append(pos_of[r["dst"]])
+        ).append((pos_of[r["dst"]], cross))
     indptr, indices = {}, {}
+    edge_cross: dict[int, np.ndarray] = {}
     n = len(ids)
     for layer, adj in by_layer.items():
         ptr = np.zeros(n + 1, dtype=np.int64)
         for p in range(n):
             ptr[p + 1] = ptr[p] + len(adj.get(p, ()))
         idx = np.empty(ptr[-1], dtype=np.int64)
+        xflag = np.zeros(ptr[-1], dtype=bool)
         for p in range(n):
             nbrs = adj.get(p, ())
-            idx[ptr[p] : ptr[p] + len(nbrs)] = nbrs
+            for off, (dstp, cross) in enumerate(nbrs):
+                idx[ptr[p] + off] = dstp
+                xflag[ptr[p] + off] = cross
         indptr[layer], indices[layer] = ptr, idx
+        edge_cross[layer] = xflag
 
     eps = entry_points(edges, layer=max(by_layer) if by_layer else 0,
                        n=num_entry_points).collect()
@@ -98,7 +109,10 @@ def compact_index(
     )
     if len(ep_pos) == 0:
         ep_pos = np.array([0], dtype=np.int64)
-    return CompactIndex(ids, vecs, indptr, indices, ep_pos, metric)
+    return CompactIndex(
+        ids, vecs, indptr, indices, ep_pos, metric,
+        edge_cross=edge_cross if has_type else None,
+    )
 
 
 def _beam_search_layer(

@@ -433,6 +433,33 @@ LIMIT 10
 """
 
 
+TPCH_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+  FROM orders)
+SELECT o_custkey, price_rank, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM r WHERE price_rank <= 3
+"""
+
+
 DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint,
        min(doc_id) AS keep_id,
