@@ -448,6 +448,26 @@ def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram + running CDF of event values (reference
+    effort-distribution plots, SURVEY §2.5 histogram/CDF row)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    width = 5.0
+    binned = ev.groupBy(
+        F.floor(F.col("value") / width).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    total = ev.count()
+    return binned.select(
+        "bin",
+        (F.col("bin") * width).alias("bin_low"),
+        "n",
+        F.round(F.sum("n").over(w) / F.lit(float(total)), 6).alias("cdf"),
+    )
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.events import hourly_stats
 
@@ -506,6 +526,7 @@ def queries() -> dict[str, Query]:
         "tpch_q3_shipping_priority": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
         "top_orders_per_customer": _top_orders_per_customer,
+        "events_value_histogram": _events_value_histogram,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
     }
@@ -554,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,
         "tpch_q5_local_supplier": oracles.TPCH_Q5_SQL,
         "top_orders_per_customer": oracles.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "events_value_histogram": oracles.EVENTS_VALUE_HISTOGRAM_SQL,
         "events_hourly_stats": oracles.EVENTS_HOURLY_SQL,
         "events_sessionize": oracles.sessionize_sql(gap_minutes=30),
         # no oracle (rows-only): ann_two_layer_recall, ivf_knn_cosine,

@@ -402,6 +402,19 @@ def sessionize_sql(gap_minutes: int = 30) -> str:
     """
 
 
+EVENTS_VALUE_HISTOGRAM_SQL = """
+WITH b AS (SELECT floor(value / 5.0)::BIGINT AS bin, count(*) AS n
+           FROM events GROUP BY 1),
+     t AS (SELECT count(*)::DOUBLE AS total FROM events)
+SELECT bin,
+       bin * 5.0 AS bin_low,
+       n,
+       round(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / t.total, 6)
+           AS cdf
+FROM b, t
+"""
+
+
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
