@@ -27,6 +27,13 @@ def main() -> None:
     spark = get_spark(app_name="vdbi-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up JVM codegen + Python workers so the first query's time is the
+    # query, not session bring-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1, [1.0, 2.0])], "i long, v array<float>").mapInPandas(
+        lambda it: it, schema="i long, v array<float>"
+    ).count()
+
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

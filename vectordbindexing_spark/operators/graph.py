@@ -72,12 +72,32 @@ def knn_graph(
     vec_col: str = "vec",
     impl: str = "blocked",
     layer: int = 0,
+    num_bits: int = 8,
+    num_tables: int = 8,
 ) -> DataFrame:
-    """Directed kNN graph: each node → its k nearest others (self excluded)."""
-    knn = exact_knn(
-        df, df, k=k + 1, metric=metric, impl=impl,
-        q_id=id_col, q_vec=vec_col, b_id=id_col, b_vec=vec_col,
-    )
+    """Directed kNN graph: each node → its k nearest others (self excluded).
+
+    ``impl='blocked'`` broadcasts the node set as the query side — exact,
+    right up to ~100k nodes. ``impl='lsh'`` is the corpus-scale build: the
+    self-join happens through SimHash bucket equi-joins (candidates ∝
+    collisions, both sides stay distributed — the reference's
+    candidate-pool insert, hnsw_cosine.py:111-153, as a dataflow);
+    approximate, tuned by (num_bits, num_tables). Recall parity, not
+    edge-for-edge equality, is the graph-quality criterion (SURVEY §7).
+    """
+    if impl == "lsh":
+        from vectordbindexing_spark.operators.lsh import lsh_knn
+
+        knn = lsh_knn(
+            df, df, k=k + 1, metric=metric,
+            num_bits=num_bits, num_tables=num_tables,
+            q_id=id_col, q_vec=vec_col, b_id=id_col, b_vec=vec_col,
+        )
+    else:
+        knn = exact_knn(
+            df, df, k=k + 1, metric=metric, impl=impl,
+            q_id=id_col, q_vec=vec_col, b_id=id_col, b_vec=vec_col,
+        )
     edges = knn.filter(F.col("neighbor_id") != F.col("qid"))
     edges = topk_per_group(
         edges.select(
@@ -137,6 +157,9 @@ def entry_points(edges: DataFrame, layer: int = 0, n: int = 1) -> DataFrame:
     )
 
 
+BLOCKED_BUILD_LIMIT = 100_000  # above this, layer-0 builds go through LSH
+
+
 def build_two_layer_index(
     base: DataFrame,
     M0: int = 32,
@@ -145,19 +168,24 @@ def build_two_layer_index(
     id_col: str = "id",
     vec_col: str = "vec",
     M_level: int = 16,
+    impl: str = "auto",
 ) -> DataFrame:
     """Two-layer bulk build mirroring the C++ core's 3 passes
     (hnsw.cpp:52-118): deterministic level assignment → layer-1 kNN graph
     over level≥1 nodes → layer-0 kNN graph over all nodes; both mutualized.
 
-    Each layer build is a self-KNN join — at 100 TB the layer-0 pass runs
-    through the LSH-bucketed candidate path (plans.knn_planner) instead of
-    the dense blocked kernel; semantics identical.
+    ``impl='auto'`` sizes the strategy: exact blocked kernel while the
+    node set broadcasts, SimHash-bucketed self-join beyond
+    BLOCKED_BUILD_LIMIT (the layer-1 subset is ~n/M_level and usually
+    stays exact far longer).
     """
+    if impl == "auto":
+        impl = "lsh" if base.count() > BLOCKED_BUILD_LIMIT else "blocked"
     leveled = assign_levels(base, id_col=id_col, M=M_level)
     upper = leveled.filter(F.col("level") >= 1)
-    l1 = knn_graph(upper, M1, metric, id_col, vec_col, layer=1)
-    l0 = knn_graph(base, M0, metric, id_col, vec_col, layer=0)
+    l1_impl = "blocked" if impl == "lsh" else impl  # upper layer is small
+    l1 = knn_graph(upper, M1, metric, id_col, vec_col, impl=l1_impl, layer=1)
+    l0 = knn_graph(base, M0, metric, id_col, vec_col, impl=impl, layer=0)
     return mutualize(l1.unionByName(l0), max_degree=2 * max(M0, M1))
 
 
