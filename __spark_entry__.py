@@ -448,6 +448,24 @@ def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props payload and
+    aggregate the extracted field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram + running CDF of event values (reference
     effort-distribution plots, SURVEY §2.5 histogram/CDF row)."""
@@ -526,6 +544,7 @@ def queries() -> dict[str, Query]:
         "tpch_q3_shipping_priority": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
         "top_orders_per_customer": _top_orders_per_customer,
+        "events_props_json": _events_props_json,
         "events_value_histogram": _events_value_histogram,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -575,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,
         "tpch_q5_local_supplier": oracles.TPCH_Q5_SQL,
         "top_orders_per_customer": oracles.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "events_props_json": oracles.EVENTS_PROPS_JSON_SQL,
         "events_value_histogram": oracles.EVENTS_VALUE_HISTOGRAM_SQL,
         "events_hourly_stats": oracles.EVENTS_HOURLY_SQL,
         "events_sessionize": oracles.sessionize_sql(gap_minutes=30),

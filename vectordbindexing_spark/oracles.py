@@ -402,6 +402,17 @@ def sessionize_sql(gap_minutes: int = 30) -> str:
     """
 
 
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 EVENTS_VALUE_HISTOGRAM_SQL = """
 WITH b AS (SELECT floor(value / 5.0)::BIGINT AS bin, count(*) AS n
            FROM events GROUP BY 1),

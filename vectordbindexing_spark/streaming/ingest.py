@@ -92,6 +92,40 @@ def incremental_index_stream(
     )
 
 
+def compact_deltas(
+    base_snapshot: DataFrame,
+    delta_dir: str,
+    out_dir: str,
+    knn_k: int = 8,
+    metric: str = "cosine",
+    M_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold accumulated deltas into a fresh full build — the reference's
+    answer to insert-degradation (search steps grow ~2x after +10%
+    incremental inserts, BASELINE.md; periodic rebuild restores them).
+
+    Returns (vectors, edges) DataFrames after writing both to ``out_dir``.
+    """
+    import os
+
+    from vectordbindexing_spark.operators.graph import knn_graph, mutualize
+
+    spark = base_snapshot.sparkSession
+    delta_vecs = spark.read.parquet(os.path.join(delta_dir, "vectors")).select(
+        "id", "vec"
+    )
+    full = base_snapshot.select("id", "vec").unionByName(delta_vecs).dropDuplicates(
+        ["id"]
+    )
+    edges = mutualize(
+        knn_graph(full, k=knn_k, metric=metric, id_col="id", vec_col="vec"),
+        max_degree=M_cap or 2 * knn_k,
+    )
+    full.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
+    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    return full, edges
+
+
 def streaming_event_counts(
     events_stream: DataFrame,
     watermark: str = "1 hour",
