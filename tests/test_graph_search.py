@@ -100,3 +100,26 @@ def test_roargraph_build_and_search_recall(spark, emb):
     )
     # reference band for python RoarGraph: 0.60-0.85 (hnsw_optimization/README.md:97)
     assert rec >= 0.6, f"roargraph recall@10 too low: {rec}"
+
+
+def test_graph_search_with_stats(spark, emb):
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+    from vectordbindexing_spark.operators.metrics import percentiles
+
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(10)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    edges = build_two_layer_index(b, M0=12, M1=6, metric="cosine",
+                                  id_col="vec_id", vec_col="embedding")
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding")
+    got = graph_search(q, idx, k=5, ef_search=32, with_stats=True,
+                       q_id="vec_id", q_vec="embedding")
+    rows = got.collect()
+    assert {"visited_count", "hops", "latency_us"} <= set(got.columns)
+    assert all(r["visited_count"] > 0 and r["hops"] > 0 for r in rows)
+    assert all(r["latency_us"] >= 0 for r in rows)
+    # stats aggregate (reference batch_search mean/std of visited+latency)
+    summary = percentiles(
+        got.filter("nbr_rank = 1"), "visited_count"
+    ).collect()[0]
+    assert summary["mean"] > 0

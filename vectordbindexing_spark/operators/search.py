@@ -123,6 +123,7 @@ def _beam_search_layer(
     ef: int,
     max_hops: int = 500,
     max_search_nodes: int | None = None,
+    stats_out: dict | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first beam search with candidate min-heap + result max-heap and
     early exit (reference `_search_layer` hnsw_cosine.py:445-473; hop cap
@@ -166,6 +167,9 @@ def _beam_search_layer(
                 heapq.heappush(result, (-float(dd), int(pp)))
                 if len(result) > ef:
                     heapq.heappop(result)
+    if stats_out is not None:
+        stats_out["visited"] = stats_out.get("visited", 0) + n_visited
+        stats_out["hops"] = stats_out.get("hops", 0) + hops
     return [(-d, p) for d, p in result]
 
 
@@ -179,6 +183,7 @@ def graph_search(
     q_vec: str = "vec",
     max_search_nodes: int | None = None,
     layer1_ef_multiplier: int = 2,
+    with_stats: bool = False,
 ) -> DataFrame:
     """Batch ANN search: broadcast the index, stream query batches through
     a mapInPandas kernel running the layered beam search per query.
@@ -188,8 +193,12 @@ def graph_search(
     beam runs at ``layer1_ef_multiplier``×ef (the "High" method's enhanced
     layer-1 search, hnsw_cosine_status_high.py:524-734 layer1_ef=2*ef);
     ``max_search_nodes`` caps visited nodes per layer (Norm method budget).
-    Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn.
+    Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn;
+    ``with_stats`` appends per-query (visited_count, hops, latency_us) —
+    the reference batch_search output dict
+    (hnsw_with_bridges_optimized.py:185-237).
     """
+    import time as _time
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(index)
     layers_desc = sorted(index.indptr.keys(), reverse=True)
@@ -198,20 +207,25 @@ def graph_search(
         idx: CompactIndex = bc.value
         for pdf in batches:
             qids, ranks, nids, dists = [], [], [], []
+            svis, shops, slat = [], [], []
             for qid, v in zip(pdf["qid"], pdf["v"]):
                 q = np.asarray(v, dtype=np.float64)
                 entries = idx.entry_points
+                stats: dict = {}
+                t0 = _time.perf_counter()
                 for layer in layers_desc:
                     if layer == 0:
                         res = _beam_search_layer(
                             idx, q, 0, entries, max(ef_search, k),
                             max_search_nodes=max_search_nodes,
+                            stats_out=stats,
                         )
                     else:
                         up = _beam_search_layer(
                             idx, q, layer, entries,
                             layer1_ef_multiplier * max(ef_search, k),
                             max_search_nodes=max_search_nodes,
+                            stats_out=stats,
                         )
                         up.sort()
                         entries = np.array(
@@ -219,22 +233,31 @@ def graph_search(
                         )
                 if not layers_desc:
                     res = _beam_search_layer(idx, q, 0, idx.entry_points, ef_search)
+                lat_us = int((_time.perf_counter() - t0) * 1e6)
                 res.sort(key=lambda t: (t[0], idx.ids[t[1]]))
                 for r, (d, p) in enumerate(res[:k], start=1):
                     qids.append(qid); ranks.append(r)
                     nids.append(int(idx.ids[p])); dists.append(float(d))
-            yield pd.DataFrame(
-                {"qid": qids, "nbr_rank": ranks, "neighbor_id": nids, "dist": dists}
-            )
+                    svis.append(stats.get("visited", 0))
+                    shops.append(stats.get("hops", 0))
+                    slat.append(lat_us)
+            out = {"qid": qids, "nbr_rank": ranks, "neighbor_id": nids,
+                   "dist": dists}
+            if with_stats:
+                out.update(
+                    {"visited_count": svis, "hops": shops, "latency_us": slat}
+                )
+            yield pd.DataFrame(out)
 
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
 
     q = repartition_for_compute(
         queries.select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
     )
-    return q.mapInPandas(
-        run, schema="qid long, nbr_rank long, neighbor_id long, dist double"
-    )
+    schema = "qid long, nbr_rank long, neighbor_id long, dist double"
+    if with_stats:
+        schema += ", visited_count long, hops long, latency_us long"
+    return q.mapInPandas(run, schema=schema)
 
 
 def frontier_search(
