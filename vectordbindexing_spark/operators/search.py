@@ -66,42 +66,41 @@ def compact_index(
     """
     from vectordbindexing_spark.operators.graph import entry_points
 
-    vec_rows = (
+    vec_pdf = (
         base.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
-        .collect()
+        .toPandas()  # Arrow transfer — much faster than Row collect()
     )
-    ids = np.array([r["id"] for r in vec_rows], dtype=np.int64)
-    vecs = np.stack([np.asarray(r["v"], dtype=np.float32) for r in vec_rows])
+    ids = vec_pdf["id"].to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float32) for v in vec_pdf["v"]])
+    pos_lookup = np.full(int(ids.max()) + 1 if len(ids) else 1, -1, dtype=np.int64)
+    pos_lookup[ids] = np.arange(len(ids))
     pos_of = {int(i): p for p, i in enumerate(ids)}
 
     has_type = "edge_type" in edges.columns
     cols = ["layer", "src", "dst"] + (["edge_type"] if has_type else [])
-    edge_rows = edges.select(*cols).collect()
-    by_layer: dict[int, dict[int, list[tuple[int, bool]]]] = {}
-    for r in edge_rows:
-        cross = has_type and r["edge_type"] == "cross_distribution"
-        by_layer.setdefault(r["layer"], {}).setdefault(
-            pos_of[r["src"]], []
-        ).append((pos_of[r["dst"]], cross))
+    edge_pdf = edges.select(*cols).toPandas()
     indptr, indices = {}, {}
     edge_cross: dict[int, np.ndarray] = {}
     n = len(ids)
-    for layer, adj in by_layer.items():
+    for layer, grp in edge_pdf.groupby("layer"):
+        src_p = pos_lookup[grp["src"].to_numpy()]
+        dst_p = pos_lookup[grp["dst"].to_numpy()]
+        cross = (
+            (grp["edge_type"] == "cross_distribution").to_numpy()
+            if has_type
+            else np.zeros(len(grp), dtype=bool)
+        )
+        order = np.argsort(src_p, kind="stable")
+        src_p, dst_p, cross = src_p[order], dst_p[order], cross[order]
+        counts = np.bincount(src_p, minlength=n)
         ptr = np.zeros(n + 1, dtype=np.int64)
-        for p in range(n):
-            ptr[p + 1] = ptr[p] + len(adj.get(p, ()))
-        idx = np.empty(ptr[-1], dtype=np.int64)
-        xflag = np.zeros(ptr[-1], dtype=bool)
-        for p in range(n):
-            nbrs = adj.get(p, ())
-            for off, (dstp, cross) in enumerate(nbrs):
-                idx[ptr[p] + off] = dstp
-                xflag[ptr[p] + off] = cross
-        indptr[layer], indices[layer] = ptr, idx
-        edge_cross[layer] = xflag
+        np.cumsum(counts, out=ptr[1:])
+        indptr[int(layer)] = ptr
+        indices[int(layer)] = dst_p.astype(np.int64)
+        edge_cross[int(layer)] = cross
 
-    eps = entry_points(edges, layer=max(by_layer) if by_layer else 0,
+    eps = entry_points(edges, layer=max(indptr) if indptr else 0,
                        n=num_entry_points).collect()
     ep_pos = np.array(
         [pos_of[r["node_id"]] for r in eps if r["node_id"] in pos_of],
