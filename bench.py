@@ -30,9 +30,10 @@ def main() -> None:
     # warm up JVM codegen + Python workers so the first query's time is the
     # query, not session bring-up
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.createDataFrame([(1, [1.0, 2.0])], "i long, v array<float>").mapInPandas(
-        lambda it: it, schema="i long, v array<float>"
-    ).count()
+    # one partition per core so every Python worker is spawned before timing
+    spark.range(0, cpus * 4, 1, cpus).selectExpr(
+        "id as i", "array(cast(id as float)) as v"
+    ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
 
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -158,9 +158,13 @@ def minhash_dedup_pairs(
         # otherwise recompute the signature kernel three more times
         .localCheckpoint(eager=True)
     )
+    # Band the bare ids only: the 8-way explode and the band self-join
+    # shuffle (did, band_key) pairs, never the shingle arrays — at corpus
+    # scale the gram sets dominate row width, so they are re-attached by id
+    # AFTER candidate pairs are deduped (two narrow hash joins instead of
+    # 2×bands copies of every gram array through the exchange).
     banded = g.select(
         "did",
-        "grams",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -175,20 +179,29 @@ def minhash_dedup_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("did", "grams", "band.band_idx", "band.band_key")
-    a = banded.select(
-        F.col("did").alias("id_a"), F.col("grams").alias("grams_a"),
-        "band_idx", "band_key",
-    )
-    b = banded.select(
-        F.col("did").alias("id_b"), F.col("grams").alias("grams_b"),
-        "band_idx", "band_key",
-    )
-    cand = (
+    ).select("did", "band.band_idx", "band.band_key")
+    a = banded.select(F.col("did").alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col("did").alias("id_b"), "band_idx", "band_key")
+    pair_ids = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "grams_a", "grams_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    grams_tbl = g.select("did", "grams")
+    cand = (
+        pair_ids.join(
+            grams_tbl.select(
+                F.col("did").alias("id_a"), F.col("grams").alias("grams_a")
+            ),
+            "id_a",
+        )
+        .join(
+            grams_tbl.select(
+                F.col("did").alias("id_b"), F.col("grams").alias("grams_b")
+            ),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = (

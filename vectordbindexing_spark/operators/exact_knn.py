@@ -73,13 +73,16 @@ def exact_knn(
     b_id: str = "id",
     b_vec: str = "vec",
     weights: list[float] | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k nearest base rows per query.
 
     Returns ``(qid, nbr_rank, neighbor_id, dist)`` with rank 1..k ordered
     by (dist asc, neighbor_id asc). ``metric='weighted_l2'`` (requires
     ``weights``, blocked impl only) is the Idea-1023 variance-scaled
-    squared distance.
+    squared distance. ``exclude_self`` drops base rows whose id equals the
+    query id *before* ranking (self-join graph builds) — cheaper than a
+    post-filter, which would need a second ranking pass to repair ranks.
     """
     if metric == "weighted_l2":
         if weights is None:
@@ -87,19 +90,28 @@ def exact_knn(
         return _exact_knn_blocked(
             queries, base, k, metric, q_id, q_vec, b_id, b_vec,
             weights=np.asarray(weights, dtype=np.float64),
+            exclude_self=exclude_self,
         )
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
     if impl == "auto":
         impl = "blocked"
     if impl == "expr":
-        return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+        return _exact_knn_expr(
+            queries, base, k, metric, q_id, q_vec, b_id, b_vec,
+            exclude_self=exclude_self,
+        )
     if impl == "blocked":
-        return _exact_knn_blocked(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+        return _exact_knn_blocked(
+            queries, base, k, metric, q_id, q_vec, b_id, b_vec,
+            exclude_self=exclude_self,
+        )
     raise ValueError(f"unknown impl {impl!r}")
 
 
-def _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataFrame:
+def _exact_knn_expr(
+    queries, base, k, metric, q_id, q_vec, b_id, b_vec, exclude_self=False
+) -> DataFrame:
     q = queries.select(
         F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
     )
@@ -108,6 +120,8 @@ def _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataF
     )
     # crossJoin: Catalyst broadcasts the smaller side (BroadcastNestedLoopJoin)
     pairs = q.crossJoin(b).withColumn("dist", metric_dist("_qv", "_bv", metric))
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("neighbor_id"))
     ranked = topk_per_group(
         pairs.select("qid", "neighbor_id", "dist"),
         ["qid"],
@@ -119,7 +133,8 @@ def _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec) -> DataF
 
 
 def _exact_knn_blocked(
-    queries, base, k, metric, q_id, q_vec, b_id, b_vec, weights=None
+    queries, base, k, metric, q_id, q_vec, b_id, b_vec, weights=None,
+    exclude_self=False,
 ) -> DataFrame:
     spark = queries.sparkSession
     qrows = (
@@ -127,11 +142,12 @@ def _exact_knn_blocked(
         .toPandas()
     )
     n_q = len(qrows)
-    if n_q == 0:
-        return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
-    if n_q > _BLOCKED_THRESHOLD_QUERIES:
-        # Query side too big to broadcast → fall back to the declarative join
-        return _exact_knn_expr(queries, base, k, metric, q_id, q_vec, b_id, b_vec)
+    if n_q == 0 or n_q > _BLOCKED_THRESHOLD_QUERIES:
+        # empty, or query side too big to broadcast → declarative join
+        return _exact_knn_expr(
+            queries, base, k, metric, q_id, q_vec, b_id, b_vec,
+            exclude_self=exclude_self,
+        )
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
     bc = spark.sparkContext.broadcast((qids, Q, weights))
@@ -144,6 +160,8 @@ def _exact_knn_blocked(
             B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             bids = pdf["bid"].to_numpy()
             D = _pairwise_dist(bQ, B, metric, weights=bw)
+            if exclude_self:
+                D[np.equal.outer(bqids, bids)] = np.inf
             kk = min(k, D.shape[1])
             # partial selection per query (argpartition = reference's
             # np.argpartition path, hnsw_cosine.py:146-148), then exact
@@ -169,5 +187,8 @@ def _exact_knn_blocked(
     partial = b.mapInPandas(
         partial_topk, schema="qid long, neighbor_id long, dist double"
     )
+    if exclude_self:
+        # masked self-distances are +inf; drop any that survived a small batch
+        partial = partial.filter(F.col("dist") != float("inf"))
     ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
     return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")

@@ -93,18 +93,26 @@ def knn_graph(
             num_bits=num_bits, num_tables=num_tables,
             q_id=id_col, q_vec=vec_col, b_id=id_col, b_vec=vec_col,
         )
+        # self-match can land anywhere in the top-(k+1); filter then re-rank
+        edges = knn.filter(F.col("neighbor_id") != F.col("qid"))
+        edges = topk_per_group(
+            edges.select(
+                F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"),
+                "dist",
+            ),
+            ["src"], "dist", k, tie_col="dst", rank_name="_rn",
+        ).drop("_rn")
     else:
+        # self excluded inside the kernel → ranks are already 1..k and the
+        # second ranking shuffle the post-filter would need disappears
         knn = exact_knn(
-            df, df, k=k + 1, metric=metric, impl=impl,
+            df, df, k=k, metric=metric, impl=impl,
             q_id=id_col, q_vec=vec_col, b_id=id_col, b_vec=vec_col,
+            exclude_self=True,
         )
-    edges = knn.filter(F.col("neighbor_id") != F.col("qid"))
-    edges = topk_per_group(
-        edges.select(
+        edges = knn.select(
             F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"), "dist"
-        ),
-        ["src"], "dist", k, tie_col="dst", rank_name="_rn",
-    ).drop("_rn")
+        )
     return edges.select(F.lit(layer).alias("layer"), "src", "dst", "dist")
 
 
@@ -115,12 +123,27 @@ def mutualize(edges: DataFrame, max_degree: int) -> DataFrame:
     rev = edges.select(
         "layer", F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
     )
-    alle = edges.unionByName(rev).dropDuplicates(["layer", "src", "dst"])
+    alle = edges.unionByName(rev)
+    # Single shuffle: groupBy(layer,src) + sorted-struct array replaces the
+    # dropDuplicates + rank-window pair (two exchanges). A reversed
+    # duplicate of an edge carries the *same* (dist, dst) struct, so
+    # array_distinct removes it; sort by (dist, dst) = the window's
+    # (dist asc, tie dst) order; slice caps the degree.
+    nbrs = F.slice(
+        F.array_distinct(
+            F.sort_array(F.collect_list(F.struct("dist", "dst")))
+        ),
+        1,
+        max_degree,
+    )
     return (
-        topk_per_group(alle, ["layer", "src"], "dist", max_degree,
-                       tie_col="dst", rank_name="_rn")
-        .drop("_rn")
-        .select("layer", "src", "dst", "dist")
+        alle.groupBy("layer", "src")
+        .agg(nbrs.alias("_nbrs"))
+        .select(
+            "layer", "src", F.explode("_nbrs").alias("_e")
+        )
+        .select("layer", "src", F.col("_e.dst").alias("dst"),
+                F.col("_e.dist").alias("dist"))
     )
 
 

@@ -79,7 +79,11 @@ def compact_index(
 
     has_type = "edge_type" in edges.columns
     cols = ["layer", "src", "dst"] + (["edge_type"] if has_type else [])
-    edge_pdf = edges.select(*cols).toPandas()
+    # materialize the narrow edge projection once: both the Arrow transfer
+    # below AND entry_points() consume it — without this an expensive
+    # upstream build (kNN-graph jobs) would re-run for each action
+    edges = edges.select(*cols).localCheckpoint(eager=True)
+    edge_pdf = edges.toPandas()
     indptr, indices = {}, {}
     edge_cross: dict[int, np.ndarray] = {}
     n = len(ids)
