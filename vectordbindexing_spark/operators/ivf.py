@@ -27,57 +27,40 @@ def kmeans_fit(
     max_iter: int = 5,
     id_col: str = "id",
     vec_col: str = "vec",
+    sample_size: int = 100_000,
 ) -> np.ndarray:
-    """Lloyd k-means, deterministic init (k smallest ids). Returns (k, d)
-    float64 centroid matrix. Each iteration: executors emit per-partition
-    (cluster_sum, cluster_count) partials; driver reduces — O(k·d·parts)
-    traffic, no shuffle of the data itself."""
-    init_rows = (
-        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(k)
-        .collect()
+    """Lloyd k-means on a deterministic sample, fit driver-side. Returns a
+    (k, d) float64 centroid matrix.
+
+    The standard 100 TB recipe: centroids are trained on a bounded sample
+    (hash-ordered take — one scan, no full sort) and only the *assignment*
+    touches the full corpus. Replaces a per-iteration distributed job with
+    pure numpy on ≤``sample_size`` rows, so max_iter no longer multiplies
+    scan count. Init = the k smallest ids, sampling order = md5 hash of id
+    — both engine-independent and reproducible."""
+    from vectordbindexing_spark.functions.hashing import det_hash64
+
+    rows = (
+        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(det_hash64(F.col("i").cast("string")), "i")
+        .limit(sample_size)
+        .toPandas()
     )
-    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in init_rows])
-    spark = df.sparkSession
-    data = df.select(F.col(vec_col).alias("v"))
+    order = np.argsort(rows["i"].to_numpy(), kind="stable")[:k]
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
+    C = X[order].copy()
     for _ in range(max_iter):
-        bc = spark.sparkContext.broadcast(C)
-
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Cl = bc.value
-            kk, d = Cl.shape
-            sums = np.zeros((kk, d))
-            counts = np.zeros(kk, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                d2 = (
-                    np.sum(X * X, axis=1)[:, None]
-                    - 2 * X @ Cl.T
-                    + np.sum(Cl * Cl, axis=1)[None, :]
-                )
-                a = np.argmin(d2, axis=1)
-                np.add.at(sums, a, X)
-                np.add.at(counts, a, 1)
-            out = pd.DataFrame(
-                {
-                    "cid": np.arange(kk, dtype=np.int64),
-                    "cnt": counts,
-                    "s": [row.tolist() for row in sums],
-                }
-            )
-            yield out[out["cnt"] > 0]
-
-        agg = data.mapInPandas(
-            partials, schema="cid long, cnt long, s array<double>"
-        ).toPandas()
+        d2 = (
+            np.sum(X * X, axis=1)[:, None]
+            - 2 * X @ C.T
+            + np.sum(C * C, axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
         newC = C.copy()
-        for cid, grp in agg.groupby("cid"):
-            tot = grp["cnt"].sum()
-            if tot > 0:
-                newC[cid] = np.sum(np.stack(grp["s"].to_list()), axis=0) / tot
+        for cid in range(len(C)):
+            m = a == cid
+            if m.any():
+                newC[cid] = X[m].mean(axis=0)
         if np.allclose(newC, C, atol=1e-12):
             C = newC
             break
@@ -134,6 +117,12 @@ def ivf_knn(
 
     Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn.
     """
+    # one narrow materialization of (id, vec): the centroid fit, the
+    # assignment pass, and the candidate-scoring join all reuse these
+    # blocks instead of re-scanning the source three times
+    base = base.select(
+        F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
+    ).localCheckpoint(eager=True)
     if centroids is None:
         centroids = kmeans_fit(base, nlist, max_iter, b_id, b_vec)
     assign = ivf_assign(base, centroids, b_id, b_vec)
