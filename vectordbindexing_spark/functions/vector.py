@@ -87,3 +87,39 @@ def metric_dist(a: Column | str, b: Column | str, metric: str) -> Column:
     if metric == "ip":
         return ip_dist(a, b)
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def pair_dist_udf(metric: str):
+    """Arrow-vectorized pairwise distance: same math as ``metric_dist`` but
+    evaluated a batch at a time in numpy/BLAS instead of the interpreted
+    higher-order-function expression tree. Use on candidate-scoring joins
+    where each row carries its own (query, neighbor) vector pair — the
+    expr path re-interprets zip_with/aggregate per element there, this one
+    streams Arrow batches through one einsum."""
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR type: the deferred-annotation future makes the type
+    # hints strings pyspark can't resolve against this closure's globals
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def dist(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        if metric == "cosine":
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            d = 1.0 - num / den
+        elif metric == "l2":
+            diff = A - B
+            d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        else:  # ip
+            d = -np.einsum("ij,ij->i", A, B)
+        return pd.Series(d)
+
+    return dist

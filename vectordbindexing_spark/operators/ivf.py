@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectordbindexing_spark.functions.vector import metric_dist, to_double_array
+from vectordbindexing_spark.functions.vector import pair_dist_udf, to_double_array
 from vectordbindexing_spark.operators.topk import topk_per_group
 
 
@@ -138,7 +138,7 @@ def ivf_knn(
         F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
     )
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "cdist", metric_dist("_qv", "cvec", "l2")
+        "cdist", pair_dist_udf("l2")("_qv", "cvec")
     )
     probes = (
         topk_per_group(qc, ["qid"], "cdist", nprobe, tie_col="cid", rank_name="_pr")
@@ -152,7 +152,7 @@ def ivf_knn(
         to_double_array(b_vec).alias("_bv"),
     )
     scored = cand.join(bv, "neighbor_id").withColumn(
-        "dist", metric_dist("_qv", "_bv", metric)
+        "dist", pair_dist_udf(metric)("_qv", "_bv")
     )
     ranked = topk_per_group(
         scored.select("qid", "neighbor_id", "dist"), ["qid"], "dist", k,
