@@ -72,3 +72,33 @@ def test_recall_of_exact_is_one(spark, tables):
     ).select("qid", F.col("s.neighbor_id").alias("pred_ids"))
     truth = lists.select("qid", F.col("pred_ids").alias("gt_ids"))
     assert mean_recall_at_k(lists, truth, 5) == 1.0
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_pair_dist_udf_matches_expr(spark, tables, metric):
+    """The Arrow-vectorized pair kernel must agree with the interpreted
+    expression kernel (the oracle-parity reference) to float64 noise."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.functions.vector import (
+        metric_dist,
+        pair_dist_udf,
+        to_double_array,
+    )
+
+    emb = tables["embeddings"].limit(200)
+    pairs = (
+        emb.select(F.col("vec_id").alias("qid"), to_double_array("embedding").alias("a"))
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("nid"), to_double_array("embedding").alias("b")
+            ).limit(5)
+        )
+    )
+    got = (
+        pairs.withColumn("d_expr", metric_dist("a", "b", metric))
+        .withColumn("d_np", pair_dist_udf(metric)("a", "b"))
+        .select(F.max(F.abs(F.col("d_expr") - F.col("d_np"))).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert got < 1e-9
