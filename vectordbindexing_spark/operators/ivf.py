@@ -2,10 +2,12 @@
 search over embedding columns (north-star operator; complements the
 graph index with a shuffle-free partition-pruned search).
 
-Build: distributed Lloyd k-means (mapInPandas partial sums — one pass per
-iteration over the data, only (k·d) floats shuffle to the driver), then an
-assignment table (cid, id). Search: probe the ``nprobe`` nearest centroids
-per query and score only those cells — candidate volume n·nprobe/k.
+Build: Lloyd k-means fit on a bounded deterministic sample (driver-side
+numpy — iteration count never multiplies corpus scans), then one
+distributed assignment pass producing the (cid, id) inverted table.
+Search: probe the ``nprobe`` nearest centroids per query and score only
+those cells — candidate volume n·nprobe/k, scored by the Arrow-vectorized
+pair kernel.
 """
 
 from __future__ import annotations
