@@ -203,7 +203,12 @@ def build_two_layer_index(
     stays exact far longer).
     """
     if impl == "auto":
-        impl = "lsh" if base.count() > BLOCKED_BUILD_LIMIT else "blocked"
+        # bounded probe: limit(N+1).count() stops scanning at N+1 rows, so
+        # strategy selection costs O(BLOCKED_BUILD_LIMIT) even on a
+        # 100 TB corpus (a bare count() would be a full scan here — base
+        # is usually a filtered view, so footer row-counts don't apply)
+        probe = base.limit(BLOCKED_BUILD_LIMIT + 1).count()
+        impl = "lsh" if probe > BLOCKED_BUILD_LIMIT else "blocked"
     leveled = assign_levels(base, id_col=id_col, M=M_level)
     upper = leveled.filter(F.col("level") >= 1)
     l1_impl = "blocked" if impl == "lsh" else impl  # upper layer is small

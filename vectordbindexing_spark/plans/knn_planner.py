@@ -61,11 +61,20 @@ def knn(
     repeated_queries: bool = False,
     **cols,
 ) -> DataFrame:
-    """Planner-dispatched KNN — counts the sides (cheap parquet count) and
-    routes to the chosen operator. All strategies share the output schema
-    (qid, nbr_rank, neighbor_id, dist)."""
-    n_q, n_b = queries.count(), base.count()
+    """Planner-dispatched KNN — probes the sides and routes to the chosen
+    operator. All strategies share the output schema
+    (qid, nbr_rank, neighbor_id, dist).
+
+    Sizing uses bounded probes: ``limit(N+1).count()`` stops scanning at
+    N+1 rows, so routing costs O(threshold) even on a 100 TB corpus. The
+    thresholds are the only comparisons plan_knn makes, so capped counts
+    decide identically to exact ones; only the IVF path re-counts exactly
+    (nlist=√n), amortized over its full-scan build."""
+    n_q = queries.limit(BROADCAST_QUERY_LIMIT + 1).count()
+    n_b = base.limit(EXACT_BASE_LIMIT + 1).count()
     plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries)
+    if plan.strategy == "ivf":
+        plan = plan_knn(n_q, base.count(), k, approximate_ok, repeated_queries)
     if plan.strategy in ("exact-blocked", "exact-expr"):
         from vectordbindexing_spark.operators.exact_knn import exact_knn
 
