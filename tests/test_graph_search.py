@@ -123,3 +123,31 @@ def test_graph_search_with_stats(spark, emb):
         got.filter("nbr_rank = 1"), "visited_count"
     ).collect()[0]
     assert summary["mean"] > 0
+
+
+def test_occlusion_alpha_orientation(spark):
+    """Pin the reference prune orientation (roargraph_python.py:177-231):
+    r occludes c when d(c,r) <= alpha*d(c,t) — larger alpha prunes MORE.
+
+    Collinear L2 layout: t=(0,0), r=(1,0), c=(2,0); query at (0.1,0) so the
+    top-3 ranks are [t, r, c] and the single pivot is t. With picked={r},
+    c survives iff d(c,r)=1 > alpha*d(c,t)=2*alpha, i.e. iff alpha < 0.5.
+    """
+    from vectordbindexing_spark.operators.graph import roargraph_build
+
+    base = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [2.0, 0.0])],
+        "id long, vec array<double>",
+    )
+    q = spark.createDataFrame([(100, [0.1, 0.0])], "qid long, vec array<double>")
+
+    def tc_edges(alpha):
+        e = roargraph_build(
+            q, base, k_nn=3, n_targets=1, M_pjbp=5,
+            occlude_alpha=alpha, metric="l2",
+        )
+        return {(r["src"], r["dst"]) for r in e.collect()}
+
+    assert (1, 3) in tc_edges(0.4)      # alpha < 0.5 keeps c
+    assert (1, 3) not in tc_edges(1.0)  # default alpha prunes c
+    assert (1, 3) not in tc_edges(1.5)  # larger alpha prunes at least as much

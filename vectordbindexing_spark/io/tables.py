@@ -37,10 +37,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs —
-        # Spark's native timestamp precision.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Spark's native timestamp precision. Exact integer division: '/'
+        # on bigint is double division and epoch-nanos exceed 2^53, which
+        # would round sub-µs timestamps by ±1µs vs the DuckDB oracle.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

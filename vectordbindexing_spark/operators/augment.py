@@ -92,7 +92,9 @@ def augment_from_query_topk(
             for c in np.argsort(D[0], kind="stable"):
                 if c == 0:
                     continue
-                if all(occlude_alpha * D[c, r] >= D[c, 0] for r in picked):
+                # same occlusion orientation as graph.roargraph_build:
+                # r occludes c when d(c,r) <= α·d(c,pivot)
+                if all(D[c, r] > occlude_alpha * D[c, 0] for r in picked):
                     picked.append(int(c))
             for j in picked:
                 add(0, j)

@@ -29,13 +29,13 @@ def traced_search(
     queries: DataFrame,
     index: CompactIndex,
     targets: DataFrame,
-    ef_search: int = 64,
     q_id: str = "qid",
     q_vec: str = "vec",
     target_col: str = "target_id",
     max_hops: int = 2000,
 ) -> DataFrame:
     """Greedy-trace each query on layer 0 until its target id is visited.
+    (Greedy expansion, not a beam — there is deliberately no ef knob.)
 
     Output (qid, steps, found, trace_len, top1_changes) — ``steps`` is the
     position of the target in the visit order (the reference's

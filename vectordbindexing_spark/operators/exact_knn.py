@@ -110,7 +110,8 @@ def exact_knn(
 
 
 def _exact_knn_expr(
-    queries, base, k, metric, q_id, q_vec, b_id, b_vec, exclude_self=False
+    queries, base, k, metric, q_id, q_vec, b_id, b_vec, exclude_self=False,
+    weights=None,
 ) -> DataFrame:
     q = queries.select(
         F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
@@ -118,8 +119,15 @@ def _exact_knn_expr(
     b = base.select(
         F.col(b_id).cast("long").alias("neighbor_id"), to_double_array(b_vec).alias("_bv")
     )
+    if metric == "weighted_l2":
+        from vectordbindexing_spark.functions.vector import weighted_l2_dist
+
+        w_lit = F.array(*[F.lit(float(w)) for w in weights])
+        dist = weighted_l2_dist("_qv", "_bv", w_lit)
+    else:
+        dist = metric_dist("_qv", "_bv", metric)
     # crossJoin: Catalyst broadcasts the smaller side (BroadcastNestedLoopJoin)
-    pairs = q.crossJoin(b).withColumn("dist", metric_dist("_qv", "_bv", metric))
+    pairs = q.crossJoin(b).withColumn("dist", dist)
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("neighbor_id"))
     ranked = topk_per_group(
@@ -137,17 +145,21 @@ def _exact_knn_blocked(
     exclude_self=False,
 ) -> DataFrame:
     spark = queries.sparkSession
-    qrows = (
-        queries.select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
-        .toPandas()
+    qsel = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
     )
-    n_q = len(qrows)
-    if n_q == 0 or n_q > _BLOCKED_THRESHOLD_QUERIES:
+    # bounded probe BEFORE materializing: limit(N+1).count() stops scanning
+    # at N+1 rows, so an oversized query side routes to the declarative join
+    # without ever being collected to the driver
+    probe = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).count()
+    if probe == 0 or probe > _BLOCKED_THRESHOLD_QUERIES:
         # empty, or query side too big to broadcast → declarative join
         return _exact_knn_expr(
             queries, base, k, metric, q_id, q_vec, b_id, b_vec,
             exclude_self=exclude_self,
+            weights=None if weights is None else list(weights),
         )
+    qrows = qsel.toPandas()
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
     bc = spark.sparkContext.broadcast((qids, Q, weights))

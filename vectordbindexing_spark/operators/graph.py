@@ -276,10 +276,11 @@ def roargraph_build(
             for c in order:
                 if c == t:
                     continue
-                # occlusion rule: c survives iff no already-picked r is a
-                # closer "shortcut" (α·d(c,r) < d(c,t) prunes c)
+                # occlusion rule (reference prune_candidates orientation,
+                # roargraph_python.py:177-231): r occludes c when
+                # d(c,r) <= α·d(c,t) — larger α prunes MORE; ties prune
                 if all(
-                    occlude_alpha * D[c, r] >= D[c, t] for r in picked
+                    D[c, r] > occlude_alpha * D[c, t] for r in picked
                 ):
                     picked.append(int(c))
                 if len(picked) >= M_pjbp:

@@ -87,9 +87,24 @@ def compact_index(
     indptr, indices = {}, {}
     edge_cross: dict[int, np.ndarray] = {}
     n = len(ids)
+    max_id = int(ids.max()) if len(ids) else -1
     for layer, grp in edge_pdf.groupby("layer"):
-        src_p = pos_lookup[grp["src"].to_numpy()]
-        dst_p = pos_lookup[grp["dst"].to_numpy()]
+        src_ids = grp["src"].to_numpy()
+        dst_ids = grp["dst"].to_numpy()
+        if (
+            (src_ids > max_id).any() or (dst_ids > max_id).any()
+            or (src_ids < 0).any() or (dst_ids < 0).any()
+        ):
+            raise ValueError(
+                f"layer {layer}: edge references id outside base id range "
+                f"[0, {max_id}]"
+            )
+        src_p = pos_lookup[src_ids]
+        dst_p = pos_lookup[dst_ids]
+        if (src_p < 0).any() or (dst_p < 0).any():
+            raise ValueError(
+                f"layer {layer}: edge references id missing from base"
+            )
         cross = (
             (grp["edge_type"] == "cross_distribution").to_numpy()
             if has_type
@@ -216,26 +231,28 @@ def graph_search(
                 entries = idx.entry_points
                 stats: dict = {}
                 t0 = _time.perf_counter()
+                # descend the upper layers to pick layer-0 entry seeds …
                 for layer in layers_desc:
                     if layer == 0:
-                        res = _beam_search_layer(
-                            idx, q, 0, entries, max(ef_search, k),
-                            max_search_nodes=max_search_nodes,
-                            stats_out=stats,
-                        )
-                    else:
-                        up = _beam_search_layer(
-                            idx, q, layer, entries,
-                            layer1_ef_multiplier * max(ef_search, k),
-                            max_search_nodes=max_search_nodes,
-                            stats_out=stats,
-                        )
-                        up.sort()
-                        entries = np.array(
-                            [p for _, p in up[:num_entry_points]], dtype=np.int64
-                        )
-                if not layers_desc:
-                    res = _beam_search_layer(idx, q, 0, idx.entry_points, ef_search)
+                        continue
+                    up = _beam_search_layer(
+                        idx, q, layer, entries,
+                        layer1_ef_multiplier * max(ef_search, k),
+                        max_search_nodes=max_search_nodes,
+                        stats_out=stats,
+                    )
+                    up.sort()
+                    entries = np.array(
+                        [p for _, p in up[:num_entry_points]], dtype=np.int64
+                    )
+                # … then ALWAYS beam on layer 0 (an index with only upper
+                # layers degrades gracefully: indptr.get(0) is None scores
+                # just the entries inside _beam_search_layer)
+                res = _beam_search_layer(
+                    idx, q, 0, entries, max(ef_search, k),
+                    max_search_nodes=max_search_nodes,
+                    stats_out=stats,
+                )
                 lat_us = int((_time.perf_counter() - t0) * 1e6)
                 res.sort(key=lambda t: (t[0], idx.ids[t[1]]))
                 for r, (d, p) in enumerate(res[:k], start=1):
