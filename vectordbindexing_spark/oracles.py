@@ -80,6 +80,81 @@ def lsh_knn_sql(num_bits: int = 6, num_tables: int = 8, k: int = 10) -> str:
     """
 
 
+def ivf_knn_sql(
+    nlist: int = 16, nprobe: int = 4, k: int = 10, iters: int = 3
+) -> str:
+    """Mirrors operators.ivf.ivf_knn end-to-end IN SQL: the Lloyd fit is
+    unrolled as ``iters`` CTE rounds (assign → per-dim mean → empty-cluster
+    keep-old), init = the ``nlist`` smallest base ids, then final
+    assignment, nprobe centroid probing, candidate cosine scoring, top-k.
+
+    Valid while |base| ≤ kmeans_fit's sample_size (the Spark fit samples
+    hash-ordered rows only above 100k — below that the sample is the whole
+    base and the two engines see identical inputs). Assignment/probe
+    tie-breaks: lowest cid, like np.argmin.
+    """
+    # same expansion formula as kmeans_fit/ivf_assign: ||x||² - 2x·c + ||c||²
+    d2 = (
+        "(list_inner_product(b.v,b.v) - 2*list_inner_product(b.v,c.cv)"
+        " + list_inner_product(c.cv,c.cv))"
+    )
+    ctes = [
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+               FROM b ORDER BY id LIMIT {nlist})"""
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""a{t} AS (
+           SELECT id, v, cid FROM (
+             SELECT b.id, b.v, c.cid,
+                    row_number() OVER (PARTITION BY b.id
+                                       ORDER BY {d2}, c.cid) AS rnk
+             FROM b, c{t} c) WHERE rnk = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+           SELECT cid, list(xm ORDER BY i) AS mv FROM (
+             SELECT cid, i, avg(x) AS xm FROM (
+               SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i
+               FROM a{t})
+             GROUP BY cid, i) GROUP BY cid)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+           SELECT c.cid, coalesce(m.mv, c.cv) AS cv
+           FROM c{t} c LEFT JOIN m{t} m USING (cid))"""
+        )
+    cte_sql = ",\n         ".join(ctes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         {cte_sql},
+         af AS (
+           SELECT id, cid FROM (
+             SELECT b.id, c.cid,
+                    row_number() OVER (PARTITION BY b.id
+                                       ORDER BY {d2}, c.cid) AS rnk
+             FROM b, c{iters} c) WHERE rnk = 1),
+         pr AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      sqrt(list_sum(list_transform(q.v,
+                        (x, i) -> (x - c.cv[i]) * (x - c.cv[i])))),
+                      c.cid) AS rnk
+             FROM q, c{iters} c) WHERE rnk <= {nprobe}),
+         cand AS (SELECT pr.qid, af.id FROM pr JOIN af USING (cid)),
+         d AS (SELECT cand.qid, cand.id, {KNN_DIST_SQL['cosine']} AS dist
+               FROM cand JOIN q ON q.qid = cand.qid JOIN b ON b.id = cand.id),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+               FROM d)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
+
+
 def hnsw_levels_sql(M: int = 16) -> str:
     import math
 
