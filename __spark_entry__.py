@@ -565,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(
             k=10, max_degree=16
         ),
+        "whitening_pca_norms": oracles.whitening_norms_sql(round_to=4),
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "minhash_neardup": oracles.minhash_neardup_sql(
             n=3, num_hashes=16, bands=8, threshold=0.5

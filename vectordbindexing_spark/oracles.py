@@ -8,11 +8,63 @@ functions.hashing for the cross-engine hash/LCG primitives.
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
+
 from vectordbindexing_spark.functions.hashing import (
     minhash_signature_sql,
     simhash_bits_sql,
 )
 from vectordbindexing_spark.functions.text import WORDS_SQL, word_ngrams_sql
+
+_TESTDATA_GLOB = os.environ.get("SPARK_GRAFT_TESTDATA_GLOB", "/root/testdata/sf*")
+
+# Integer fingerprint telling the embeddings datasets apart AT SQL RUNTIME
+# (sf0.001 and sf0.01 share ids and row count, so count(*) alone is not
+# enough; the first-dimension sign count is integer arithmetic — immune to
+# float summation order — and differs across the generated datasets).
+EMB_DISCRIMINATOR_SQL = (
+    "(SELECT count(*) * 1000000 + "
+    "sum(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) FROM embeddings)"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _embedding_datasets() -> tuple:
+    """(disc_key, ids int64[n], V float64[n,d]) per testdata scale factor.
+
+    Data-dependent oracles (whitening's SVD, the graph-search recall pin)
+    embed one literal per dataset and let ``EMB_DISCRIMINATOR_SQL`` select
+    the right arm when the driver runs the SQL — the oracle string works
+    unchanged at every sf.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in sorted(glob.glob(_TESTDATA_GLOB)):
+        path = os.path.join(d, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_numpy()]
+        )
+        key = len(ids) * 1_000_000 + int((V[:, 0] >= 0).sum())
+        out.append((key, ids, V))
+    keys = [k for k, _, _ in out]
+    if len(set(keys)) != len(keys):
+        raise RuntimeError(
+            f"embedding dataset discriminator collision across {_TESTDATA_GLOB}: "
+            f"{keys} — extend EMB_DISCRIMINATOR_SQL with more dimensions"
+        )
+    return tuple(out)
+
+
+def _list_lit(xs) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
 
 KNN_DIST_SQL = {
     "cosine": (
@@ -152,6 +204,46 @@ def ivf_knn_sql(
                FROM d)
     SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
     FROM r WHERE rnk <= {k}
+    """
+
+
+def whitening_norms_sql(round_to: int = 4) -> str:
+    """Mirrors the whitening_pca_norms contract query: PCA-whitened L2 norm
+    per vector. The SVD itself is not SQL-expressible, but the *norm* only
+    needs the pseudo-inverse covariance:  ||W(x-μ)||² = (x-μ)ᵀ Σ⁺ (x-μ)
+    with Σ⁺ = U diag(1/max(sv, ε)) Uᵀ — a (d,d) matrix this generator
+    computes in numpy per testdata dataset (same moments + SVD formulas as
+    operators.preprocess.whitening_fit) and embeds as a literal; the
+    discriminator CASE picks the dataset's arm at SQL runtime.
+    """
+    import numpy as np
+
+    eps_eig = 1e-12  # preprocess.EPS_EIG
+    mu_arms, a_arms = [], []
+    for key, _ids, V in _embedding_datasets():
+        n = len(V)
+        mean = V.sum(axis=0) / n
+        cov = V.T @ V / n - np.outer(mean, mean)
+        U, sv, _ = np.linalg.svd(cov, hermitian=True)
+        sv = np.maximum(sv, eps_eig)
+        A = (U / sv) @ U.T
+        mu_arms.append(f"WHEN {key} THEN {_list_lit(mean)}::DOUBLE[]")
+        a_lit = "[" + ", ".join(_list_lit(row) for row in A) + "]::DOUBLE[][]"
+        a_arms.append(f"WHEN {key} THEN {a_lit}")
+    mu_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(mu_arms) + " END"
+    a_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(a_arms) + " END"
+    return f"""
+    WITH p AS (SELECT {mu_case} AS mu, {a_case} AS a),
+         c AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                                     (x, i) -> x - p.mu[i]) AS cv,
+                      p.a AS a
+               FROM embeddings, p)
+    SELECT vec_id,
+           round(sqrt(greatest(list_sum(list_transform(cv,
+                 (x, i) -> x * list_inner_product(a[i], cv))), 0.0)),
+                 {round_to}) AS whitened_norm
+    FROM c
     """
 
 
