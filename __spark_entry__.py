@@ -560,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_exact_ip": oracles.knn_exact_sql("ip"),
         "lsh_knn_cosine": oracles.lsh_knn_sql(num_bits=6, num_tables=8, k=10),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
+        "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
         "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(

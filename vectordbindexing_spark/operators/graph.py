@@ -124,20 +124,21 @@ def mutualize(edges: DataFrame, max_degree: int) -> DataFrame:
         "layer", F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"
     )
     alle = edges.unionByName(rev)
-    # Single shuffle: groupBy(layer,src) + sorted-struct array replaces the
-    # dropDuplicates + rank-window pair (two exchanges). A reversed
-    # duplicate of an edge carries the *same* (dist, dst) struct, so
-    # array_distinct removes it; sort by (dist, dst) = the window's
-    # (dist asc, tie dst) order; slice caps the degree.
+    # Canonicalize one dist per (src, dst) FIRST: an edge and its reverse
+    # are mathematically equal but the batched distance kernel can produce
+    # low-bit-different floats for d(i,j) vs d(j,i) (BLAS accumulation
+    # differs across batch shapes), which would defeat struct-equality
+    # dedup and burn degree-cap slots on duplicate neighbors. Both
+    # aggregations are map-side combinable; shuffle volume is O(E) narrow
+    # rows either way.
+    uniq = alle.groupBy("layer", "src", "dst").agg(F.min("dist").alias("dist"))
+    # sort by (dist, dst) = the rank window's (dist asc, tie dst) order;
+    # slice caps the degree
     nbrs = F.slice(
-        F.array_distinct(
-            F.sort_array(F.collect_list(F.struct("dist", "dst")))
-        ),
-        1,
-        max_degree,
+        F.sort_array(F.collect_list(F.struct("dist", "dst"))), 1, max_degree
     )
     return (
-        alle.groupBy("layer", "src")
+        uniq.groupBy("layer", "src")
         .agg(nbrs.alias("_nbrs"))
         .select(
             "layer", "src", F.explode("_nbrs").alias("_e")
