@@ -108,6 +108,20 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # num_bits tuned to the threshold's angle: cos 0.4 → P(bit agree) ≈
+    # 0.63 → 6-bit buckets keep candidate volume ∝ n²/2⁶ per table while
+    # recalling ≈ 40% over 8 tables (near-dup thresholds ≥ 0.9 support
+    # much finer bucketing)
+    return embedding_neardup_lsh(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        num_bits=6, num_tables=8,
+    )
+
+
 def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only showcase: build two-layer graph index, serve queries,
     report recall@10 vs the exact oracle (computed in-Spark)."""
@@ -525,6 +539,7 @@ def queries() -> dict[str, Query]:
         "minhash_neardup": _minhash_neardup,
         "jaccard_neardup_pairs": _jaccard_pairs,
         "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
         "weighted_l2_knn": _weighted_l2_knn,
         "gt_clean_arrays": _gt_clean,
         "simhash_text_fingerprints": _simhash_text_fp,
@@ -577,6 +592,9 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "embedding_neardup": oracles.embedding_neardup_sql(threshold=0.4),
+        "embedding_neardup_lsh": oracles.embedding_neardup_lsh_sql(
+            threshold=0.4, num_bits=6, num_tables=8
+        ),
         "weighted_l2_knn": oracles.weighted_l2_knn_sql(k=10),
         "gt_clean_arrays": oracles.gt_clean_sql(k=10, cap=250),
         "simhash_text_fingerprints": oracles.simhash_text_fp_sql(num_bits=32),

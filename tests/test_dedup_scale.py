@@ -1,0 +1,77 @@
+"""Scale-path embedding near-dup: LSH-bucketed candidates + exact verify
+must agree with the broadcast all-pairs kernel wherever they overlap, and
+the broadcast operator must auto-route (not raise) past its limit."""
+
+from pyspark.sql import functions as F
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"]): r["cos_sim"] for r in df.collect()
+    }
+
+
+def test_embedding_neardup_lsh_precision_and_subset(spark, tables):
+    from vectordbindexing_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = tables["embeddings"]
+    full = _pairs(embedding_neardup_pairs(emb, threshold=0.4))
+    lsh = _pairs(
+        embedding_neardup_lsh(emb, threshold=0.4, num_bits=6, num_tables=8)
+    )
+    # precision 1.0: every LSH pair is a true pair with the identical sim
+    assert set(lsh) <= set(full)
+    for k, v in lsh.items():
+        assert abs(v - full[k]) < 1e-9, (k, v, full[k])
+    # recall floor from the SimHash angle math: cos 0.4 → P(bit agree)
+    # ≈ 0.63, so 6-bit buckets collide ≈ 0.063/table; 8 tables → ≈ 0.41
+    # expected recall. Floor set loosely at 0.2.
+    assert len(lsh) >= 0.2 * max(len(full), 1), (len(lsh), len(full))
+    # recall is monotone in the number of tables (more probes, same verify)
+    more = _pairs(
+        embedding_neardup_lsh(emb, threshold=0.4, num_bits=6, num_tables=16)
+    )
+    assert set(lsh) <= set(more) <= set(full)
+
+
+def test_embedding_neardup_autoroutes_past_broadcast_limit(spark, tables):
+    from vectordbindexing_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = tables["embeddings"]
+    routed = _pairs(
+        embedding_neardup_pairs(emb, threshold=0.4, broadcast_limit=50)
+    )
+    direct = _pairs(
+        embedding_neardup_lsh(emb, threshold=0.4, num_bits=8, num_tables=8)
+    )
+    assert routed == direct
+
+
+def test_embedding_neardup_lsh_candidate_volume_bounded(spark, tables):
+    """The whole point of the bucketed path: candidates ≪ n²/2."""
+    from vectordbindexing_spark.operators.lsh import simhash_buckets
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    bt = simhash_buckets(
+        emb.select(
+            F.col("vec_id").cast("long").alias("vid"), F.col("embedding").alias("v")
+        ),
+        "vid", "v", num_bits=8, num_tables=8, bucket_cap=None,
+    )
+    a = bt.select(F.col("id").alias("id_a"), "bucket")
+    b = bt.select(F.col("id").alias("id_b"), "bucket")
+    n_cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .count()
+    )
+    assert n_cand < 0.5 * n * (n - 1) / 2, (n_cand, n)

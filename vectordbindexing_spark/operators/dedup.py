@@ -312,20 +312,92 @@ def simhash_text_neardup(
     )
 
 
+def _pair_cos_sim(cand: DataFrame, va: str = "_va", vb: str = "_vb") -> DataFrame:
+    """Arrow-batched exact cosine similarity over candidate (id_a, id_b)
+    pairs carrying both vectors; rounds to 6dp like the broadcast kernel."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[va]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vb]])
+            s = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "cos_sim": np.round(s, 6),
+                }
+            )
+
+    return cand.mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_bits: int = 8,
+    num_tables: int = 8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Corpus-scale embedding near-dup: SimHash bucket equi-join candidate
+    pairs → exact cosine verify (the scale composition the broadcast path
+    documents). Both sides stay distributed; candidate volume ∝ bucket
+    collisions, not n². Approximate: a pair whose fingerprints collide in
+    no table is missed — recall rises with num_tables and falls with
+    num_bits (tune to the threshold's angle: P(bit agree) = 1 - θ/π).
+
+    Output (id_a, id_b, cos_sim ≥ threshold) with id_a < id_b, exact sims —
+    precision 1.0 relative to :func:`embedding_neardup_pairs`.
+    """
+    from vectordbindexing_spark.operators.lsh import simhash_buckets
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v")
+    )
+    bt = simhash_buckets(src, "vid", "v", num_bits, num_tables, bucket_cap)
+    a = bt.select(F.col("id").alias("id_a"), "bucket")
+    b = bt.select(F.col("id").alias("id_b"), "bucket")
+    pair_ids = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pair_ids.join(
+        src.select(F.col("vid").alias("id_a"), F.col("v").alias("_va")), "id_a"
+    ).join(
+        src.select(F.col("vid").alias("id_b"), F.col("v").alias("_vb")), "id_b"
+    )
+    return _pair_cos_sim(cand).filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
     broadcast_limit: int = 200_000,
+    num_bits: int = 8,
+    num_tables: int = 8,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold (embedding near-dup).
 
     Physical strategy: broadcast the (id, vec) matrix, stream the table
     through a numpy matmul kernel emitting only above-threshold pairs with
     id_a < id_b — one scan, no shuffle of vectors, output ∝ matches.
-    Above ``broadcast_limit`` rows the right side no longer broadcasts;
-    pre-bucket with SimHash (operators.lsh) and feed candidates here.
+    Above ``broadcast_limit`` rows the matrix no longer broadcasts and the
+    plan auto-routes to :func:`embedding_neardup_lsh` (SimHash-bucketed
+    candidates + exact verify — same output contract, approximate recall).
     """
     from collections.abc import Iterator
 
@@ -334,12 +406,13 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v"))
-    rows = src.toPandas()
-    if len(rows) > broadcast_limit:
-        raise ValueError(
-            f"{len(rows)} rows exceed broadcast_limit={broadcast_limit}; "
-            "prune candidates with operators.lsh.simhash_buckets first"
+    # bounded probe — stops scanning at limit+1 rows, never collects first
+    if src.limit(broadcast_limit + 1).count() > broadcast_limit:
+        return embedding_neardup_lsh(
+            df, id_col, vec_col, threshold,
+            num_bits=num_bits, num_tables=num_tables,
         )
+    rows = src.toPandas()
     ids = rows["vid"].to_numpy()
     B = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)

@@ -532,6 +532,30 @@ def embedding_neardup_sql(threshold: float = 0.4) -> str:
     """
 
 
+def embedding_neardup_lsh_sql(
+    threshold: float = 0.4, num_bits: int = 8, num_tables: int = 8
+) -> str:
+    """Mirrors dedup.embedding_neardup_lsh (bucket equi-join candidates +
+    exact cosine verify; same LCG plane family as the Spark kernel)."""
+    arms = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS id, ({simhash_bits_sql('v', num_bits, t)})"
+        f" + {t * (1 << num_bits)} AS bucket FROM e"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bt AS ({arms}),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM bt a JOIN bt b USING (bucket) WHERE a.id < b.id),
+         p AS (SELECT id_a, id_b,
+                      round(list_inner_product(a.v, b.v) /
+                        (sqrt(list_inner_product(a.v, a.v))
+                         * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+               FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {threshold}
+    """
+
+
 def simhash_text_fp_sql(num_bits: int = 32) -> str:
     """Mirrors dedup.simhash_text_fingerprints (token-frequency SimHash)."""
     toks = WORDS_SQL.format(t="text")
