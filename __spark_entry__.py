@@ -152,6 +152,37 @@ def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded serving path: hash-sharded per-executor graph builds,
+    parallel per-shard search, global top-k merge; recall@10 vs exact."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.shard import (
+        build_sharded_index,
+        search_sharded,
+    )
+
+    q, b = _emb_split(spark, sf_dir)
+    art = build_sharded_index(
+        b, num_shards=2, M0=16, M1=8, metric="cosine",
+        id_col="vec_id", vec_col="embedding",
+    )
+    got = search_sharded(q, art, k=10, ef_search=64,
+                         q_id="vec_id", q_vec="embedding")
+    ex = exact_knn(q, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("r"), 4).alias("recall_at_10"),
+        )
+    )
+
+
 def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF (k-means inverted lists) approximate KNN."""
     from vectordbindexing_spark.operators.ivf import ivf_knn
@@ -529,6 +560,7 @@ def queries() -> dict[str, Query]:
         "simhash_buckets": _simhash_buckets,
         "ivf_knn_cosine": _ivf_knn,
         "ann_two_layer_recall": _ann_two_layer_recall,
+        "ann_sharded_recall": _ann_sharded_recall,
         # graph build (SURVEY §2.8)
         "hnsw_level_assignment": _hnsw_levels,
         "knn_graph_degree_stats": _knn_graph_degree_stats,
@@ -576,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_knn_cosine": oracles.lsh_knn_sql(num_bits=6, num_tables=8, k=10),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
+        "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
         "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(

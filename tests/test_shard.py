@@ -1,0 +1,104 @@
+"""Sharded index artifact: build/persist/load/search + recall parity with
+the broadcast CompactIndex path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def split(tables):
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    return q, b
+
+
+def _recall_vs_exact(spark, got, q, b, k=10):
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    ex = exact_knn(
+        q, b, k=k, metric="cosine", impl="blocked",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / float(k)).alias("r"))
+        .agg(F.avg("r"))
+        .collect()[0][0]
+    )
+
+
+def test_sharded_build_search_recall(spark, split):
+    from vectordbindexing_spark.operators.shard import (
+        build_sharded_index,
+        search_sharded,
+    )
+
+    q, b = split
+    art = build_sharded_index(
+        b, num_shards=2, M0=16, M1=8, metric="cosine",
+        id_col="vec_id", vec_col="embedding",
+    ).localCheckpoint(eager=True)
+    # every base row lands in exactly one shard
+    assert art.count() == b.count()
+    assert art.select("shard").distinct().count() == 2
+    per_shard = {r["shard"]: r["n"] for r in
+                 art.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert all(n > 0 for n in per_shard.values())
+
+    got = search_sharded(q, art, k=10, ef_search=64,
+                         q_id="vec_id", q_vec="embedding")
+    assert got.columns == ["qid", "nbr_rank", "neighbor_id", "dist"]
+    rec = _recall_vs_exact(spark, got, q, b)
+    # union bound over shards: each true neighbor is searchable in its own
+    # shard's graph, so sharding should not cost recall vs one big graph
+    assert rec >= 0.9, f"sharded recall@10 too low: {rec}"
+
+
+def test_sharded_roundtrip_identical(spark, split, tmp_path):
+    from vectordbindexing_spark.operators.shard import (
+        build_sharded_index,
+        load_sharded_index,
+        save_sharded_index,
+        search_sharded,
+    )
+
+    q, b = split
+    art = build_sharded_index(
+        b, num_shards=2, M0=12, M1=6, metric="cosine",
+        id_col="vec_id", vec_col="embedding",
+    )
+    path = str(tmp_path / "shards")
+    save_sharded_index(art, path)
+    back = load_sharded_index(spark, path)
+    r1 = sorted(tuple(r) for r in search_sharded(
+        q, art, k=5, q_id="vec_id", q_vec="embedding").collect())
+    r2 = sorted(tuple(r) for r in search_sharded(
+        q, back, k=5, q_id="vec_id", q_vec="embedding").collect())
+    assert r1 == r2
+
+
+def test_compact_index_persistence_matches_live_search(spark, split, tmp_path):
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+    from vectordbindexing_spark.operators.shard import (
+        load_sharded_index,
+        save_compact_index,
+        search_sharded,
+    )
+
+    q, b = split
+    edges = build_two_layer_index(b, M0=16, M1=8, metric="cosine",
+                                  id_col="vec_id", vec_col="embedding")
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    path = str(tmp_path / "artifact")
+    save_compact_index(idx, spark, path)
+    live = sorted(tuple(r) for r in graph_search(
+        q, idx, k=10, ef_search=64, q_id="vec_id", q_vec="embedding").collect())
+    served = sorted(tuple(r) for r in search_sharded(
+        q, load_sharded_index(spark, path), k=10, ef_search=64,
+        q_id="vec_id", q_vec="embedding").collect())
+    assert live == served

@@ -247,8 +247,19 @@ def whitening_norms_sql(round_to: int = 4) -> str:
     """
 
 
-@functools.lru_cache(maxsize=None)
-def _two_layer_recall_pins(
+def _np_cosine_matrix(A, C):
+    """exact_knn._pairwise_dist cosine formula, one batch."""
+    import numpy as np
+
+    return 1.0 - (A @ C.T) / np.outer(
+        np.linalg.norm(A, axis=1), np.linalg.norm(C, axis=1)
+    )
+
+
+def _np_two_layer_topk(
+    bids,
+    B,
+    Q,
     k: int = 10,
     M0: int = 16,
     M1: int = 8,
@@ -256,166 +267,235 @@ def _two_layer_recall_pins(
     ef_search: int = 64,
     num_entry_points: int = 3,
     layer1_ef_multiplier: int = 2,
-) -> tuple:
-    """(disc_key, n_queries, recall_4dp_string) per testdata dataset.
-
-    Full numpy replication — independent of the Spark runtime — of the
-    ann_two_layer_recall pipeline: deterministic level assignment →
-    layer-1/layer-0 exact kNN graphs (self excluded, ties (dist, id)) →
-    mutualize with 2·max(M0,M1) cap → max-degree entry points → layered
-    beam search (upper-layer ef ×2, heap tie-breaks identical to
-    operators.search._beam_search_layer) → recall@k vs the exact kNN.
-    The recall is exact at 4dp by construction (10⁴·Σ|p∩g| divisible by
-    n_q·k for the generated datasets), so the pin is stable across engines.
+):
+    """Per-query top-k [(dist, neighbor_id), ...] — numpy twin of the
+    two-layer pipeline (deterministic level assignment → layer-1/layer-0
+    exact kNN graphs with (dist, id) ties → mutualize with min-dist dedup
+    and 2·max(M0,M1) cap → max-degree entry points → layered beam search
+    with heap tie-breaks identical to operators.search._beam_search_layer).
     """
     import heapq
-    from fractions import Fraction
+    import math
 
     import numpy as np
 
     from vectordbindexing_spark.functions.hashing import det_hash64_py
 
-    bits = 4
-    assert 2**bits == M_level
+    bits = int(math.log2(M_level))
+    n = len(bids)
+    h = np.array([det_hash64_py(str(int(i))) for i in bids], dtype=np.int64)
+    level = np.zeros(n, dtype=np.int64)
+    for lv in range(1, 8):
+        if 32 - bits * lv > 0:
+            level += (h < 2 ** (32 - bits * lv)).astype(np.int64)
+
+    def knn_edges(sub_ids, sub_V, kk):
+        D = _np_cosine_matrix(sub_V, sub_V)
+        np.fill_diagonal(D, np.inf)
+        edges = []
+        for i in range(len(sub_ids)):
+            for j in np.lexsort((sub_ids, D[i]))[:kk]:
+                if np.isfinite(D[i, j]):
+                    edges.append(
+                        (int(sub_ids[i]), int(sub_ids[j]), float(D[i, j]))
+                    )
+        return edges
+
+    layers = {0: knn_edges(bids, B, M0)}
+    um = level >= 1
+    if int(um.sum()) >= 2:
+        layers[1] = knn_edges(bids[um], B[um], M1)
+    cap = 2 * max(M0, M1)
+    # mutualize: bidirectional, min-dist per (src, dst), (dist, dst) sort,
+    # degree cap — graph.mutualize semantics
+    adj: dict = {}
+    for layer, edges in layers.items():
+        per: dict = {}
+        for s, d, dist in edges:
+            for a, bb in ((s, d), (d, s)):
+                cur = per.setdefault(a, {})
+                if bb not in cur or dist < cur[bb]:
+                    cur[bb] = dist
+        adj[layer] = {
+            s: sorted((dist, dd) for dd, dist in p.items())[:cap]
+            for s, p in per.items()
+        }
+    # CSR over id-ascending positions; vectors stored float32 like
+    # search.CompactIndex (testdata is float32 so the cast is exact)
+    order = np.argsort(bids, kind="stable")
+    pos_ids = bids[order]
+    PVi = B[order].astype(np.float32)
+    pos_of = {int(i): p for p, i in enumerate(pos_ids)}
+    csr = {}
+    for layer, per in adj.items():
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        idx_list: list[int] = []
+        for p in range(n):
+            for _, d in per.get(int(pos_ids[p]), ()):
+                idx_list.append(pos_of[d])
+            indptr[p + 1] = len(idx_list)
+        if idx_list:
+            csr[layer] = (indptr, np.array(idx_list, dtype=np.int64))
+    top_layer = max(adj)
+    ep_ids = [
+        s for _, s in sorted((-len(v), s) for s, v in adj[top_layer].items())
+    ][:num_entry_points]
+    ep_pos = np.array([pos_of[s] for s in ep_ids], dtype=np.int64)
+    if len(ep_pos) == 0:
+        # degenerate single-node/edge-free graph: CompactIndex defaults to
+        # position 0 as the entry (search.compact_index / shard loader)
+        ep_pos = np.array([0], dtype=np.int64)
+
+    def idist(q, pos):
+        # CompactIndex.dist cosine formula
+        Vv = PVi[pos].astype(np.float64)
+        return 1.0 - (Vv @ q) / (np.linalg.norm(Vv, axis=1) * np.linalg.norm(q))
+
+    def beam(q, layer, entries, ef, max_hops=500):
+        indptr_a, indices_a = csr.get(layer, (None, None))
+        if indptr_a is None:
+            return [
+                (float(d), int(p)) for d, p in zip(idist(q, entries), entries)
+            ]
+        visited = np.zeros(n, dtype=bool)
+        entries = np.unique(entries)
+        d0 = idist(q, entries)
+        cand = [(float(d), int(p)) for d, p in zip(d0, entries)]
+        heapq.heapify(cand)
+        result = [(-d, p) for d, p in cand]
+        heapq.heapify(result)
+        while len(result) > ef:
+            heapq.heappop(result)
+        visited[entries] = True
+        hops = 0
+        while cand and hops < max_hops:
+            d, p = heapq.heappop(cand)
+            worst = -result[0][0]
+            if d > worst and len(result) >= ef:
+                break
+            hops += 1
+            nbrs = indices_a[indptr_a[p] : indptr_a[p + 1]]
+            nbrs = nbrs[~visited[nbrs]]
+            if len(nbrs) == 0:
+                continue
+            visited[nbrs] = True
+            dn = idist(q, nbrs)
+            for dd, pp in zip(dn, nbrs):
+                if len(result) < ef or dd < -result[0][0]:
+                    heapq.heappush(cand, (float(dd), int(pp)))
+                    heapq.heappush(result, (-float(dd), int(pp)))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        return [(-d, p) for d, p in result]
+
+    out = []
+    for qi in range(len(Q)):
+        q = Q[qi]
+        entries = ep_pos
+        for layer in sorted(csr, reverse=True):
+            if layer == 0:
+                continue
+            up = beam(q, layer, entries, layer1_ef_multiplier * max(ef_search, k))
+            up.sort()
+            entries = np.array(
+                [p for _, p in up[:num_entry_points]], dtype=np.int64
+            )
+        res = beam(q, 0, entries, max(ef_search, k))
+        res.sort(key=lambda t: (t[0], pos_ids[t[1]]))
+        out.append([(float(d), int(pos_ids[p])) for d, p in res[:k]])
+    return out
+
+
+def _recall_pin(total_m: int, n_q: int, k: int) -> str:
+    """HALF_UP round of total_m/(n_q·k) at 4dp in exact arithmetic."""
+    num, den = total_m * 10**4, n_q * k
+    scaled = (2 * num + den) // (2 * den)
+    return f"{scaled // 10**4}.{scaled % 10**4:04d}"
+
+
+@functools.lru_cache(maxsize=None)
+def _two_layer_recall_pins(
+    k: int = 10, M0: int = 16, M1: int = 8, ef_search: int = 64
+) -> tuple:
+    """(disc_key, n_queries, recall_4dp_string) per testdata dataset —
+    full numpy replication (independent of the Spark runtime) of the
+    ann_two_layer_recall pipeline, recall@k vs the exact kNN. The recall
+    is exact at 4dp by construction (10⁴·Σ|p∩g| divisible by n_q·k for
+    the generated datasets), so the pin is stable across engines."""
+    import numpy as np
+
     out = []
     for key, ids, V in _embedding_datasets():
         qm = ids % 10 == 0
         qids, Q = ids[qm], V[qm]
         bids, B = ids[~qm], V[~qm]
-        n = len(bids)
-        h = np.array([det_hash64_py(str(int(i))) for i in bids], dtype=np.int64)
-        level = np.zeros(n, dtype=np.int64)
-        for lv in range(1, 8):
-            if 32 - bits * lv > 0:
-                level += (h < 2 ** (32 - bits * lv)).astype(np.int64)
-
-        def cos(A, C):
-            # exact_knn._pairwise_dist cosine formula, one batch
-            return 1.0 - (A @ C.T) / np.outer(
-                np.linalg.norm(A, axis=1), np.linalg.norm(C, axis=1)
-            )
-
-        def knn_edges(sub_ids, sub_V, kk):
-            D = cos(sub_V, sub_V)
-            np.fill_diagonal(D, np.inf)
-            edges = []
-            for i in range(len(sub_ids)):
-                for j in np.lexsort((sub_ids, D[i]))[:kk]:
-                    if np.isfinite(D[i, j]):
-                        edges.append(
-                            (int(sub_ids[i]), int(sub_ids[j]), float(D[i, j]))
-                        )
-            return edges
-
-        layers = {0: knn_edges(bids, B, M0)}
-        um = level >= 1
-        if int(um.sum()) >= 2:
-            layers[1] = knn_edges(bids[um], B[um], M1)
-        cap = 2 * max(M0, M1)
-        # mutualize: bidirectional, min-dist per (src, dst), (dist, dst)
-        # sort, degree cap — graph.mutualize semantics
-        adj: dict = {}
-        for layer, edges in layers.items():
-            per: dict = {}
-            for s, d, dist in edges:
-                for a, bb in ((s, d), (d, s)):
-                    cur = per.setdefault(a, {})
-                    if bb not in cur or dist < cur[bb]:
-                        cur[bb] = dist
-            adj[layer] = {
-                s: sorted((dist, dd) for dd, dist in p.items())[:cap]
-                for s, p in per.items()
-            }
-        # CSR over id-ascending positions; vectors stored float32 like
-        # search.CompactIndex (testdata is float32 so the cast is exact)
-        order = np.argsort(bids, kind="stable")
-        pos_ids = bids[order]
-        PVi = B[order].astype(np.float32)
-        pos_of = {int(i): p for p, i in enumerate(pos_ids)}
-        csr = {}
-        for layer, per in adj.items():
-            indptr = np.zeros(n + 1, dtype=np.int64)
-            idx_list: list[int] = []
-            for p in range(n):
-                for _, d in per.get(int(pos_ids[p]), ()):
-                    idx_list.append(pos_of[d])
-                indptr[p + 1] = len(idx_list)
-            csr[layer] = (indptr, np.array(idx_list, dtype=np.int64))
-        top_layer = max(csr)
-        ep_ids = [
-            s
-            for _, s in sorted((-len(v), s) for s, v in adj[top_layer].items())
-        ][:num_entry_points]
-        ep_pos = np.array([pos_of[s] for s in ep_ids], dtype=np.int64)
-
-        def idist(q, pos):
-            # CompactIndex.dist cosine formula
-            Vv = PVi[pos].astype(np.float64)
-            return 1.0 - (Vv @ q) / (
-                np.linalg.norm(Vv, axis=1) * np.linalg.norm(q)
-            )
-
-        def beam(q, layer, entries, ef, max_hops=500):
-            indptr_a, indices_a = csr.get(layer, (None, None))
-            if indptr_a is None:
-                return [
-                    (float(d), int(p)) for d, p in zip(idist(q, entries), entries)
-                ]
-            visited = np.zeros(n, dtype=bool)
-            entries = np.unique(entries)
-            d0 = idist(q, entries)
-            cand = [(float(d), int(p)) for d, p in zip(d0, entries)]
-            heapq.heapify(cand)
-            result = [(-d, p) for d, p in cand]
-            heapq.heapify(result)
-            while len(result) > ef:
-                heapq.heappop(result)
-            visited[entries] = True
-            hops = 0
-            while cand and hops < max_hops:
-                d, p = heapq.heappop(cand)
-                worst = -result[0][0]
-                if d > worst and len(result) >= ef:
-                    break
-                hops += 1
-                nbrs = indices_a[indptr_a[p] : indptr_a[p + 1]]
-                nbrs = nbrs[~visited[nbrs]]
-                if len(nbrs) == 0:
-                    continue
-                visited[nbrs] = True
-                dn = idist(q, nbrs)
-                for dd, pp in zip(dn, nbrs):
-                    if len(result) < ef or dd < -result[0][0]:
-                        heapq.heappush(cand, (float(dd), int(pp)))
-                        heapq.heappush(result, (-float(dd), int(pp)))
-                        if len(result) > ef:
-                            heapq.heappop(result)
-            return [(-d, p) for d, p in result]
-
-        D_exact = cos(Q, B)
+        topk = _np_two_layer_topk(bids, B, Q, k=k, M0=M0, M1=M1,
+                                  ef_search=ef_search)
+        D_exact = _np_cosine_matrix(Q, B)
         total_m = 0
         for qi in range(len(qids)):
-            q = Q[qi]
-            entries = ep_pos
-            for layer in sorted(csr, reverse=True):
-                if layer == 0:
-                    continue
-                up = beam(q, layer, entries, layer1_ef_multiplier * max(ef_search, k))
-                up.sort()
-                entries = np.array(
-                    [p for _, p in up[:num_entry_points]], dtype=np.int64
-                )
-            res = beam(q, 0, entries, max(ef_search, k))
-            res.sort(key=lambda t: (t[0], pos_ids[t[1]]))
-            pred = {int(pos_ids[p]) for _, p in res[:k]}
+            pred = {nid for _, nid in topk[qi]}
             exact = {int(bids[j]) for j in np.lexsort((bids, D_exact[qi]))[:k]}
             total_m += len(pred & exact)
         n_q = int(len(qids))
-        # HALF_UP round of total_m/(n_q·k) at 4dp in exact arithmetic
-        num, den = total_m * 10**4, n_q * k
-        scaled = (2 * num + den) // (2 * den)
-        out.append((key, n_q, f"{scaled // 10**4}.{scaled % 10**4:04d}"))
+        out.append((key, n_q, _recall_pin(total_m, n_q, k)))
     return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_recall_pins(
+    k: int = 10,
+    num_shards: int = 2,
+    M0: int = 16,
+    M1: int = 8,
+    ef_search: int = 64,
+) -> tuple:
+    """(disc_key, n_queries, recall_4dp_string) per dataset for the
+    sharded serving path (operators.shard): md5-hash shard assignment,
+    independent per-shard two-layer build+search, global (dist, id)
+    top-k merge, recall@k vs the exact kNN over the whole base."""
+    import numpy as np
+
+    from vectordbindexing_spark.functions.hashing import det_hash64_py
+
+    out = []
+    for key, ids, V in _embedding_datasets():
+        qm = ids % 10 == 0
+        qids, Q = ids[qm], V[qm]
+        bids, B = ids[~qm], V[~qm]
+        shard = np.array(
+            [det_hash64_py(str(int(i))) % num_shards for i in bids]
+        )
+        merged = [[] for _ in range(len(qids))]
+        for s in range(num_shards):
+            m = shard == s
+            if not m.any():
+                continue
+            topk = _np_two_layer_topk(bids[m], B[m], Q, k=k, M0=M0, M1=M1,
+                                      ef_search=ef_search)
+            for qi in range(len(qids)):
+                merged[qi].extend(topk[qi])
+        D_exact = _np_cosine_matrix(Q, B)
+        total_m = 0
+        for qi in range(len(qids)):
+            pred = {nid for _, nid in sorted(merged[qi])[:k]}
+            exact = {int(bids[j]) for j in np.lexsort((bids, D_exact[qi]))[:k]}
+            total_m += len(pred & exact)
+        n_q = int(len(qids))
+        out.append((key, n_q, _recall_pin(total_m, n_q, k)))
+    return tuple(out)
+
+
+def ann_sharded_recall_sql() -> str:
+    """Pinned-literal oracle for ann_sharded_recall (see
+    :func:`_sharded_recall_pins`)."""
+    pins = _sharded_recall_pins()
+    nq_arms = " ".join(f"WHEN {key} THEN {nq}" for key, nq, _ in pins)
+    rc_arms = " ".join(f"WHEN {key} THEN {rc}" for key, _, rc in pins)
+    return f"""
+    SELECT (CASE {EMB_DISCRIMINATOR_SQL} {nq_arms} END)::BIGINT AS n_queries,
+           (CASE {EMB_DISCRIMINATOR_SQL} {rc_arms} END)::DOUBLE AS recall_at_10
+    """
 
 
 def ann_two_layer_recall_sql() -> str:
