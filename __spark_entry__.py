@@ -54,10 +54,12 @@ def _lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.lsh import lsh_knn
 
     q, b = _emb_split(spark, sf_dir)
+    # num_bits="auto" scales bucket width with the base count and the
+    # default bucket_cap bounds candidates per probe — the config that
+    # survives a 100× corpus (fixed 6-bit/uncapped buckets would not)
     return lsh_knn(
-        q, b, k=10, metric="cosine", num_bits=6, num_tables=8,
+        q, b, k=10, metric="cosine", num_bits="auto", num_tables=8,
         q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
-        bucket_cap=None,
     ).withColumn("dist", F.round("dist", 6))
 
 
@@ -367,9 +369,8 @@ def _recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, b = _emb_split(spark, sf_dir)
     lsh = lsh_knn(
-        q, b, k=10, metric="cosine", num_bits=6, num_tables=8,
+        q, b, k=10, metric="cosine", num_bits="auto", num_tables=8,
         q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
-        bucket_cap=None,
     )
     ex = exact_knn(
         q, b, k=10, metric="cosine", impl="blocked",
@@ -605,7 +606,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_exact_cosine": oracles.knn_exact_sql("cosine"),
         "knn_exact_l2": oracles.knn_exact_sql("l2"),
         "knn_exact_ip": oracles.knn_exact_sql("ip"),
-        "lsh_knn_cosine": oracles.lsh_knn_sql(num_bits=6, num_tables=8, k=10),
+        "lsh_knn_cosine": oracles.lsh_knn_sql(
+            num_bits=oracles.lsh_entry_num_bits(), num_tables=8, k=10,
+            bucket_cap=20_000,
+        ),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
@@ -637,7 +641,8 @@ def oracle_sql() -> dict[str, str]:
         "modality_stats": oracles.modality_stats_sql(M=16),
         "train_test_split": oracles.TRAIN_TEST_SPLIT_SQL,
         "recall_lsh_vs_exact": oracles.recall_lsh_vs_exact_sql(
-            num_bits=6, num_tables=8, k=10
+            num_bits=oracles.lsh_entry_num_bits(), num_tables=8, k=10,
+            bucket_cap=20_000,
         ),
         "events_value_percentiles": oracles.EVENTS_VALUE_PERCENTILES_SQL,
         "text_token_stats": oracles.TEXT_TOKEN_STATS_SQL,

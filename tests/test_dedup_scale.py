@@ -75,3 +75,52 @@ def test_embedding_neardup_lsh_candidate_volume_bounded(spark, tables):
         .count()
     )
     assert n_cand < 0.5 * n * (n - 1) / 2, (n_cand, n)
+
+
+def test_scaled_num_bits_monotone_and_clamped():
+    from vectordbindexing_spark.operators.lsh import scaled_num_bits
+
+    assert scaled_num_bits(500) == 6          # small corpus → floor
+    assert scaled_num_bits(1_000_000) == 10   # ~1k per bucket
+    assert scaled_num_bits(1_000_000_000) == 20
+    assert scaled_num_bits(10**15) == 24      # ceiling
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**11):
+        bits = scaled_num_bits(n)
+        assert bits >= prev
+        prev = bits
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark, tables):
+    """With a cap, per-query candidates stay ≤ tables·(1+bits)·cap no
+    matter the corpus size — the invariant that makes the entry config
+    scale-safe."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.lsh import probe_buckets, simhash_buckets
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    num_bits, num_tables, cap = 6, 8, 5
+    bt = simhash_buckets(
+        b.select(F.col("vec_id").alias("i"), F.col("embedding").alias("v")),
+        "i", "v", num_bits, num_tables, bucket_cap=cap,
+    )
+    # cap respected per bucket
+    over = bt.groupBy("bucket").count().filter(F.col("count") > cap).count()
+    assert over == 0
+    qb = simhash_buckets(
+        q.select(F.col("vec_id").alias("i"), F.col("embedding").alias("v")),
+        "i", "v", num_bits, num_tables, bucket_cap=None,
+    ).withColumnRenamed("id", "qid")
+    probes = qb.select(
+        "qid", F.explode(probe_buckets(F.col("bucket"), num_bits)).alias("bucket")
+    )
+    per_q = (
+        probes.join(bt, "bucket")
+        .select("qid", "id").dropDuplicates(["qid", "id"])
+        .groupBy("qid").count()
+    )
+    bound = num_tables * (1 + num_bits) * cap
+    assert per_q.filter(F.col("count") > bound).count() == 0

@@ -32,6 +32,20 @@ from vectordbindexing_spark.operators.topk import topk_per_group
 DEFAULT_BUCKET_CAP = 20_000  # simple_sim_hash.py:10
 
 
+def scaled_num_bits(
+    n_base: int, target_bucket: int = 1024, min_bits: int = 6, max_bits: int = 24
+) -> int:
+    """Bucket-width sizing: choose bits so expected bucket occupancy
+    n/2^bits stays ≈ ``target_bucket`` — candidate volume per probe is then
+    bounded as the corpus grows (64 buckets that are fine at 5k rows are an
+    all-pairs trap at 5B). Clamped to [min_bits, max_bits]."""
+    import math
+
+    if n_base <= target_bucket:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_base / target_bucket))))
+
+
 def simhash_buckets(
     df: DataFrame,
     id_col: str = "id",
@@ -118,7 +132,7 @@ def lsh_knn(
     base: DataFrame,
     k: int = 10,
     metric: str = "cosine",
-    num_bits: int = 8,
+    num_bits: int | str = 8,
     num_tables: int = 8,
     q_id: str = "qid",
     q_vec: str = "vec",
@@ -130,10 +144,18 @@ def lsh_knn(
     ``num_tables`` tables) → exact distance on the candidate union →
     per-query top-k.
 
+    ``num_bits="auto"`` sizes the bucket width from the base row count
+    (:func:`scaled_num_bits`) — the count is a column-pruned count-only
+    scan, negligible next to the hashing pass that follows. With
+    ``bucket_cap`` set, per-query candidates are bounded by
+    num_tables · (1+num_bits) · bucket_cap regardless of corpus size.
+
     Output schema matches exact_knn: (qid, nbr_rank, neighbor_id, dist).
     Queries whose probes hit fewer than k distinct candidates return fewer
     rows — recall/coverage tradeoff is (num_bits, num_tables).
     """
+    if num_bits == "auto":
+        num_bits = scaled_num_bits(base.count())
     bt = simhash_buckets(base, b_id, b_vec, num_bits, num_tables, bucket_cap)
     qb = simhash_buckets(
         queries, q_id, q_vec, num_bits, num_tables, bucket_cap=None

@@ -101,11 +101,23 @@ def simhash_buckets_sql(num_bits: int = 16) -> str:
     """
 
 
-def lsh_knn_sql(num_bits: int = 6, num_tables: int = 8, k: int = 10) -> str:
-    """Mirrors operators.lsh.lsh_knn (cosine, no bucket cap)."""
+def lsh_knn_sql(
+    num_bits: int = 6,
+    num_tables: int = 8,
+    k: int = 10,
+    bucket_cap: int | None = None,
+) -> str:
+    """Mirrors operators.lsh.lsh_knn (cosine). ``bucket_cap`` keeps the
+    cap-smallest ids per bucket like simhash_buckets."""
+    cap_sql = (
+        ""
+        if bucket_cap is None
+        else f" QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id)"
+        f" <= {bucket_cap}"
+    )
     base_arms = "\n      UNION ALL ".join(
         f"SELECT id, v, ({simhash_bits_sql('v', num_bits, t)})"
-        f" + {t * (1 << num_bits)} AS bucket FROM b"
+        f" + {t * (1 << num_bits)} AS bucket FROM b{cap_sql}"
         for t in range(num_tables)
     )
     flips = ", ".join(f"xor(bkt, {1 << j})" for j in range(num_bits))
@@ -698,11 +710,33 @@ FROM embeddings GROUP BY 1
 """
 
 
-def recall_lsh_vs_exact_sql(num_bits: int = 6, num_tables: int = 8, k: int = 10) -> str:
+def lsh_entry_num_bits() -> int:
+    """The num_bits the lsh_knn contract query's "auto" sizing resolves to
+    on the testdata (same scaled_num_bits formula, base = vec_id%10≠0)."""
+    from vectordbindexing_spark.operators.lsh import scaled_num_bits
+
+    bits = {
+        scaled_num_bits(int((ids % 10 != 0).sum()))
+        for _, ids, _ in _embedding_datasets()
+    }
+    if len(bits) != 1:
+        raise RuntimeError(
+            f"datasets resolve to different num_bits {bits}: emit "
+            "per-dataset oracle arms behind EMB_DISCRIMINATOR_SQL"
+        )
+    return next(iter(bits))
+
+
+def recall_lsh_vs_exact_sql(
+    num_bits: int = 6,
+    num_tables: int = 8,
+    k: int = 10,
+    bucket_cap: int | None = None,
+) -> str:
     """Mean recall@k of the LSH KNN against the exact KNN, entirely in SQL —
     the reference's recall evaluation (roargraph_python.py:451-458) with
     both sides reproduced."""
-    lsh = lsh_knn_sql(num_bits, num_tables, k)
+    lsh = lsh_knn_sql(num_bits, num_tables, k, bucket_cap=bucket_cap)
     exact = knn_exact_sql("cosine", k)
     return f"""
     WITH lshr AS ({lsh}),
