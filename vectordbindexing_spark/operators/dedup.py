@@ -121,21 +121,37 @@ def minhash_dedup_pairs(
 
     import pandas as pd
 
+    import numpy as np
+
     from vectordbindexing_spark.functions.hashing import (
         det_hash64_py,
         minhash_signature_np,
     )
 
+    _CACHE_MAX = 2_000_000  # ~100 MB of shingle→hash entries per worker
+
     def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # md5 once per DISTINCT shingle per worker, not once per
+        # occurrence: shingles repeat across documents (Zipfian), so the
+        # cache turns the Python-md5 cost from O(total shingles) into
+        # O(vocabulary). (Moving the md5 JVM-side was measured 2-3x
+        # SLOWER — higher-order transform() is interpreted, not codegen'd.)
+        cache: dict[str, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sigs = [
-                minhash_signature_np(
-                    [det_hash64_py(s) for s in grams], num_hashes
-                ).tolist()
-                for grams in pdf["grams"]
-            ]
+            sigs = []
+            for grams in pdf["grams"]:
+                hs = np.empty(len(grams), dtype=np.int64)
+                for i, s in enumerate(grams):
+                    v = cache.get(s)
+                    if v is None:
+                        if len(cache) >= _CACHE_MAX:
+                            cache.clear()
+                        v = det_hash64_py(s)
+                        cache[s] = v
+                    hs[i] = v
+                sigs.append(minhash_signature_np(hs, num_hashes).tolist())
             yield pd.DataFrame(
                 {"did": pdf["did"], "grams": pdf["grams"], "sig": sigs}
             )
@@ -148,9 +164,9 @@ def minhash_dedup_pairs(
             F.col(id_col).cast("long").alias("did"),
             F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
         )
-        # Arrow-batched kernel: md5 once per shingle + vectorized affine
-        # minima (the Column-expression variant re-evaluates the md5 array
-        # inside every per-hash lambda — measured ~40x slower)
+        # Arrow-batched kernel: cached md5 per distinct shingle +
+        # vectorized affine minima (the pure-Column variant re-evaluates
+        # the md5 array inside every per-hash lambda — measured ~40x slower)
         .mapInPandas(
             signatures, schema="did long, grams array<string>, sig array<long>"
         )
@@ -222,7 +238,11 @@ def simhash_text_fingerprints(
     """Token-frequency SimHash fingerprint per document: bit j is set iff
     Σ_tokens (±1 from bit j of the token's md5-hash) ≥ 0. The text twin of
     the vector SimHash (simple_sim_hash.py semantics applied to a bag of
-    words). Arrow-batched kernel; exact-integer, cross-engine reproducible.
+    words). The Arrow kernel hashes only the batch's DISTINCT tokens
+    (np.unique — vocabulary ≪ token count) and does one vectorized
+    sign-aggregation per batch (flat concat + segment reduceat), so
+    per-token Python work disappears. Exact-integer, cross-engine
+    reproducible.
     """
     from collections.abc import Iterator
 
@@ -237,16 +257,27 @@ def simhash_text_fingerprints(
 
     def fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = []
-            for text in pdf["txt"]:
-                toks = [t for t in text.split(" ") if t]
-                if not toks:
-                    fps.append(int(weights.sum()))  # empty → all bits set
-                    continue
-                h = np.array([det_hash64_py(t) for t in toks], dtype=np.int64)
-                signs = ((h[:, None] >> shifts[None, :]) & 1) * 2 - 1
-                bits = signs.sum(axis=0) >= 0
-                fps.append(int((bits * weights).sum()))
+            if len(pdf) == 0:
+                continue
+            toks = [
+                [t for t in txt.split(" ") if t] for txt in pdf["txt"]
+            ]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            # empty docs → all bits set (sum 0 ≥ 0 for every bit)
+            fps = np.full(len(pdf), int(weights.sum()), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if t]
+                )
+                uniq, inv = np.unique(flat, return_inverse=True)
+                uh = np.array([det_hash64_py(t) for t in uniq], dtype=np.int64)
+                flat_h = uh[inv]
+                offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+                offsets[1:] = np.cumsum(lens[nz])[:-1]
+                signs = ((flat_h[:, None] >> shifts[None, :]) & 1) * 2 - 1
+                seg = np.add.reduceat(signs, offsets, axis=0)
+                fps[nz] = (seg >= 0) @ weights
             yield pd.DataFrame({"did": pdf["did"], "fingerprint": fps})
 
     return repartition_for_compute(
