@@ -151,3 +151,31 @@ def test_occlusion_alpha_orientation(spark):
     assert (1, 3) in tc_edges(0.4)      # alpha < 0.5 keeps c
     assert (1, 3) not in tc_edges(1.0)  # default alpha prunes c
     assert (1, 3) not in tc_edges(1.5)  # larger alpha prunes at least as much
+
+
+def test_multi_path_search(spark, emb):
+    """max_paths=1 must reduce to the single-path beam exactly; larger
+    max_paths emits path counts and keeps the recall contract."""
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(20)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    edges = build_two_layer_index(b, M0=12, M1=6, metric="cosine",
+                                  id_col="vec_id", vec_col="embedding")
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding")
+
+    base = sorted(tuple(r) for r in graph_search(
+        q, idx, k=5, ef_search=32, q_id="vec_id", q_vec="embedding").collect())
+    one = sorted(tuple(r) for r in graph_search(
+        q, idx, k=5, ef_search=32, max_paths=1,
+        q_id="vec_id", q_vec="embedding").collect())
+    assert one == base  # popping 1 head per round == single-path search
+
+    multi = graph_search(q, idx, k=5, ef_search=32, max_paths=3,
+                         with_stats=True, q_id="vec_id", q_vec="embedding")
+    rows = multi.collect()
+    assert "path_pops" in multi.columns
+    assert all(r["path_pops"] > 0 for r in rows)
+    # multi-path explores at least as much per round as single-path
+    assert all(r["path_pops"] >= r["hops"] for r in rows)

@@ -191,6 +191,77 @@ def _beam_search_layer(
     return [(-d, p) for d, p in result]
 
 
+def _beam_search_layer_multi(
+    index: CompactIndex,
+    q: np.ndarray,
+    layer: int,
+    entries: np.ndarray,
+    ef: int,
+    max_paths: int = 3,
+    max_hops: int = 500,
+    max_search_nodes: int | None = None,
+    stats_out: dict | None = None,
+) -> list[tuple[float, int]]:
+    """Multi-path variant of the beam (reference `_search_layer_multi_path`,
+    hnsw_cosine_status_high.py:965-1077, max_paths=3): each round expands
+    the ``max_paths`` best frontier candidates together instead of one —
+    the paths share one visited set and one result beam, so this widens
+    exploration without revisits. ``max_paths=1`` pops one candidate per
+    round, i.e. exactly the single-path best-first search. Emits a
+    ``path_pops`` stat (total path heads expanded)."""
+    indptr = index.indptr.get(layer)
+    indices = index.indices.get(layer)
+    if indptr is None:
+        return [(float(d), int(p)) for d, p in
+                zip(index.dist(q, entries), entries)]
+    visited = np.zeros(len(index.ids), dtype=bool)
+    entries = np.unique(entries)
+    d0 = index.dist(q, entries)
+    cand = [(float(d), int(p)) for d, p in zip(d0, entries)]
+    heapq.heapify(cand)
+    result = [(-d, p) for d, p in cand]
+    heapq.heapify(result)
+    while len(result) > ef:
+        heapq.heappop(result)
+    visited[entries] = True
+    n_visited = len(entries)
+    hops = 0
+    path_pops = 0
+    while cand and hops < max_hops:
+        if max_search_nodes is not None and n_visited >= max_search_nodes:
+            break
+        pops = [heapq.heappop(cand)
+                for _ in range(min(max_paths, len(cand)))]
+        worst = -result[0][0]
+        if pops[0][0] > worst and len(result) >= ef:
+            break  # even the best path head cannot improve the beam
+        hops += 1
+        path_pops += len(pops)
+        nbr_chunks = []
+        for _, p in pops:
+            nb = indices[indptr[p] : indptr[p + 1]]
+            nb = nb[~visited[nb]]
+            if len(nb):
+                visited[nb] = True
+                nbr_chunks.append(nb)
+        if not nbr_chunks:
+            continue
+        nbrs = np.concatenate(nbr_chunks)
+        n_visited += len(nbrs)
+        dn = index.dist(q, nbrs)
+        for dd, pp in zip(dn, nbrs):
+            if len(result) < ef or dd < -result[0][0]:
+                heapq.heappush(cand, (float(dd), int(pp)))
+                heapq.heappush(result, (-float(dd), int(pp)))
+                if len(result) > ef:
+                    heapq.heappop(result)
+    if stats_out is not None:
+        stats_out["visited"] = stats_out.get("visited", 0) + n_visited
+        stats_out["hops"] = stats_out.get("hops", 0) + hops
+        stats_out["path_pops"] = stats_out.get("path_pops", 0) + path_pops
+    return [(-d, p) for d, p in result]
+
+
 def graph_search(
     queries: DataFrame,
     index: CompactIndex,
@@ -202,6 +273,7 @@ def graph_search(
     max_search_nodes: int | None = None,
     layer1_ef_multiplier: int = 2,
     with_stats: bool = False,
+    max_paths: int | None = None,
 ) -> DataFrame:
     """Batch ANN search: broadcast the index, stream query batches through
     a mapInPandas kernel running the layered beam search per query.
@@ -210,10 +282,13 @@ def graph_search(
     the top layer to pick entry seeds, then beam on layer 0. The upper-layer
     beam runs at ``layer1_ef_multiplier``×ef (the "High" method's enhanced
     layer-1 search, hnsw_cosine_status_high.py:524-734 layer1_ef=2*ef);
-    ``max_search_nodes`` caps visited nodes per layer (Norm method budget).
+    ``max_search_nodes`` caps visited nodes per layer (Norm method budget);
+    ``max_paths`` switches to the multi-path beam (reference
+    `_search_layer_multi_path`, max_paths=3 — expand the m best frontier
+    heads per round; ``max_paths=1`` is exactly the single-path search).
     Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn;
-    ``with_stats`` appends per-query (visited_count, hops, latency_us) —
-    the reference batch_search output dict
+    ``with_stats`` appends per-query (visited_count, hops, latency_us,
+    path_pops) — the reference batch_search output dict
     (hnsw_with_bridges_optimized.py:185-237).
     """
     import time as _time
@@ -223,9 +298,21 @@ def graph_search(
 
     def run(batches):
         idx: CompactIndex = bc.value
+
+        def beam(q, layer, entries, ef, stats):
+            if max_paths is None:
+                return _beam_search_layer(
+                    idx, q, layer, entries, ef,
+                    max_search_nodes=max_search_nodes, stats_out=stats,
+                )
+            return _beam_search_layer_multi(
+                idx, q, layer, entries, ef, max_paths=max_paths,
+                max_search_nodes=max_search_nodes, stats_out=stats,
+            )
+
         for pdf in batches:
             qids, ranks, nids, dists = [], [], [], []
-            svis, shops, slat = [], [], []
+            svis, shops, slat, spaths = [], [], [], []
             for qid, v in zip(pdf["qid"], pdf["v"]):
                 q = np.asarray(v, dtype=np.float64)
                 entries = idx.entry_points
@@ -235,11 +322,9 @@ def graph_search(
                 for layer in layers_desc:
                     if layer == 0:
                         continue
-                    up = _beam_search_layer(
-                        idx, q, layer, entries,
-                        layer1_ef_multiplier * max(ef_search, k),
-                        max_search_nodes=max_search_nodes,
-                        stats_out=stats,
+                    up = beam(
+                        q, layer, entries,
+                        layer1_ef_multiplier * max(ef_search, k), stats,
                     )
                     up.sort()
                     entries = np.array(
@@ -248,11 +333,7 @@ def graph_search(
                 # … then ALWAYS beam on layer 0 (an index with only upper
                 # layers degrades gracefully: indptr.get(0) is None scores
                 # just the entries inside _beam_search_layer)
-                res = _beam_search_layer(
-                    idx, q, 0, entries, max(ef_search, k),
-                    max_search_nodes=max_search_nodes,
-                    stats_out=stats,
-                )
+                res = beam(q, 0, entries, max(ef_search, k), stats)
                 lat_us = int((_time.perf_counter() - t0) * 1e6)
                 res.sort(key=lambda t: (t[0], idx.ids[t[1]]))
                 for r, (d, p) in enumerate(res[:k], start=1):
@@ -261,11 +342,13 @@ def graph_search(
                     svis.append(stats.get("visited", 0))
                     shops.append(stats.get("hops", 0))
                     slat.append(lat_us)
+                    spaths.append(stats.get("path_pops", 0))
             out = {"qid": qids, "nbr_rank": ranks, "neighbor_id": nids,
                    "dist": dists}
             if with_stats:
                 out.update(
-                    {"visited_count": svis, "hops": shops, "latency_us": slat}
+                    {"visited_count": svis, "hops": shops,
+                     "latency_us": slat, "path_pops": spaths}
                 )
             yield pd.DataFrame(out)
 
@@ -276,7 +359,9 @@ def graph_search(
     )
     schema = "qid long, nbr_rank long, neighbor_id long, dist double"
     if with_stats:
-        schema += ", visited_count long, hops long, latency_us long"
+        schema += (
+            ", visited_count long, hops long, latency_us long, path_pops long"
+        )
     return q.mapInPandas(run, schema=schema)
 
 
