@@ -132,3 +132,29 @@ def test_sweep_recall_monotone_in_ef(spark, setup):
     r_big = table[table.ef_search == 64].recall_at_k.iloc[0]
     assert r_big >= r_small  # recall monotone in ef (property check)
     assert r_big >= 0.9
+
+
+def test_projection_chain_extra_edges(spark, tables, setup):
+    """chain_extra adds up to that many consecutive picked-pair links per
+    query on top of the projection star (hnsw_cosine.py:671-681)."""
+    q, b, topk, _ = setup
+    from vectordbindexing_spark.operators.augment import augment_from_query_topk
+
+    base_edges = augment_from_query_topk(
+        topk, b, strategy="projection", max_new_edges_per_node=100,
+        b_id="vec_id", b_vec="embedding",
+    )
+    chained = augment_from_query_topk(
+        topk, b, strategy="projection", max_new_edges_per_node=100,
+        b_id="vec_id", b_vec="embedding", chain_extra=2,
+    )
+    n0, n1 = base_edges.count(), chained.count()
+    assert n1 > n0  # chains added
+    n_q = topk.select("qid").distinct().count()
+    # each query adds at most chain_extra bidirectional pairs
+    assert n1 - n0 <= 2 * 2 * n_q
+    # chain_extra=0 is the default behaviour
+    assert base_edges.count() == augment_from_query_topk(
+        topk, b, strategy="projection", max_new_edges_per_node=100,
+        b_id="vec_id", b_vec="embedding", chain_extra=0,
+    ).count()

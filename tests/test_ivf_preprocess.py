@@ -96,3 +96,51 @@ def test_whitening_modality_scaling(spark, tables):
     )
     vals = [r["avg_n"] for r in norms]
     assert abs(vals[0] - vals[1]) / max(vals) < 0.05  # equalized mean norms
+
+
+def test_per_modality_whitening_matches_numpy(spark, tables):
+    """per_modality_cov fits each label's own (mean, cov -> W); parity vs a
+    direct numpy fit per subset, and the transform routes rows through
+    their modality's pair."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.preprocess import (
+        whitening_fit,
+        whitening_transform,
+    )
+
+    emb = tables["embeddings"].filter(F.col("label") < 3)
+    model = whitening_fit(
+        emb, vec_col="embedding", mode="pca",
+        modality_col="label", per_modality_cov=True,
+    )
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    assert set(model.per_modality) == {str(lbl) for lbl in by_label}
+    for lbl, vecs in by_label.items():
+        X = np.stack(vecs)
+        mean = X.mean(axis=0)
+        cov = X.T @ X / len(X) - np.outer(mean, mean)
+        U, sv, _ = np.linalg.svd(cov, hermitian=True)
+        W = (U / np.sqrt(np.maximum(sv, 1e-12))).T
+        gmean, gW = model.per_modality[str(lbl)]
+        assert np.allclose(gmean, mean, atol=1e-9)
+        # W column signs are SVD-convention dependent but W^T W must agree
+        assert np.allclose(gW.T @ gW, W.T @ W, rtol=1e-6, atol=1e-8)
+
+    out = whitening_transform(
+        emb, model, vec_col="embedding", modality_col="label"
+    ).select("vec_id", "label", "wvec").collect()
+    for r in out[:50]:
+        x = None
+        for rr in rows:
+            if rr["vec_id"] == r["vec_id"]:
+                x = np.asarray(rr["embedding"], dtype=np.float64)
+                break
+        gmean, gW = model.per_modality[str(r["label"])]
+        expect = (x - gmean) @ gW.T
+        assert np.allclose(np.asarray(r["wvec"]), expect, atol=1e-8)

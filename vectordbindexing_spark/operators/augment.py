@@ -50,6 +50,7 @@ def augment_from_query_topk(
     metric: str = "cosine",
     b_id: str = "id",
     b_vec: str = "vec",
+    chain_extra: int = 0,
 ) -> DataFrame:
     """query_topk (qid, nbr_rank, neighbor_id[, dist]) → new edge table
     (layer, src, dst, dist, edge_type).
@@ -58,7 +59,10 @@ def augment_from_query_topk(
     (occlusion pruning is order-dependent, SURVEY §4); the global per-node
     budget is applied afterwards as a rank window — the declarative version
     of the reference's edges_added_per_node counters (hnsw_cosine.py:598,
-    793-802).
+    793-802). ``chain_extra`` (projection strategy only) additionally
+    links up to that many consecutive picked pairs (picked[i]↔picked[i+1])
+    per query — the reference's reachability chain enhancement
+    (hnsw_cosine.py:671-681).
     """
     if strategy not in ("star", "clique", "projection"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -98,6 +102,10 @@ def augment_from_query_topk(
                     picked.append(int(c))
             for j in picked:
                 add(0, j)
+            # chain enhancement: consecutive picked pairs, at most
+            # chain_extra links (hnsw_cosine.py:671-681)
+            for i in range(min(chain_extra, len(picked) - 1)):
+                add(picked[i], picked[i + 1])
         return pd.DataFrame({"src": src, "dst": dst, "dist": dd})
 
     raw = enriched.groupBy("qid").applyInPandas(

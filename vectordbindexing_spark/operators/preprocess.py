@@ -29,9 +29,15 @@ class WhiteningModel:
     W: np.ndarray             # (d_out, d) whitening matrix
     mode: str                 # 'pca' | 'zca'
     modality_scale: dict[str, float] | None = None
+    # per-modality (mean, W) pairs — the reference's sub-modality whitening
+    # (hnsw_cosine_norm.py:203-219); keys are str(modality value)
+    per_modality: dict[str, tuple[np.ndarray, np.ndarray]] | None = None
 
     def transform_np(self, X: np.ndarray, modality: str | None = None) -> np.ndarray:
-        out = (X - self.mean) @ self.W.T
+        mean, W = self.mean, self.W
+        if self.per_modality is not None and modality is not None:
+            mean, W = self.per_modality.get(str(modality), (mean, W))
+        out = (X - mean) @ W.T
         if self.modality_scale and modality in self.modality_scale:
             out = out * self.modality_scale[modality]
         return out
@@ -70,6 +76,68 @@ def _moments(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int]:
     d = len(s)
     ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in parts], axis=0)
     return s, ss, n
+
+
+def _moments_by(
+    df: DataFrame, vec_col: str, group_col: str
+) -> dict[str, tuple[np.ndarray, np.ndarray, int]]:
+    """One-pass distributed per-group (Σx, ΣxxT, n) — the grouped twin of
+    :func:`_moments` (partial sums per partition per group; (d + d²)
+    floats per (partition, group) to the driver)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g"):
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in sub["v"]])
+                cur = acc.get(g)
+                if cur is None:
+                    d = X.shape[1]
+                    cur = acc.setdefault(g, [np.zeros(d), np.zeros((d, d)), 0])
+                cur[0] += X.sum(axis=0)
+                cur[1] += X.T @ X
+                cur[2] += len(X)
+        rows = [
+            {"g": g, "n": n, "s": s.tolist(), "ss": ss.ravel().tolist()}
+            for g, (s, ss, n) in acc.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    parts = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"), F.col(vec_col).alias("v")
+        )
+        .mapInPandas(partials, schema="g string, n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    out: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for r in parts:
+        s = np.asarray(r["s"])
+        d = len(s)
+        ss = np.asarray(r["ss"]).reshape(d, d)
+        if r["g"] in out:
+            s0, ss0, n0 = out[r["g"]]
+            out[r["g"]] = (s0 + s, ss0 + ss, n0 + r["n"])
+        else:
+            out[r["g"]] = (s, ss, r["n"])
+    return out
+
+
+def _whitening_matrix(
+    cov: np.ndarray, mode: str, n_components: int | None
+) -> np.ndarray:
+    """cov → whitening matrix via SVD with the reference's eigenvalue floor
+    (hnsw_cosine_norm.py:226)."""
+    U, sv, _ = np.linalg.svd(cov, hermitian=True)
+    sv = np.maximum(sv, EPS_EIG)
+    if n_components is not None:
+        U, sv = U[:, :n_components], sv[:n_components]
+    if mode == "pca":
+        return (U / np.sqrt(sv)).T                 # (d_out, d)
+    if mode == "zca":
+        return U @ np.diag(1.0 / np.sqrt(sv)) @ U.T
+    raise ValueError(f"unknown whitening mode {mode!r}")
 
 
 def dim_variances(
@@ -128,28 +196,38 @@ def whitening_fit(
     sample_fraction: float | None = None,
     seed: int = 42,
     modality_col: str | None = None,
+    per_modality_cov: bool = False,
 ) -> WhiteningModel:
     """Fit mean + covariance → SVD → whitening matrix
     (hnsw_cosine_norm.py:164-239). ``sample_fraction`` mirrors the
     reference's sample_size bound; per-modality scaling equalizes mean
-    norms (:241-260)."""
+    norms (:241-260). ``per_modality_cov=True`` (requires
+    ``modality_col``) fits a separate (mean, cov → W) per modality — the
+    reference's sub-modality whitening (:203-219) — in ONE data pass via
+    grouped moment aggregation; the global (mean, W) is still fitted (from
+    the summed group moments) as the fallback for unseen modalities."""
     data = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
-    s, ss, n = _moments(data, vec_col)
+    per: dict[str, tuple[np.ndarray, np.ndarray]] | None = None
+    if per_modality_cov:
+        if modality_col is None:
+            raise ValueError("per_modality_cov requires modality_col")
+        groups = _moments_by(data, vec_col, modality_col)
+        per = {}
+        for g, (gs, gss, gn) in groups.items():
+            gmean = gs / gn
+            gcov = gss / gn - np.outer(gmean, gmean)
+            per[g] = (gmean, _whitening_matrix(gcov, mode, n_components))
+        # global moments = sum of the group moments (no second pass)
+        s = np.sum([gs for gs, _, _ in groups.values()], axis=0)
+        ss = np.sum([gss for _, gss, _ in groups.values()], axis=0)
+        n = sum(gn for _, _, gn in groups.values())
+    else:
+        s, ss, n = _moments(data, vec_col)
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
-    # SVD of the symmetric covariance (== eigendecomposition)
-    U, sv, _ = np.linalg.svd(cov, hermitian=True)
-    sv = np.maximum(sv, EPS_EIG)
-    if n_components is not None:
-        U, sv = U[:, :n_components], sv[:n_components]
-    if mode == "pca":
-        W = (U / np.sqrt(sv)).T                 # (d_out, d)
-    elif mode == "zca":
-        W = U @ np.diag(1.0 / np.sqrt(sv)) @ U.T
-    else:
-        raise ValueError(f"unknown whitening mode {mode!r}")
-    model = WhiteningModel(mean=mean, W=W, mode=mode)
-    if modality_col is not None:
+    W = _whitening_matrix(cov, mode, n_components)
+    model = WhiteningModel(mean=mean, W=W, mode=mode, per_modality=per)
+    if modality_col is not None and not per_modality_cov:
         # mean whitened norm per modality → scale each to the global mean
         norms = whitening_transform(df, model, vec_col).select(
             F.col(modality_col).alias("m"),
@@ -186,7 +264,16 @@ def whitening_transform(
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            out = (X - m.mean) @ m.W.T
+            if m.per_modality is not None and modality_col is not None:
+                # sub-modality whitening: each group through its own (μ, W)
+                out = np.empty((len(X), m.W.shape[0]), dtype=np.float64)
+                mods = np.array([str(x) for x in pdf[modality_col]])
+                for g in np.unique(mods):
+                    sel = mods == g
+                    gmean, gW = m.per_modality.get(g, (m.mean, m.W))
+                    out[sel] = (X[sel] - gmean) @ gW.T
+            else:
+                out = (X - m.mean) @ m.W.T
             if m.modality_scale and modality_col is not None:
                 scale = np.array(
                     [m.modality_scale.get(x, 1.0) for x in pdf[modality_col]]
