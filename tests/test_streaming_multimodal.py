@@ -116,16 +116,53 @@ def test_multimodal_decode_and_embed(spark):
     assert all(abs(n - 1.0) < 1e-5 for n in norms)
 
 
-def test_pil_decoder_is_gated(spark):
+def test_decoder_registry_is_closed(spark):
+    """Only registered decoders are accepted — no silent fallback for
+    formats this container cannot really decode (PIL-backed arms register
+    a _DECODERS entry at deployment)."""
+    from vectordbindexing_spark.operators.multimodal import _DECODERS
+
+    assert set(_DECODERS) == {"fake", "ppm"}
+
+
+def test_ppm_decoder_real_decode(spark):
+    """The 'ppm' arm really parses image bytes: known 2x2 P6 image ->
+    exact dimensions, luminance mean and histogram features."""
+    import numpy as np
+
     from vectordbindexing_spark.operators.multimodal import decode_image_features
 
+    # 2x2 RGB: red, green, blue, white (+ a header comment)
+    pixels = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    ppm = b"P6\n# test image\n2 2\n255\n" + pixels
     df = spark.createDataFrame(
-        [(0, "image", b"xx", "image/fake")],
-        schema="media_id long, kind string, content binary, mime string",
+        [(1, bytearray(ppm))], "media_id long, content binary"
     )
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present; stub gate not applicable")
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            decode_image_features(df, decoder="pil")
+    row = decode_image_features(df, decoder="ppm").collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    # luminance: red/green/blue -> 85.0, white -> 255.0; mean = 127.5
+    assert abs(row["mean_intensity"] - 127.5) < 1e-9
+    hist = np.asarray(row["features"])
+    assert abs(hist.sum() - 1.0) < 1e-6
+    assert hist[2] == 0.75   # three pixels at 85 -> bin [64, 96)
+    assert hist[7] == 0.25   # white -> top bin
+
+
+def test_ppm_decoder_rejects_garbage(spark):
+    from vectordbindexing_spark.operators.multimodal import _decode_ppm
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_ppm(b"GIF89a....")
+
+
+def test_unknown_decoder_rejected(spark):
+    from vectordbindexing_spark.operators.multimodal import decode_image_features
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "media_id long, content binary")
+    with _pytest.raises(ValueError):
+        decode_image_features(df, decoder="pil")

@@ -4,11 +4,15 @@ metadata, processed via Arrow-batched kernels.
 Mirrors the reference's CLIP ingestion path (flickr30k_clip.ipynb cell 6:
 image files + captions → 512-d embeddings, batch inference with a broadcast
 model) in Spark-native form: binary column + ``mapInPandas`` decode /
-feature-extract / embed stages. The image/audio decode libraries are NOT in
-this container, so the decode step is STUBBED — ``decoder="fake"`` gives a
-deterministic bytes-derived decode so the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) is real and tested;
-``decoder="pil"`` raises NotImplementedError unless PIL is importable.
+feature-extract / embed stages. Decoders:
+
+- ``decoder="ppm"`` — REAL decode of binary P6 PPM images (vendored
+  pure-python parser, no external libs; runs in CI). Compressed formats
+  (JPEG/PNG) need PIL/libjpeg, which this container does not ship — at
+  deployment, register another entry in ``_DECODERS`` and the dataflow
+  (schema, batching, partitioning, UDF signature) is unchanged.
+- ``decoder="fake"`` — deterministic bytes-derived pseudo-decode for
+  plumbing tests on arbitrary binary payloads.
 """
 
 from __future__ import annotations
@@ -45,6 +49,37 @@ def _fake_decode(buf: bytes) -> np.ndarray:
     return tiled
 
 
+def _decode_ppm(buf: bytes) -> np.ndarray:
+    """Real decoder for binary P6 PPM: ASCII header (magic, width, height,
+    maxval — '#' comments allowed) then raw RGB triplets. Returns the
+    luminance grid (channel mean) as float64 in [0, 255]."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4 and i < len(buf):
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        toks.append(buf[i:j])
+        i = j
+    if len(toks) < 4 or toks[0] != b"P6":
+        raise ValueError("not a binary (P6) PPM image")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    rgb = data.reshape(h, w, 3).astype(np.float64)
+    return rgb.mean(axis=2)
+
+
+_DECODERS = {"fake": _fake_decode, "ppm": _decode_ppm}
+
+
 def decode_image_features(
     df: DataFrame,
     content_col: str = "content",
@@ -53,24 +88,22 @@ def decode_image_features(
 ) -> DataFrame:
     """binary → (media_id, width, height, mean_intensity, features[8]).
 
-    ``decoder='pil'`` uses a real image decoder when available (not in this
-    container — clearly-marked stub); ``'fake'`` exercises the identical
-    dataflow with the deterministic decode above.
+    ``decoder='ppm'`` really decodes P6 PPM bytes; ``'fake'`` exercises the
+    identical dataflow on arbitrary binary payloads. Compressed formats:
+    add a ``_DECODERS`` entry backed by PIL/ffmpeg at deployment — the
+    dataflow is decoder-agnostic.
     """
-    if decoder == "pil":
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - lib absent by design
-            raise NotImplementedError(
-                "PIL not available in this environment; use decoder='fake' "
-                "(deterministic stub) — plumbing is identical"
-            ) from e
+    if decoder not in _DECODERS:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; available: {sorted(_DECODERS)}"
+        )
+    decode = _DECODERS[decoder]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, means, feats = [], [], [], [], []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                img = _fake_decode(bytes(buf))
+                img = decode(bytes(buf))
                 ids.append(mid)
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])
