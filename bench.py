@@ -3,6 +3,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+A secondary pass at $SPARK_GRAFT_SECONDARY_SF_DIR (default
+/root/testdata/sf0.01; skipped when equal to the primary or missing) is
+appended under "secondary_sf"/"secondary_total"/"queries_secondary" so
+round-over-round regressions are attributable: fixed job overhead moves
+both totals, data-proportional work moves the big-sf total only.
 """
 
 from __future__ import annotations
@@ -14,11 +20,40 @@ import sys
 import time
 
 
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _warm_tables(spark, sf_dir: str) -> None:
+    # touch every table once: file listing + footer/schema caches, so the
+    # first query over each table measures the query, not cold metadata IO
+    from vectordbindexing_spark.io.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+
+def _run_suite(spark, entrymod, sf_dir: str) -> dict[str, float]:
+    qtimes: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {sf_dir} {name}: {qtimes[name]:.3f}s rows={n}", file=sys.stderr)
+    return qtimes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    secondary = os.environ.get(
+        "SPARK_GRAFT_SECONDARY_SF_DIR", "/root/testdata/sf0.01"
+    )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -34,36 +69,28 @@ def main() -> None:
     spark.range(0, cpus * 4, 1, cpus).selectExpr(
         "id as i", "array(cast(id as float)) as v"
     ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
-    # touch every table once: file listing + footer/schema caches, so the
-    # first query over each table measures the query, not cold metadata IO
-    from vectordbindexing_spark.io.tables import TABLE_NAMES, load_table
+    _warm_tables(spark, sf_dir)
 
-    for t in TABLE_NAMES:
-        try:
-            load_table(spark, sf_dir, t).count()
-        except Exception:
-            pass
+    qtimes = _run_suite(spark, entrymod, sf_dir)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_of(sf_dir),
+    }
 
-    qtimes: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        qtimes[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {qtimes[name]:.3f}s rows={n}", file=sys.stderr)
+    if (
+        os.path.isdir(secondary)
+        and os.path.abspath(secondary) != os.path.abspath(sf_dir)
+    ):
+        _warm_tables(spark, secondary)
+        q2 = _run_suite(spark, entrymod, secondary)
+        out["secondary_sf"] = _sf_of(secondary)
+        out["secondary_total"] = round(sum(q2.values()), 3)
+        out["queries_secondary"] = q2
 
-    total = round(sum(qtimes.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
