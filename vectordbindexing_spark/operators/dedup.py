@@ -437,13 +437,14 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v"))
-    # bounded probe — stops scanning at limit+1 rows, never collects first
-    if src.limit(broadcast_limit + 1).count() > broadcast_limit:
+    # bounded collect: limit+1 rows coming back IS the "too big" signal —
+    # one job, and the driver never holds more than broadcast_limit+1 rows
+    rows = src.limit(broadcast_limit + 1).toPandas()
+    if len(rows) > broadcast_limit:
         return embedding_neardup_lsh(
             df, id_col, vec_col, threshold,
             num_bits=num_bits, num_tables=num_tables,
         )
-    rows = src.toPandas()
     ids = rows["vid"].to_numpy()
     B = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)

@@ -148,18 +148,17 @@ def _exact_knn_blocked(
     qsel = queries.select(
         F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
     )
-    # bounded probe BEFORE materializing: limit(N+1).count() stops scanning
-    # at N+1 rows, so an oversized query side routes to the declarative join
-    # without ever being collected to the driver
-    probe = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).count()
-    if probe == 0 or probe > _BLOCKED_THRESHOLD_QUERIES:
+    # bounded collect: limit(N+1) caps what can ever reach the driver, and
+    # N+1 rows coming back IS the probe result ("too big — don't
+    # broadcast") — one job instead of a count-probe plus a collect
+    qrows = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+    if len(qrows) == 0 or len(qrows) > _BLOCKED_THRESHOLD_QUERIES:
         # empty, or query side too big to broadcast → declarative join
         return _exact_knn_expr(
             queries, base, k, metric, q_id, q_vec, b_id, b_vec,
             exclude_self=exclude_self,
             weights=None if weights is None else list(weights),
         )
-    qrows = qsel.toPandas()
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
     bc = spark.sparkContext.broadcast((qids, Q, weights))

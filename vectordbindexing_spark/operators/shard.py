@@ -206,10 +206,20 @@ def search_sharded(
     Output (qid, nbr_rank, neighbor_id, dist) like graph_search. The index
     side stays a DataFrame end-to-end: recall is a union bound over shards
     (each true neighbor lives in exactly one shard's graph)."""
+    from vectordbindexing_spark.operators.exact_knn import (
+        _BLOCKED_THRESHOLD_QUERIES,
+    )
+
     spark = queries.sparkSession
     qrows = queries.select(
         F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
-    ).toPandas()
+    ).limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+    if len(qrows) > _BLOCKED_THRESHOLD_QUERIES:
+        raise ValueError(
+            f"query batch exceeds {_BLOCKED_THRESHOLD_QUERIES} rows — split "
+            "the serving batch; the index side is unbounded, the query "
+            "broadcast is not"
+        )
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
     bc = spark.sparkContext.broadcast((qids, Q))
