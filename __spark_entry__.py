@@ -8,10 +8,11 @@ Spark operator exactly (same formulas, deterministic cross-engine hashes,
 same tie-breaks and rounding; measured float drift ~1 ulp vs the 1e-6
 rounding granularity).
 
-Non-SQL-expressible ops (graph/IVF ANN serving, whitening — iterative or
-SVD-based) have no oracle entry → driver records rows-only; their numeric
-correctness is pinned by tests/ (recall floors vs the exact-KNN oracle,
-numpy parity for whitening).
+Every query has an oracle. Ops DuckDB cannot express directly are still
+checked: IVF's Lloyd fit is unrolled as SQL CTE rounds, whitening embeds
+pseudo-inverse-covariance literals selected by a runtime dataset
+discriminator, and the graph-serving recalls are pinned from a full
+independent numpy replication of the deterministic pipeline.
 """
 
 from __future__ import annotations
@@ -657,6 +658,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": oracles.EVENTS_VALUE_HISTOGRAM_SQL,
         "events_hourly_stats": oracles.EVENTS_HOURLY_SQL,
         "events_sessionize": oracles.sessionize_sql(gap_minutes=30),
-        # no oracle (rows-only): ann_two_layer_recall, ivf_knn_cosine,
-        # whitening_pca_norms — iterative / SVD, not SQL-expressible.
+        # every queries() entry has an oracle: iterative ops are unrolled
+        # in SQL (ivf), embedded as runtime-selected literals (whitening
+        # Σ⁺), or pinned via an independent numpy replication (the two
+        # graph-serving recalls).
     }

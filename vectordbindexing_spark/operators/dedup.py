@@ -66,6 +66,9 @@ def jaccard_ngram_pairs(
             F.array_distinct(word_ngrams(F.col(text_col), n))
         ).alias("gram"),
     )
+    # materialize once: three consumers below (sizes + both self-join
+    # sides) would otherwise re-run the n-gram explode per consumer
+    g = g.localCheckpoint(eager=True)
     sizes = g.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         keep = (
@@ -396,6 +399,9 @@ def embedding_neardup_lsh(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v")
     )
     bt = simhash_buckets(src, "vid", "v", num_bits, num_tables, bucket_cap)
+    # materialize once: the self-join consumes bt on BOTH sides — without
+    # this the hashing kernel runs twice
+    bt = bt.localCheckpoint(eager=True)
     a = bt.select(F.col("id").alias("id_a"), "bucket")
     b = bt.select(F.col("id").alias("id_b"), "bucket")
     pair_ids = (
