@@ -1,0 +1,80 @@
+"""Physical-plan regression gates: the properties that make these queries
+scale (predicate pushdown to the parquet scan, column pruning, broadcast
+dimension joins, map-side partial aggregation) must stay visible in
+explain output — a plan that silently loses them still returns correct
+rows at sf0.001 but falls over at 100 TB."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    q = entrymod.queries()
+    return {
+        name: _plan(q[name](spark, sf_dir))
+        for name in (
+            "tpch_q1_pricing_summary",
+            "tpch_q3_shipping_priority",
+            "tpch_q5_local_supplier",
+            "knn_exact_cosine",
+            "top_orders_per_customer",
+        )
+    }
+
+
+def test_filters_reach_the_parquet_scan(plans):
+    p3 = plans["tpch_q3_shipping_priority"]
+    assert "EqualTo(c_mktsegment,BUILDING)" in p3
+    assert "LessThan(o_orderdate" in p3
+    assert "GreaterThan(l_shipdate" in p3
+    p1 = plans["tpch_q1_pricing_summary"]
+    assert "LessThanOrEqual(l_shipdate" in p1
+
+
+def test_dimension_joins_broadcast(plans):
+    # every join in the star queries should resolve to a broadcast hash
+    # join at these dimension sizes — a SortMergeJoin here means a full
+    # shuffle of the fact table per dimension
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier"):
+        assert "BroadcastHashJoin" in plans[name], name
+        assert "SortMergeJoin" not in plans[name], name
+
+
+def test_knn_scan_prunes_columns(plans):
+    # the KNN path must read only (vec_id, embedding) — dragging `label`
+    # through the scan is wasted IO on every vector row
+    scans = [
+        ln for ln in plans["knn_exact_cosine"].splitlines()
+        if "ReadSchema" in ln
+    ]
+    assert scans, "no parquet scan found"
+    for ln in scans:
+        assert "label" not in ln, ln
+
+
+def test_aggregations_partial_before_shuffle(plans):
+    # TPC-H Q1: HashAggregate below AND above the exchange (map-side
+    # combine) — a single post-shuffle aggregate ships every row
+    p1 = plans["tpch_q1_pricing_summary"]
+    assert p1.count("HashAggregate") >= 2
+    assert "Exchange" in p1
+
+
+def test_window_topk_single_logical_shuffle(plans):
+    # rank-window top-k needs exactly one hash partitioning by the group
+    # key (AQE may add a read-side node, so bound loosely)
+    pt = plans["top_orders_per_customer"]
+    assert "hashpartitioning(o_custkey" in pt
+    assert pt.count("Exchange") <= 2, pt.count("Exchange")
