@@ -78,3 +78,32 @@ def test_window_topk_single_logical_shuffle(plans):
     pt = plans["top_orders_per_customer"]
     assert "hashpartitioning(o_custkey" in pt
     assert pt.count("Exchange") <= 2, pt.count("Exchange")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join splits a hot key across num_salts tasks without
+    changing the join result."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.plans.partitioning import salted_join
+
+    # skewed: 10k rows on one key + a tail
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id") % 50)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = skewed.join(dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s"),
+        F.first("dim_val").alias("d"),
+    )
+    salted = salted_join(skewed, dim, "k", num_salts=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s"),
+        F.first("dim_val").alias("d"),
+    )
+    assert sorted(tuple(r) for r in plain.collect()) == sorted(
+        tuple(r) for r in salted.collect()
+    )

@@ -11,6 +11,7 @@ one HDFS block still wants cores × partitions.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def repartition_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -21,3 +22,35 @@ def repartition_for_compute(df: DataFrame, min_parts: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when AQE's skew splitting can't help (e.g.
+    one key holds >1 partition-budget of rows on BOTH sides is not the
+    case here — ``other`` must be the replicable side).
+
+    The skewed side gets a deterministic salt derived from xxhash64 of
+    ALL its columns (content-derived → stable across retries, unlike
+    rand()); ``other`` is replicated ``num_salts``× via an exploded
+    literal range. The join key becomes (on, salt), splitting one hot
+    key's rows across ``num_salts`` tasks. Result equals the unsalted
+    join (salt columns are internal). Cost: |other| × num_salts rows
+    through the exchange — size num_salts to the observed skew, and
+    prefer plain AQE first.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
+    ).cast("int")
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")),
+    )
+    out = left.join(right, [on, "_salt"], how)
+    return out.drop("_salt")
