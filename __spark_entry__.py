@@ -186,6 +186,40 @@ def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roargraph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RoarGraph pipeline: train-query-driven projection graph build,
+    beam-search serve for held-out queries, recall@10 vs exact."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import roargraph_build
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 == 5)
+    test = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5))
+    edges = roargraph_build(
+        train, b, k_nn=50, n_targets=10, M_pjbp=16, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    got = graph_search(test, idx, k=10, ef_search=64,
+                       q_id="vec_id", q_vec="embedding")
+    ex = exact_knn(test, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("r"), 4).alias("recall_at_10"),
+        )
+    )
+
+
 def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF (k-means inverted lists) approximate KNN."""
     from vectordbindexing_spark.operators.ivf import ivf_knn
@@ -563,6 +597,7 @@ def queries() -> dict[str, Query]:
         "ivf_knn_cosine": _ivf_knn,
         "ann_two_layer_recall": _ann_two_layer_recall,
         "ann_sharded_recall": _ann_sharded_recall,
+        "roargraph_recall": _roargraph_recall,
         # graph build (SURVEY §2.8)
         "hnsw_level_assignment": _hnsw_levels,
         "knn_graph_degree_stats": _knn_graph_degree_stats,
@@ -614,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
+        "roargraph_recall": oracles.roargraph_recall_sql(),
         "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
         "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(

@@ -45,6 +45,12 @@ def traced_search(
     """
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(index)
+    # id→position lookup built ONCE and broadcast (a per-worker python
+    # dict rebuild is O(n) per batch — the round-1 advisor's finding)
+    max_id = int(index.ids.max()) if len(index.ids) else -1
+    pos_lookup = np.full(max_id + 1, -1, dtype=np.int64)
+    pos_lookup[index.ids] = np.arange(len(index.ids))
+    bc_pos = spark.sparkContext.broadcast(pos_lookup)
 
     t_id = q_id if q_id in targets.columns else "qid"
     q = queries.select(
@@ -59,14 +65,15 @@ def traced_search(
 
     def run(batches):
         idx: CompactIndex = bc.value
-        pos_of = {int(i): p for p, i in enumerate(idx.ids)}
+        plook = bc_pos.value
         indptr = idx.indptr.get(0)
         indices = idx.indices.get(0)
         for pdf in batches:
             out = []
             for qid, v, tid in zip(pdf["qid"], pdf["v"], pdf["tid"]):
                 qv = np.asarray(v, dtype=np.float64)
-                target_pos = pos_of.get(int(tid), -1)
+                tid = int(tid)
+                target_pos = int(plook[tid]) if 0 <= tid < len(plook) else -1
                 import heapq
 
                 visited = np.zeros(len(idx.ids), dtype=bool)

@@ -317,9 +317,17 @@ def _np_two_layer_topk(
     um = level >= 1
     if int(um.sum()) >= 2:
         layers[1] = knn_edges(bids[um], B[um], M1)
-    cap = 2 * max(M0, M1)
-    # mutualize: bidirectional, min-dist per (src, dst), (dist, dst) sort,
-    # degree cap — graph.mutualize semantics
+    adj = _np_mutualize(layers, cap=2 * max(M0, M1))
+    return _np_serve(
+        adj, bids, B, Q, k=k, ef_search=ef_search,
+        num_entry_points=num_entry_points,
+        layer1_ef_multiplier=layer1_ef_multiplier,
+    )
+
+
+def _np_mutualize(layers: dict, cap: int) -> dict:
+    """graph.mutualize semantics: bidirectional, min-dist per (src, dst),
+    (dist, dst) sort, degree cap."""
     adj: dict = {}
     for layer, edges in layers.items():
         per: dict = {}
@@ -332,6 +340,26 @@ def _np_two_layer_topk(
             s: sorted((dist, dd) for dd, dist in p.items())[:cap]
             for s, p in per.items()
         }
+    return adj
+
+
+def _np_serve(
+    adj: dict,
+    bids,
+    B,
+    Q,
+    k: int,
+    ef_search: int,
+    num_entry_points: int,
+    layer1_ef_multiplier: int,
+):
+    """CSR build + entry points + layered beam search per query — numpy
+    twin of compact_index + graph_search over a prebuilt adjacency."""
+    import heapq
+
+    import numpy as np
+
+    n = len(bids)
     # CSR over id-ascending positions; vectors stored float32 like
     # search.CompactIndex (testdata is float32 so the cast is exact)
     order = np.argsort(bids, kind="stable")
@@ -496,6 +524,88 @@ def _sharded_recall_pins(
         n_q = int(len(qids))
         out.append((key, n_q, _recall_pin(total_m, n_q, k)))
     return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _roargraph_recall_pins(
+    k: int = 10,
+    k_nn: int = 50,
+    n_targets: int = 10,
+    M_pjbp: int = 16,
+    ef_search: int = 64,
+    occlude_alpha: float = 1.0,
+) -> tuple:
+    """(disc_key, n_queries, recall_4dp_string) per dataset for the
+    RoarGraph pipeline: train-query→base exact top-k_nn, per-query
+    occlusion-pruned projection edges (reference prune_candidates
+    orientation: r occludes c when d(c,r) ≤ α·d(c,t)), reverse edges with
+    the 2·M_pjbp cap, beam-search serve for the test queries, recall@k vs
+    the exact kNN."""
+    import numpy as np
+
+    out = []
+    for key, ids, V in _embedding_datasets():
+        mod = ids % 10
+        train_m, test_m = mod == 5, mod == 0
+        base_m = ~(train_m | test_m)
+        Qtr = V[train_m]
+        Qte, qte_ids = V[test_m], ids[test_m]
+        bids, B = ids[base_m], V[base_m]
+
+        D_tr = _np_cosine_matrix(Qtr, B)
+        edges: dict[tuple[int, int], float] = {}
+        for qi in range(len(Qtr)):
+            top = np.lexsort((bids, D_tr[qi]))[:k_nn]
+            nb_ids = bids[top]
+            Vn = B[top]
+            # graph.roargraph_build prune_group: pairwise among the top-k
+            nn = np.linalg.norm(Vn, axis=1)
+            D2 = 1.0 - (Vn @ Vn.T) / np.outer(nn, nn)
+            n_t = min(n_targets, len(nb_ids))
+            for t in range(n_t):
+                order = np.argsort(D2[t], kind="stable")
+                picked: list[int] = []
+                for c in order:
+                    if c == t:
+                        continue
+                    if all(
+                        D2[c, r] > occlude_alpha * D2[c, t] for r in picked
+                    ):
+                        picked.append(int(c))
+                    if len(picked) >= M_pjbp:
+                        break
+                for c in picked:
+                    pair = (int(nb_ids[t]), int(nb_ids[c]))
+                    d = float(D2[t, c])
+                    if pair not in edges or d < edges[pair]:
+                        edges[pair] = d
+        adj = _np_mutualize(
+            {0: [(s, d, dist) for (s, d), dist in edges.items()]},
+            cap=2 * M_pjbp,
+        )
+        topk = _np_serve(adj, bids, B, Qte, k=k, ef_search=ef_search,
+                         num_entry_points=3, layer1_ef_multiplier=2)
+        D_te = _np_cosine_matrix(Qte, B)
+        total_m = 0
+        for qi in range(len(qte_ids)):
+            pred = {nid for _, nid in topk[qi]}
+            exact = {int(bids[j]) for j in np.lexsort((bids, D_te[qi]))[:k]}
+            total_m += len(pred & exact)
+        n_q = int(len(qte_ids))
+        out.append((key, n_q, _recall_pin(total_m, n_q, k)))
+    return tuple(out)
+
+
+def roargraph_recall_sql() -> str:
+    """Pinned-literal oracle for roargraph_recall (see
+    :func:`_roargraph_recall_pins`)."""
+    pins = _roargraph_recall_pins()
+    nq_arms = " ".join(f"WHEN {key} THEN {nq}" for key, nq, _ in pins)
+    rc_arms = " ".join(f"WHEN {key} THEN {rc}" for key, _, rc in pins)
+    return f"""
+    SELECT (CASE {EMB_DISCRIMINATOR_SQL} {nq_arms} END)::BIGINT AS n_queries,
+           (CASE {EMB_DISCRIMINATOR_SQL} {rc_arms} END)::DOUBLE AS recall_at_10
+    """
 
 
 def ann_sharded_recall_sql() -> str:
