@@ -186,6 +186,23 @@ def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frontier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed graph search (index stays a DataFrame end-to-end):
+    kNN-graph build → iterative frontier joins → global top-k. Row-level
+    oracle: the build AND every round are unrolled as DuckDB CTEs."""
+    from vectordbindexing_spark.operators.graph import knn_graph, mutualize
+    from vectordbindexing_spark.operators.search import frontier_search
+
+    q, b = _emb_split(spark, sf_dir)
+    edges = mutualize(
+        knn_graph(b, 16, "cosine", "vec_id", "embedding"), max_degree=32
+    )
+    return frontier_search(
+        q, edges, b, k=10, rounds=3, beam=32, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _roargraph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RoarGraph pipeline: train-query-driven projection graph build,
     beam-search serve for held-out queries, recall@10 vs exact."""
@@ -598,6 +615,7 @@ def queries() -> dict[str, Query]:
         "ann_two_layer_recall": _ann_two_layer_recall,
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
+        "frontier_knn": _frontier_knn,
         # graph build (SURVEY §2.8)
         "hnsw_level_assignment": _hnsw_levels,
         "knn_graph_degree_stats": _knn_graph_degree_stats,
@@ -650,6 +668,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),
+        "frontier_knn": oracles.frontier_knn_sql(
+            k=10, rounds=3, beam=32, M=16, cap=32
+        ),
         "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
         "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(

@@ -396,7 +396,13 @@ def frontier_search(
     from vectordbindexing_spark.operators.lsh import _score_candidates
     from vectordbindexing_spark.operators.topk import topk_per_group
 
-    e = edges.filter(F.col("layer") == layer).select("src", "dst")
+    # materialize once: every round's expansion joins e, and the upstream
+    # edge build (kNN-graph kernels) must not re-run per round
+    e = (
+        edges.filter(F.col("layer") == layer)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     bv = base.select(
         F.col(b_id).cast("long").alias("neighbor_id"), F.col(b_vec).alias("_bv")
     )
@@ -425,6 +431,9 @@ def frontier_search(
             .select("qid", F.col("dst").alias("neighbor_id"))
             .join(visited, ["qid", "neighbor_id"], "left_anti")  # visited filter
             .dropDuplicates(["qid", "neighbor_id"])
+            # materialize: consumed by the emptiness probe AND the
+            # candidate join — without this the round runs twice
+            .localCheckpoint(eager=True)
         )
         if expand.isEmpty():
             break

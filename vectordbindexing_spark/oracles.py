@@ -647,6 +647,84 @@ def hnsw_levels_sql(M: int = 16) -> str:
     return f"SELECT vec_id AS id, ({terms}) AS level FROM embeddings"
 
 
+def frontier_knn_sql(
+    k: int = 10,
+    rounds: int = 3,
+    beam: int = 32,
+    M: int = 16,
+    cap: int = 32,
+    n_entries: int = 3,
+) -> str:
+    """Fully-SQL oracle for the DISTRIBUTED graph search: the kNN graph
+    build (exact top-M, mutualize with min-dist dedup + degree cap) AND
+    every frontier round (expand best ⨝ edges → visited anti-join →
+    score → re-beam) are unrolled as DuckDB CTEs — row-level checking for
+    the iterative path, no pinned literals. Mirrors
+    search.frontier_search over mutualize(knn_graph(base, M), cap)."""
+    cos = KNN_DIST_SQL["cosine"]
+    ctes = [
+        f"""d0 AS (SELECT a.id AS src, c.id AS dst,
+                      {cos.replace('q.v', 'a.v').replace('b.v', 'c.v')} AS dist
+               FROM b a, b c WHERE a.id <> c.id)""",
+        f"""knn AS (SELECT src, dst, dist FROM (
+              SELECT src, dst, dist,
+                     row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+              FROM d0) WHERE rnk <= {M})""",
+        """uniq AS (SELECT src, dst, min(dist) AS dist FROM (
+              SELECT src, dst, dist FROM knn
+              UNION ALL SELECT dst AS src, src AS dst, dist FROM knn)
+            GROUP BY src, dst)""",
+        f"""edges AS (SELECT src, dst FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rnk
+              FROM uniq) WHERE rnk <= {cap})""",
+        f"""eps AS (SELECT src AS id FROM
+              (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+            ORDER BY degree DESC, src LIMIT {n_entries})""",
+        f"""s0 AS (SELECT q.qid, b.id AS nbr, {cos} AS dist
+              FROM q, eps JOIN b ON b.id = eps.id)""",
+        f"""best0 AS (SELECT qid, nbr, dist FROM (
+              SELECT qid, nbr, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, nbr) AS rnk
+              FROM s0) WHERE rnk <= {beam})""",
+        "vis0 AS (SELECT qid, nbr FROM best0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""ex{r} AS (SELECT DISTINCT t.qid, e.dst AS nbr
+               FROM best{p} t JOIN edges e ON e.src = t.nbr
+               WHERE NOT EXISTS (SELECT 1 FROM vis{p} v
+                                 WHERE v.qid = t.qid AND v.nbr = e.dst))"""
+        )
+        ctes.append(
+            f"""ns{r} AS (SELECT x.qid, x.nbr, {cos} AS dist
+               FROM ex{r} x JOIN q ON q.qid = x.qid JOIN b ON b.id = x.nbr)"""
+        )
+        ctes.append(
+            f"""best{r} AS (SELECT qid, nbr, dist FROM (
+               SELECT qid, nbr, dist,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist, nbr) AS rnk
+               FROM (SELECT * FROM best{p} UNION ALL SELECT * FROM ns{r}))
+             WHERE rnk <= {beam})"""
+        )
+        ctes.append(
+            f"""vis{r} AS (SELECT qid, nbr FROM vis{p}
+               UNION SELECT qid, nbr FROM ex{r})"""
+        )
+    cte_sql = ",\n         ".join(ctes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         {cte_sql}
+    SELECT qid, rnk AS nbr_rank, nbr AS neighbor_id, round(dist, 6) AS dist
+    FROM (SELECT qid, nbr, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, nbr) AS rnk
+          FROM best{rounds}) WHERE rnk <= {k}
+    """
+
+
 def knn_graph_degree_stats_sql(k: int = 10, max_degree: int = 16) -> str:
     """Mirrors knn_graph(k) → mutualize(max_degree) → degree_stats on the
     full embeddings table (cosine)."""
