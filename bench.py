@@ -38,6 +38,8 @@ def _warm_tables(spark, sf_dir: str) -> None:
 
 
 def _run_suite(spark, entrymod, sf_dir: str) -> dict[str, float]:
+    import gc
+
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
@@ -45,6 +47,13 @@ def _run_suite(spark, entrymod, sf_dir: str) -> dict[str, float]:
         n = df.count()  # force full execution
         qtimes[name] = round(time.perf_counter() - t0, 3)
         print(f"# {sf_dir} {name}: {qtimes[name]:.3f}s rows={n}", file=sys.stderr)
+        # release the query's localCheckpoint blocks: drop the python refs,
+        # let the ContextCleaner unpersist, and compact the JVM heap —
+        # without this the session degrades measurably by the 30th query
+        # (stale checkpoint blocks + GC pressure inflate later timings)
+        del df
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return qtimes
 
 
