@@ -443,9 +443,9 @@ def frontier_search(
             best.unionByName(new_scored), ["qid"], "dist", beam,
             tie_col="neighbor_id", rank_name="_rn",
         ).drop("_rn")
-        visited = visited.unionByName(
-            expand.select("qid", "neighbor_id")
-        ).dropDuplicates(["qid", "neighbor_id"])
+        # no dedup needed: expand was anti-joined against visited and is
+        # internally distinct, so the union is disjoint by construction
+        visited = visited.unionByName(expand.select("qid", "neighbor_id"))
         if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
             best = best.localCheckpoint(eager=True)
             visited = visited.localCheckpoint(eager=True)
