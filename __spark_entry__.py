@@ -186,6 +186,26 @@ def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _augment_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-distribution star augmentation from an offline query→top-k
+    table (reference 'star' strategy + per-node budget)."""
+    from vectordbindexing_spark.operators.augment import augment_from_query_topk
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    topk = exact_knn(
+        q, b, k=8, metric="cosine", impl="blocked",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    edges = augment_from_query_topk(
+        topk, b, strategy="star", max_new_edges_per_node=4,
+        b_id="vec_id", b_vec="embedding",
+    )
+    return edges.select(
+        "layer", "src", "dst", F.round("dist", 6).alias("dist"), "edge_type"
+    )
+
+
 def _frontier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed graph search (index stays a DataFrame end-to-end):
     kNN-graph build → iterative frontier joins → global top-k. Row-level
@@ -616,6 +636,7 @@ def queries() -> dict[str, Query]:
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
         "frontier_knn": _frontier_knn,
+        "augment_star_edges": _augment_star_edges,
         # graph build (SURVEY §2.8)
         "hnsw_level_assignment": _hnsw_levels,
         "knn_graph_degree_stats": _knn_graph_degree_stats,
@@ -671,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_knn": oracles.frontier_knn_sql(
             k=10, rounds=3, beam=32, M=16, cap=32
         ),
+        "augment_star_edges": oracles.augment_star_sql(k=8, budget=4),
         "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
         "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(

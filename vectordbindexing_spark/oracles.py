@@ -725,6 +725,44 @@ def frontier_knn_sql(
     """
 
 
+def augment_star_sql(k: int = 8, budget: int = 4) -> str:
+    """Mirrors augment.augment_from_query_topk(strategy='star'): per-query
+    exact top-k, pivot = rank-1, bidirectional pivot↔rest edges with the
+    pairwise cosine distance, cross-query dedup per (src, dst), per-node
+    budget as a (dist, dst) rank window."""
+    cos = KNN_DIST_SQL["cosine"]
+    pair_cos = cos.replace("q.v", "p.pv").replace("b.v", "o.ov")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         r AS (SELECT qid, id, rnk FROM (
+                 SELECT q.qid, b.id, {cos} AS dist,
+                        row_number() OVER (PARTITION BY q.qid
+                                           ORDER BY {cos}, b.id) AS rnk
+                 FROM q, b) WHERE rnk <= {k}),
+         rv AS (SELECT r.qid, r.id, r.rnk, b.v FROM r JOIN b USING (id)),
+         p AS (SELECT qid, id AS pid, v AS pv FROM rv WHERE rnk = 1),
+         o AS (SELECT qid, id AS oid, v AS ov FROM rv WHERE rnk > 1),
+         pairs AS (
+           SELECT p.pid AS src, o.oid AS dst, {pair_cos} AS dist
+           FROM p JOIN o USING (qid)
+           UNION ALL
+           SELECT o.oid AS src, p.pid AS dst, {pair_cos} AS dist
+           FROM p JOIN o USING (qid)),
+         ded AS (SELECT src, dst, min(dist) AS dist
+                 FROM pairs GROUP BY src, dst),
+         budg AS (SELECT src, dst, dist FROM (
+                    SELECT src, dst, dist,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY dist, dst) AS rnk
+                    FROM ded) WHERE rnk <= {budget})
+    SELECT 0 AS layer, src, dst, round(dist, 6) AS dist,
+           'cross_distribution' AS edge_type
+    FROM budg
+    """
+
+
 def knn_graph_degree_stats_sql(k: int = 10, max_degree: int = 16) -> str:
     """Mirrors knn_graph(k) → mutualize(max_degree) → degree_stats on the
     full embeddings table (cosine)."""
