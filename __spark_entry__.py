@@ -186,6 +186,39 @@ def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _traced_steps_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy traced search to each query's exact nearest neighbor over
+    the two-layer index — all-integer aggregates (reference
+    steps-to-target metric)."""
+    from vectordbindexing_spark.operators.evaluate import traced_search
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index
+
+    q, b = _emb_split(spark, sf_dir)
+    edges = build_two_layer_index(
+        b, M0=16, M1=8, metric="cosine", id_col="vec_id", vec_col="embedding"
+    )
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    targets = (
+        exact_knn(q, b, k=1, metric="cosine", impl="blocked",
+                  q_id="vec_id", q_vec="embedding",
+                  b_id="vec_id", b_vec="embedding")
+        .filter(F.col("nbr_rank") == 1)
+        .select("qid", F.col("neighbor_id").alias("target_id"))
+    )
+    tr = traced_search(q, idx, targets, q_id="vec_id", q_vec="embedding")
+    return tr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("steps").alias("sum_steps"),
+        F.max("steps").alias("max_steps"),
+        F.sum(F.col("found").cast("long")).alias("n_found"),
+        F.sum("trace_len").alias("sum_trace_len"),
+        F.sum("top1_changes").alias("sum_top1_changes"),
+    )
+
+
 def _augment_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-distribution star augmentation from an offline query→top-k
     table (reference 'star' strategy + per-node budget)."""
@@ -637,6 +670,7 @@ def queries() -> dict[str, Query]:
         "roargraph_recall": _roargraph_recall,
         "frontier_knn": _frontier_knn,
         "augment_star_edges": _augment_star_edges,
+        "traced_steps_summary": _traced_steps_summary,
         # graph build (SURVEY §2.8)
         "hnsw_level_assignment": _hnsw_levels,
         "knn_graph_degree_stats": _knn_graph_degree_stats,
@@ -693,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
             k=10, rounds=3, beam=32, M=16, cap=32
         ),
         "augment_star_edges": oracles.augment_star_sql(k=8, budget=4),
+        "traced_steps_summary": oracles.traced_steps_sql(),
         "simhash_buckets": oracles.simhash_buckets_sql(num_bits=16),
         "hnsw_level_assignment": oracles.hnsw_levels_sql(M=16),
         "knn_graph_degree_stats": oracles.knn_graph_degree_stats_sql(

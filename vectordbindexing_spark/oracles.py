@@ -343,20 +343,10 @@ def _np_mutualize(layers: dict, cap: int) -> dict:
     return adj
 
 
-def _np_serve(
-    adj: dict,
-    bids,
-    B,
-    Q,
-    k: int,
-    ef_search: int,
-    num_entry_points: int,
-    layer1_ef_multiplier: int,
-):
-    """CSR build + entry points + layered beam search per query — numpy
-    twin of compact_index + graph_search over a prebuilt adjacency."""
-    import heapq
-
+def _np_compact(adj: dict, bids, B, num_entry_points: int = 3):
+    """(pos_ids, PVi, csr, ep_pos) — numpy twin of search.compact_index
+    over a prebuilt adjacency (id-ascending positions, float32 vectors,
+    max-degree entry points of the top layer)."""
     import numpy as np
 
     n = len(bids)
@@ -385,6 +375,27 @@ def _np_serve(
         # degenerate single-node/edge-free graph: CompactIndex defaults to
         # position 0 as the entry (search.compact_index / shard loader)
         ep_pos = np.array([0], dtype=np.int64)
+    return pos_ids, PVi, csr, ep_pos
+
+
+def _np_serve(
+    adj: dict,
+    bids,
+    B,
+    Q,
+    k: int,
+    ef_search: int,
+    num_entry_points: int,
+    layer1_ef_multiplier: int,
+):
+    """CSR build + entry points + layered beam search per query — numpy
+    twin of compact_index + graph_search over a prebuilt adjacency."""
+    import heapq
+
+    import numpy as np
+
+    n = len(bids)
+    pos_ids, PVi, csr, ep_pos = _np_compact(adj, bids, B, num_entry_points)
 
     def idist(q, pos):
         # CompactIndex.dist cosine formula
@@ -606,6 +617,127 @@ def roargraph_recall_sql() -> str:
     SELECT (CASE {EMB_DISCRIMINATOR_SQL} {nq_arms} END)::BIGINT AS n_queries,
            (CASE {EMB_DISCRIMINATOR_SQL} {rc_arms} END)::DOUBLE AS recall_at_10
     """
+
+
+@functools.lru_cache(maxsize=None)
+def _traced_steps_pins(
+    M0: int = 16, M1: int = 8, max_hops: int = 2000
+) -> tuple:
+    """Per-dataset integer aggregates of the greedy traced search
+    (evaluate.traced_search) over the two-layer index, target = each
+    query's exact nearest neighbor: (disc_key, n_queries, sum_steps,
+    max_steps, n_found, sum_trace_len, sum_top1_changes). All-integer
+    outputs — no float rounding in the pin at all."""
+    import heapq
+    import math
+
+    import numpy as np
+
+    from vectordbindexing_spark.functions.hashing import det_hash64_py
+
+    out = []
+    for key, ids, V in _embedding_datasets():
+        qm = ids % 10 == 0
+        qids, Q = ids[qm], V[qm]
+        bids, B = ids[~qm], V[~qm]
+        n = len(bids)
+        # two-layer adjacency (same build as _np_two_layer_topk)
+        bits = int(math.log2(16))
+        h = np.array([det_hash64_py(str(int(i))) for i in bids], dtype=np.int64)
+        level = np.zeros(n, dtype=np.int64)
+        for lv in range(1, 8):
+            if 32 - bits * lv > 0:
+                level += (h < 2 ** (32 - bits * lv)).astype(np.int64)
+
+        def knn_edges(sub_ids, sub_V, kk):
+            D = _np_cosine_matrix(sub_V, sub_V)
+            np.fill_diagonal(D, np.inf)
+            edges = []
+            for i in range(len(sub_ids)):
+                for j in np.lexsort((sub_ids, D[i]))[:kk]:
+                    if np.isfinite(D[i, j]):
+                        edges.append(
+                            (int(sub_ids[i]), int(sub_ids[j]), float(D[i, j]))
+                        )
+            return edges
+
+        layers = {0: knn_edges(bids, B, M0)}
+        um = level >= 1
+        if int(um.sum()) >= 2:
+            layers[1] = knn_edges(bids[um], B[um], M1)
+        adj = _np_mutualize(layers, cap=2 * max(M0, M1))
+        pos_ids, PVi, csr, ep_pos = _np_compact(adj, bids, B)
+        pos_of = {int(i): p for p, i in enumerate(pos_ids)}
+        indptr, indices = csr[0]
+
+        def idist(q, pos):
+            Vv = PVi[pos].astype(np.float64)
+            return 1.0 - (Vv @ q) / (
+                np.linalg.norm(Vv, axis=1) * np.linalg.norm(q)
+            )
+
+        D_exact = _np_cosine_matrix(Q, B)
+        sum_steps = max_steps = n_found = sum_trace = sum_top1 = 0
+        for qi in range(len(qids)):
+            qv = Q[qi]
+            # target = exact nearest neighbor (rank 1)
+            tgt = int(bids[np.lexsort((bids, D_exact[qi]))[0]])
+            target_pos = pos_of.get(tgt, -1)
+            visited = np.zeros(n, dtype=bool)
+            entries = ep_pos
+            d0 = idist(qv, entries)
+            cand = [(float(d), int(p)) for d, p in zip(d0, entries)]
+            heapq.heapify(cand)
+            visited[entries] = True
+            steps = 0
+            found = False
+            best = float("inf")
+            top1 = 0
+            order = list(np.asarray(entries))
+            while cand and steps < max_hops:
+                d, p = heapq.heappop(cand)
+                steps += 1
+                if d < best:
+                    best = d
+                    top1 += 1
+                if p == target_pos:
+                    found = True
+                    break
+                nbrs = indices[indptr[p] : indptr[p + 1]]
+                nbrs = nbrs[~visited[nbrs]]
+                if len(nbrs) == 0:
+                    continue
+                visited[nbrs] = True
+                for dd, pp in zip(idist(qv, nbrs), nbrs):
+                    heapq.heappush(cand, (float(dd), int(pp)))
+                order.extend(int(x) for x in nbrs)
+            sum_steps += steps
+            max_steps = max(max_steps, steps)
+            n_found += int(found)
+            sum_trace += len(order)
+            sum_top1 += top1
+        out.append(
+            (key, int(len(qids)), sum_steps, max_steps, n_found,
+             sum_trace, sum_top1)
+        )
+    return tuple(out)
+
+
+def traced_steps_sql() -> str:
+    """Pinned-literal oracle for traced_steps_summary (see
+    :func:`_traced_steps_pins`) — all-integer, no float rounding."""
+    pins = _traced_steps_pins()
+    cols = (
+        "n_queries", "sum_steps", "max_steps", "n_found",
+        "sum_trace_len", "sum_top1_changes",
+    )
+    arms = []
+    for ci, col in enumerate(cols, start=1):
+        case = " ".join(f"WHEN {p[0]} THEN {p[ci]}" for p in pins)
+        arms.append(
+            f"(CASE {EMB_DISCRIMINATOR_SQL} {case} END)::BIGINT AS {col}"
+        )
+    return "SELECT " + ",\n       ".join(arms)
 
 
 def ann_sharded_recall_sql() -> str:
