@@ -428,6 +428,25 @@ def _simhash_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_text_fingerprints(docs, text_col="text", id_col="doc_id")
 
 
+def _dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup grouping: simhash near-dup pairs →
+    large-star/small-star connected components → per-doc group assignment
+    with keeper flag (the filtering pass of a corpus dedup pipeline)."""
+    from vectordbindexing_spark.operators.components import dedup_groups
+    from vectordbindexing_spark.operators.dedup import simhash_text_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_text_neardup(
+        docs, text_col="text", id_col="doc_id",
+        num_bits=32, max_hamming=3, bands=4,
+    )
+    out = dedup_groups(docs, pairs, id_col="doc_id")
+    return out.select(
+        "doc_id", "group_id", "group_size",
+        F.col("is_keeper").cast("long").alias("is_keeper"),
+    )
+
+
 def _simhash_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.dedup import simhash_text_neardup
 
@@ -686,6 +705,7 @@ def queries() -> dict[str, Query]:
         "gt_clean_arrays": _gt_clean,
         "simhash_text_fingerprints": _simhash_text_fp,
         "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
         # stats / eval (SURVEY §2.5/2.11)
         "modality_stats": _modality_stats,
         "train_test_split": _train_test_split,
@@ -751,6 +771,9 @@ def oracle_sql() -> dict[str, str]:
         "gt_clean_arrays": oracles.gt_clean_sql(k=10, cap=250),
         "simhash_text_fingerprints": oracles.simhash_text_fp_sql(num_bits=32),
         "simhash_text_neardup": oracles.simhash_text_neardup_sql(
+            num_bits=32, max_hamming=3, bands=4
+        ),
+        "dedup_groups": oracles.dedup_groups_sql(
             num_bits=32, max_hamming=3, bands=4
         ),
         "modality_stats": oracles.modality_stats_sql(M=16),

@@ -1,0 +1,138 @@
+"""Connected components over near-duplicate pair graphs → dedup groups.
+
+The missing last stage of every dedup pipeline: pair emitters
+(minhash/simhash/jaccard/embedding near-dup) produce edges; a real corpus
+dedup must transitively close them into groups and pick one keeper per
+group. Beyond-reference capability (north star in SURVEY §0/§7 Phase 6).
+
+Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) — converges in
+O(log n) rounds with per-round cost proportional to the edge count, the
+published recipe for planet-scale graphs. Each round is two shuffles
+(groupBy min + equi-join); no collect, no per-node state on the driver.
+A naive min-label propagation needs O(diameter) rounds — chain-shaped
+duplicate clusters (common with shingle overlap) make that unbounded,
+which is why the star algorithm is the 100 TB choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Γ⁺ min-relink for the larger endpoint of every edge.
+
+    For each node u (over the symmetrized edge set), let m = min(Γ(u) ∪ u).
+    Emit (v, m) for every neighbor v > u. Keeps edges pointing
+    strictly big→small and attaches high nodes to the current minimum.
+    """
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Min-relink for the smaller neighbors.
+
+    Input edges all satisfy a > b (large-star postcondition). For each
+    node a, m = min(Γ_small(a) ∪ a) = min(b). Emit (v, m) for every
+    v ∈ Γ_small(a) ∪ {a}, v ≠ m — i.e. hang a and all its small
+    neighbors directly off the minimum.
+    """
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    relinked = (
+        edges.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_links = mins.select(F.col("a"), F.col("m").alias("b"))
+    return relinked.union(self_links).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve a pair graph into components: (id, component) rows where
+    ``component`` is the minimum member id — the canonical keeper.
+
+    Alternating large-star/small-star until the edge set is a fixed point
+    (checked with one count + one bounded ``exceptAll`` probe per round;
+    both are cheap relative to the round's own shuffles). Every round is
+    localCheckpoint-ed: the lineage would otherwise double per round and
+    re-execute the whole prefix on each action.
+
+    Nodes with no edges are not emitted (callers union singletons back if
+    they need total coverage — ``dedup_groups`` does).
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = edges.count()
+    for _ in range(max_rounds):
+        ls = _large_star(edges)
+        nxt = _small_star(ls).localCheckpoint(eager=True)
+        cnt = nxt.count()
+        if cnt == prev_count and nxt.exceptAll(edges).limit(1).count() == 0:
+            edges = nxt
+            break
+        edges, prev_count = nxt, cnt
+    # fixed point: every edge is (member → component-min); roots appear
+    # only on the b side, so union them in as self-labelled members.
+    members = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = edges.select(F.col("b").alias("id"), F.col("b").alias("component"))
+    return members.union(roots).distinct()
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Full-corpus dedup assignment: every doc gets a ``group_id`` (the
+    minimum id of its duplicate cluster; singletons are their own group),
+    the cluster size, and ``is_keeper`` (true for the group minimum — the
+    row a filtering pass would retain).
+
+    One broadcast-friendly left join of the corpus against the component
+    map (components ≪ corpus by construction), then a group-size count.
+    """
+    comp = connected_components(pairs, id_a, id_b, max_rounds)
+    ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    labeled = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("group_id")
+    )
+    sizes = labeled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return labeled.join(sizes, "group_id").select(
+        F.col("id").alias(id_col),
+        "group_id",
+        "group_size",
+        (F.col("id") == F.col("group_id")).alias("is_keeper"),
+    )

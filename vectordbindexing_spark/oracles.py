@@ -1356,3 +1356,37 @@ SELECT doc_id,
            AS avg_token_len
 FROM t
 """
+
+
+def dedup_groups_sql(
+    num_bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> str:
+    """Mirrors components.dedup_groups over simhash_text_neardup pairs.
+
+    The Spark side runs O(log n) large-star/small-star rounds; the oracle
+    computes the same fixed point as a recursive-CTE transitive closure
+    (min label over everything reachable) — tractable at sf0.01 scale,
+    engine-independent (all-integer output).
+    """
+    pairs = simhash_text_neardup_sql(num_bits, max_hamming, bands)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+         edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT DISTINCT s, s FROM edges
+             UNION
+             SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         labeled AS (
+             SELECT d.doc_id AS did,
+                    coalesce(c.component, d.doc_id) AS group_id
+             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         sizes AS (SELECT group_id, count(*) AS group_size
+                   FROM labeled GROUP BY group_id)
+    SELECT l.did::BIGINT AS doc_id,
+           l.group_id::BIGINT AS group_id,
+           s.group_size::BIGINT AS group_size,
+           (CASE WHEN l.did = l.group_id THEN 1 ELSE 0 END)::BIGINT AS is_keeper
+    FROM labeled l JOIN sizes s USING (group_id)
+    """
