@@ -301,6 +301,19 @@ def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC KNN: per-subspace codebooks, compressed
+    code scan with query lookup tables (Jégou et al. 2011) — the
+    memory-bound scale path (codes are ~1/64 of the raw vector bytes)."""
+    from vectordbindexing_spark.operators.pq import pq_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return pq_knn(
+        q, b, k=10, m=8, ks=16, max_iter=3,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _whitening_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: PCA-whitening fit+transform (Norm method); outputs the
     whitened L2 norm per vector (SVD not SQL-expressible)."""
@@ -684,6 +697,7 @@ def queries() -> dict[str, Query]:
         "lsh_knn_cosine": _lsh_knn,
         "simhash_buckets": _simhash_buckets,
         "ivf_knn_cosine": _ivf_knn,
+        "pq_adc_knn": _pq_adc_knn,
         "ann_two_layer_recall": _ann_two_layer_recall,
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
@@ -740,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
             bucket_cap=20_000,
         ),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
+        "pq_adc_knn": oracles.pq_knn_sql(m=8, ks=16, k=10, iters=3),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

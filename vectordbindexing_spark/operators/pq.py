@@ -1,0 +1,247 @@
+"""Product quantization (PQ) approximate KNN — the memory-compressed
+scale path for similarity search (north-star operator; complements IVF's
+partition pruning and the graph index with an 8-bytes-per-vector code
+scan; Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011).
+
+Build: split the d dims into ``m`` contiguous subspaces and Lloyd-fit a
+``ks``-entry codebook per subspace on a bounded deterministic sample
+(driver-side numpy — same recipe as ivf.kmeans_fit: iteration count never
+multiplies corpus scans). Encode: one distributed pass mapping every
+vector to its m nearest sub-centroids (m bytes for ks ≤ 256 — a 64-dim
+float64 corpus compresses 64×). Search: asymmetric distance computation
+(ADC) — per query an (m, ks) lookup table of partial squared L2s, then a
+code scan accumulating table entries; O(n·m) adds instead of O(n·d)
+mults, and the scan reads ONLY the code column (the vector column is
+never shuffled).
+
+At 100 TB the codes table is the only thing the query fan-out touches:
+~1/64 of the raw bytes, co-partitioned with ids, Arrow-batched through
+the LUT kernel with per-batch partial top-k (no full distance matrix).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.vector import to_double_array
+from vectordbindexing_spark.operators.topk import topk_per_group
+
+_FIT_SAMPLE_SIZE = 100_000
+_BLOCKED_THRESHOLD_QUERIES = 100_000
+
+
+def pq_fit_arrays(
+    ids: np.ndarray, X: np.ndarray, m: int, ks: int, max_iter: int = 5
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means, pure numpy. Returns (m, ks, d//m)
+    float64 codebooks. Deterministic and engine-independent: init = the
+    sub-vectors of the ``ks`` smallest ids, assignment ties → lowest
+    centroid index (np.argmin), empty clusters keep their old centroid —
+    the exact convention the DuckDB oracle replays from literals.
+    Shared by pq_fit (Spark sample) and oracles.pq_knn_sql (same arrays).
+    """
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    init_rows = np.argsort(ids, kind="stable")[:ks]
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[init_rows].copy()
+        for _ in range(max_iter):
+            # elementwise (x-c)² sum — bit-identical to the oracle's
+            # list_transform arithmetic (no ||x||²-2x·c+||c||² expansion,
+            # whose different rounding could flip argmin near-ties)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            newC = C.copy()
+            for cid in range(ks):
+                mask = a == cid
+                if mask.any():
+                    newC[cid] = S[mask].mean(axis=0)
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        books[j] = C
+    return books
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    max_iter: int = 5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = _FIT_SAMPLE_SIZE,
+) -> np.ndarray:
+    """Fit PQ codebooks on a bounded deterministic sample (hash-ordered
+    take — one scan, no full sort; below ``sample_size`` rows the sample
+    IS the corpus, which is what makes the sf-scale oracle exact)."""
+    from vectordbindexing_spark.functions.hashing import det_hash64
+
+    rows = (
+        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(det_hash64(F.col("i").cast("string")), "i")
+        .limit(sample_size)
+        .toPandas()
+    )
+    ids = rows["i"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
+    return pq_fit_arrays(ids, X, m, ks, max_iter)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, codes array<int>) — one broadcast-codebook Arrow pass."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        m, ks, dsub = B.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf["i"].to_numpy(), "codes": list(codes)})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    ).mapInPandas(encode, schema="id long, codes array<long>")
+
+
+def pq_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    max_iter: int = 5,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+    codebooks: np.ndarray | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate KNN: fit (or reuse) codebooks, encode the base,
+    scan codes with per-query lookup tables, per-query top-k.
+
+    Output (qid, nbr_rank, neighbor_id, dist); ``dist`` is the ADC
+    approximation of squared L2 (vectors sharing codes tie exactly and
+    break by neighbor_id — deterministic in both engines). With
+    ``rerank=R`` the ADC shortlist of R candidates is re-scored with exact
+    squared L2 against the true vectors (the standard two-stage serving
+    plan: compressed scan everywhere, full vectors touched only for
+    R·n_q rows).
+    """
+    base = base.select(
+        F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
+    ).localCheckpoint(eager=True)  # consumed by fit + encode (+ rerank)
+    if codebooks is None:
+        codebooks = pq_fit(base, m, ks, max_iter, b_id, b_vec)
+    m, ks, dsub = codebooks.shape
+    enc = pq_encode(base, codebooks, b_id, b_vec)
+
+    spark = queries.sparkSession
+    qsel = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    )
+    # bounded collect probe (same contract as _exact_knn_blocked): N+1
+    # rows back == "query side too big to broadcast"
+    qrows = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+    if len(qrows) > _BLOCKED_THRESHOLD_QUERIES:
+        raise ValueError(
+            f"pq_knn broadcasts the query-side LUTs; got > "
+            f"{_BLOCKED_THRESHOLD_QUERIES} queries — shard the query set "
+            f"(queries are embarrassingly parallel across batches)"
+        )
+    qids = qrows["qid"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
+    # (n_q, m, ks) partial squared-L2 tables
+    luts = np.empty((len(Q), m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+            axis=2
+        )
+    bc = spark.sparkContext.broadcast((qids, luts))
+    shortlist = k if rerank is None else max(k, rerank)
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, blut = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            bids = pdf["id"].to_numpy()
+            # sequential j-order accumulation — the same summation order
+            # as the oracle's ordered list_sum, so equal-code rows tie
+            # bit-exactly in both engines
+            D = np.zeros((len(bqids), len(bids)), dtype=np.float64)
+            for j in range(blut.shape[1]):
+                D += blut[:, j, :][:, codes[:, j]]
+            kk = min(shortlist, D.shape[1])
+            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            rows_d = np.take_along_axis(D, idx, axis=1)
+            order = np.argsort(rows_d, axis=1, kind="stable")
+            idx = np.take_along_axis(idx, order, axis=1)
+            rows_d = np.take_along_axis(rows_d, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(bqids, kk),
+                    "neighbor_id": bids[idx].ravel(),
+                    "dist": rows_d.ravel(),
+                }
+            )
+
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    partial = repartition_for_compute(enc).mapInPandas(
+        adc_scan, schema="qid long, neighbor_id long, dist double"
+    )
+    ranked = topk_per_group(
+        partial, ["qid"], "dist", shortlist, tie_col="neighbor_id"
+    )
+    if rerank is None:
+        return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
+    # exact re-score of the shortlist: one equi-join against the true
+    # vectors (R·n_q rows — never the full corpus), then final top-k
+    from vectordbindexing_spark.functions.vector import pair_dist_udf
+
+    qdf = qsel.select("qid", to_double_array("v").alias("_qv"))
+    bv = base.select(
+        F.col(b_id).cast("long").alias("neighbor_id"),
+        to_double_array(b_vec).alias("_bv"),
+    )
+    rescored = (
+        ranked.select("qid", "neighbor_id")
+        .join(bv, "neighbor_id")
+        .join(qdf, "qid")
+        .withColumn("dist", pair_dist_udf("l2")("_qv", "_bv"))
+    )
+    final = topk_per_group(
+        rescored.select("qid", "neighbor_id", "dist"),
+        ["qid"], "dist", k, tie_col="neighbor_id",
+    )
+    return final.select("qid", "nbr_rank", "neighbor_id", "dist")

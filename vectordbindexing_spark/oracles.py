@@ -1390,3 +1390,60 @@ def dedup_groups_sql(
            (CASE WHEN l.did = l.group_id THEN 1 ELSE 0 END)::BIGINT AS is_keeper
     FROM labeled l JOIN sizes s USING (group_id)
     """
+
+
+def pq_knn_sql(m: int = 8, ks: int = 16, k: int = 10, iters: int = 3) -> str:
+    """Mirrors operators.pq.pq_knn (ADC, no rerank). The per-subspace
+    Lloyd fit is the SAME numpy routine the Spark operator runs
+    (pq.pq_fit_arrays on the base split — below the sample bound the two
+    engines see identical inputs), embedded as a codebook literal behind
+    the dataset discriminator. Encoding (argmin sub-centroid, ties →
+    lowest code) and the ADC scan (ordered partial-distance sum, ties →
+    lowest id) are replayed in SQL with the same elementwise arithmetic
+    and summation order, so equal-code rows tie bit-exactly.
+    """
+    from vectordbindexing_spark.operators.pq import pq_fit_arrays
+
+    arms = []
+    dsub = None
+    for key, ids, V in _embedding_datasets():
+        bmask = ids % 10 != 0
+        books = pq_fit_arrays(ids[bmask], V[bmask], m, ks, iters)
+        dsub = books.shape[2]
+        flat = books.reshape(m * ks, dsub)
+        lit = "[" + ", ".join(_list_lit(row) for row in flat) + "]::DOUBLE[][]"
+        arms.append(f"WHEN {key} THEN {lit}")
+    books_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(arms) + " END"
+    pd2 = (
+        "list_sum(list_transform(list_slice(v, j*{d}+1, (j+1)*{d}), "
+        "(x, i) -> (x - cv[i]) * (x - cv[i])))"
+    ).format(d=dsub)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         p AS (SELECT {books_case} AS books),
+         cb AS (SELECT (i - 1) // {ks} AS j, (i - 1) % {ks} AS c, cv
+                FROM (SELECT unnest(books) AS cv,
+                             generate_subscripts(books, 1) AS i
+                      FROM p)),
+         benc AS (
+           SELECT id, j, c AS code FROM (
+             SELECT b.id, cb.j, cb.c,
+                    row_number() OVER (PARTITION BY b.id, cb.j
+                                       ORDER BY {pd2}, cb.c) AS rnk
+             FROM b, cb) WHERE rnk = 1),
+         qtab AS (SELECT q.qid, cb.j, cb.c, {pd2} AS pdist
+                  FROM q, cb),
+         adc AS (SELECT qid, id,
+                        list_sum(list(pdist ORDER BY qtab.j)) AS dist
+                 FROM benc JOIN qtab
+                   ON qtab.j = benc.j AND qtab.c = benc.code
+                 GROUP BY qid, id),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dist, id) AS rnk
+               FROM adc)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
