@@ -256,6 +256,28 @@ def _frontier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the mutualized kNN graph from its
+    top-degree entry points (reference k-hop reachability pre-check)."""
+    from vectordbindexing_spark.operators.graph import (
+        entry_points,
+        khop_reachability,
+        knn_graph,
+        mutualize,
+    )
+
+    _, b = _emb_split(spark, sf_dir)
+    edges = mutualize(
+        knn_graph(b, 16, "cosine", "vec_id", "embedding"), max_degree=32
+    )
+    eps = entry_points(edges, layer=0, n=3).select(
+        F.col("node_id").alias("id")
+    )
+    return khop_reachability(edges, eps, max_hops=3).select(
+        "root", "node", F.col("hops").cast("long").alias("hops")
+    )
+
+
 def _roargraph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RoarGraph pipeline: train-query-driven projection graph build,
     beam-search serve for held-out queries, recall@10 vs exact."""
@@ -702,6 +724,7 @@ def queries() -> dict[str, Query]:
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
         "frontier_knn": _frontier_knn,
+        "khop_reachability": _khop_reachability,
         "augment_star_edges": _augment_star_edges,
         "traced_steps_summary": _traced_steps_summary,
         # graph build (SURVEY §2.8)
@@ -760,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
         "roargraph_recall": oracles.roargraph_recall_sql(),
         "frontier_knn": oracles.frontier_knn_sql(
             k=10, rounds=3, beam=32, M=16, cap=32
+        ),
+        "khop_reachability": oracles.khop_reachability_sql(
+            M=16, cap=32, n_entries=3, max_hops=3
         ),
         "augment_star_edges": oracles.augment_star_sql(k=8, budget=4),
         "traced_steps_summary": oracles.traced_steps_sql(),

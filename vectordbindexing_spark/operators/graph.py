@@ -298,3 +298,71 @@ def roargraph_build(
         max_degree=2 * M_pjbp,
     )
     return capped
+
+
+def khop_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source bounded BFS: (root, node, hops) for every node
+    reachable from each source within ``max_hops`` edge traversals
+    (hops = BFS distance, 0 for the source itself).
+
+    Distributed form of the reference's k-hop reachability pre-check
+    (hnsw_cosine.py:733-783 — driver-side queue walk before augmenting an
+    edge): each round is one frontier ⨝ adjacency equi-join plus a
+    visited anti-join, with an early exit when the frontier drains.
+    Rounds are localCheckpoint-ed (iterative lineage would otherwise
+    re-execute the prefix per action). Per-round volume is bounded by
+    |roots| × |reached| — keep the source set bounded (entry points,
+    candidate endpoints), not the whole corpus.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("_es"),
+            F.col("dst").cast("long").alias("_ed"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # re-joined every round
+    )
+    reached = (
+        sources.select(F.col(id_col).cast("long").alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("node"), F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_es"])
+            .select("root", F.col("_ed").alias("node"), F.lit(h).alias("hops"))
+            .distinct()
+        )
+        new = nxt.join(
+            reached.select("root", "node"), ["root", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        reached = reached.union(new).localCheckpoint(eager=True)
+        frontier = new
+    return reached
+
+
+def drop_redundant_pairs(
+    edges: DataFrame,
+    cand_pairs: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Filter candidate augmentation pairs whose dst is already reachable
+    from src within ``max_hops`` hops — the reference's can_add BFS gate
+    (hnsw_cosine.py:744-780) as one reachability build + one anti-join,
+    instead of a per-pair queue walk."""
+    roots = cand_pairs.select(F.col(src_col).alias("id"))
+    reach = khop_reachability(edges, roots, max_hops).select(
+        F.col("root").alias(src_col), F.col("node").alias(dst_col)
+    )
+    return cand_pairs.join(reach, [src_col, dst_col], "left_anti")

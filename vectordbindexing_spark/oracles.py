@@ -779,22 +779,12 @@ def hnsw_levels_sql(M: int = 16) -> str:
     return f"SELECT vec_id AS id, ({terms}) AS level FROM embeddings"
 
 
-def frontier_knn_sql(
-    k: int = 10,
-    rounds: int = 3,
-    beam: int = 32,
-    M: int = 16,
-    cap: int = 32,
-    n_entries: int = 3,
-) -> str:
-    """Fully-SQL oracle for the DISTRIBUTED graph search: the kNN graph
-    build (exact top-M, mutualize with min-dist dedup + degree cap) AND
-    every frontier round (expand best ⨝ edges → visited anti-join →
-    score → re-beam) are unrolled as DuckDB CTEs — row-level checking for
-    the iterative path, no pinned literals. Mirrors
-    search.frontier_search over mutualize(knn_graph(base, M), cap)."""
+def _knn_graph_ctes(M: int, cap: int, n_entries: int) -> list[str]:
+    """Shared CTE prefix: exact kNN graph over the base split b(id, v) →
+    mutualize (min-dist dedup + degree cap) → max-degree entry points.
+    Used by frontier_knn_sql and khop_reachability_sql."""
     cos = KNN_DIST_SQL["cosine"]
-    ctes = [
+    return [
         f"""d0 AS (SELECT a.id AS src, c.id AS dst,
                       {cos.replace('q.v', 'a.v').replace('b.v', 'c.v')} AS dist
                FROM b a, b c WHERE a.id <> c.id)""",
@@ -813,6 +803,49 @@ def frontier_knn_sql(
         f"""eps AS (SELECT src AS id FROM
               (SELECT src, count(*) AS degree FROM edges GROUP BY src)
             ORDER BY degree DESC, src LIMIT {n_entries})""",
+    ]
+
+
+def khop_reachability_sql(
+    M: int = 16, cap: int = 32, n_entries: int = 3, max_hops: int = 3
+) -> str:
+    """Mirrors graph.khop_reachability over mutualize(knn_graph(b, M), cap)
+    from the top-``n_entries`` entry points: BFS as a bounded recursive
+    CTE, min hop count per (root, node) — all-integer output."""
+    ctes = ",\n         ".join(_knn_graph_ctes(M, cap, n_entries))
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         {ctes},
+         reach(root, node, h) AS (
+             SELECT id, id, 0 FROM eps
+             UNION
+             SELECT r.root, ed.dst, r.h + 1
+             FROM reach r JOIN edges ed ON ed.src = r.node
+             WHERE r.h < {max_hops})
+    SELECT root::BIGINT AS root, node::BIGINT AS node,
+           min(h)::BIGINT AS hops
+    FROM reach GROUP BY root, node
+    """
+
+
+def frontier_knn_sql(
+    k: int = 10,
+    rounds: int = 3,
+    beam: int = 32,
+    M: int = 16,
+    cap: int = 32,
+    n_entries: int = 3,
+) -> str:
+    """Fully-SQL oracle for the DISTRIBUTED graph search: the kNN graph
+    build (exact top-M, mutualize with min-dist dedup + degree cap) AND
+    every frontier round (expand best ⨝ edges → visited anti-join →
+    score → re-beam) are unrolled as DuckDB CTEs — row-level checking for
+    the iterative path, no pinned literals. Mirrors
+    search.frontier_search over mutualize(knn_graph(base, M), cap)."""
+    cos = KNN_DIST_SQL["cosine"]
+    ctes = [
+        *_knn_graph_ctes(M, cap, n_entries),
         f"""s0 AS (SELECT q.qid, b.id AS nbr, {cos} AS dist
               FROM q, eps JOIN b ON b.id = eps.id)""",
         f"""best0 AS (SELECT qid, nbr, dist FROM (
