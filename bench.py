@@ -6,9 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 A secondary pass at $SPARK_GRAFT_SECONDARY_SF_DIR (default
 /root/testdata/sf0.01; skipped when equal to the primary or missing) is
-appended under "secondary_sf"/"secondary_total"/"queries_secondary" so
-round-over-round regressions are attributable: fixed job overhead moves
-both totals, data-proportional work moves the big-sf total only.
+printed to STDERR as its own JSON comment line so round-over-round
+regressions are attributable (fixed job overhead moves both totals,
+data-proportional work moves the big-sf total only). It is deliberately
+NOT inlined in the stdout JSON: the driver keeps only a bounded tail of
+stdout, and a >2 KB final line gets truncated mid-JSON and fails to parse
+(this happened in round 2 — BENCH_r02.json has "parsed": null).
 """
 
 from __future__ import annotations
@@ -95,11 +98,16 @@ def main() -> None:
     ):
         _warm_tables(spark, secondary)
         q2 = _run_suite(spark, entrymod, secondary)
-        out["secondary_sf"] = _sf_of(secondary)
-        out["secondary_total"] = round(sum(q2.values()), 3)
-        out["queries_secondary"] = q2
+        sec = {
+            "secondary_sf": _sf_of(secondary),
+            "secondary_total": round(sum(q2.values()), 3),
+            "queries_secondary": q2,
+        }
+        print("# secondary " + json.dumps(sec), file=sys.stderr)
 
-    print(json.dumps(out))
+    # ONE compact JSON line on stdout; keep it well under the driver's
+    # ~2 KB stdout tail buffer or it cannot be parsed
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

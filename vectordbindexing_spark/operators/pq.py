@@ -40,12 +40,17 @@ def pq_fit_arrays(
     ids: np.ndarray, X: np.ndarray, m: int, ks: int, max_iter: int = 5
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means, pure numpy. Returns (m, ks, d//m)
-    float64 codebooks. Deterministic and engine-independent: init = the
+    float64 codebooks. Deterministic and engine-independent: rows are
+    canonicalized to id order HERE (S[mask].mean() is summation-order
+    dependent, so caller row order — hash-ordered Spark sample vs
+    parquet-ordered oracle read — must not reach the fit), init = the
     sub-vectors of the ``ks`` smallest ids, assignment ties → lowest
     centroid index (np.argmin), empty clusters keep their old centroid —
     the exact convention the DuckDB oracle replays from literals.
     Shared by pq_fit (Spark sample) and oracles.pq_knn_sql (same arrays).
     """
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
