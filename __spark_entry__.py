@@ -8,11 +8,20 @@ Spark operator exactly (same formulas, deterministic cross-engine hashes,
 same tie-breaks and rounding; measured float drift ~1 ulp vs the 1e-6
 rounding granularity).
 
-Every query has an oracle. Ops DuckDB cannot express directly are still
-checked: IVF's Lloyd fit is unrolled as SQL CTE rounds, whitening embeds
+Every query has an oracle, with two distinct strengths. Most are
+closed-form SQL recomputations — algorithm-independent truth (IVF's Lloyd
+fit is unrolled as SQL CTE rounds; whitening embeds
 pseudo-inverse-covariance literals selected by a runtime dataset
-discriminator, and the graph-serving recalls are pinned from a full
-independent numpy replication of the deterministic pipeline.
+discriminator). The four graph-serving oracles (ann_two_layer_recall,
+ann_sharded_recall, roargraph_recall, traced_steps_summary) are PINS: a
+driver-side numpy replication of the deterministic pipeline, written
+against the same conventions as the Spark kernels — they verify the
+distributed plumbing end-to-end, but a convention-level bug shared by
+kernel and twin would self-confirm. To narrow that gap the two-layer
+pin's serve stage is additionally cross-checked against a second
+implementation transcribed independently from the published HNSW
+algorithm (oracles._np_serve_algo2; Malkov & Yashunin TPAMI 2018, Alg.
+2) and raises on any divergence.
 """
 
 from __future__ import annotations
@@ -156,11 +165,18 @@ def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded serving path: hash-sharded per-executor graph builds,
-    parallel per-shard search, global top-k merge; recall@10 vs exact."""
+    """Sharded serving path END-TO-END THROUGH THE PERSISTED ARTIFACT:
+    hash-sharded per-executor graph builds → parquet save → load →
+    parallel per-shard search, global top-k merge; recall@10 vs exact.
+    The save/load hop is deliberate — serving reads the artifact, never
+    the build lineage, so the oracle row covers the parquet round-trip."""
+    import tempfile
+
     from vectordbindexing_spark.operators.exact_knn import exact_knn
     from vectordbindexing_spark.operators.shard import (
         build_sharded_index,
+        load_sharded_index,
+        save_sharded_index,
         search_sharded,
     )
 
@@ -169,7 +185,10 @@ def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, num_shards=2, M0=16, M1=8, metric="cosine",
         id_col="vec_id", vec_col="embedding",
     )
-    got = search_sharded(q, art, k=10, ef_search=64,
+    art_path = tempfile.mkdtemp(prefix="vdbi_sharded_idx_")
+    save_sharded_index(art, art_path)
+    loaded = load_sharded_index(spark, art_path)
+    got = search_sharded(q, loaded, k=10, ef_search=64,
                          q_id="vec_id", q_vec="embedding")
     ex = exact_knn(q, b, k=10, metric="cosine", impl="blocked",
                    q_id="vec_id", q_vec="embedding",

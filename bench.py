@@ -5,13 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 A secondary pass at $SPARK_GRAFT_SECONDARY_SF_DIR (default
-/root/testdata/sf0.01; skipped when equal to the primary or missing) is
-printed to STDERR as its own JSON comment line so round-over-round
-regressions are attributable (fixed job overhead moves both totals,
-data-proportional work moves the big-sf total only). It is deliberately
-NOT inlined in the stdout JSON: the driver keeps only a bounded tail of
-stdout, and a >2 KB final line gets truncated mid-JSON and fails to parse
-(this happened in round 2 — BENCH_r02.json has "parsed": null).
+/root/testdata/sf0.01; skipped when equal to the primary or missing)
+contributes two scalars to the stdout JSON (secondary_sf,
+secondary_total) so round-over-round regressions are attributable (fixed
+job overhead moves both totals, data-proportional work moves the big-sf
+total only). Its full per-query map is printed to STDERR as a
+"# secondary {...}" JSON comment line, deliberately NOT inlined: the
+driver keeps only a bounded tail of stdout, and a >2 KB final line gets
+truncated mid-JSON and fails to parse (round 2 — "parsed": null).
+
+Queries are fault-isolated: one failing query records its name under
+"errors" (message on stderr) and the rest still report timings — round 3
+lost the entire bench to a single AnalysisException.
 """
 
 from __future__ import annotations
@@ -40,14 +45,25 @@ def _warm_tables(spark, sf_dir: str) -> None:
             pass
 
 
-def _run_suite(spark, entrymod, sf_dir: str) -> dict[str, float]:
+def _run_suite(
+    spark, entrymod, sf_dir: str
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Run every entry query; one failing query must not discard the rest
+    (round 3 lost all 42 good timings to one AnalysisException). Returns
+    (times, errors) — a failed query lands in errors, not times."""
     import gc
 
     qtimes: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# {sf_dir} {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         qtimes[name] = round(time.perf_counter() - t0, 3)
         print(f"# {sf_dir} {name}: {qtimes[name]:.3f}s rows={n}", file=sys.stderr)
         # release the query's localCheckpoint blocks: drop the python refs,
@@ -57,7 +73,7 @@ def _run_suite(spark, entrymod, sf_dir: str) -> dict[str, float]:
         del df
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-    return qtimes
+    return qtimes, errors
 
 
 def main() -> None:
@@ -83,7 +99,7 @@ def main() -> None:
     ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
     _warm_tables(spark, sf_dir)
 
-    qtimes = _run_suite(spark, entrymod, sf_dir)
+    qtimes, errs = _run_suite(spark, entrymod, sf_dir)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(qtimes.values()), 3),
@@ -91,18 +107,22 @@ def main() -> None:
         "queries": qtimes,
         "sf": _sf_of(sf_dir),
     }
+    if errs:
+        # names only inline (bounded); full messages are on stderr above
+        out["errors"] = sorted(errs)
 
     if (
         os.path.isdir(secondary)
         and os.path.abspath(secondary) != os.path.abspath(sf_dir)
     ):
         _warm_tables(spark, secondary)
-        q2 = _run_suite(spark, entrymod, secondary)
-        sec = {
-            "secondary_sf": _sf_of(secondary),
-            "secondary_total": round(sum(q2.values()), 3),
-            "queries_secondary": q2,
-        }
+        q2, errs2 = _run_suite(spark, entrymod, secondary)
+        # two scalars inline (regression attribution at a glance); the full
+        # per-query secondary map goes to stderr — inlining it doubled the
+        # stdout line past the driver's ~2 KB tail buffer in round 2
+        out["secondary_sf"] = _sf_of(secondary)
+        out["secondary_total"] = round(sum(q2.values()), 3)
+        sec = {"queries_secondary": q2, "errors_secondary": sorted(errs2)}
         print("# secondary " + json.dumps(sec), file=sys.stderr)
 
     # ONE compact JSON line on stdout; keep it well under the driver's

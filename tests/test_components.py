@@ -45,6 +45,18 @@ def test_chain_long_diameter(spark):
     _check(spark, [(i, i + 1) for i in range(30)])
 
 
+def test_nonconvergence_raises_not_partial(spark):
+    # a budget too small to reach the fixed point must raise — silently
+    # returning partial labels would produce wrong dedup keeper flags
+    import pytest
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(30)], columns=["id_a", "id_b"])
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
+
+
 def test_multiple_components_and_shapes(spark):
     edges = (
         [(1, 2), (2, 3), (3, 1)]          # triangle

@@ -124,3 +124,38 @@ def test_lsh_bucket_cap_bounds_candidates(spark, tables):
     )
     bound = num_tables * (1 + num_bits) * cap
     assert per_q.filter(F.col("count") > bound).count() == 0
+
+
+def test_simhash_fingerprints_jvm_matches_arrow(spark, tables):
+    from vectordbindexing_spark.operators.dedup import simhash_text_fingerprints
+
+    docs = tables["documents"]
+    a = {
+        r["did"]: r["fingerprint"]
+        for r in simhash_text_fingerprints(docs, impl="arrow").collect()
+    }
+    j = {
+        r["did"]: r["fingerprint"]
+        for r in simhash_text_fingerprints(docs, impl="jvm").collect()
+    }
+    assert a == j
+    # empty/token-less docs must hit the all-bits-set convention in BOTH
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    ae = {r["did"]: r["fingerprint"]
+          for r in simhash_text_fingerprints(empty, impl="arrow").collect()}
+    je = {r["did"]: r["fingerprint"]
+          for r in simhash_text_fingerprints(empty, impl="jvm").collect()}
+    assert ae == je
+    assert ae[1] == ae[2] == (1 << 32) - 1
+
+
+def test_minhash_pairs_jvm_matches_arrow(spark, tables):
+    from vectordbindexing_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = tables["documents"]
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    a = sorted(map(key, minhash_dedup_pairs(docs, impl="arrow").collect()))
+    j = sorted(map(key, minhash_dedup_pairs(docs, impl="jvm").collect()))
+    assert a == j and len(a) > 0

@@ -107,3 +107,27 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(tuple(r) for r in plain.collect()) == sorted(
         tuple(r) for r in salted.collect()
     )
+
+
+def test_salted_join_rejects_row_duplicating_hows(spark):
+    """right/full outer would emit each unmatched dim row num_salts times;
+    the salted join must refuse rather than silently diverge from the
+    unsalted result. left_anti IS allowed (output comes from the skewed
+    side) and must match the plain anti join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.plans.partitioning import salted_join
+
+    skewed = spark.range(200).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="duplicate unmatched rows"):
+            salted_join(skewed, dim, "k", how=how)
+    plain = skewed.join(dim, "k", "left_anti")
+    salted = salted_join(skewed, dim, "k", num_salts=4, how="left_anti")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )

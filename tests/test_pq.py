@@ -81,6 +81,34 @@ def test_adc_recall_and_rerank_improvement(spark, emb_split):
     assert r_rr > 0.55
 
 
+def test_adc_query_blocking_is_invisible(spark, emb_split, monkeypatch):
+    """The ADC scan processes queries in memory-bounded blocks
+    (_ADC_BLOCK_TARGET_BYTES); per-query results are independent, so a
+    pathologically tiny block size must yield the identical result set."""
+    import vectordbindexing_spark.operators.pq as pqmod
+
+    q, b = emb_split
+    kw = dict(q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding")
+    books = pq_fit(b, m=8, ks=16, max_iter=2, id_col="vec_id", vec_col="embedding")
+    full = pq_knn(q, b, k=10, codebooks=books, **kw).toPandas()
+    # 8 bytes → q_block == 1: every query is its own block
+    monkeypatch.setattr(pqmod, "_ADC_BLOCK_TARGET_BYTES", 8)
+    tiny = pq_knn(q, b, k=10, codebooks=books, **kw).toPandas()
+    key = ["qid", "nbr_rank"]
+    full = full.sort_values(key).reset_index(drop=True)
+    tiny = tiny.sort_values(key).reset_index(drop=True)
+    assert full["neighbor_id"].tolist() == tiny["neighbor_id"].tolist()
+    np.testing.assert_array_equal(
+        full["dist"].to_numpy(), tiny["dist"].to_numpy()
+    )
+
+
+def test_fit_rejects_duplicate_ids():
+    ids = np.array([1, 2, 2, 3])
+    with pytest.raises(ValueError, match="unique ids"):
+        pq_fit_arrays(ids, np.zeros((4, 8)), m=2, ks=2)
+
+
 def test_rerank_shortlist_is_exact_on_full_width(spark, emb_split):
     """rerank=|base| makes the shortlist the whole corpus → results must
     equal exact KNN (squared-L2 ranking == L2 ranking)."""

@@ -47,9 +47,13 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     # batch truth: per-(user, session) event counts; drop each user's last
     # session (still open in the stream's state)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', _prev_ts),"
+        " date_trunc('second', ts))"
+    )
     per_sess = (
-        ev.withColumn(
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
             "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
         )
         .withColumn(

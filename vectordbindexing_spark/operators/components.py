@@ -77,6 +77,12 @@ def connected_components(
 
     Nodes with no edges are not emitted (callers union singletons back if
     they need total coverage — ``dedup_groups`` does).
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixed point: the labels would be silently partial (some nodes still
+    attached to a non-minimal root), which for dedup means wrong keeper
+    flags. The algorithm converges in O(log n) rounds, so hitting the
+    default budget on real data indicates a bug, not a big graph.
     """
     edges = (
         pairs.select(
@@ -91,14 +97,22 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
+    converged = False
     for _ in range(max_rounds):
         ls = _large_star(edges)
         nxt = _small_star(ls).localCheckpoint(eager=True)
         cnt = nxt.count()
         if cnt == prev_count and nxt.exceptAll(edges).limit(1).count() == 0:
             edges = nxt
+            converged = True
             break
         edges, prev_count = nxt, cnt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds ({prev_count} edges at exhaustion) — labels would be "
+            f"partial; raise max_rounds"
+        )
     # fixed point: every edge is (member → component-min); roots appear
     # only on the b side, so union them in as self-labelled members.
     members = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))

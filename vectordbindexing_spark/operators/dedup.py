@@ -111,6 +111,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
 
@@ -118,6 +119,13 @@ def minhash_dedup_pairs(
     cross-engine md5-based shingle hash) → band → equi-join on
     (band_idx, band_key) → exact Jaccard verify. The equi-join on band keys
     is the 100 TB scale trick: candidate volume ∝ collisions, not n².
+
+    ``impl`` picks the signature plan (results pinned identical by
+    test_dedup_scale): "arrow" = mapInPandas kernel with a per-worker
+    distinct-shingle md5 cache (Python md5 cost O(vocabulary));
+    "jvm" = explode shingles → codegen'd md5 expression → ``num_hashes``
+    partially-aggregated F.min affine hashes (no Python, map-side
+    combine; md5 runs per shingle occurrence).
     """
     rows_per_band = num_hashes // bands
     from collections.abc import Iterator
@@ -161,22 +169,28 @@ def minhash_dedup_pairs(
 
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
 
-    g = (
-        repartition_for_compute(df)
-        .select(
-            F.col(id_col).cast("long").alias("did"),
-            F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
-        )
-        # Arrow-batched kernel: cached md5 per distinct shingle +
-        # vectorized affine minima (the pure-Column variant re-evaluates
-        # the md5 array inside every per-hash lambda — measured ~40x slower)
-        .mapInPandas(
-            signatures, schema="did long, grams array<string>, sig array<long>"
-        )
-        # materialize: the banding generator + band self-join below would
-        # otherwise recompute the signature kernel three more times
-        .localCheckpoint(eager=True)
+    shingled = repartition_for_compute(df).select(
+        F.col(id_col).cast("long").alias("did"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
+    if impl == "jvm":
+        g = _minhash_signatures_jvm(shingled, num_hashes).localCheckpoint(
+            eager=True
+        )
+    else:
+        g = (
+            # Arrow-batched kernel: cached md5 per distinct shingle +
+            # vectorized affine minima (the pure-Column variant re-evaluates
+            # the md5 array inside every per-hash lambda — measured ~40x
+            # slower)
+            shingled.mapInPandas(
+                signatures,
+                schema="did long, grams array<string>, sig array<long>",
+            )
+            # materialize: the banding generator + band self-join below would
+            # otherwise recompute the signature kernel three more times
+            .localCheckpoint(eager=True)
+        )
     # Band the bare ids only: the 8-way explode and the band self-join
     # shuffle (did, band_key) pairs, never the shingle arrays — at corpus
     # scale the gram sets dominate row width, so they are re-attached by id
@@ -232,21 +246,76 @@ def minhash_dedup_pairs(
     )
 
 
+def _minhash_signatures_jvm(shingled: DataFrame, num_hashes: int) -> DataFrame:
+    """(did, grams) → (did, grams, sig) with the signature computed
+    entirely JVM-side: explode distinct shingles, hash each with the
+    codegen'd md5 expression, and reduce ``num_hashes`` affine minima as
+    partially-aggregated F.min columns — only (did, num_hashes longs)
+    partial aggregates reach the exchange, never the shingle strings.
+    Docs with zero shingles coalesce to the all-MERSENNE31 sentinel
+    signature (minhash_signature's empty-set convention)."""
+    from vectordbindexing_spark.functions.hashing import (
+        _A_ADD,
+        _A_MUL,
+        _B_ADD,
+        _B_MUL,
+        MERSENNE31,
+        det_hash64,
+    )
+
+    ex = shingled.select("did", F.explode("grams").alias("gram"))
+    hm = (det_hash64(F.col("gram")) % F.lit(MERSENNE31)).alias("hm")
+    mins = ex.select("did", hm).groupBy("did").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(((i + 1) * _A_MUL + _A_ADD) % MERSENNE31).cast("long")
+                    * F.col("hm")
+                    + F.lit((i + 1) * _B_MUL + _B_ADD).cast("long"),
+                    F.lit(MERSENNE31).cast("long"),
+                )
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    sig_tbl = mins.select("did", sig.alias("sig"))
+    sentinel = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
+    return shingled.join(sig_tbl, "did", "left").select(
+        "did", "grams", F.coalesce("sig", sentinel).alias("sig")
+    )
+
+
 def simhash_text_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_bits: int = 32,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Token-frequency SimHash fingerprint per document: bit j is set iff
     Σ_tokens (±1 from bit j of the token's md5-hash) ≥ 0. The text twin of
     the vector SimHash (simple_sim_hash.py semantics applied to a bag of
-    words). The Arrow kernel hashes only the batch's DISTINCT tokens
-    (np.unique — vocabulary ≪ token count) and does one vectorized
-    sign-aggregation per batch (flat concat + segment reduceat), so
-    per-token Python work disappears. Exact-integer, cross-engine
-    reproducible.
+    words). Exact-integer, cross-engine reproducible; two equivalent
+    physical plans (pinned identical by test_dedup_scale):
+
+    - ``impl="arrow"`` (default): mapInPandas kernel that hashes only the
+      batch's DISTINCT tokens (np.unique — vocabulary ≪ token count) and
+      does one vectorized sign-aggregation per batch. Python md5 cost is
+      O(vocabulary) per batch; zero shuffle.
+    - ``impl="jvm"``: explode tokens → codegen'd md5 expression →
+      ``num_bits`` partially-aggregated conditional sums (map-side
+      combine: one (did, 32 longs) row per doc per partition reaches the
+      exchange) → bit pack. No Python at all, but md5 runs once per token
+      OCCURRENCE. Measured at sf0.1 (5k docs, local[32], warm): 1.06 s vs
+      0.64 s for the Arrow kernel (minhash: 4.9 s vs 3.0 s) — the Zipfian
+      vocabulary cache beats codegen'd per-occurrence hashing, so Arrow
+      stays the default; the JVM plan is kept parity-pinned because a
+      no-Python-worker deployment (or a GIL-bound executor profile) may
+      prefer it, and the choice is one flag.
     """
+    if impl == "jvm":
+        return _simhash_text_fingerprints_jvm(df, text_col, id_col, num_bits)
     from collections.abc import Iterator
 
     import numpy as np
@@ -288,6 +357,54 @@ def simhash_text_fingerprints(
             F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("txt")
         )
     ).mapInPandas(fingerprints, schema="did long, fingerprint long")
+
+
+def _simhash_text_fingerprints_jvm(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int,
+) -> DataFrame:
+    """Pure-expression twin of the Arrow fingerprint kernel (see
+    simhash_text_fingerprints impl="jvm"): explode occurrences, hash with
+    the codegen'd md5 expression, aggregate per-bit sign sums with
+    map-side combine, pack bits, and coalesce token-less docs to the
+    all-bits-set fingerprint (empty sum ≥ 0 for every bit)."""
+    from vectordbindexing_spark.functions.hashing import det_hash64
+
+    ids = df.select(
+        F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("txt")
+    )
+    toks = ids.select(
+        "did",
+        F.explode(
+            F.filter(F.split("txt", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    hashed = toks.select("did", det_hash64(F.col("tok")).alias("h"))
+    sums = hashed.groupBy("did").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"_s{j}")
+            for j in range(num_bits)
+        ]
+    )
+    fp = None
+    for j in range(num_bits):
+        term = (
+            F.when(F.col(f"_s{j}") >= 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp = term if fp is None else fp + term
+    fp_tbl = sums.select("did", fp.alias("fingerprint"))
+    all_bits = (1 << num_bits) - 1
+    return ids.select("did").join(fp_tbl, "did", "left").select(
+        "did",
+        F.coalesce("fingerprint", F.lit(all_bits).cast("long")).alias(
+            "fingerprint"
+        ),
+    )
 
 
 def simhash_text_neardup(

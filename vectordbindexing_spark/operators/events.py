@@ -33,10 +33,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Single shuffle on user_id; the lag/cumsum windows reuse that
     partitioning (no extra exchange).
+
+    The gap uses ``timestampdiff`` over second-truncated endpoints so it
+    works on both TIMESTAMP and TIMESTAMP_NTZ inputs — Spark 4 refuses
+    ``TIMESTAMP_NTZ → BIGINT`` casts, and the driver's events parquet
+    reads as NTZ — and is timezone-independent either way. The
+    ``date_trunc`` matters: it reproduces epoch-floor boundary-count
+    semantics (= DuckDB ``date_diff('second', ...)``), whereas a raw
+    timestampdiff truncates the full microsecond difference and flips
+    near-gap-threshold sessions.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    flagged = events.withColumn(
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', _prev_ts),"
+        " date_trunc('second', ts))"
+    )
+    flagged = events.withColumn("_prev_ts", F.lag("ts").over(w)).withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
     )

@@ -34,6 +34,12 @@ from vectordbindexing_spark.operators.topk import topk_per_group
 
 _FIT_SAMPLE_SIZE = 100_000
 _BLOCKED_THRESHOLD_QUERIES = 100_000
+# Per-task cap on the ADC distance-block allocation: the scan processes
+# queries in blocks of ~this many bytes of (q_block × batch) float64 —
+# without it 100k queries × an 8k-row Arrow batch is a ~6.5 GB matrix in
+# EVERY task. 128 MB keeps tasks comfortably inside executor memory while
+# staying BLAS-friendly.
+_ADC_BLOCK_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def pq_fit_arrays(
@@ -48,14 +54,21 @@ def pq_fit_arrays(
     centroid index (np.argmin), empty clusters keep their old centroid —
     the exact convention the DuckDB oracle replays from literals.
     Shared by pq_fit (Spark sample) and oracles.pq_knn_sql (same arrays).
+
+    Requires unique ids: with duplicates, rows sharing an id keep
+    caller-dependent relative order after the stable sort and the
+    canonicalization guarantee would silently fail.
     """
+    if np.unique(ids).size != ids.size:
+        raise ValueError("pq_fit_arrays requires unique ids")
     order = np.argsort(ids, kind="stable")
     ids, X = ids[order], X[order]
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    init_rows = np.argsort(ids, kind="stable")[:ks]
+    # rows are id-sorted above, so init = the first ks rows
+    init_rows = np.arange(min(ks, n))
     books = np.empty((m, ks, dsub), dtype=np.float64)
     for j in range(m):
         S = X[:, j * dsub : (j + 1) * dsub]
@@ -200,25 +213,32 @@ def pq_knn(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )
             bids = pdf["id"].to_numpy()
-            # sequential j-order accumulation — the same summation order
-            # as the oracle's ordered list_sum, so equal-code rows tie
-            # bit-exactly in both engines
-            D = np.zeros((len(bqids), len(bids)), dtype=np.float64)
-            for j in range(blut.shape[1]):
-                D += blut[:, j, :][:, codes[:, j]]
-            kk = min(shortlist, D.shape[1])
-            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            rows_d = np.take_along_axis(D, idx, axis=1)
-            order = np.argsort(rows_d, axis=1, kind="stable")
-            idx = np.take_along_axis(idx, order, axis=1)
-            rows_d = np.take_along_axis(rows_d, order, axis=1)
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(bqids, kk),
-                    "neighbor_id": bids[idx].ravel(),
-                    "dist": rows_d.ravel(),
-                }
-            )
+            kk = min(shortlist, len(bids))
+            # process queries in blocks so the dense (q_block × batch)
+            # distance matrix stays under _ADC_BLOCK_TARGET_BYTES per
+            # task; per-query results are independent, so blocking
+            # changes nothing about the output
+            q_block = max(1, _ADC_BLOCK_TARGET_BYTES // (len(bids) * 8))
+            for q0 in range(0, len(bqids), q_block):
+                q1 = min(q0 + q_block, len(bqids))
+                # sequential j-order accumulation — the same summation
+                # order as the oracle's ordered list_sum, so equal-code
+                # rows tie bit-exactly in both engines
+                D = np.zeros((q1 - q0, len(bids)), dtype=np.float64)
+                for j in range(blut.shape[1]):
+                    D += blut[q0:q1, j, :][:, codes[:, j]]
+                idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                rows_d = np.take_along_axis(D, idx, axis=1)
+                order = np.argsort(rows_d, axis=1, kind="stable")
+                idx = np.take_along_axis(idx, order, axis=1)
+                rows_d = np.take_along_axis(rows_d, order, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bqids[q0:q1], kk),
+                        "neighbor_id": bids[idx].ravel(),
+                        "dist": rows_d.ravel(),
+                    }
+                )
 
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
 

@@ -431,11 +431,13 @@ def frontier_search(
             .select("qid", F.col("dst").alias("neighbor_id"))
             .join(visited, ["qid", "neighbor_id"], "left_anti")  # visited filter
             .dropDuplicates(["qid", "neighbor_id"])
-            # materialize: consumed by the emptiness probe AND the
-            # candidate join — without this the round runs twice
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the count() below is the ONE action that
+            # both materializes it (consumed by the candidate join — the
+            # round must not run twice) and answers the emptiness probe;
+            # an eager checkpoint + isEmpty() was two jobs per round
+            .localCheckpoint(eager=False)
         )
-        if expand.isEmpty():
+        if expand.count() == 0:
             break
         cand = expand.join(qv, "qid").join(bv, "neighbor_id")
         new_scored = _score_candidates(cand, metric)

@@ -279,6 +279,7 @@ def _np_two_layer_topk(
     ef_search: int = 64,
     num_entry_points: int = 3,
     layer1_ef_multiplier: int = 2,
+    cross_check: bool = False,
 ):
     """Per-query top-k [(dist, neighbor_id), ...] — numpy twin of the
     two-layer pipeline (deterministic level assignment → layer-1/layer-0
@@ -318,11 +319,25 @@ def _np_two_layer_topk(
     if int(um.sum()) >= 2:
         layers[1] = knn_edges(bids[um], B[um], M1)
     adj = _np_mutualize(layers, cap=2 * max(M0, M1))
-    return _np_serve(
-        adj, bids, B, Q, k=k, ef_search=ef_search,
-        num_entry_points=num_entry_points,
+    kwargs = dict(
+        k=k, ef_search=ef_search, num_entry_points=num_entry_points,
         layer1_ef_multiplier=layer1_ef_multiplier,
     )
+    served = _np_serve(adj, bids, B, Q, **kwargs)
+    if cross_check:
+        # second derivation from the published algorithm (Malkov &
+        # Yashunin Alg. 2, sorted lists, written independently of the
+        # heap twin above AND of operators/search.py): the pin is only
+        # trusted when both agree per query
+        alg2 = _np_serve_algo2(adj, bids, B, Q, **kwargs)
+        for qi, (a, b2) in enumerate(zip(served, alg2)):
+            if {nid for _, nid in a} != {nid for _, nid in b2}:
+                raise RuntimeError(
+                    f"two-layer pin cross-check diverged at query {qi}: "
+                    f"heap-twin {sorted(n for _, n in a)} vs algo2 "
+                    f"{sorted(n for _, n in b2)}"
+                )
+    return served
 
 
 def _np_mutualize(layers: dict, cap: int) -> dict:
@@ -457,6 +472,90 @@ def _np_serve(
     return out
 
 
+def _np_serve_algo2(
+    adj: dict,
+    bids,
+    B,
+    Q,
+    k: int,
+    ef_search: int,
+    num_entry_points: int,
+    layer1_ef_multiplier: int,
+):
+    """Second, independently-structured serve stage: a literal
+    transcription of SEARCH-LAYER from Malkov & Yashunin, "Efficient and
+    robust approximate nearest neighbor search using HNSW" (TPAMI 2018),
+    Algorithm 2 — candidate set C and dynamic result list W kept as
+    bisect-sorted lists, no heaps, visited as a Python set. Written from
+    the paper, not from operators/search.py, so the two-layer recall pin
+    is the agreement of two independent derivations rather than a replay
+    of one implementation (a bug shared with the Spark kernel would have
+    to be reproduced twice from different sources to self-confirm).
+
+    Only exact-tie eviction order could differ from the heap twin (the
+    paper leaves "remove furthest" ties unspecified); the generated
+    Gaussian datasets have no duplicate vectors, so any divergence is a
+    real bug and the caller raises on it.
+    """
+    import bisect
+
+    import numpy as np
+
+    pos_ids, PVi, csr, ep_pos = _np_compact(adj, bids, B, num_entry_points)
+
+    def dists(q, pos_arr):
+        Vv = PVi[np.asarray(pos_arr, dtype=np.int64)].astype(np.float64)
+        return 1.0 - (Vv @ q) / (np.linalg.norm(Vv, axis=1) * np.linalg.norm(q))
+
+    def search_layer(q, layer, entries, ef, max_hops=500):
+        got = csr.get(layer)
+        entries = np.unique(np.asarray(entries, dtype=np.int64))
+        seed = sorted(
+            (float(d), int(p)) for d, p in zip(dists(q, entries), entries)
+        )
+        if got is None:
+            return seed
+        indptr_a, indices_a = got
+        visited = {int(p) for p in entries}
+        C = list(seed)  # candidates, ascending (dist, pos)
+        W = list(seed)[:ef]  # dynamic result list, ascending
+        hops = 0
+        while C and hops < max_hops:
+            d, p = C.pop(0)  # extract nearest candidate
+            if len(W) >= ef and d > W[-1][0]:
+                break  # all remaining candidates are further than W's worst
+            hops += 1
+            for pp in indices_a[indptr_a[p] : indptr_a[p + 1]]:
+                pp = int(pp)
+                if pp in visited:
+                    continue
+                visited.add(pp)
+                dd = float(dists(q, [pp])[0])
+                if len(W) < ef or dd < W[-1][0]:
+                    bisect.insort(C, (dd, pp))
+                    bisect.insort(W, (dd, pp))
+                    del W[ef:]
+        return W
+
+    out = []
+    for qi in range(len(Q)):
+        q = Q[qi]
+        entries = ep_pos
+        for layer in sorted(csr, reverse=True):
+            if layer == 0:
+                continue
+            up = search_layer(
+                q, layer, entries, layer1_ef_multiplier * max(ef_search, k)
+            )
+            entries = np.array(
+                [p for _, p in up[:num_entry_points]], dtype=np.int64
+            )
+        res = search_layer(q, 0, entries, max(ef_search, k))
+        res.sort(key=lambda t: (t[0], pos_ids[t[1]]))
+        out.append([(float(d), int(pos_ids[p])) for d, p in res[:k]])
+    return out
+
+
 def _recall_pin(total_m: int, n_q: int, k: int) -> str:
     """HALF_UP round of total_m/(n_q·k) at 4dp in exact arithmetic."""
     num, den = total_m * 10**4, n_q * k
@@ -481,7 +580,7 @@ def _two_layer_recall_pins(
         qids, Q = ids[qm], V[qm]
         bids, B = ids[~qm], V[~qm]
         topk = _np_two_layer_topk(bids, B, Q, k=k, M0=M0, M1=M1,
-                                  ef_search=ef_search)
+                                  ef_search=ef_search, cross_check=True)
         D_exact = _np_cosine_matrix(Q, B)
         total_m = 0
         for qi in range(len(qids)):

@@ -39,11 +39,27 @@ def salted_join(
     ALL its columns (content-derived → stable across retries, unlike
     rand()); ``other`` is replicated ``num_salts``× via an exploded
     literal range. The join key becomes (on, salt), splitting one hot
-    key's rows across ``num_salts`` tasks. Result equals the unsalted
-    join (salt columns are internal). Cost: |other| × num_salts rows
+    key's rows across ``num_salts`` tasks. Cost: |other| × num_salts rows
     through the exchange — size num_salts to the observed skew, and
     prefer plain AQE first.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are allowed: those
+    equal the unsalted join because output rows come from the skewed side
+    (each appears under exactly one salt, and ``other`` carries every key
+    under every salt). Right/full-outer would emit each unmatched
+    ``other`` row ``num_salts`` times (it exists once per salt but matches
+    none) — rejected.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched rows of "
+            f"the replicated side; use one of {sorted(allowed)}"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
     ).cast("int")

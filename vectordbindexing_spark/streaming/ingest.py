@@ -133,9 +133,21 @@ def streaming_event_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event_type — streaming twin of
     operators.events.hourly_stats (same output columns, so results can be
-    hash-compared against the batch run of the same data)."""
+    hash-compared against the batch run of the same data).
+
+    ``withWatermark`` requires an event-time column of type TIMESTAMP —
+    the driver's events parquet now reads as TIMESTAMP_NTZ, so cast to
+    LTZ for the watermark/window and cast the window boundary back to the
+    input's type (wall-clock-preserving round trip under any fixed-offset
+    session timezone) so stream output stays hash-comparable with the
+    batch twin.
+    """
+    ts_type = dict(events_stream.dtypes).get("ts", "timestamp")
+    stream = events_stream
+    if ts_type != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
-        events_stream.withWatermark("ts", watermark)
+        stream.withWatermark("ts", watermark)
         .groupBy(F.col("event_type"), F.window("ts", window))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -144,7 +156,7 @@ def streaming_event_counts(
         )
         .select(
             "event_type",
-            F.col("window.start").alias("hour"),
+            F.col("window.start").cast(ts_type).alias("hour"),
             "n_events",
             "n_users_approx",
             "sum_value",
