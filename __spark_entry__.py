@@ -17,11 +17,12 @@ ann_sharded_recall, roargraph_recall, traced_steps_summary) are PINS: a
 driver-side numpy replication of the deterministic pipeline, written
 against the same conventions as the Spark kernels — they verify the
 distributed plumbing end-to-end, but a convention-level bug shared by
-kernel and twin would self-confirm. To narrow that gap the two-layer
-pin's serve stage is additionally cross-checked against a second
-implementation transcribed independently from the published HNSW
+kernel and twin would self-confirm. To narrow that gap the serve stage
+of the two-layer, sharded, and roargraph pins is cross-checked against a
+second implementation transcribed independently from the published HNSW
 algorithm (oracles._np_serve_algo2; Malkov & Yashunin TPAMI 2018, Alg.
-2) and raises on any divergence.
+2) and raises on any divergence; the traced-steps pin remains
+single-derivation.
 """
 
 from __future__ import annotations

@@ -100,7 +100,9 @@ def connected_components(
     converged = False
     for _ in range(max_rounds):
         ls = _large_star(edges)
-        nxt = _small_star(ls).localCheckpoint(eager=True)
+        # lazy checkpoint: the count() is the ONE action that materializes
+        # it AND feeds the convergence probe (eager + count was 2 jobs)
+        nxt = _small_star(ls).localCheckpoint(eager=False)
         cnt = nxt.count()
         if cnt == prev_count and nxt.exceptAll(edges).limit(1).count() == 0:
             edges = nxt

@@ -340,12 +340,15 @@ def khop_reachability(
             .select("root", F.col("_ed").alias("node"), F.lit(h).alias("hops"))
             .distinct()
         )
+        # lazy checkpoint: the count() materializes it and doubles as the
+        # drain probe (eager + limit(1).count() was two jobs per round);
+        # the union checkpoint materializes inside the NEXT round's probe
         new = nxt.join(
             reached.select("root", "node"), ["root", "node"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if new.count() == 0:
             break
-        reached = reached.union(new).localCheckpoint(eager=True)
+        reached = reached.union(new).localCheckpoint(eager=False)
         frontier = new
     return reached
 

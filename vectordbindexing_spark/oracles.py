@@ -622,7 +622,7 @@ def _sharded_recall_pins(
             if not m.any():
                 continue
             topk = _np_two_layer_topk(bids[m], B[m], Q, k=k, M0=M0, M1=M1,
-                                      ef_search=ef_search)
+                                      ef_search=ef_search, cross_check=True)
             for qi in range(len(qids)):
                 merged[qi].extend(topk[qi])
         D_exact = _np_cosine_matrix(Q, B)
@@ -693,8 +693,18 @@ def _roargraph_recall_pins(
             {0: [(s, d, dist) for (s, d), dist in edges.items()]},
             cap=2 * M_pjbp,
         )
-        topk = _np_serve(adj, bids, B, Qte, k=k, ef_search=ef_search,
-                         num_entry_points=3, layer1_ef_multiplier=2)
+        serve_kw = dict(k=k, ef_search=ef_search, num_entry_points=3,
+                        layer1_ef_multiplier=2)
+        topk = _np_serve(adj, bids, B, Qte, **serve_kw)
+        # independent-derivation cross-check (see _np_serve_algo2): the
+        # roargraph pin shares the serve stage, so it gets the same
+        # two-implementations-must-agree guarantee
+        alg2 = _np_serve_algo2(adj, bids, B, Qte, **serve_kw)
+        for qi, (a, b2) in enumerate(zip(topk, alg2)):
+            if {nid for _, nid in a} != {nid for _, nid in b2}:
+                raise RuntimeError(
+                    f"roargraph pin cross-check diverged at query {qi}"
+                )
         D_te = _np_cosine_matrix(Qte, B)
         total_m = 0
         for qi in range(len(qte_ids)):
