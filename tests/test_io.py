@@ -139,3 +139,35 @@ def test_knn_planner(spark, tables):
     out = knn(q, b, k=3, q_id="vec_id", q_vec="embedding",
               b_id="vec_id", b_vec="embedding")
     assert out.count() == 15
+
+
+def test_graph_serving_planner(spark, tables, tmp_path, monkeypatch):
+    import vectordbindexing_spark.plans.knn_planner as kp
+    from vectordbindexing_spark.plans.knn_planner import (
+        graph_knn,
+        plan_graph_serving,
+    )
+
+    assert plan_graph_serving(10_000).strategy == "compact"
+    big = plan_graph_serving(10_000_000)
+    assert big.strategy == "sharded"
+    assert big.params["num_shards"] == 20  # ceil(10M / 500k)
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(5)
+    b = emb.filter(F.col("vec_id") % 10 != 0)
+    compact = graph_knn(q, b, k=3, q_id="vec_id", q_vec="embedding",
+                        b_id="vec_id", b_vec="embedding")
+    assert compact.count() == 15
+    assert set(compact.columns) == {"qid", "nbr_rank", "neighbor_id", "dist"}
+    # shrink the threshold: same call must route through the persisted
+    # sharded artifact and still produce k rows per query
+    monkeypatch.setattr(kp, "COMPACT_INDEX_LIMIT", 10)
+    monkeypatch.setattr(kp, "SHARD_TARGET_ROWS", 300)
+    art_path = str(tmp_path / "art")
+    sharded = graph_knn(q, b, k=3, q_id="vec_id", q_vec="embedding",
+                        b_id="vec_id", b_vec="embedding",
+                        artifact_path=art_path)
+    assert sharded.count() == 15
+    import os
+    assert any(p.startswith("shard=") for p in os.listdir(art_path))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Above this many base rows, exact scanning costs more than LSH/IVF build.
 EXACT_BASE_LIMIT = 2_000_000
@@ -86,3 +87,90 @@ def knn(
     from vectordbindexing_spark.operators.lsh import lsh_knn
 
     return lsh_knn(queries, base, k, metric=metric, **plan.params, **cols)
+
+
+# One executor comfortably holds a compact CSR + float32 vectors up to
+# ~this many rows (64-dim f32 ≈ 256 B/row + edges ≈ 0.5 KB/row → ~1 GB at
+# 2M). Past it the driver-collect broadcast is the wrong plan even if it
+# fits driver memory: route to the sharded artifact.
+COMPACT_INDEX_LIMIT = 2_000_000
+# Target rows per shard for the sharded build (each shard's build is an
+# in-executor kernel; its candidate generation is the binding cost).
+SHARD_TARGET_ROWS = 500_000
+
+
+def plan_graph_serving(n_base: int) -> KnnPlan:
+    """Graph-ANN serving route from corpus size (pure decision, no jobs):
+
+    - ``compact``: driver-collect + broadcast CSR — the low-latency path
+      while the index fits one executor.
+    - ``sharded``: per-executor shard builds persisted as a parquet
+      artifact, parallel per-shard search + global merge — the 100 TB
+      route (operators.shard).
+
+    The iterative frontier join (operators.search.frontier_search) is NOT
+    auto-chosen: it trades latency for unbounded index size and needs the
+    caller to own round/beam budgets.
+    """
+    if n_base <= COMPACT_INDEX_LIMIT:
+        return KnnPlan("compact", {})
+    num_shards = max(2, -(-n_base // SHARD_TARGET_ROWS))
+    return KnnPlan("sharded", {"num_shards": num_shards})
+
+
+def graph_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    M0: int = 16,
+    M1: int = 8,
+    ef_search: int = 64,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+    artifact_path: str | None = None,
+) -> DataFrame:
+    """Planner-dispatched graph-ANN serving: build + search via the route
+    :func:`plan_graph_serving` picks from a bounded size probe. Both
+    routes emit (qid, nbr_rank, neighbor_id, dist). With
+    ``artifact_path`` the sharded route persists and serves from the
+    parquet artifact (save → load → search); the compact route ignores it
+    (its artifact is the in-memory broadcast).
+    """
+    n_b = base.limit(COMPACT_INDEX_LIMIT + 1).count()
+    plan = plan_graph_serving(n_b)
+    if plan.strategy == "compact":
+        from vectordbindexing_spark.operators.graph import build_two_layer_index
+        from vectordbindexing_spark.operators.search import (
+            compact_index,
+            graph_search,
+        )
+
+        b = base.select(
+            F.col(b_id).cast("long").alias("id"), F.col(b_vec).alias("vec")
+        ).localCheckpoint(eager=True)  # consumed by build + compact
+        edges = build_two_layer_index(b, M0=M0, M1=M1, metric=metric)
+        idx = compact_index(edges, b, metric=metric)
+        return graph_search(
+            queries, idx, k=k, ef_search=ef_search, q_id=q_id, q_vec=q_vec
+        )
+    from vectordbindexing_spark.operators.shard import (
+        build_sharded_index,
+        load_sharded_index,
+        save_sharded_index,
+        search_sharded,
+    )
+
+    art = build_sharded_index(
+        base, num_shards=plan.params["num_shards"], M0=M0, M1=M1,
+        metric=metric, id_col=b_id, vec_col=b_vec,
+    )
+    if artifact_path is not None:
+        save_sharded_index(art, artifact_path)
+        art = load_sharded_index(queries.sparkSession, artifact_path)
+    return search_sharded(
+        queries, art, k=k, ef_search=ef_search, metric=metric,
+        q_id=q_id, q_vec=q_vec,
+    )
