@@ -483,6 +483,63 @@ def _simhash_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_text_fingerprints(docs, text_col="text", id_col="doc_id")
 
 
+def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest path over REAL compressed images: deterministic
+    synthetic frames (seeded per doc_id) are JPEG-encoded and decoded
+    executor-side with the vendored pure-numpy T.81 codec (io/jpeg.py),
+    then reduced to typed stats. Rows-only check (a codec is not
+    SQL-expressible); the codec itself is round-trip-pinned by test_jpeg.
+    Mirrors the reference's flickr30k_clip.ipynb cell 6 ingest
+    (JPEG files → batch decode → features) in distributed form."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vectordbindexing_spark.io.jpeg import decode_jpeg, encode_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+
+    def codec_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:24, 0:24]
+        for pdf in batches:
+            ids, ws, hs, means, sizes = [], [], [], [], []
+            for did in pdf["doc_id"]:
+                img = (
+                    (128 + 80 * np.sin(xx / 18.0 + int(did))
+                     + 40 * np.cos(yy / 11.0))
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                )
+                buf = encode_jpeg(img, quality=90)
+                dec = decode_jpeg(buf)
+                ids.append(int(did))
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                means.append(round(float(dec.mean()), 4))
+                sizes.append(len(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "width": ws, "height": hs,
+                    "mean_intensity": means, "jpeg_bytes": sizes,
+                }
+            )
+
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    return repartition_for_compute(docs).mapInPandas(
+        codec_pass,
+        schema=(
+            "doc_id long, width int, height int, mean_intensity double, "
+            "jpeg_bytes int"
+        ),
+    )
+
+
 def _dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup grouping: simhash near-dup pairs →
     large-star/small-star connected components → per-doc group assignment
@@ -765,6 +822,7 @@ def queries() -> dict[str, Query]:
         "dedup_groups": _dedup_groups,
         # stats / eval (SURVEY §2.5/2.11)
         "modality_stats": _modality_stats,
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
         "events_value_percentiles": _events_value_percentiles,

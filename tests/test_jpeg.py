@@ -1,0 +1,104 @@
+"""Vendored baseline-JPEG codec (io/jpeg.py): encode→decode round-trips,
+spec-edge behavior (odd dims, restart markers, flat blocks, unsupported
+modes), and the Spark multimodal path over real JPEG bytes."""
+
+import numpy as np
+import pytest
+
+from vectordbindexing_spark.io.jpeg import decode_jpeg, encode_jpeg
+
+
+def _smooth(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        (128 + 80 * np.sin(xx / 18.0 + seed) + 40 * np.cos(yy / 11.0))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def test_gray_roundtrip_low_loss():
+    img = _smooth(40, 56)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 3 and err.mean() < 1.0
+
+
+def test_rgb_roundtrip_low_loss():
+    g = _smooth(40, 56)
+    rgb = np.stack([g, np.roll(g, 5, 0), 255 - g], axis=2)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert dec.shape == rgb.shape
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 8 and err.mean() < 1.5
+
+
+def test_flat_image_exact():
+    flat = np.full((16, 24), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=90)) == 77).all()
+
+
+def test_odd_dimensions_cropped():
+    # 13x21: MCU grid pads to 16x24; decode must crop back
+    img = _smooth(13, 21, seed=2)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (13, 21)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_restart_markers_roundtrip():
+    img = _smooth(32, 48, seed=1)
+    buf = encode_jpeg(img, quality=95, restart_interval=3)
+    assert b"\xff\xdd" in buf  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + n]) in buf for n in range(8))
+    dec = decode_jpeg(buf)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_quality_monotone():
+    img = _smooth(40, 40, seed=3)
+    hi = decode_jpeg(encode_jpeg(img, quality=95)).astype(int)
+    lo = decode_jpeg(encode_jpeg(img, quality=20)).astype(int)
+    e_hi = np.abs(hi - img.astype(int)).mean()
+    e_lo = np.abs(lo - img.astype(int)).mean()
+    assert e_hi < e_lo
+    assert len(encode_jpeg(img, quality=20)) < len(encode_jpeg(img, quality=95))
+
+
+def test_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P6 1 1 255 abc")
+    # fake a SOF2 (progressive) frame header
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    idx = buf.find(b"\xff\xc0")
+    buf[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_spark_decode_image_features_jpeg(spark):
+    from vectordbindexing_spark.operators.multimodal import (
+        decode_image_features,
+        embed_media,
+    )
+
+    rows = [
+        (i, "image", encode_jpeg(_smooth(24, 24, seed=i), quality=90),
+         "image/jpeg")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="media_id long, kind string, content binary, mime string"
+    )
+    feats = decode_image_features(df, decoder="jpeg")
+    fr = feats.collect()
+    assert len(fr) == 12
+    assert all(r["width"] == 24 and r["height"] == 24 for r in fr)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in fr)
+    # luminance means must track the (decoded) source images
+    for r in fr:
+        src = decode_jpeg(bytes(rows[r["media_id"]][2])).astype(np.float64)
+        assert abs(r["mean_intensity"] - src.mean()) < 1e-9
+    emb = embed_media(feats).collect()
+    assert len(emb) == 12 and all(len(r["embedding"]) == 16 for r in emb)

@@ -7,10 +7,13 @@ model) in Spark-native form: binary column + ``mapInPandas`` decode /
 feature-extract / embed stages. Decoders:
 
 - ``decoder="ppm"`` — REAL decode of binary P6 PPM images (vendored
-  pure-python parser, no external libs; runs in CI). Compressed formats
-  (JPEG/PNG) need PIL/libjpeg, which this container does not ship — at
-  deployment, register another entry in ``_DECODERS`` and the dataflow
-  (schema, batching, partitioning, UDF signature) is unchanged.
+  pure-python parser, no external libs; runs in CI).
+- ``decoder="jpeg"`` — REAL decode of baseline JPEG (vendored pure-numpy
+  ITU-T T.81 sequential-DCT decoder, ``io/jpeg.py``; round-trip-tested
+  against its paired encoder). Progressive/arithmetic JPEG and other
+  compressed formats (PNG/WebP) still need a native lib — register
+  another ``_DECODERS`` entry at deployment; the dataflow (schema,
+  batching, partitioning, UDF signature) is unchanged.
 - ``decoder="fake"`` — deterministic bytes-derived pseudo-decode for
   plumbing tests on arbitrary binary payloads.
 """
@@ -77,7 +80,17 @@ def _decode_ppm(buf: bytes) -> np.ndarray:
     return rgb.mean(axis=2)
 
 
-_DECODERS = {"fake": _fake_decode, "ppm": _decode_ppm}
+def _decode_jpeg_luma(buf: bytes) -> np.ndarray:
+    """Baseline JPEG → luminance grid (channel mean, like the PPM
+    decoder) as float64 in [0, 255]. Vendored pure-numpy T.81 decoder —
+    see io/jpeg.py."""
+    from vectordbindexing_spark.io.jpeg import decode_jpeg
+
+    img = decode_jpeg(buf).astype(np.float64)
+    return img.mean(axis=2) if img.ndim == 3 else img
+
+
+_DECODERS = {"fake": _fake_decode, "ppm": _decode_ppm, "jpeg": _decode_jpeg_luma}
 
 
 def decode_image_features(
