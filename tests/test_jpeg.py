@@ -102,3 +102,22 @@ def test_spark_decode_image_features_jpeg(spark):
         assert abs(r["mean_intensity"] - src.mean()) < 1e-9
     emb = embed_media(feats).collect()
     assert len(emb) == 12 and all(len(r["embedding"]) == 16 for r in emb)
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0 exercises interleaved multi-block MCUs (2x2 Y + Cb + Cr) and
+    the decoder's chroma upsampling; chroma is box-averaged so tolerance
+    is wider than 4:4:4 but luma must stay tight."""
+    g = _smooth(37, 45, seed=4)  # odd dims: MCU grid pads to 48x48
+    rgb = np.stack([g, np.roll(g, 5, 0), 255 - g], axis=2)
+    buf = encode_jpeg(rgb, quality=95, subsample="420")
+    dec = decode_jpeg(buf)
+    assert dec.shape == rgb.shape
+    # smaller than 4:4:4 at the same quality (half the chroma blocks)
+    assert len(buf) < len(encode_jpeg(rgb, quality=95, subsample="444"))
+    y = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]  # noqa: E731
+                   + 0.114 * a[..., 2])
+    assert np.abs(y(dec.astype(float)) - y(rgb.astype(float))).mean() < 2.0
+    assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 12
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(rgb, subsample="422")

@@ -408,15 +408,23 @@ def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
-    4:4:4 sampling, Annex K tables scaled by ``quality`` (libjpeg's
-    scaling convention); ``restart_interval`` > 0 emits a DRI segment and
-    RSTn markers every N MCUs. Test-fixture-grade: correctness over
-    speed."""
+    Annex K tables scaled by ``quality`` (libjpeg's scaling convention);
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs; ``subsample`` is "444" (chroma at full resolution) or "420"
+    (chroma averaged 2×2, Y sampling factor 2×2 — exercises the
+    decoder's interleaved multi-block MCUs and upsampling).
+    Test-fixture-grade: correctness over speed."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     img = np.asarray(img)
     gray = img.ndim == 2
+    sub = subsample == "420" and not gray
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]
@@ -426,10 +434,24 @@ def encode_jpeg(
         Cb = 128.0 - 0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2]
         Cr = 128.0 + 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2]
         planes = [Y, Cb, Cr]
+    if sub:
+        # pad to even dims, then 2×2 box-average the chroma planes
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        for ci in (1, 2):
+            p = np.pad(
+                planes[ci], ((0, eh - h), (0, ew - w)), mode="edge"
+            )
+            planes[ci] = (
+                p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            )
     qy = _scaled_q(_Q_LUMA, quality)
     qc = _scaled_q(_Q_CHROMA, quality)
     qtabs = [qy] if gray else [qy, qc, qc]
     tq_ids = [0] if gray else [0, 1, 1]
+    # per-component (h, v) sampling factors
+    samp = [(1, 1)] if gray else (
+        [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -443,7 +465,8 @@ def encode_jpeg(
     sof += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([ncomp])
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, tq_ids[cid - 1]])
+        sh, sv = samp[cid - 1]
+        sof += bytes([cid, (sh << 4) | sv, tq_ids[cid - 1]])
     out += b"\xff\xc0" + sof
     tables = (
         ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA))
@@ -473,15 +496,25 @@ def encode_jpeg(
         [] if gray else [_encode_codes(*_AC_CHROMA)] * 2
     )
     bw = _BitWriter()
-    pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = [
-        np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge") for p in planes
-    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        p = planes[ci]
+        padded.append(
+            np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+        )
     pred = [0] * ncomp
     mcu_count = 0
     rst_n = 0
-    for my in range(pad_h // 8):
-        for mx in range(pad_w // 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if (
                 restart_interval
                 and mcu_count
@@ -493,35 +526,40 @@ def encode_jpeg(
                 pred = [0] * ncomp
             mcu_count += 1
             for ci in range(ncomp):
-                block = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                S = _C @ (block - 128.0) @ _C.T
-                coefs = np.round(S / qtabs[ci]).astype(np.int64)
-                zz = coefs.reshape(64)[_ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s, bits_v = _magnitude(diff)
-                code, length = dc_tabs[ci][s]
-                bw.write(code, length)
-                if s:
-                    bw.write(bits_v, s)
-                run = 0
-                for kk in range(1, 64):
-                    v = int(zz[kk])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_tabs[ci][0xF0]  # ZRL
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        S = _C @ (block - 128.0) @ _C.T
+                        coefs = np.round(S / qtabs[ci]).astype(np.int64)
+                        zz = coefs.reshape(64)[_ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, bits_v = _magnitude(diff)
+                        code, length = dc_tabs[ci][s]
                         bw.write(code, length)
-                        run -= 16
-                    s, bits_v = _magnitude(v)
-                    code, length = ac_tabs[ci][(run << 4) | s]
-                    bw.write(code, length)
-                    bw.write(bits_v, s)
-                    run = 0
-                if run:
-                    code, length = ac_tabs[ci][0x00]  # EOB
-                    bw.write(code, length)
+                        if s:
+                            bw.write(bits_v, s)
+                        run = 0
+                        for kk in range(1, 64):
+                            v = int(zz[kk])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_tabs[ci][0xF0]  # ZRL
+                                bw.write(code, length)
+                                run -= 16
+                            s, bits_v = _magnitude(v)
+                            code, length = ac_tabs[ci][(run << 4) | s]
+                            bw.write(code, length)
+                            bw.write(bits_v, s)
+                            run = 0
+                        if run:
+                            code, length = ac_tabs[ci][0x00]  # EOB
+                            bw.write(code, length)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
