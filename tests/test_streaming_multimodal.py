@@ -122,7 +122,7 @@ def test_decoder_registry_is_closed(spark):
     a _DECODERS entry at deployment)."""
     from vectordbindexing_spark.operators.multimodal import _DECODERS
 
-    assert set(_DECODERS) == {"fake", "ppm"}
+    assert set(_DECODERS) == {"fake", "ppm", "jpeg"}
 
 
 def test_ppm_decoder_real_decode(spark):
