@@ -469,6 +469,16 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs, text_col="text", id_col="doc_id")
 
 
+def _corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data keep/drop gate: language + quality + token bounds +
+    exact-dup keeper combined into one verdict with the first failing
+    rule as the reason (the last stage of every corpus pipeline)."""
+    from vectordbindexing_spark.operators.textops import corpus_filter_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_filter_gate(docs, text_col="text", id_col="doc_id")
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.textops import doc_fingerprint
 
@@ -830,6 +840,7 @@ def queries() -> dict[str, Query]:
         "text_token_stats": _text_token_stats,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
+        "corpus_filter_gate": _corpus_filter_gate,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -905,6 +916,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS_SQL,
         "text_quality_score": oracles.quality_score_sql(STOPWORDS),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS),
+        "corpus_filter_gate": oracles.corpus_filter_gate_sql(
+            LANG_MARKERS, STOPWORDS
+        ),
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,
         "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,

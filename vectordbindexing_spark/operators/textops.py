@@ -109,6 +109,82 @@ def lang_id(
     )
 
 
+def corpus_filter_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """The final keep/drop gate of a training-data pipeline: combine
+    language ID, quality heuristics, token bounds and exact-dup keeper
+    status into one verdict per document, with the FIRST failing rule as
+    the drop reason (priority: duplicate > lang > too_short > too_long >
+    high_punct > no_stopwords).
+
+    One scan + one shuffle: every feature is a Column expression over the
+    text; the keeper flag is a row_number window over md5(text) (the
+    same exact-dup semantics as dedup.exact_dedup — min id wins), so no
+    join is needed. Output: (doc_id, pred_lang, n_tokens, punct_ratio,
+    is_keeper, keep, reason).
+    """
+    from pyspark.sql import Window
+
+    toks = words(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("double")
+    n_punct = (
+        n_chars
+        - F.length(F.regexp_replace(text_col, r"[.,;:!?]", "")).cast("double")
+    )
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    has_stop = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    )
+    ltoks = words(F.lower(F.col(text_col)))
+    scores = [
+        F.struct(
+            F.size(
+                F.filter(
+                    ltoks,
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(m) for m in markers]), t
+                    ),
+                )
+            ).cast("long").alias("score"),
+            F.lit(lg).alias("lang"),
+        )
+        for lg, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    pred_lang = (
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    is_keeper = F.row_number().over(w) == 1
+    reason = (
+        F.when(~is_keeper, F.lit("duplicate"))
+        .when(pred_lang != F.lit(lang), F.lit("lang"))
+        .when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(punct_ratio > max_punct_ratio, F.lit("high_punct"))
+        .when(~has_stop, F.lit("no_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred_lang.alias("pred_lang"),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        is_keeper.cast("long").alias("is_keeper"),
+        (reason == F.lit("keep")).cast("long").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

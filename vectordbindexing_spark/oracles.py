@@ -1346,6 +1346,65 @@ def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
     """
 
 
+def corpus_filter_gate_sql(
+    markers: dict[str, tuple[str, ...]],
+    stopwords: tuple[str, ...],
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    max_punct_ratio: float = 0.2,
+) -> str:
+    """Mirrors textops.corpus_filter_gate: same lang argmax (score DESC,
+    lang DESC tie-break = Spark's struct array_max), same md5-window
+    keeper, same rule priority, comparisons on the ROUNDED punct ratio."""
+    toks = WORDS_SQL.format(t="text")
+    ltoks = WORDS_SQL.format(t="lower(text)")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
+    arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, '{lg}' AS lang, "
+        f"len(list_filter(ltoks, t -> list_contains("
+        f"[{', '.join(repr(m) for m in ms)}], t)))::BIGINT AS score FROM t"
+        for lg, ms in sorted(markers.items())
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks, {ltoks} AS ltoks
+               FROM documents),
+         s AS ({arms}),
+         lr AS (SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang DESC) AS rnk
+                FROM s),
+         lid AS (SELECT doc_id,
+                        CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+                 FROM lr WHERE rnk = 1),
+         f AS (SELECT doc_id,
+                      len(toks)::BIGINT AS n_tokens,
+                      round((length(text) - length(
+                              regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                            / length(text), 6) AS punct_ratio,
+                      (len(list_filter(toks, x ->
+                           list_contains({stop_list}, x))) > 0) AS has_stop,
+                      (row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) = 1) AS is_keeper
+               FROM t),
+         g AS (SELECT f.doc_id, lid.pred_lang, f.n_tokens, f.punct_ratio,
+                      f.is_keeper,
+                      CASE WHEN NOT f.is_keeper THEN 'duplicate'
+                           WHEN lid.pred_lang <> '{lang}' THEN 'lang'
+                           WHEN f.n_tokens < {min_tokens} THEN 'too_short'
+                           WHEN f.n_tokens > {max_tokens} THEN 'too_long'
+                           WHEN f.punct_ratio > {max_punct_ratio} THEN 'high_punct'
+                           WHEN NOT f.has_stop THEN 'no_stopwords'
+                           ELSE 'keep' END AS reason
+               FROM f JOIN lid USING (doc_id))
+    SELECT doc_id, pred_lang, n_tokens, punct_ratio,
+           is_keeper::BIGINT AS is_keeper,
+           (reason = 'keep')::BIGINT AS keep,
+           reason
+    FROM g
+    """
+
+
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(text) AS fingerprint,
