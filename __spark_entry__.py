@@ -469,6 +469,18 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs, text_col="text", id_col="doc_id")
 
 
+def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate: training docs (doc_id % 20 != 0) sharing ≥5
+    distinct 3-grams with any held-out benchmark doc (doc_id % 20 == 0),
+    strongest match per doc."""
+    from vectordbindexing_spark.operators.textops import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return benchmark_contamination(corpus, bench, n=3, min_overlap=5)
+
+
 def _corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data keep/drop gate: language + quality + token bounds +
     exact-dup keeper combined into one verdict with the first failing
@@ -841,6 +853,7 @@ def queries() -> dict[str, Query]:
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
         "corpus_filter_gate": _corpus_filter_gate,
+        "benchmark_contamination": _benchmark_contamination,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -918,6 +931,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS),
         "corpus_filter_gate": oracles.corpus_filter_gate_sql(
             LANG_MARKERS, STOPWORDS
+        ),
+        "benchmark_contamination": oracles.benchmark_contamination_sql(
+            n=3, min_overlap=5, bench_mod=20
         ),
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,

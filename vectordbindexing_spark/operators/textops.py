@@ -185,6 +185,59 @@ def corpus_filter_gate(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Decontamination check: flag training documents sharing ≥
+    ``min_overlap`` distinct word n-grams with ANY benchmark document
+    (the standard test-set leakage gate run before training).
+
+    Unlike near-dup Jaccard this is asymmetric and absolute: the
+    benchmark side is tiny, the docs side is the corpus, and one strong
+    overlap is disqualifying regardless of document length. Physical
+    plan: explode distinct shingles on both sides, inverted-index
+    equi-join on the shingle (never all-pairs — at corpus scale the join
+    fan-out is ∝ shared-shingle count, and the benchmark side is small
+    enough that its shingle table broadcasts), count per (doc, benchmark
+    doc) pair, keep the max-overlap pair per doc. Output: one row per
+    CONTAMINATED doc — (doc_id, benchmark_id, n_shared) with
+    ``benchmark_id`` the strongest match (ties → lowest id).
+    """
+    from vectordbindexing_spark.functions.text import word_ngrams
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias(out_id),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        )
+
+    d = shingles(docs, "doc_id")
+    b = shingles(benchmark, "benchmark_id")
+    overlap = (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared").desc(), F.col("benchmark_id")
+    )
+    return (
+        overlap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "benchmark_id", "n_shared")
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1346,6 +1346,33 @@ def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
     """
 
 
+def benchmark_contamination_sql(
+    n: int = 3, min_overlap: int = 5, bench_mod: int = 20
+) -> str:
+    """Mirrors textops.benchmark_contamination over the entry split
+    (doc_id % bench_mod == 0 → benchmark, rest → corpus): distinct
+    n-gram overlap counts, strongest benchmark match per doc (ties →
+    lowest benchmark_id)."""
+    grams = word_ngrams_sql("text", n)
+    return f"""
+    WITH g AS (SELECT doc_id, list_distinct({grams}) AS grams FROM documents),
+         d AS (SELECT doc_id, unnest(grams) AS gram FROM g
+               WHERE doc_id % {bench_mod} <> 0),
+         b AS (SELECT doc_id AS benchmark_id, unnest(grams) AS gram FROM g
+               WHERE doc_id % {bench_mod} = 0),
+         o AS (SELECT d.doc_id, b.benchmark_id, count(*) AS n_shared
+               FROM d JOIN b USING (gram)
+               GROUP BY d.doc_id, b.benchmark_id
+               HAVING count(*) >= {min_overlap}),
+         r AS (SELECT doc_id, benchmark_id, n_shared,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n_shared DESC, benchmark_id)
+                          AS rnk
+               FROM o)
+    SELECT doc_id, benchmark_id, n_shared FROM r WHERE rnk = 1
+    """
+
+
 def corpus_filter_gate_sql(
     markers: dict[str, tuple[str, ...]],
     stopwords: tuple[str, ...],
