@@ -481,6 +481,13 @@ def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(corpus, bench, n=3, min_overlap=5)
 
 
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbindexing_spark.operators.textops import bpe_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_stats(docs, text_col="text", id_col="doc_id")
+
+
 def _corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data keep/drop gate: language + quality + token bounds +
     exact-dup keeper combined into one verdict with the first failing
@@ -853,6 +860,7 @@ def queries() -> dict[str, Query]:
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
         "corpus_filter_gate": _corpus_filter_gate,
+        "text_bpe_token_stats": _bpe_token_stats,
         "benchmark_contamination": _benchmark_contamination,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
@@ -868,7 +876,11 @@ def queries() -> dict[str, Query]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from vectordbindexing_spark.operators.textops import LANG_MARKERS, STOPWORDS
+    from vectordbindexing_spark.operators.textops import (
+        BPE_ISH_PATTERN,
+        LANG_MARKERS,
+        STOPWORDS,
+    )
 
     return {
         "knn_exact_cosine": oracles.knn_exact_sql("cosine"),
@@ -932,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_gate": oracles.corpus_filter_gate_sql(
             LANG_MARKERS, STOPWORDS
         ),
+        "text_bpe_token_stats": oracles.bpe_token_stats_sql(BPE_ISH_PATTERN),
         "benchmark_contamination": oracles.benchmark_contamination_sql(
             n=3, min_overlap=5, bench_mod=20
         ),

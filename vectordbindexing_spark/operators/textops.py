@@ -46,6 +46,34 @@ def token_stats(
     )
 
 
+# BPE-style pre-tokenizer approximation: letter runs, digit runs capped
+# at 3 (cl100k-style number chunking), single punctuation marks. The
+# pattern stays in the common subset of Java regex (Spark) and RE2
+# (DuckDB) so both engines extract identical pieces.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer alongside the
+    whitespace count — the cheap proxy every data pipeline uses to
+    estimate training-token cost before running a real tokenizer.
+    tokens_per_word > ~1.5 flags code/numeric/punctuation-heavy docs."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    n_words = F.size(words(F.col(text_col))).cast("long")
+    n_bpe = F.size(pieces).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_bpe.alias("n_bpe_tokens"),
+        n_words.alias("n_word_tokens"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

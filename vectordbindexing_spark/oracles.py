@@ -1346,6 +1346,20 @@ def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
     """
 
 
+def bpe_token_stats_sql(pattern: str) -> str:
+    """Mirrors textops.bpe_token_stats (regexp_extract_all piece count
+    next to the whitespace token count)."""
+    toks = WORDS_SQL.format(t="text")
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{pattern}'))::BIGINT AS n_bpe_tokens,
+           len({toks})::BIGINT AS n_word_tokens,
+           round(len(regexp_extract_all(text, '{pattern}'))::DOUBLE
+                 / greatest(len({toks}), 1), 6) AS tokens_per_word
+    FROM documents
+    """
+
+
 def benchmark_contamination_sql(
     n: int = 3, min_overlap: int = 5, bench_mod: int = 20
 ) -> str:
