@@ -110,8 +110,10 @@ def quality_score(
 def lang_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Marker-word language ID: argmax over per-language marker hit counts,
-    ties → 'und' (undetermined), no markers → 'und'."""
+    """Marker-word language ID: argmax over per-language marker hit
+    counts. Score ties break to the lexicographically greatest language
+    code (struct array_max semantics — the oracle mirrors with ORDER BY
+    score DESC, lang DESC); zero marker hits → 'und' (undetermined)."""
     toks = words(F.lower(F.col(text_col)))
     scores = [
         F.struct(
