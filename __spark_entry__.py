@@ -135,6 +135,19 @@ def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite: coarse-quantizer cell pruning + PQ-code ADC scan
+    inside the probed cells — the classic memory-and-IO-bounded 100 TB
+    serving plan (Jegou et al. TPAMI 2011)."""
+    from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return ivfpq_knn(
+        q, b, k=10, nlist=16, nprobe=4, m=8, ks=16, max_iter=3,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only showcase: build two-layer graph index, serve queries,
     report recall@10 vs the exact oracle (computed in-Spark)."""
@@ -826,6 +839,7 @@ def queries() -> dict[str, Query]:
         "simhash_buckets": _simhash_buckets,
         "ivf_knn_cosine": _ivf_knn,
         "pq_adc_knn": _pq_adc_knn,
+        "ivfpq_knn": _ivfpq_knn,
         "ann_two_layer_recall": _ann_two_layer_recall,
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
@@ -892,6 +906,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "pq_adc_knn": oracles.pq_knn_sql(m=8, ks=16, k=10, iters=3),
+        "ivfpq_knn": oracles.ivfpq_knn_sql(
+            nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
+        ),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

@@ -1,0 +1,167 @@
+"""IVF-PQ composite index — the classic 100 TB ANN serving plan
+(Jégou et al., TPAMI 2011: inverted file + asymmetric distance
+computation): a coarse k-means quantizer prunes the corpus to
+``nprobe``/``nlist`` of its cells, and within the probed cells distances
+are computed against m-byte PQ codes instead of raw vectors.
+
+Composition of the two existing scale primitives with their oracle
+conventions intact:
+
+- coarse quantizer = ivf.kmeans_fit / ivf.ivf_assign (expansion-formula
+  d², ties → lowest cid),
+- codes = pq.pq_fit / pq.pq_encode (elementwise d², ties → lowest code),
+- scan = the PQ ADC lookup-table kernel, restricted per batch to the
+  rows whose cell some query probes.
+
+Physical plan: ONE distributed pass over the (cid, id, codes) table —
+the query LUTs and probe sets are broadcast, each Arrow batch groups its
+rows by cell and scores only (queries probing that cell) × (rows of that
+cell) sub-matrices, with per-batch partial top-k. Nothing about the
+query fan-out shuffles; candidate volume is n·nprobe/nlist·(m bytes),
+~1/64·nprobe/nlist of the raw corpus bytes.
+
+With ``nprobe == nlist`` the cell filter admits everything and the
+result is IDENTICAL to the plain PQ ADC scan (pinned by test) — pruning
+and compression are orthogonal by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.operators.ivf import ivf_assign, kmeans_fit
+from vectordbindexing_spark.operators.pq import (
+    _ADC_BLOCK_TARGET_BYTES,
+    _BLOCKED_THRESHOLD_QUERIES,
+    pq_encode,
+    pq_fit,
+)
+from vectordbindexing_spark.operators.topk import topk_per_group
+
+
+def ivfpq_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    max_iter: int = 3,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    b_id: str = "id",
+    b_vec: str = "vec",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate KNN. Output (qid, nbr_rank, neighbor_id, dist);
+    ``dist`` is the ADC squared-L2 approximation (ties → neighbor_id,
+    deterministic in both engines)."""
+    base = base.select(
+        F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
+    ).localCheckpoint(eager=True)  # consumed by both fits + assign + encode
+    if centroids is None:
+        centroids = kmeans_fit(base, nlist, max_iter, b_id, b_vec)
+    if codebooks is None:
+        codebooks = pq_fit(base, m, ks, max_iter, b_id, b_vec)
+    m, ks, dsub = codebooks.shape
+    inv = pq_encode(base, codebooks, b_id, b_vec).join(
+        ivf_assign(base, centroids, b_id, b_vec), "id"
+    )
+
+    spark = queries.sparkSession
+    qsel = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    )
+    qrows = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+    if len(qrows) > _BLOCKED_THRESHOLD_QUERIES:
+        raise ValueError(
+            f"ivfpq_knn broadcasts query LUTs + probe sets; got > "
+            f"{_BLOCKED_THRESHOLD_QUERIES} queries — shard the query set"
+        )
+    qids = qrows["qid"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
+    # probe selection: same expansion-formula d² as ivf_assign, per query
+    # the nprobe smallest (d², cid) — lexsort gives the lowest-cid tie
+    d2 = (
+        np.sum(Q * Q, axis=1)[:, None]
+        - 2 * Q @ centroids.T
+        + np.sum(centroids * centroids, axis=1)[None, :]
+    )
+    nprobe = min(nprobe, len(centroids))
+    probe_cids = np.empty((len(Q), nprobe), dtype=np.int64)
+    for qi in range(len(Q)):
+        probe_cids[qi] = np.lexsort(
+            (np.arange(len(centroids)), d2[qi])
+        )[:nprobe]
+    # cell → positions of the queries probing it
+    probes_of: dict[int, np.ndarray] = {}
+    for cid in np.unique(probe_cids):
+        probes_of[int(cid)] = np.flatnonzero(
+            (probe_cids == cid).any(axis=1)
+        )
+    # (n_q, m, ks) ADC lookup tables — identical arithmetic to pq_knn
+    luts = np.empty((len(Q), m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
+        ).sum(axis=2)
+    bc = spark.sparkContext.broadcast((qids, luts, probes_of))
+
+    def adc_probe_scan(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        bqids, blut, bprobes = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            bids = pdf["id"].to_numpy()
+            cids = pdf["cid"].to_numpy()
+            for cid in np.unique(cids):
+                qpos = bprobes.get(int(cid))
+                if qpos is None:
+                    continue
+                rows = np.flatnonzero(cids == cid)
+                sub_codes = codes[rows]
+                sub_ids = bids[rows]
+                kk = min(k, len(sub_ids))
+                q_block = max(
+                    1, _ADC_BLOCK_TARGET_BYTES // (max(len(sub_ids), 1) * 8)
+                )
+                for q0 in range(0, len(qpos), q_block):
+                    qs = qpos[q0 : q0 + q_block]
+                    # sequential j-order accumulation (oracle summation
+                    # order), queries blocked for bounded memory
+                    D = np.zeros((len(qs), len(sub_ids)), dtype=np.float64)
+                    for j in range(blut.shape[1]):
+                        D += blut[qs, j, :][:, sub_codes[:, j]]
+                    idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    rows_d = np.take_along_axis(D, idx, axis=1)
+                    order = np.argsort(rows_d, axis=1, kind="stable")
+                    idx = np.take_along_axis(idx, order, axis=1)
+                    rows_d = np.take_along_axis(rows_d, order, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.repeat(bqids[qs], kk),
+                            "neighbor_id": sub_ids[idx].ravel(),
+                            "dist": rows_d.ravel(),
+                        }
+                    )
+
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    partial = repartition_for_compute(inv).mapInPandas(
+        adc_probe_scan, schema="qid long, neighbor_id long, dist double"
+    )
+    ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")

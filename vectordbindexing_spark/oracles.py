@@ -1346,6 +1346,135 @@ def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
     """
 
 
+def _np_kmeans_fit_like_spark(ids, V, k: int, max_iter: int):
+    """Bit-exact numpy replication of ivf.kmeans_fit below the sample
+    bound: rows visited in the operator's (md5-hash, id) sample order
+    (the mean is summation-order dependent), init = k smallest ids,
+    expansion-formula d², ties → lowest cid, empty clusters keep the old
+    centroid, allclose(1e-12) early break."""
+    import numpy as np
+
+    from vectordbindexing_spark.functions.hashing import det_hash64_py
+
+    h = np.array([det_hash64_py(str(int(i))) for i in ids], dtype=np.int64)
+    order = np.lexsort((ids, h))
+    ids_s, X = ids[order], V[order]
+    C = X[np.argsort(ids_s, kind="stable")[:k]].copy()
+    for _ in range(max_iter):
+        d2 = (
+            np.sum(X * X, axis=1)[:, None]
+            - 2 * X @ C.T
+            + np.sum(C * C, axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        newC = C.copy()
+        for cid in range(len(C)):
+            mask = a == cid
+            if mask.any():
+                newC[cid] = X[mask].mean(axis=0)
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def ivfpq_knn_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 10,
+    iters: int = 3,
+) -> str:
+    """Mirrors operators.ivfpq.ivfpq_knn: coarse centroids AND PQ
+    codebooks embedded as per-dataset literals (both replicating the
+    Spark fits on the base split), probe/assignment via the ivf
+    expansion-formula d² with lowest-cid ties, encode + ADC via the pq
+    elementwise/ordered-sum conventions, candidates restricted to the
+    probed cells."""
+    from vectordbindexing_spark.operators.pq import pq_fit_arrays
+
+    book_arms, cent_arms = [], []
+    dsub = None
+    for key, ids, V in _embedding_datasets():
+        bmask = ids % 10 != 0
+        books = pq_fit_arrays(ids[bmask], V[bmask], m, ks, iters)
+        dsub = books.shape[2]
+        flat = books.reshape(m * ks, dsub)
+        book_arms.append(
+            f"WHEN {key} THEN ["
+            + ", ".join(_list_lit(row) for row in flat)
+            + "]::DOUBLE[][]"
+        )
+        C = _np_kmeans_fit_like_spark(ids[bmask], V[bmask], nlist, iters)
+        cent_arms.append(
+            f"WHEN {key} THEN ["
+            + ", ".join(_list_lit(row) for row in C)
+            + "]::DOUBLE[][]"
+        )
+    books_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(book_arms) + " END"
+    cents_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(cent_arms) + " END"
+    pd2 = (
+        "list_sum(list_transform(list_slice(v, j*{d}+1, (j+1)*{d}), "
+        "(x, i) -> (x - cv[i]) * (x - cv[i])))"
+    ).format(d=dsub)
+    d2c = (
+        "(list_inner_product(v, v) - 2*list_inner_product(v, c.cv)"
+        " + list_inner_product(c.cv, c.cv))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         p AS (SELECT {books_case} AS books),
+         cb AS (SELECT (i - 1) // {ks} AS j, (i - 1) % {ks} AS c, cv
+                FROM (SELECT unnest(books) AS cv,
+                             generate_subscripts(books, 1) AS i
+                      FROM p)),
+         cp AS (SELECT {cents_case} AS cvs),
+         cents AS (SELECT (i - 1) AS cid, cv
+                   FROM (SELECT unnest(cvs) AS cv,
+                                generate_subscripts(cvs, 1) AS i
+                         FROM cp)),
+         probe AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+                    row_number() OVER (PARTITION BY q.qid
+                                       ORDER BY {d2c}, c.cid) AS rnk
+             FROM q, cents c) WHERE rnk <= {nprobe}),
+         assign AS (
+           SELECT id, cid FROM (
+             SELECT b.id, c.cid,
+                    row_number() OVER (PARTITION BY b.id
+                                       ORDER BY {d2c}, c.cid) AS rnk
+             FROM b, cents c) WHERE rnk = 1),
+         benc AS (
+           SELECT id, j, c AS code FROM (
+             SELECT b.id, cb.j, cb.c,
+                    row_number() OVER (PARTITION BY b.id, cb.j
+                                       ORDER BY {pd2}, cb.c) AS rnk
+             FROM b, cb) WHERE rnk = 1),
+         qtab AS (SELECT q.qid, cb.j, cb.c, {pd2} AS pdist
+                  FROM q, cb),
+         candpair AS (SELECT DISTINCT probe.qid, assign.id
+                      FROM probe JOIN assign USING (cid)),
+         adc AS (SELECT cand.qid, cand.id,
+                        list_sum(list(pdist ORDER BY qtab.j)) AS dist
+                 FROM candpair cand
+                 JOIN benc ON benc.id = cand.id
+                 JOIN qtab ON qtab.qid = cand.qid
+                          AND qtab.j = benc.j AND qtab.c = benc.code
+                 GROUP BY cand.qid, cand.id),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dist, id) AS rnk
+               FROM adc)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
+
+
 def bpe_token_stats_sql(pattern: str) -> str:
     """Mirrors textops.bpe_token_stats (regexp_extract_all piece count
     next to the whitespace token count)."""
