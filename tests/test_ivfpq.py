@@ -95,3 +95,37 @@ def test_results_come_only_from_probed_cells(spark, emb_split):
     assert got
     for row in got:
         assert cell_of[row["neighbor_id"]] in probes[row["qid"]], row
+
+
+def test_persisted_artifact_matches_inmemory_and_prunes(
+    spark, emb_split, tmp_path
+):
+    """save -> ivfpq_search_index must equal the in-memory ivfpq_knn with
+    the same arrays, and the codes scan must partition-prune to the
+    probed cells (PartitionFilters with cid IN (...) in the plan)."""
+    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    from vectordbindexing_spark.operators.ivfpq import (
+        ivfpq_search_index,
+        save_ivfpq_index,
+    )
+
+    q, b = emb_split
+    cents = kmeans_fit(b, 16, max_iter=2, id_col="vec_id", vec_col="embedding")
+    books = pq_fit(b, m=8, ks=16, max_iter=2, id_col="vec_id",
+                   vec_col="embedding")
+    path = str(tmp_path / "ivfpq_idx")
+    save_ivfpq_index(b, cents, books, path, b_id="vec_id", b_vec="embedding")
+
+    mem = ivfpq_knn(q, b, k=10, nprobe=4, centroids=cents, codebooks=books,
+                    **KW).toPandas()
+    art_df = ivfpq_search_index(q, path, k=10, nprobe=4,
+                                q_id="vec_id", q_vec="embedding")
+    art = art_df.toPandas()
+    key = ["qid", "nbr_rank"]
+    mem = mem.sort_values(key).reset_index(drop=True)
+    art = art.sort_values(key).reset_index(drop=True)
+    assert mem["neighbor_id"].tolist() == art["neighbor_id"].tolist()
+    np.testing.assert_array_equal(mem["dist"].to_numpy(), art["dist"].to_numpy())
+
+    plan = art_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan

@@ -44,6 +44,111 @@ from vectordbindexing_spark.operators.pq import (
 from vectordbindexing_spark.operators.topk import topk_per_group
 
 
+
+def _collect_queries(queries: DataFrame, q_id: str, q_vec: str):
+    """Bounded query collect (same broadcast contract as pq_knn)."""
+    qsel = queries.select(
+        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    )
+    qrows = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+    if len(qrows) > _BLOCKED_THRESHOLD_QUERIES:
+        raise ValueError(
+            f"IVF-PQ search broadcasts query LUTs + probe sets; got > "
+            f"{_BLOCKED_THRESHOLD_QUERIES} queries - shard the query set"
+        )
+    qids = qrows["qid"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
+    return qids, Q
+
+
+def _probes_and_luts(Q, centroids: np.ndarray, codebooks: np.ndarray,
+                     nprobe: int):
+    """(cell -> query positions probing it, (n_q, m, ks) ADC tables).
+
+    Probe selection uses the same expansion-formula d² as ivf_assign with
+    lowest-cid ties (lexsort); LUT arithmetic is identical to pq_knn."""
+    m, ks, dsub = codebooks.shape
+    d2 = (
+        np.sum(Q * Q, axis=1)[:, None]
+        - 2 * Q @ centroids.T
+        + np.sum(centroids * centroids, axis=1)[None, :]
+    )
+    nprobe = min(nprobe, len(centroids))
+    probe_cids = np.empty((len(Q), nprobe), dtype=np.int64)
+    for qi in range(len(Q)):
+        probe_cids[qi] = np.lexsort(
+            (np.arange(len(centroids)), d2[qi])
+        )[:nprobe]
+    probes_of = {
+        int(cid): np.flatnonzero((probe_cids == cid).any(axis=1))
+        for cid in np.unique(probe_cids)
+    }
+    luts = np.empty((len(Q), m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
+        ).sum(axis=2)
+    return probes_of, luts
+
+
+def _adc_probe_topk(inv: DataFrame, qids, luts, probes_of, k: int) -> DataFrame:
+    """One pass over (cid, id, codes): per batch, group rows by cell and
+    ADC-score only (queries probing the cell) x (cell rows) sub-matrices
+    in memory-bounded query blocks (sequential j-order sums - the oracle
+    summation order), partial top-k per block, global window merge."""
+    spark = inv.sparkSession
+    bc = spark.sparkContext.broadcast((qids, luts, probes_of))
+
+    def adc_probe_scan(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        bqids, blut, bprobes = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            bids = pdf["id"].to_numpy()
+            cids = pdf["cid"].to_numpy()
+            for cid in np.unique(cids):
+                qpos = bprobes.get(int(cid))
+                if qpos is None:
+                    continue
+                rows = np.flatnonzero(cids == cid)
+                sub_codes, sub_ids = codes[rows], bids[rows]
+                kk = min(k, len(sub_ids))
+                q_block = max(
+                    1, _ADC_BLOCK_TARGET_BYTES // (max(len(sub_ids), 1) * 8)
+                )
+                for q0 in range(0, len(qpos), q_block):
+                    qs = qpos[q0 : q0 + q_block]
+                    D = np.zeros((len(qs), len(sub_ids)), dtype=np.float64)
+                    for j in range(blut.shape[1]):
+                        D += blut[qs, j, :][:, sub_codes[:, j]]
+                    idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    rows_d = np.take_along_axis(D, idx, axis=1)
+                    order = np.argsort(rows_d, axis=1, kind="stable")
+                    idx = np.take_along_axis(idx, order, axis=1)
+                    rows_d = np.take_along_axis(rows_d, order, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.repeat(bqids[qs], kk),
+                            "neighbor_id": sub_ids[idx].ravel(),
+                            "dist": rows_d.ravel(),
+                        }
+                    )
+
+    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
+
+    partial = repartition_for_compute(inv).mapInPandas(
+        adc_probe_scan, schema="qid long, neighbor_id long, dist double"
+    )
+    ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
+
+
 def ivfpq_knn(
     queries: DataFrame,
     base: DataFrame,
@@ -75,93 +180,84 @@ def ivfpq_knn(
         ivf_assign(base, centroids, b_id, b_vec), "id"
     )
 
+    qids, Q = _collect_queries(queries, q_id, q_vec)
+    probes_of, luts = _probes_and_luts(Q, centroids, codebooks, nprobe)
+    return _adc_probe_topk(inv, qids, luts, probes_of, k)
+
+
+def save_ivfpq_index(
+    base: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    b_id: str = "id",
+    b_vec: str = "vec",
+) -> None:
+    """Persist the IVF-PQ artifact:
+
+    - ``path/codes`` — (cid, id, codes) written ``partitionBy("cid")``,
+      so serving's parquet scan partition-prunes to the probed cells,
+    - ``path/centroids`` / ``path/codebooks`` — the two fitted arrays.
+
+    One assignment + one encode scan at build time; thereafter every
+    query batch reads nprobe/nlist of an already-64×-compressed table —
+    the artifact for 100 TB corpora is ~nprobe/nlist · raw/64 bytes per
+    search.
+    """
+    spark = base.sparkSession
+    b = base.select(
+        F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
+    ).localCheckpoint(eager=True)
+    inv = pq_encode(b, codebooks, b_id, b_vec).join(
+        ivf_assign(b, centroids, b_id, b_vec), "id"
+    )
+    inv.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        schema="cid long, cvec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    m, ks, dsub = codebooks.shape
+    flat = codebooks.reshape(m * ks, dsub)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(flat)],
+        schema="i long, row array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(m), int(ks), int(dsub))], schema="m long, ks long, dsub long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivfpq_arrays(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) back from the artifact."""
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = np.array([r["cvec"] for r in cents], dtype=np.float64)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("i").collect()
+    books = np.array([r["row"] for r in rows], dtype=np.float64).reshape(
+        meta["m"], meta["ks"], meta["dsub"]
+    )
+    return centroids, books
+
+
+def ivfpq_search_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+) -> DataFrame:
+    """Search a persisted IVF-PQ artifact. The probed cell ids (≤ nlist
+    values) are applied as a literal ``isin`` predicate so the codes
+    scan provably partition-prunes (`PartitionFilters` in the plan);
+    the ADC kernel then sees only probed-cell rows. Results are
+    IDENTICAL to the in-memory ivfpq_knn with the same arrays (pinned
+    by test)."""
     spark = queries.sparkSession
-    qsel = queries.select(
-        F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
+    centroids, codebooks = load_ivfpq_arrays(spark, path)
+    qids, Q = _collect_queries(queries, q_id, q_vec)
+    probes_of, luts = _probes_and_luts(Q, centroids, codebooks, nprobe)
+    inv = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cid").isin([int(c) for c in sorted(probes_of)])
     )
-    qrows = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
-    if len(qrows) > _BLOCKED_THRESHOLD_QUERIES:
-        raise ValueError(
-            f"ivfpq_knn broadcasts query LUTs + probe sets; got > "
-            f"{_BLOCKED_THRESHOLD_QUERIES} queries — shard the query set"
-        )
-    qids = qrows["qid"].to_numpy()
-    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
-    # probe selection: same expansion-formula d² as ivf_assign, per query
-    # the nprobe smallest (d², cid) — lexsort gives the lowest-cid tie
-    d2 = (
-        np.sum(Q * Q, axis=1)[:, None]
-        - 2 * Q @ centroids.T
-        + np.sum(centroids * centroids, axis=1)[None, :]
-    )
-    nprobe = min(nprobe, len(centroids))
-    probe_cids = np.empty((len(Q), nprobe), dtype=np.int64)
-    for qi in range(len(Q)):
-        probe_cids[qi] = np.lexsort(
-            (np.arange(len(centroids)), d2[qi])
-        )[:nprobe]
-    # cell → positions of the queries probing it
-    probes_of: dict[int, np.ndarray] = {}
-    for cid in np.unique(probe_cids):
-        probes_of[int(cid)] = np.flatnonzero(
-            (probe_cids == cid).any(axis=1)
-        )
-    # (n_q, m, ks) ADC lookup tables — identical arithmetic to pq_knn
-    luts = np.empty((len(Q), m, ks), dtype=np.float64)
-    for j in range(m):
-        qs = Q[:, j * dsub : (j + 1) * dsub]
-        luts[:, j, :] = (
-            (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
-        ).sum(axis=2)
-    bc = spark.sparkContext.broadcast((qids, luts, probes_of))
-
-    def adc_probe_scan(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        bqids, blut, bprobes = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
-            )
-            bids = pdf["id"].to_numpy()
-            cids = pdf["cid"].to_numpy()
-            for cid in np.unique(cids):
-                qpos = bprobes.get(int(cid))
-                if qpos is None:
-                    continue
-                rows = np.flatnonzero(cids == cid)
-                sub_codes = codes[rows]
-                sub_ids = bids[rows]
-                kk = min(k, len(sub_ids))
-                q_block = max(
-                    1, _ADC_BLOCK_TARGET_BYTES // (max(len(sub_ids), 1) * 8)
-                )
-                for q0 in range(0, len(qpos), q_block):
-                    qs = qpos[q0 : q0 + q_block]
-                    # sequential j-order accumulation (oracle summation
-                    # order), queries blocked for bounded memory
-                    D = np.zeros((len(qs), len(sub_ids)), dtype=np.float64)
-                    for j in range(blut.shape[1]):
-                        D += blut[qs, j, :][:, sub_codes[:, j]]
-                    idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-                    rows_d = np.take_along_axis(D, idx, axis=1)
-                    order = np.argsort(rows_d, axis=1, kind="stable")
-                    idx = np.take_along_axis(idx, order, axis=1)
-                    rows_d = np.take_along_axis(rows_d, order, axis=1)
-                    yield pd.DataFrame(
-                        {
-                            "qid": np.repeat(bqids[qs], kk),
-                            "neighbor_id": sub_ids[idx].ravel(),
-                            "dist": rows_d.ravel(),
-                        }
-                    )
-
-    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
-
-    partial = repartition_for_compute(inv).mapInPandas(
-        adc_probe_scan, schema="qid long, neighbor_id long, dist double"
-    )
-    ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
-    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
+    return _adc_probe_topk(inv, qids, luts, probes_of, k)
