@@ -129,3 +129,20 @@ def test_persisted_artifact_matches_inmemory_and_prunes(
 
     plan = art_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_planner_routes_memory_tight_to_ivfpq(spark, emb_split, monkeypatch):
+    import vectordbindexing_spark.plans.knn_planner as kp
+
+    p = kp.plan_knn(100, 5_000_000, 10, approximate_ok=True,
+                    repeated_queries=True, memory_tight=True)
+    assert p.strategy == "ivfpq"
+    # dispatch end-to-end with shrunken thresholds
+    monkeypatch.setattr(kp, "EXACT_BASE_LIMIT", 10)
+    q, b = emb_split
+    out = kp.knn(q.limit(5), b, k=3, approximate_ok=True,
+                 repeated_queries=True, memory_tight=True,
+                 q_id="vec_id", q_vec="embedding",
+                 b_id="vec_id", b_vec="embedding")
+    assert out.count() == 15
+    assert set(out.columns) == {"qid", "nbr_rank", "neighbor_id", "dist"}

@@ -10,6 +10,7 @@ Strategies:
   exact-expr      both sides big but candidates already pruned upstream
   lsh             large base, approximate OK → bucket equi-join
   ivf             large base, repeated query batches → amortized k-means
+  ivfpq           ivf conditions + memory-tight → compressed-code scan
 """
 
 from __future__ import annotations
@@ -40,16 +41,21 @@ def plan_knn(
     k: int,
     approximate_ok: bool = False,
     repeated_queries: bool = False,
+    memory_tight: bool = False,
 ) -> KnnPlan:
     """Pure sizing decision — callers pass known/estimated counts so the
-    planner itself triggers no Spark jobs."""
+    planner itself triggers no Spark jobs. ``memory_tight`` signals the
+    raw vector table exceeds the scan budget (cluster-memory or IO-bound
+    serving): with repeated queries it upgrades IVF to IVF-PQ, whose
+    per-search bytes are nprobe/nlist · raw/64."""
     if n_base <= EXACT_BASE_LIMIT or not approximate_ok:
         if n_queries <= BROADCAST_QUERY_LIMIT:
             return KnnPlan("exact-blocked", {"impl": "blocked"})
         return KnnPlan("exact-expr", {"impl": "expr"})
     if repeated_queries:
         nlist = max(16, int(n_base ** 0.5))
-        return KnnPlan("ivf", {"nlist": nlist, "nprobe": max(1, nlist // 8)})
+        strategy = "ivfpq" if memory_tight else "ivf"
+        return KnnPlan(strategy, {"nlist": nlist, "nprobe": max(1, nlist // 8)})
     return KnnPlan("lsh", {"num_bits": 12, "num_tables": 8})
 
 
@@ -60,6 +66,7 @@ def knn(
     metric: str = "cosine",
     approximate_ok: bool = False,
     repeated_queries: bool = False,
+    memory_tight: bool = False,
     **cols,
 ) -> DataFrame:
     """Planner-dispatched KNN — probes the sides and routes to the chosen
@@ -69,17 +76,26 @@ def knn(
     Sizing uses bounded probes: ``limit(N+1).count()`` stops scanning at
     N+1 rows, so routing costs O(threshold) even on a 100 TB corpus. The
     thresholds are the only comparisons plan_knn makes, so capped counts
-    decide identically to exact ones; only the IVF path re-counts exactly
-    (nlist=√n), amortized over its full-scan build."""
+    decide identically to exact ones; only the IVF/IVF-PQ paths re-count
+    exactly (nlist=√n), amortized over their full-scan builds."""
     n_q = queries.limit(BROADCAST_QUERY_LIMIT + 1).count()
     n_b = base.limit(EXACT_BASE_LIMIT + 1).count()
-    plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries)
-    if plan.strategy == "ivf":
-        plan = plan_knn(n_q, base.count(), k, approximate_ok, repeated_queries)
+    plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries, memory_tight)
+    if plan.strategy in ("ivf", "ivfpq"):
+        plan = plan_knn(
+            n_q, base.count(), k, approximate_ok, repeated_queries,
+            memory_tight,
+        )
     if plan.strategy in ("exact-blocked", "exact-expr"):
         from vectordbindexing_spark.operators.exact_knn import exact_knn
 
         return exact_knn(queries, base, k, metric, impl=plan.params["impl"], **cols)
+    if plan.strategy == "ivfpq":
+        from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
+
+        # ADC is (squared-)L2; the planner only routes here for L2-style
+        # metrics — cosine callers should unit-normalize upstream
+        return ivfpq_knn(queries, base, k, **plan.params, **cols)
     if plan.strategy == "ivf":
         from vectordbindexing_spark.operators.ivf import ivf_knn
 
