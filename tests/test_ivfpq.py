@@ -146,3 +146,129 @@ def test_planner_routes_memory_tight_to_ivfpq(spark, emb_split, monkeypatch):
                  b_id="vec_id", b_vec="embedding")
     assert out.count() == 15
     assert set(out.columns) == {"qid", "nbr_rank", "neighbor_id", "dist"}
+
+
+def test_blocked_probe_selection_matches_lexsort_reference():
+    """The blocked/vectorized probe path must reproduce the original
+    convention exactly: d² by the expansion formula, nprobe nearest cells,
+    ties → lowest cid (independently transcribed per-query lexsort here),
+    and cell→sorted-query-positions inversion."""
+    from vectordbindexing_spark.operators.ivfpq import _probes_and_luts
+
+    rng = np.random.default_rng(7)
+    n_q, nlist, d, m, ks = 137, 23, 16, 4, 8
+    Q = rng.normal(size=(n_q, d))
+    cents = rng.normal(size=(nlist, d))
+    # force ties: several centroids duplicated exactly
+    cents[5] = cents[1]
+    cents[17] = cents[1]
+    books = rng.normal(size=(m, ks, d // m))
+    nprobe = 4
+    probes_of, luts = _probes_and_luts(Q, cents, books, nprobe)
+
+    # reference: per-query lexsort probe selection (the pre-blocking code)
+    d2 = (
+        np.sum(Q * Q, axis=1)[:, None]
+        - 2 * Q @ cents.T
+        + np.sum(cents * cents, axis=1)[None, :]
+    )
+    ref_cids = np.stack([
+        np.lexsort((np.arange(nlist), d2[qi]))[:nprobe] for qi in range(n_q)
+    ])
+    ref_probes = {
+        int(c): np.flatnonzero((ref_cids == c).any(axis=1))
+        for c in np.unique(ref_cids)
+    }
+    assert set(probes_of) == set(ref_probes)
+    for c in ref_probes:
+        np.testing.assert_array_equal(probes_of[c], ref_probes[c])
+    # LUT arithmetic: elementwise (q-c)² sums, same as pq_knn
+    dsub = d // m
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        np.testing.assert_array_equal(
+            luts[:, j, :],
+            ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2),
+        )
+
+
+def test_probe_selection_is_blocked(monkeypatch):
+    """With the block budget shrunk below one row of d², the path must
+    still produce identical output — proving no dense (n_q × nlist)
+    allocation is required."""
+    import vectordbindexing_spark.operators.ivfpq as mod
+
+    rng = np.random.default_rng(11)
+    Q = rng.normal(size=(64, 12))
+    cents = rng.normal(size=(9, 12))
+    books = rng.normal(size=(3, 4, 4))
+    full_p, full_l = mod._probes_and_luts(Q, cents, books, 3)
+    monkeypatch.setattr(mod, "_ADC_BLOCK_TARGET_BYTES", 1)
+    blk_p, blk_l = mod._probes_and_luts(Q, cents, books, 3)
+    assert set(full_p) == set(blk_p)
+    for c in full_p:
+        np.testing.assert_array_equal(full_p[c], blk_p[c])
+    np.testing.assert_array_equal(full_l, blk_l)
+
+
+def test_planner_nlist_respects_kmeans_sample_budget():
+    """plan_knn at 10¹⁰ base rows must pick an nlist the bounded-sample
+    k-means fit can actually support (≥ MIN_POINTS_PER_CENTROID training
+    points per centroid), not √n ≈ 100k."""
+    from vectordbindexing_spark.operators.ivf import (
+        KMEANS_SAMPLE_SIZE,
+        MIN_POINTS_PER_CENTROID,
+    )
+    from vectordbindexing_spark.plans.knn_planner import plan_knn
+
+    for n_base in (10**8, 10**10, 10**12):
+        p = plan_knn(100_000, n_base, 10, approximate_ok=True,
+                     repeated_queries=True, memory_tight=True)
+        assert p.strategy == "ivfpq"
+        nlist = p.params["nlist"]
+        assert nlist * MIN_POINTS_PER_CENTROID <= KMEANS_SAMPLE_SIZE
+        assert p.params["nprobe"] >= 1
+    # under the cap, √n sizing is unchanged
+    p = plan_knn(100_000, 4_000_000, 10, approximate_ok=True,
+                 repeated_queries=True, memory_tight=True)
+    assert p.params["nlist"] == 2000
+
+
+def test_planner_cosine_route_normalizes(spark, emb_split, monkeypatch):
+    """Planner-dispatched cosine→ivfpq must rank like ivfpq_knn on
+    pre-unit-normalized input (‖q−b‖² = 2(1−cos) on unit vectors), not
+    silently score raw-vector L2."""
+    import vectordbindexing_spark.plans.knn_planner as kp
+    from vectordbindexing_spark.functions.vector import unit_norm
+
+    monkeypatch.setattr(kp, "EXACT_BASE_LIMIT", 10)
+    q, b = emb_split
+    q5 = q.limit(5).localCheckpoint(eager=True)
+    routed = kp.knn(q5, b, k=5, metric="cosine", approximate_ok=True,
+                    repeated_queries=True, memory_tight=True,
+                    q_id="vec_id", q_vec="embedding",
+                    b_id="vec_id", b_vec="embedding").toPandas()
+    qn = q5.withColumn("embedding", unit_norm("embedding"))
+    bn = b.withColumn("embedding", unit_norm("embedding"))
+    nlist = kp.plan_knn(5, b.count(), 5, True, True, True).params["nlist"]
+    direct = ivfpq_knn(qn, bn, k=5, nlist=nlist,
+                       nprobe=max(1, nlist // 8), **KW).toPandas()
+    key = ["qid", "nbr_rank"]
+    routed = routed.sort_values(key).reset_index(drop=True)
+    direct = direct.sort_values(key).reset_index(drop=True)
+    assert routed["neighbor_id"].tolist() == direct["neighbor_id"].tolist()
+    np.testing.assert_allclose(
+        routed["dist"].to_numpy(), direct["dist"].to_numpy()
+    )
+
+
+def test_planner_rejects_inexpressible_metric(spark, emb_split, monkeypatch):
+    import vectordbindexing_spark.plans.knn_planner as kp
+
+    monkeypatch.setattr(kp, "EXACT_BASE_LIMIT", 10)
+    q, b = emb_split
+    with pytest.raises(ValueError, match="ADC-L2"):
+        kp.knn(q.limit(2), b, k=3, metric="ip", approximate_ok=True,
+               repeated_queries=True, memory_tight=True,
+               q_id="vec_id", q_vec="embedding",
+               b_id="vec_id", b_vec="embedding")

@@ -39,9 +39,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def unit_norm(a: Column | str, eps: float = 1e-12) -> Column:
-    """L2-normalize with an epsilon guard (reference `hnsw_cosine.py:32-36`)."""
+    """L2-normalize with an epsilon guard (reference `hnsw_cosine.py:32-36`).
+    Returns array<double> on both branches (float→double cast is exact), so
+    a string column name resolves as a column, not a string literal."""
+    arr = to_double_array(a)
     n = l2_norm(a)
-    return F.when(n > eps, F.transform(a, lambda x: x / n)).otherwise(a)
+    return F.when(n > eps, F.transform(arr, lambda x: x / n)).otherwise(arr)
 
 
 def cosine_dist(a: Column | str, b: Column | str) -> Column:

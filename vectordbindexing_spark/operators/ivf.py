@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 from vectordbindexing_spark.functions.vector import pair_dist_udf, to_double_array
 from vectordbindexing_spark.operators.topk import topk_per_group
 
+# Default training-sample budget for the driver-side Lloyd fit. Exposed as
+# a module constant so sizing logic (plans.knn_planner) can cap nlist
+# against it — past ~sample/MIN_POINTS_PER_CENTROID centroids the fit
+# degenerates toward one sample point per centroid.
+KMEANS_SAMPLE_SIZE = 100_000
+MIN_POINTS_PER_CENTROID = 40
+
 
 def kmeans_fit(
     df: DataFrame,
@@ -29,7 +36,7 @@ def kmeans_fit(
     max_iter: int = 5,
     id_col: str = "id",
     vec_col: str = "vec",
-    sample_size: int = 100_000,
+    sample_size: int = KMEANS_SAMPLE_SIZE,
 ) -> np.ndarray:
     """Lloyd k-means on a deterministic sample, fit driver-side. Returns a
     (k, d) float64 centroid matrix.

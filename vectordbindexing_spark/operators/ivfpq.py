@@ -66,29 +66,47 @@ def _probes_and_luts(Q, centroids: np.ndarray, codebooks: np.ndarray,
     """(cell -> query positions probing it, (n_q, m, ks) ADC tables).
 
     Probe selection uses the same expansion-formula d² as ivf_assign with
-    lowest-cid ties (lexsort); LUT arithmetic is identical to pq_knn."""
+    lowest-cid ties; LUT arithmetic is identical to pq_knn. Both loops
+    run in bounded query blocks so the scratch allocations stay under
+    ``_ADC_BLOCK_TARGET_BYTES`` regardless of n_q × nlist — at the
+    planner's 100 TB sizing (nlist ≈ 2.5k, 100k queries) the old dense
+    matrix was n_q·nlist·8 bytes on the driver; blocking makes it
+    q_block·nlist·8. A per-row stable argsort replaces the per-query
+    Python lexsort loop: ``argsort(d2_row, kind="stable")`` sorts by d²
+    ascending with ties broken by column position, i.e. lowest cid —
+    exactly ``lexsort((arange(nlist), d2_row))``, but vectorized over the
+    whole block. (argpartition would be O(nlist) per row but cannot honor
+    the tie convention when the cut lands inside a tie group.)"""
     m, ks, dsub = codebooks.shape
-    d2 = (
-        np.sum(Q * Q, axis=1)[:, None]
-        - 2 * Q @ centroids.T
-        + np.sum(centroids * centroids, axis=1)[None, :]
-    )
-    nprobe = min(nprobe, len(centroids))
-    probe_cids = np.empty((len(Q), nprobe), dtype=np.int64)
-    for qi in range(len(Q)):
-        probe_cids[qi] = np.lexsort(
-            (np.arange(len(centroids)), d2[qi])
-        )[:nprobe]
-    probes_of = {
-        int(cid): np.flatnonzero((probe_cids == cid).any(axis=1))
-        for cid in np.unique(probe_cids)
-    }
-    luts = np.empty((len(Q), m, ks), dtype=np.float64)
-    for j in range(m):
-        qs = Q[:, j * dsub : (j + 1) * dsub]
-        luts[:, j, :] = (
-            (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
-        ).sum(axis=2)
+    nlist = len(centroids)
+    nprobe = min(nprobe, nlist)
+    n_q = len(Q)
+    c_sq = np.sum(centroids * centroids, axis=1)[None, :]
+    probe_cids = np.empty((n_q, nprobe), dtype=np.int64)
+    q_block = max(1, _ADC_BLOCK_TARGET_BYTES // (max(nlist, 1) * 8))
+    for q0 in range(0, n_q, q_block):
+        q1 = min(q0 + q_block, n_q)
+        qb = Q[q0:q1]
+        d2 = np.sum(qb * qb, axis=1)[:, None] - 2 * qb @ centroids.T + c_sq
+        probe_cids[q0:q1] = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    # invert to cell -> sorted query positions: one stable sort of the
+    # flat (cid, qpos) pairs instead of a per-unique-cid matrix scan
+    flat_c = probe_cids.ravel()
+    flat_q = np.repeat(np.arange(n_q, dtype=np.int64), nprobe)
+    order = np.argsort(flat_c, kind="stable")  # stable keeps qpos ascending
+    sc, sq = flat_c[order], flat_q[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    ends = np.r_[starts[1:], len(sc)]
+    probes_of = {int(sc[s]): sq[s:e] for s, e in zip(starts, ends)}
+    luts = np.empty((n_q, m, ks), dtype=np.float64)
+    lut_block = max(1, _ADC_BLOCK_TARGET_BYTES // (max(ks * dsub, 1) * 8))
+    for q0 in range(0, n_q, lut_block):
+        q1 = min(q0 + lut_block, n_q)
+        for j in range(m):
+            qs = Q[q0:q1, j * dsub : (j + 1) * dsub]
+            luts[q0:q1, j, :] = (
+                (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
+            ).sum(axis=2)
     return probes_of, luts
 
 

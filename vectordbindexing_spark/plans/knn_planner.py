@@ -20,10 +20,21 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectordbindexing_spark.operators.ivf import (
+    KMEANS_SAMPLE_SIZE,
+    MIN_POINTS_PER_CENTROID,
+)
+
 # Above this many base rows, exact scanning costs more than LSH/IVF build.
 EXACT_BASE_LIMIT = 2_000_000
 # Queries beyond this don't broadcast (matches exact_knn._BLOCKED_THRESHOLD).
 BROADCAST_QUERY_LIMIT = 100_000
+# The coarse k-means trains on a bounded sample (ivf.kmeans_fit); nlist
+# beyond sample/40 would leave fewer than ~40 training points per centroid
+# — a degenerate fit — so √n sizing is capped here. At 10¹⁰ rows √n would
+# ask for 100k centroids from a 100k-row sample; the cap keeps the route
+# the planner advertises for 100 TB actually trainable.
+MAX_NLIST = KMEANS_SAMPLE_SIZE // MIN_POINTS_PER_CENTROID
 
 
 @dataclass
@@ -53,7 +64,7 @@ def plan_knn(
             return KnnPlan("exact-blocked", {"impl": "blocked"})
         return KnnPlan("exact-expr", {"impl": "expr"})
     if repeated_queries:
-        nlist = max(16, int(n_base ** 0.5))
+        nlist = max(16, min(int(n_base ** 0.5), MAX_NLIST))
         strategy = "ivfpq" if memory_tight else "ivf"
         return KnnPlan(strategy, {"nlist": nlist, "nprobe": max(1, nlist // 8)})
     return KnnPlan("lsh", {"num_bits": 12, "num_tables": 8})
@@ -93,8 +104,22 @@ def knn(
     if plan.strategy == "ivfpq":
         from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
 
-        # ADC is (squared-)L2; the planner only routes here for L2-style
-        # metrics — cosine callers should unit-normalize upstream
+        if metric == "cosine":
+            # ADC scores squared L2; on unit vectors ‖q−b‖² = 2·(1−cos),
+            # monotone in cosine distance — so normalizing both sides
+            # here makes the ivfpq route rank identically to cosine
+            # instead of silently changing semantics
+            from vectordbindexing_spark.functions.vector import unit_norm
+
+            q_vec = cols.get("q_vec", "vec")
+            b_vec = cols.get("b_vec", "vec")
+            queries = queries.withColumn(q_vec, unit_norm(q_vec))
+            base = base.withColumn(b_vec, unit_norm(b_vec))
+        elif metric not in ("l2",):
+            raise ValueError(
+                f"ivfpq route scores squared L2; metric={metric!r} is not "
+                "expressible as an ADC-L2 ranking - use the ivf/lsh routes"
+            )
         return ivfpq_knn(queries, base, k, **plan.params, **cols)
     if plan.strategy == "ivf":
         from vectordbindexing_spark.operators.ivf import ivf_knn
