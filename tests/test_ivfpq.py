@@ -272,3 +272,65 @@ def test_planner_rejects_inexpressible_metric(spark, emb_split, monkeypatch):
                repeated_queries=True, memory_tight=True,
                q_id="vec_id", q_vec="embedding",
                b_id="vec_id", b_vec="embedding")
+
+
+def test_rerank_recovers_adc_loss(spark, emb_split):
+    """Mirrors test_pq.py::test_adc_recall_and_rerank_improvement for the
+    composite index: the exact-rerank stage over the ADC shortlist must
+    lift recall above the ADC-only path's floor."""
+    q, b = emb_split
+    adc = ivfpq_knn(q, b, k=10, nlist=16, nprobe=8, m=8, ks=16,
+                    max_iter=3, **KW)
+    rr = ivfpq_knn(q, b, k=10, nlist=16, nprobe=8, m=8, ks=16,
+                   max_iter=3, rerank=50, **KW)
+    ex = exact_knn(q, b, k=10, metric="l2", impl="blocked", **KW)
+
+    def recall(approx):
+        gp = approx.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+        ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+        return (
+            gp.join(ep, "qid")
+            .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+            .agg(F.avg("r").alias("r"))
+            .collect()[0]["r"]
+        )
+
+    r_adc, r_rr = recall(adc), recall(rr)
+    assert r_adc > 0.2
+    assert r_rr >= r_adc
+    assert r_rr > 0.5
+    # rerank distances are exact L2, so within the probed candidate set
+    # they are the true distances — monotone non-decreasing per rank
+    counts = rr.groupBy("qid").count().select("count").distinct().collect()
+    assert [c["count"] for c in counts] == [10]
+
+
+def test_artifact_rerank_requires_base_and_matches_inmemory(
+    spark, emb_split, tmp_path
+):
+    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    from vectordbindexing_spark.operators.ivfpq import (
+        ivfpq_search_index,
+        save_ivfpq_index,
+    )
+
+    q, b = emb_split
+    cents = kmeans_fit(b, 16, max_iter=2, id_col="vec_id", vec_col="embedding")
+    books = pq_fit(b, m=8, ks=16, max_iter=2, id_col="vec_id",
+                   vec_col="embedding")
+    path = str(tmp_path / "ivfpq_rr")
+    save_ivfpq_index(b, cents, books, path, b_id="vec_id", b_vec="embedding")
+    with pytest.raises(ValueError, match="codes only"):
+        ivfpq_search_index(q, path, k=5, nprobe=4, rerank=20,
+                           q_id="vec_id", q_vec="embedding")
+    art = ivfpq_search_index(
+        q, path, k=5, nprobe=4, rerank=20, base=b,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).toPandas()
+    mem = ivfpq_knn(q, b, k=5, nprobe=4, centroids=cents, codebooks=books,
+                    rerank=20, **KW).toPandas()
+    key = ["qid", "nbr_rank"]
+    art = art.sort_values(key).reset_index(drop=True)
+    mem = mem.sort_values(key).reset_index(drop=True)
+    assert art["neighbor_id"].tolist() == mem["neighbor_id"].tolist()
+    np.testing.assert_array_equal(art["dist"].to_numpy(), mem["dist"].to_numpy())

@@ -182,10 +182,15 @@ def ivfpq_knn(
     b_vec: str = "vec",
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate KNN. Output (qid, nbr_rank, neighbor_id, dist);
     ``dist`` is the ADC squared-L2 approximation (ties → neighbor_id,
-    deterministic in both engines)."""
+    deterministic in both engines). With ``rerank=R`` the ADC shortlist of
+    R candidates per query is re-scored with exact squared L2 against the
+    true vectors (shared :func:`operators.pq.exact_rerank` stage) — the
+    reference-grade two-stage plan: compressed probe scan everywhere,
+    full-width vectors touched only for R·n_q rows."""
     base = base.select(
         F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
     ).localCheckpoint(eager=True)  # consumed by both fits + assign + encode
@@ -200,7 +205,35 @@ def ivfpq_knn(
 
     qids, Q = _collect_queries(queries, q_id, q_vec)
     probes_of, luts = _probes_and_luts(Q, centroids, codebooks, nprobe)
-    return _adc_probe_topk(inv, qids, luts, probes_of, k)
+    shortlist = k if rerank is None else max(k, rerank)
+    ranked = _adc_probe_topk(inv, qids, luts, probes_of, shortlist)
+    if rerank is None:
+        return ranked
+    return _rerank_against(ranked, queries, base, k, q_id, q_vec, b_id, b_vec)
+
+
+def _rerank_against(
+    ranked: DataFrame,
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    q_id: str,
+    q_vec: str,
+    b_id: str,
+    b_vec: str,
+) -> DataFrame:
+    from vectordbindexing_spark.functions.vector import to_double_array
+    from vectordbindexing_spark.operators.pq import exact_rerank
+
+    qdf = queries.select(
+        F.col(q_id).cast("long").alias("qid"),
+        to_double_array(q_vec).alias("_qv"),
+    )
+    bv = base.select(
+        F.col(b_id).cast("long").alias("neighbor_id"),
+        to_double_array(b_vec).alias("_bv"),
+    )
+    return exact_rerank(ranked, qdf, bv, k)
 
 
 def save_ivfpq_index(
@@ -264,13 +297,19 @@ def ivfpq_search_index(
     nprobe: int = 4,
     q_id: str = "qid",
     q_vec: str = "vec",
+    rerank: int | None = None,
+    base: DataFrame | None = None,
+    b_id: str = "id",
+    b_vec: str = "vec",
 ) -> DataFrame:
     """Search a persisted IVF-PQ artifact. The probed cell ids (≤ nlist
     values) are applied as a literal ``isin`` predicate so the codes
     scan provably partition-prunes (`PartitionFilters` in the plan);
     the ADC kernel then sees only probed-cell rows. Results are
     IDENTICAL to the in-memory ivfpq_knn with the same arrays (pinned
-    by test)."""
+    by test). ``rerank=R`` exact-rescoring needs the raw vectors, which
+    the artifact deliberately does not store (codes are 1/64 the bytes)
+    — pass the vector table as ``base``."""
     spark = queries.sparkSession
     centroids, codebooks = load_ivfpq_arrays(spark, path)
     qids, Q = _collect_queries(queries, q_id, q_vec)
@@ -278,4 +317,13 @@ def ivfpq_search_index(
     inv = spark.read.parquet(f"{path}/codes").filter(
         F.col("cid").isin([int(c) for c in sorted(probes_of)])
     )
-    return _adc_probe_topk(inv, qids, luts, probes_of, k)
+    shortlist = k if rerank is None else max(k, rerank)
+    ranked = _adc_probe_topk(inv, qids, luts, probes_of, shortlist)
+    if rerank is None:
+        return ranked
+    if base is None:
+        raise ValueError(
+            "rerank needs the raw vector table: the IVF-PQ artifact stores "
+            "codes only - pass base=<DataFrame with (id, vec)>"
+        )
+    return _rerank_against(ranked, queries, base, k, q_id, q_vec, b_id, b_vec)

@@ -146,6 +146,30 @@ def pq_encode(
     ).mapInPandas(encode, schema="id long, codes array<long>")
 
 
+def exact_rerank(
+    shortlist: DataFrame, qdf: DataFrame, bv: DataFrame, k: int
+) -> DataFrame:
+    """Exact squared-L2 re-score of an ADC shortlist — the second stage of
+    the classic two-stage serving plan (compressed scan everywhere, true
+    vectors touched only for shortlist·n_q rows). ``qdf`` is (qid, _qv),
+    ``bv`` is (neighbor_id, _bv); output (qid, nbr_rank, neighbor_id,
+    dist). Shared by pq_knn and ivfpq_knn so both reranks stay
+    convention-identical (ties → neighbor_id)."""
+    from vectordbindexing_spark.functions.vector import pair_dist_udf
+
+    rescored = (
+        shortlist.select("qid", "neighbor_id")
+        .join(bv, "neighbor_id")
+        .join(qdf, "qid")
+        .withColumn("dist", pair_dist_udf("l2")("_qv", "_bv"))
+    )
+    final = topk_per_group(
+        rescored.select("qid", "neighbor_id", "dist"),
+        ["qid"], "dist", k, tie_col="neighbor_id",
+    )
+    return final.select("qid", "nbr_rank", "neighbor_id", "dist")
+
+
 def pq_knn(
     queries: DataFrame,
     base: DataFrame,
@@ -252,21 +276,9 @@ def pq_knn(
         return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
     # exact re-score of the shortlist: one equi-join against the true
     # vectors (R·n_q rows — never the full corpus), then final top-k
-    from vectordbindexing_spark.functions.vector import pair_dist_udf
-
     qdf = qsel.select("qid", to_double_array("v").alias("_qv"))
     bv = base.select(
         F.col(b_id).cast("long").alias("neighbor_id"),
         to_double_array(b_vec).alias("_bv"),
     )
-    rescored = (
-        ranked.select("qid", "neighbor_id")
-        .join(bv, "neighbor_id")
-        .join(qdf, "qid")
-        .withColumn("dist", pair_dist_udf("l2")("_qv", "_bv"))
-    )
-    final = topk_per_group(
-        rescored.select("qid", "neighbor_id", "dist"),
-        ["qid"], "dist", k, tie_col="neighbor_id",
-    )
-    return final.select("qid", "nbr_rank", "neighbor_id", "dist")
+    return exact_rerank(ranked, qdf, bv, k)
