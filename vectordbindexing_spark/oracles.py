@@ -728,6 +728,56 @@ def roargraph_recall_sql() -> str:
     """
 
 
+def _np_traced_algo2(q, PVi, indptr, indices, ep_pos, target_pos, max_hops):
+    """Second, independently-structured greedy trace — written from the
+    documented contract of evaluate.traced_search (greedy best-first
+    expansion of the nearest pending node, ties → lowest position; one
+    step per expansion; top1 counted on strict improvement of the expanded
+    node's distance; stop on expanding the target, empty pool, or
+    max_hops; the trace records the entry points then every newly
+    discovered neighbor in adjacency order), NOT from its implementation.
+    Pool is a bisect-sorted list and visited a Python set (the heap twin
+    uses heapq + a bool array), so a convention-level bug in the trace
+    bookkeeping would have to be reproduced twice from different sources
+    to self-confirm. Returns (steps, found, trace_len, top1_changes)."""
+    import bisect
+
+    import numpy as np
+
+    def dist_of(pos_arr):
+        Vv = PVi[np.asarray(pos_arr, dtype=np.int64)].astype(np.float64)
+        return 1.0 - (Vv @ q) / (
+            np.linalg.norm(Vv, axis=1) * np.linalg.norm(q)
+        )
+
+    pending = sorted(
+        (float(d), int(p)) for d, p in zip(dist_of(ep_pos), ep_pos)
+    )
+    visited = {int(p) for p in ep_pos}
+    trace_len = len(ep_pos)
+    steps, top1 = 0, 0
+    found = False
+    best = float("inf")
+    while pending and steps < max_hops:
+        d, p = pending.pop(0)
+        steps += 1
+        if d < best:
+            best = d
+            top1 += 1
+        if p == target_pos:
+            found = True
+            break
+        for pp in indices[indptr[p] : indptr[p + 1]]:
+            pp = int(pp)
+            if pp in visited:
+                continue
+            visited.add(pp)
+            dd = float(dist_of([pp])[0])
+            bisect.insort(pending, (dd, pp))
+            trace_len += 1
+    return steps, found, trace_len, top1
+
+
 @functools.lru_cache(maxsize=None)
 def _traced_steps_pins(
     M0: int = 16, M1: int = 8, max_hops: int = 2000
@@ -820,6 +870,18 @@ def _traced_steps_pins(
                 for dd, pp in zip(idist(qv, nbrs), nbrs):
                     heapq.heappush(cand, (float(dd), int(pp)))
                 order.extend(int(x) for x in nbrs)
+            # independent-derivation cross-check (see _np_traced_algo2):
+            # the bisect/set transcription of the trace contract must agree
+            # per-query with the heap/bool-array derivation above
+            alg2 = _np_traced_algo2(
+                qv, PVi, indptr, indices, ep_pos, target_pos, max_hops
+            )
+            if alg2 != (steps, found, len(order), top1):
+                raise RuntimeError(
+                    f"traced-steps pin derivations diverged for {key} "
+                    f"qid={int(qids[qi])}: heap={(steps, found, len(order), top1)} "
+                    f"algo2={alg2}"
+                )
             sum_steps += steps
             max_steps = max(max_steps, steps)
             n_found += int(found)
