@@ -121,3 +121,51 @@ def test_420_subsampling_roundtrip():
     assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 12
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(rgb, subsample="422")
+
+
+def test_stuffed_ff_before_restart_marker_decodes():
+    """If the final padded entropy byte before an RSTn is 0xFF the writer
+    emits it as a stuffed FF 00 pair; the decoder's RST scan must step
+    over stuffed pairs rather than stopping at the first 0xFF (the old
+    scan then re-consumed the stuffed byte as entropy data and desynced).
+    Constructed deterministically: splice a stuffed pair directly before
+    a real RST marker — byte-identical to the pad-byte-was-FF case from
+    the decoder's point of view — and require identical pixels."""
+    img = _smooth(32, 48, seed=1)
+    buf = encode_jpeg(img, quality=95, restart_interval=3)
+    sos = buf.find(b"\xff\xda")
+    rst = -1
+    for n in range(8):
+        p = buf.find(bytes([0xFF, 0xD0 + n]), sos)
+        if p != -1 and (rst == -1 or p < rst):
+            rst = p
+    assert rst != -1
+    spliced = buf[:rst] + b"\xff\x00" + buf[rst:]
+    np.testing.assert_array_equal(decode_jpeg(spliced), decode_jpeg(buf))
+
+
+def test_align_and_skip_rst_steps_over_stuffed_pairs():
+    """Unit pin of the marker scan: entropy byte, stuffed FF 00 pair,
+    then RST3 — the scan must land past the marker, not on the stuffed
+    pair."""
+    from vectordbindexing_spark.io.jpeg import _BitReader
+
+    data = b"\x12\x34\xff\x00\xff\xd3\xab"
+    r = _BitReader(data, 0)
+    r.read_bits(4)  # consumes byte 0, pos -> 1
+    r.align_and_skip_rst()
+    assert r.pos == 6  # past 0x34, the stuffed pair, and FF D3
+    assert r.read_bits(8) == 0xAB
+
+
+def test_unexpected_restart_marker_is_value_error():
+    """RSTn mid-entropy-data with no DRI declared = malformed stream; the
+    decoder must surface ValueError, not leak the internal _RestartMarker
+    control-flow exception."""
+    img = _smooth(32, 48, seed=1)
+    buf = encode_jpeg(img, quality=95, restart_interval=3)
+    dri = buf.find(b"\xff\xdd")
+    assert dri != -1
+    stripped = buf[:dri] + buf[dri + 6:]  # drop the DRI segment
+    with pytest.raises(ValueError):
+        decode_jpeg(stripped)

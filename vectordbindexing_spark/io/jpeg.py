@@ -181,11 +181,21 @@ class _BitReader:
         return v
 
     def align_and_skip_rst(self) -> None:
-        """Byte-align and consume an expected RSTn marker."""
+        """Byte-align and consume an expected RSTn marker. A padded
+        entropy byte of 0xFF is written as a stuffed FF 00 pair (T.81
+        §B.1.1.5), so the scan must step over stuffed pairs rather than
+        mistaking the first 0xFF it sees for the marker prefix —
+        otherwise the stuffed byte is re-consumed as entropy data and
+        the stream desyncs."""
         self.bitbuf = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF:
-            self.pos += 1
+        while True:
+            while self.data[self.pos] != 0xFF:
+                self.pos += 1
+            if self.data[self.pos + 1] == 0x00:  # stuffed FF, not a marker
+                self.pos += 2
+                continue
+            break
         if 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             self.pos += 2
 
@@ -302,6 +312,38 @@ def _decode_scan(buf, pos, frame, scan_tables, qt, huff, restart_interval):
         )
     reader = _BitReader(buf, pos)
     pred = {c["id"]: 0 for c in comps}
+    try:
+        _decode_mcus(
+            reader, comps, scan_tables, qt, huff, planes,
+            mcus_x, mcus_y, pred, restart_interval,
+        )
+    except _RestartMarker as exc:
+        # an RSTn inside entropy data where none is expected means the
+        # stream desynced (or the interval is wrong) — a malformed-input
+        # error, not an internal control-flow signal to leak
+        raise ValueError(
+            f"unexpected restart marker RST{exc.n} in entropy data"
+        ) from None
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_mcus(reader, comps, scan_tables, qt, huff, planes,
+                 mcus_x, mcus_y, pred, restart_interval):
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -340,22 +382,6 @@ def _decode_scan(buf, pos, frame, scan_tables, qt, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pixels
             mcu_count += 1
-    # upsample to full resolution, crop, color-convert
-    full = []
-    for c in comps:
-        p = planes[c["id"]]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    Y, Cb, Cr = full
-    r = Y + 1.402 * (Cr - 128.0)
-    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
-    b = Y + 1.772 * (Cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # --------------------------------------------------------------- encoder
