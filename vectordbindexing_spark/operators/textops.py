@@ -222,21 +222,26 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     n: int = 3,
     min_overlap: int = 5,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Decontamination check: flag training documents sharing ≥
     ``min_overlap`` distinct word n-grams with ANY benchmark document
     (the standard test-set leakage gate run before training).
 
     Unlike near-dup Jaccard this is asymmetric and absolute: the
-    benchmark side is tiny, the docs side is the corpus, and one strong
-    overlap is disqualifying regardless of document length. Physical
-    plan: explode distinct shingles on both sides, inverted-index
-    equi-join on the shingle (never all-pairs — at corpus scale the join
-    fan-out is ∝ shared-shingle count, and the benchmark side is small
-    enough that its shingle table broadcasts), count per (doc, benchmark
-    doc) pair, keep the max-overlap pair per doc. Output: one row per
-    CONTAMINATED doc — (doc_id, benchmark_id, n_shared) with
-    ``benchmark_id`` the strongest match (ties → lowest id).
+    benchmark side is usually tiny, the docs side is the corpus, and one
+    strong overlap is disqualifying regardless of document length.
+    Physical plan: explode distinct shingles on both sides,
+    inverted-index equi-join on the shingle (never all-pairs — at corpus
+    scale the join fan-out is ∝ shared-shingle count), count per (doc,
+    benchmark doc) pair, keep the max-overlap pair per doc. The
+    benchmark shingle table is broadcast only when a bounded probe shows
+    ≤ ``broadcast_limit`` exploded shingle rows (the actual broadcast
+    payload, ~100 MB at 1M rows) — a forced broadcast of a
+    corpus-proportional side OOMs executors; past the limit the join
+    strategy is left to Catalyst/AQE. Output: one row per CONTAMINATED
+    doc — (doc_id, benchmark_id, n_shared) with ``benchmark_id`` the
+    strongest match (ties → lowest id).
     """
     from vectordbindexing_spark.functions.text import word_ngrams
 
@@ -250,8 +255,12 @@ def benchmark_contamination(
 
     d = shingles(docs, "doc_id")
     b = shingles(benchmark, "benchmark_id")
+    # bounded size probe (stops scanning at limit+1 rows, same contract
+    # as the knn planner): only hint broadcast for a provably small side
+    if b.limit(broadcast_limit + 1).count() <= broadcast_limit:
+        b = F.broadcast(b)
     overlap = (
-        d.join(F.broadcast(b), "gram")
+        d.join(b, "gram")
         .groupBy("doc_id", "benchmark_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
