@@ -108,12 +108,31 @@ def quality_score(
 
 
 def lang_id(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lexicon: dict[str, tuple[str, ...]] | DataFrame | None = None,
 ) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker hit
     counts. Score ties break to the lexicographically greatest language
     code (struct array_max semantics — the oracle mirrors with ORDER BY
-    score DESC, lang DESC); zero marker hits → 'und' (undetermined)."""
+    score DESC, lang DESC); zero marker hits → 'und' (undetermined).
+
+    ``lexicon`` parameterizes the marker table (default: the demo-grade
+    5-language ``LANG_MARKERS``):
+
+    - a dict {lang: markers} stays on the literal-expression path —
+      right for small lexicons, where the whole table folds into the
+      whole-stage-codegen'd plan;
+    - a DataFrame of (lang, marker) rows routes through a
+      broadcast-join scoring path — the deployment shape for real
+      ≥100-language × 1000s-of-markers lexicons, which would bloat a
+      literal expression tree. Semantics are identical on both paths
+      (pinned by test); either way there is zero Python in the row path.
+    """
+    if isinstance(lexicon, DataFrame):
+        return _lang_id_table(df, lexicon, text_col, id_col)
+    markers_by_lang = LANG_MARKERS if lexicon is None else lexicon
     toks = words(F.lower(F.col(text_col)))
     scores = [
         F.struct(
@@ -127,7 +146,7 @@ def lang_id(
             ).cast("long").alias("score"),
             F.lit(lang).alias("lang"),
         )
-        for lang, markers in sorted(LANG_MARKERS.items())
+        for lang, markers in sorted(markers_by_lang.items())
     ]
     best = F.array_max(F.array(*scores))
     return df.select(
@@ -136,6 +155,44 @@ def lang_id(
             "pred_lang"
         ),
         best["score"].alias("marker_hits"),
+    )
+
+
+def _lang_id_table(
+    df: DataFrame, lexicon: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Broadcast-lexicon scoring: explode lowercased tokens, equi-join
+    the (lang, marker) table, count hits per (doc, lang), keep the
+    argmax row per doc (ties → greatest lang, matching the literal
+    path), left-join back so zero-hit docs stay 'und'. The lexicon is a
+    dimension table — broadcast, never shuffled against the corpus."""
+    from pyspark.sql import Window
+
+    toks = words(F.lower(F.col(text_col)))
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    # distinct: a duplicated (lang, marker) row must not double-count —
+    # the literal path's array_contains is naturally duplicate-immune
+    lex = lexicon.select(
+        F.col("lang").cast("string").alias("lang"),
+        F.col("marker").cast("string").alias("_tok"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("marker_hits").desc(), F.col("lang").desc()
+    )
+    best = (
+        tok_rows.join(F.broadcast(lex), "_tok")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("marker_hits"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "lang", "marker_hits")
+    )
+    return df.select(F.col(id_col)).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("marker_hits"), F.lit(0)).cast("long").alias(
+            "marker_hits"
+        ),
     )
 
 
