@@ -148,6 +148,55 @@ def _ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _planner_knn_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-dispatched KNN end-to-end: plans.knn_planner.knn probes
+    the table sizes, picks the IVF-PQ route (approximate_ok +
+    repeated_queries + memory_tight), unit-normalizes both sides for
+    metric='cosine', sizes nlist/nprobe from the exact base count, and
+    executes the composite index. ``exact_base_limit=0`` pins the route
+    at every sf so the oracle (which replays the same sizing formula and
+    normalization) covers planner-dispatched execution, not just the
+    operator in isolation."""
+    from vectordbindexing_spark.plans.knn_planner import knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return knn(
+        q, b, k=10, metric="cosine", approximate_ok=True,
+        repeated_queries=True, memory_tight=True, exact_base_limit=0,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
+def _planner_graph_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-dispatched graph-ANN serving: plans.knn_planner.graph_knn
+    probes the base size, picks the compact broadcast route below
+    COMPACT_INDEX_LIMIT (every tested sf), builds + serves the two-layer
+    index, and the query reports recall@10 vs the exact oracle — the
+    same double-derived pin as ann_two_layer_recall, now reached through
+    the planner dispatch path."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.plans.knn_planner import graph_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    got = graph_knn(
+        q, b, k=10, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    ex = exact_knn(q, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("r"), 4).alias("recall_at_10"),
+        )
+    )
+
+
 def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only showcase: build two-layer graph index, serve queries,
     report recall@10 vs the exact oracle (computed in-Spark)."""
@@ -840,6 +889,8 @@ def queries() -> dict[str, Query]:
         "ivf_knn_cosine": _ivf_knn,
         "pq_adc_knn": _pq_adc_knn,
         "ivfpq_knn": _ivfpq_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_graph_route": _planner_graph_route,
         "ann_two_layer_recall": _ann_two_layer_recall,
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
@@ -909,6 +960,10 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_knn": oracles.ivfpq_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
         ),
+        "planner_knn_route": oracles.planner_ivfpq_knn_sql(
+            k=10, m=8, ks=16, iters=3
+        ),
+        "planner_graph_route": oracles.ann_two_layer_recall_sql(),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

@@ -41,9 +41,12 @@ def l2_norm(a: Column | str) -> Column:
 def unit_norm(a: Column | str, eps: float = 1e-12) -> Column:
     """L2-normalize with an epsilon guard (reference `hnsw_cosine.py:32-36`).
     Returns array<double> on both branches (float→double cast is exact), so
-    a string column name resolves as a column, not a string literal."""
+    a string column name resolves as a column, not a string literal.
+    The norm is computed over the DOUBLE-cast array: on a float32 column
+    zip_with's x*x would round each term to float32 before accumulating,
+    diverging from every other engine's double arithmetic."""
     arr = to_double_array(a)
-    n = l2_norm(a)
+    n = l2_norm(arr)
     return F.when(n > eps, F.transform(arr, lambda x: x / n)).otherwise(arr)
 
 

@@ -1441,6 +1441,27 @@ def _np_kmeans_fit_like_spark(ids, V, k: int, max_iter: int):
     return C
 
 
+def _np_unit_norm_seq(V):
+    """Bit-exact numpy replication of functions.vector.unit_norm: the
+    squared norm accumulates SEQUENTIALLY left-to-right (Spark's
+    aggregate() order — numpy's pairwise-summation np.sum would round
+    differently and could flip downstream k-means argmin near-ties),
+    epsilon guard 1e-12, elementwise x / sqrt(n2)."""
+    import math
+
+    import numpy as np
+
+    out = np.asarray(V, dtype=np.float64).copy()
+    for r in range(len(out)):
+        n2 = 0.0
+        for x in out[r]:
+            n2 += float(x) * float(x)
+        n = math.sqrt(n2)
+        if n > 1e-12:
+            out[r] = out[r] / n
+    return out
+
+
 def ivfpq_knn_sql(
     nlist: int = 16,
     nprobe: int = 4,
@@ -1455,13 +1476,47 @@ def ivfpq_knn_sql(
     expansion-formula d² with lowest-cid ties, encode + ADC via the pq
     elementwise/ordered-sum conventions, candidates restricted to the
     probed cells."""
+    return _ivfpq_sql(
+        lambda n_q, n_b: (nlist, nprobe), m, ks, k, iters, normalize=False
+    )
+
+
+def planner_ivfpq_knn_sql(k: int = 10, m: int = 8, ks: int = 16,
+                          iters: int = 3) -> str:
+    """Mirrors plans.knn_planner.knn routed to ivfpq with
+    metric='cosine' (approximate_ok + repeated_queries + memory_tight,
+    exact_base_limit=0): both sides unit-normalized (sequential-sum norm
+    — :func:`_np_unit_norm_seq` for the fits, list ops in SQL), nlist /
+    nprobe sized per dataset by plan_knn's own formula, then the ivfpq
+    replay with those parameters."""
+    from vectordbindexing_spark.plans.knn_planner import plan_knn
+
+    def sizing(n_q, n_b):
+        plan = plan_knn(
+            n_q, n_b, k, approximate_ok=True, repeated_queries=True,
+            memory_tight=True, exact_base_limit=0,
+        )
+        if plan.strategy != "ivfpq":
+            raise RuntimeError(f"expected ivfpq route, got {plan}")
+        return plan.params["nlist"], plan.params["nprobe"]
+
+    return _ivfpq_sql(sizing, m, ks, k, iters, normalize=True)
+
+
+def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool) -> str:
+    """Shared IVF-PQ oracle builder. ``sizing(n_q, n_b) -> (nlist,
+    nprobe)`` is evaluated per dataset (nprobe becomes a CASE arm);
+    ``normalize`` unit-normalizes both engines' inputs before fit and
+    replay."""
     from vectordbindexing_spark.operators.pq import pq_fit_arrays
 
-    book_arms, cent_arms = [], []
+    book_arms, cent_arms, nprobe_arms = [], [], []
     dsub = None
     for key, ids, V in _embedding_datasets():
         bmask = ids % 10 != 0
-        books = pq_fit_arrays(ids[bmask], V[bmask], m, ks, iters)
+        Vd = _np_unit_norm_seq(V) if normalize else V
+        nlist, nprobe = sizing(int((~bmask).sum()), int(bmask.sum()))
+        books = pq_fit_arrays(ids[bmask], Vd[bmask], m, ks, iters)
         dsub = books.shape[2]
         flat = books.reshape(m * ks, dsub)
         book_arms.append(
@@ -1469,14 +1524,30 @@ def ivfpq_knn_sql(
             + ", ".join(_list_lit(row) for row in flat)
             + "]::DOUBLE[][]"
         )
-        C = _np_kmeans_fit_like_spark(ids[bmask], V[bmask], nlist, iters)
+        C = _np_kmeans_fit_like_spark(ids[bmask], Vd[bmask], nlist, iters)
         cent_arms.append(
             f"WHEN {key} THEN ["
             + ", ".join(_list_lit(row) for row in C)
             + "]::DOUBLE[][]"
         )
+        nprobe_arms.append(f"WHEN {key} THEN {nprobe}")
     books_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(book_arms) + " END"
     cents_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(cent_arms) + " END"
+    nprobe_sql = (
+        f"(CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(nprobe_arms) + " END)"
+    )
+    if normalize:
+        e_cte = """e AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 1e-12
+                       THEN list_transform(
+                                v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                       ELSE v0 END AS v
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),"""
+    else:
+        e_cte = (
+            "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        )
     pd2 = (
         "list_sum(list_transform(list_slice(v, j*{d}+1, (j+1)*{d}), "
         "(x, i) -> (x - cv[i]) * (x - cv[i])))"
@@ -1486,7 +1557,7 @@ def ivfpq_knn_sql(
         " + list_inner_product(c.cv, c.cv))"
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH {e_cte}
          q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
          b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
          p AS (SELECT {books_case} AS books),
@@ -1504,7 +1575,7 @@ def ivfpq_knn_sql(
              SELECT q.qid, c.cid,
                     row_number() OVER (PARTITION BY q.qid
                                        ORDER BY {d2c}, c.cid) AS rnk
-             FROM q, cents c) WHERE rnk <= {nprobe}),
+             FROM q, cents c) WHERE rnk <= {nprobe_sql}),
          assign AS (
            SELECT id, cid FROM (
              SELECT b.id, c.cid,

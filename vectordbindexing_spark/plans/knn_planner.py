@@ -53,14 +53,23 @@ def plan_knn(
     approximate_ok: bool = False,
     repeated_queries: bool = False,
     memory_tight: bool = False,
+    exact_base_limit: int | None = None,
+    broadcast_query_limit: int | None = None,
 ) -> KnnPlan:
     """Pure sizing decision — callers pass known/estimated counts so the
     planner itself triggers no Spark jobs. ``memory_tight`` signals the
     raw vector table exceeds the scan budget (cluster-memory or IO-bound
     serving): with repeated queries it upgrades IVF to IVF-PQ, whose
-    per-search bytes are nprobe/nlist · raw/64."""
-    if n_base <= EXACT_BASE_LIMIT or not approximate_ok:
-        if n_queries <= BROADCAST_QUERY_LIMIT:
+    per-search bytes are nprobe/nlist · raw/64. The two limit overrides
+    (default: the module thresholds, resolved at call time) let tests
+    and contract queries pin a route at small data scales — the routing
+    logic itself is identical at every scale."""
+    if exact_base_limit is None:
+        exact_base_limit = EXACT_BASE_LIMIT
+    if broadcast_query_limit is None:
+        broadcast_query_limit = BROADCAST_QUERY_LIMIT
+    if n_base <= exact_base_limit or not approximate_ok:
+        if n_queries <= broadcast_query_limit:
             return KnnPlan("exact-blocked", {"impl": "blocked"})
         return KnnPlan("exact-expr", {"impl": "expr"})
     if repeated_queries:
@@ -78,6 +87,8 @@ def knn(
     approximate_ok: bool = False,
     repeated_queries: bool = False,
     memory_tight: bool = False,
+    exact_base_limit: int | None = None,
+    broadcast_query_limit: int | None = None,
     **cols,
 ) -> DataFrame:
     """Planner-dispatched KNN — probes the sides and routes to the chosen
@@ -88,14 +99,22 @@ def knn(
     N+1 rows, so routing costs O(threshold) even on a 100 TB corpus. The
     thresholds are the only comparisons plan_knn makes, so capped counts
     decide identically to exact ones; only the IVF/IVF-PQ paths re-count
-    exactly (nlist=√n), amortized over their full-scan builds."""
-    n_q = queries.limit(BROADCAST_QUERY_LIMIT + 1).count()
-    n_b = base.limit(EXACT_BASE_LIMIT + 1).count()
-    plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries, memory_tight)
+    exactly (nlist=√n), amortized over their full-scan builds. The limit
+    overrides (see :func:`plan_knn`) pin a route at small scales for
+    tests and oracle-backed contract queries."""
+    ebl = EXACT_BASE_LIMIT if exact_base_limit is None else exact_base_limit
+    bql = (
+        BROADCAST_QUERY_LIMIT if broadcast_query_limit is None
+        else broadcast_query_limit
+    )
+    n_q = queries.limit(bql + 1).count()
+    n_b = base.limit(ebl + 1).count()
+    plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries,
+                    memory_tight, ebl, bql)
     if plan.strategy in ("ivf", "ivfpq"):
         plan = plan_knn(
             n_q, base.count(), k, approximate_ok, repeated_queries,
-            memory_tight,
+            memory_tight, ebl, bql,
         )
     if plan.strategy in ("exact-blocked", "exact-expr"):
         from vectordbindexing_spark.operators.exact_knn import exact_knn
