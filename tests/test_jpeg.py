@@ -169,3 +169,62 @@ def test_unexpected_restart_marker_is_value_error():
     stripped = buf[:dri] + buf[dri + 6:]  # drop the DRI segment
     with pytest.raises(ValueError):
         decode_jpeg(stripped)
+
+
+def test_scan_jpeg_kind_triage():
+    """Marker sniff must classify baseline vs progressive vs arithmetic
+    vs non-JPEG without decoding — the routing column that keeps
+    unsupported coding processes out of decode_jpeg."""
+    from vectordbindexing_spark.io.jpeg import scan_jpeg_kind
+
+    img = _smooth(16, 16)
+    base = encode_jpeg(img, quality=90)
+    assert scan_jpeg_kind(base) == "baseline"
+
+    prog = bytearray(base)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    assert scan_jpeg_kind(bytes(prog)) == "progressive"
+    arith = bytearray(base)
+    arith[idx + 1] = 0xC9
+    assert scan_jpeg_kind(bytes(arith)) == "arith_sequential"
+
+    assert scan_jpeg_kind(b"P6 1 1 255 xxx") == "not_jpeg"
+    assert scan_jpeg_kind(b"") == "not_jpeg"
+    # SOI but truncated before any SOF
+    assert scan_jpeg_kind(base[:4]) == "unknown"
+    # sniff must agree with the decoder's accept/reject behavior
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+
+
+def test_media_kind_routes_decode(spark):
+    """media_kind over a mixed binary column: progressive rows are
+    triaged out, the baseline remainder decodes without error."""
+    from vectordbindexing_spark.operators.multimodal import (
+        decode_image_features,
+        media_kind,
+    )
+
+    img = _smooth(16, 16, seed=4)
+    base = encode_jpeg(img, quality=90)
+    prog = bytearray(base)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(bytes(prog))),
+        (3, bytearray(b"garbage-bytes")),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, content binary")
+    kinds = {r["media_id"]: r["kind"] for r in media_kind(df).collect()}
+    assert kinds == {1: "baseline", 2: "progressive", 3: "not_jpeg"}
+    from pyspark.sql import functions as F
+
+    triaged = df.join(
+        media_kind(df).filter(F.col("kind") == "baseline").select("media_id"),
+        "media_id",
+    )
+    out = decode_image_features(triaged, decoder="jpeg").collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["width"] == 16 and out[0]["height"] == 16

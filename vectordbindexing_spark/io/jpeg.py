@@ -590,3 +590,54 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ------------------------------------------------------------- triage
+
+# SOFn marker → coding process (T.81 Table B.1). Everything except
+# baseline routes to a deployment decoder.
+_SOF_KINDS = {
+    0xC0: "baseline",
+    0xC1: "extended_sequential",
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "diff_sequential",
+    0xC6: "diff_progressive",
+    0xC7: "diff_lossless",
+    0xC9: "arith_sequential",
+    0xCA: "arith_progressive",
+    0xCB: "arith_lossless",
+    0xCD: "arith_diff_sequential",
+    0xCE: "arith_diff_progressive",
+    0xCF: "arith_diff_lossless",
+}
+
+
+def scan_jpeg_kind(buf: bytes) -> str:
+    """Cheap marker sniff: which JPEG coding process a file uses, WITHOUT
+    decoding (header bytes only — stops at the first SOFn or SOS). Real
+    corpora mix baseline with progressive/arithmetic files; this column
+    lets a pipeline route non-baseline files to the deployment decoder
+    (see multimodal._DECODERS) instead of erroring inside decode_jpeg.
+    Returns 'not_jpeg' (no SOI), a T.81 process name from ``_SOF_KINDS``,
+    or 'unknown' (truncated / no SOF before SOS)."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return "not_jpeg"
+    i = 2
+    while i + 3 < len(buf):
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        marker = buf[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI, or SOS with no SOF seen
+            break
+        if marker in _SOF_KINDS:
+            return _SOF_KINDS[marker]
+        seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return "unknown"
+        i += 2 + seg_len
+    return "unknown"

@@ -126,6 +126,13 @@ def minhash_dedup_pairs(
     "jvm" = explode shingles → codegen'd md5 expression → ``num_hashes``
     partially-aggregated F.min affine hashes (no Python, map-side
     combine; md5 runs per shingle occurrence).
+
+    "arrow" stays the default on measurement: at sf0.1 (5k docs,
+    local[32]) the full pairs pipeline is ~2.1 s arrow vs ~37 s jvm
+    (best of 3 warm runs) — the jvm path's per-occurrence md5 and
+    num_hashes aggregates over the exploded table dominate, while the
+    arrow path amortizes md5 over the Zipfian vocabulary. The jvm path
+    remains for clusters where Python workers are unavailable.
     """
     rows_per_band = num_hashes // bands
     from collections.abc import Iterator

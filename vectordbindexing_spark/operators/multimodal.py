@@ -181,3 +181,40 @@ def embed_media(
     return df.select(id_col, feature_col).mapInPandas(
         embed, schema="media_id long, embedding array<float>"
     )
+
+
+def media_kind(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Triage column for media routing: (media_id, kind, n_bytes) where
+    ``kind`` is 'ppm', a JPEG coding process from
+    :func:`io.jpeg.scan_jpeg_kind` ('baseline', 'progressive',
+    'arith_sequential', ...), or 'not_jpeg'. Header-bytes-only sniff (no
+    decode), so a corpus pass costs one scan of marker prefixes; the
+    canonical use is ``filter(kind == 'baseline')`` before
+    decode_image_features and shipping the rest to the deployment
+    decoder instead of erroring mid-job."""
+    from vectordbindexing_spark.io.jpeg import scan_jpeg_kind
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, sizes = [], []
+            for buf in pdf[content_col]:
+                b = bytes(buf)
+                kinds.append(
+                    "ppm" if b[:2] == b"P6" else scan_jpeg_kind(b)
+                )
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": kinds,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        sniff, schema="media_id long, kind string, n_bytes long"
+    )
