@@ -148,6 +148,20 @@ def _ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _ivfpq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ serving: ADC shortlist of 50 per query inside
+    the probed cells, then exact-L2 re-score of the shortlist against
+    the true vectors (operators.pq.exact_rerank) — compressed scan
+    everywhere, full-width vectors touched only for 50·n_q rows."""
+    from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return ivfpq_knn(
+        q, b, k=10, nlist=16, nprobe=4, m=8, ks=16, max_iter=3, rerank=50,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _planner_knn_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner-dispatched KNN end-to-end: plans.knn_planner.knn probes
     the table sizes, picks the IVF-PQ route (approximate_ok +
@@ -889,6 +903,7 @@ def queries() -> dict[str, Query]:
         "ivf_knn_cosine": _ivf_knn,
         "pq_adc_knn": _pq_adc_knn,
         "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
         "planner_knn_route": _planner_knn_route,
         "planner_graph_route": _planner_graph_route,
         "ann_two_layer_recall": _ann_two_layer_recall,
@@ -959,6 +974,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_knn": oracles.pq_knn_sql(m=8, ks=16, k=10, iters=3),
         "ivfpq_knn": oracles.ivfpq_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
+        ),
+        "ivfpq_rerank_knn": oracles.ivfpq_rerank_knn_sql(
+            nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3, rerank=50
         ),
         "planner_knn_route": oracles.planner_ivfpq_knn_sql(
             k=10, m=8, ks=16, iters=3

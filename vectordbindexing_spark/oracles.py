@@ -1503,11 +1503,32 @@ def planner_ivfpq_knn_sql(k: int = 10, m: int = 8, ks: int = 16,
     return _ivfpq_sql(sizing, m, ks, k, iters, normalize=True)
 
 
-def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool) -> str:
+def ivfpq_rerank_knn_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 10,
+    iters: int = 3,
+    rerank: int = 50,
+) -> str:
+    """Mirrors ivfpq_knn(rerank=R): the ADC replay keeps a shortlist of
+    R rows per query (ties → id), then re-scores it with exact L2
+    (sqrt of the ordered squared-difference sum — pair_dist_udf's
+    formula) and re-ranks to top k."""
+    return _ivfpq_sql(
+        lambda n_q, n_b: (nlist, nprobe), m, ks, k, iters,
+        normalize=False, rerank=rerank,
+    )
+
+
+def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool,
+               rerank: int | None = None) -> str:
     """Shared IVF-PQ oracle builder. ``sizing(n_q, n_b) -> (nlist,
     nprobe)`` is evaluated per dataset (nprobe becomes a CASE arm);
     ``normalize`` unit-normalizes both engines' inputs before fit and
-    replay."""
+    replay; ``rerank=R`` appends the exact-L2 shortlist re-score stage
+    (operators.pq.exact_rerank's two-stage serving plan)."""
     from vectordbindexing_spark.operators.pq import pq_fit_arrays
 
     book_arms, cent_arms, nprobe_arms = [], [], []
@@ -1556,6 +1577,31 @@ def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool) -> str:
         "(list_inner_product(v, v) - 2*list_inner_product(v, c.cv)"
         " + list_inner_product(c.cv, c.cv))"
     )
+    if rerank is None:
+        rerank_ctes = ""
+        final_select = (
+            "SELECT qid, rnk AS nbr_rank, id AS neighbor_id, "
+            f"round(dist, 6) AS dist\n    FROM r WHERE rnk <= {k}"
+        )
+    else:
+        shortlist = max(k, rerank)
+        rerank_ctes = f""",
+         short AS (SELECT qid, id FROM r WHERE rnk <= {shortlist}),
+         rr AS (SELECT s.qid, s.id,
+                       sqrt(list_sum(list_transform(
+                           qv.v, (x, i) -> (x - bv.v[i]) * (x - bv.v[i])
+                       ))) AS dist
+                FROM short s
+                JOIN q qv USING (qid)
+                JOIN b bv ON bv.id = s.id),
+         rfin AS (SELECT qid, id, dist,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dist, id) AS rnk
+                  FROM rr)"""
+        final_select = (
+            "SELECT qid, rnk AS nbr_rank, id AS neighbor_id, "
+            f"round(dist, 6) AS dist\n    FROM rfin WHERE rnk <= {k}"
+        )
     return f"""
     WITH {e_cte}
          q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
@@ -1602,9 +1648,8 @@ def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool) -> str:
          r AS (SELECT qid, id, dist,
                       row_number() OVER (PARTITION BY qid
                                          ORDER BY dist, id) AS rnk
-               FROM adc)
-    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
-    FROM r WHERE rnk <= {k}
+               FROM adc){rerank_ctes}
+    {final_select}
     """
 
 
