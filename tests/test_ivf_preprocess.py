@@ -187,3 +187,26 @@ def test_ivf_index_persist_and_pruned_search(spark, tables, tmp_path):
         served.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert "cid" in buf.getvalue()
+
+
+def test_assignment_blocking_is_invisible(monkeypatch):
+    """Blocked (rows × nlist) assignment must equal the dense computation
+    even with a degenerate 1-row block budget — same expansion-formula
+    arithmetic, per-row argmin."""
+    import numpy as np
+
+    import vectordbindexing_spark.operators.ivf as ivfmod
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(257, 16))
+    C = rng.normal(size=(23, 16))
+    dense = np.argmin(
+        np.sum(X * X, axis=1)[:, None] - 2 * X @ C.T
+        + np.sum(C * C, axis=1)[None, :],
+        axis=1,
+    )
+    full = ivfmod._argmin_d2_blocked(X, C)
+    monkeypatch.setattr(ivfmod, "_ASSIGN_BLOCK_TARGET_BYTES", 1)
+    tiny = ivfmod._argmin_d2_blocked(X, C)
+    np.testing.assert_array_equal(full, dense)
+    np.testing.assert_array_equal(tiny, dense)

@@ -28,6 +28,26 @@ from vectordbindexing_spark.operators.topk import topk_per_group
 # degenerates toward one sample point per centroid.
 KMEANS_SAMPLE_SIZE = 100_000
 MIN_POINTS_PER_CENTROID = 40
+# Cap on the dense (rows × nlist) d² scratch block in the Lloyd loop and
+# the assignment kernel: at the planner's capped nlist (2.5k) a full
+# 100k-row sample would otherwise allocate a 2 GB matrix per iteration.
+# Blocking changes nothing — argmin is per-row.
+_ASSIGN_BLOCK_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _argmin_d2_blocked(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-blocked expansion-formula argmin assignment (ties → lowest
+    cid via argmin). Identical values/decisions to the dense computation;
+    scratch is bounded at ``_ASSIGN_BLOCK_TARGET_BYTES``."""
+    c_sq = np.sum(C * C, axis=1)[None, :]
+    out = np.empty(len(X), dtype=np.int64)
+    blk = max(1, _ASSIGN_BLOCK_TARGET_BYTES // (max(len(C), 1) * 8))
+    for r0 in range(0, len(X), blk):
+        r1 = min(r0 + blk, len(X))
+        Xb = X[r0:r1]
+        d2 = np.sum(Xb * Xb, axis=1)[:, None] - 2 * Xb @ C.T + c_sq
+        out[r0:r1] = np.argmin(d2, axis=1)
+    return out
 
 
 def kmeans_fit(
@@ -59,12 +79,7 @@ def kmeans_fit(
     X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
     C = X[order].copy()
     for _ in range(max_iter):
-        d2 = (
-            np.sum(X * X, axis=1)[:, None]
-            - 2 * X @ C.T
-            + np.sum(C * C, axis=1)[None, :]
-        )
-        a = np.argmin(d2, axis=1)
+        a = _argmin_d2_blocked(X, C)
         newC = C.copy()
         for cid in range(len(C)):
             m = a == cid
@@ -93,13 +108,8 @@ def ivf_assign(
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            d2 = (
-                np.sum(X * X, axis=1)[:, None]
-                - 2 * X @ C.T
-                + np.sum(C * C, axis=1)[None, :]
-            )
             yield pd.DataFrame(
-                {"cid": np.argmin(d2, axis=1), "id": pdf["i"].to_numpy()}
+                {"cid": _argmin_d2_blocked(X, C), "id": pdf["i"].to_numpy()}
             )
 
     return df.select(
