@@ -21,8 +21,9 @@ kernel and twin would self-confirm. To narrow that gap the serve stage
 of the two-layer, sharded, and roargraph pins is cross-checked against a
 second implementation transcribed independently from the published HNSW
 algorithm (oracles._np_serve_algo2; Malkov & Yashunin TPAMI 2018, Alg.
-2) and raises on any divergence; the traced-steps pin remains
-single-derivation.
+2) and raises on any divergence; the traced-steps pin is likewise
+cross-checked against a contract-transcribed second derivation
+(oracles._np_traced_algo2).
 """
 
 from __future__ import annotations
@@ -145,6 +146,35 @@ def _ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn(
         q, b, k=10, nlist=16, nprobe=4, m=8, ks=16, max_iter=3,
         q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
+def _ivfpq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving END-TO-END THROUGH THE PERSISTED ARTIFACT: fit,
+    save (codes partitioned by cell), load arrays back, search with the
+    probed cells applied as a partition-pruning literal predicate. Same
+    oracle as the in-memory path — the artifact round-trip must be
+    result-invariant (also pinned plan-level by test: PartitionFilters
+    on cid)."""
+    import tempfile
+
+    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    from vectordbindexing_spark.operators.ivfpq import (
+        ivfpq_search_index,
+        save_ivfpq_index,
+    )
+    from vectordbindexing_spark.operators.pq import pq_fit
+
+    q, b = _emb_split(spark, sf_dir)
+    cents = kmeans_fit(b, 16, max_iter=3, id_col="vec_id",
+                       vec_col="embedding")
+    books = pq_fit(b, m=8, ks=16, max_iter=3, id_col="vec_id",
+                   vec_col="embedding")
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    save_ivfpq_index(b, cents, books, path, b_id="vec_id",
+                     b_vec="embedding")
+    return ivfpq_search_index(
+        q, path, k=10, nprobe=4, q_id="vec_id", q_vec="embedding"
     ).withColumn("dist", F.round("dist", 6))
 
 
@@ -545,6 +575,21 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs, text_col="text", id_col="doc_id")
 
 
+def _text_lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same language-ID semantics through the broadcast-lexicon path
+    (explode + broadcast equi-join + per-doc argmax window) — the
+    deployment shape for ≥100-language lexicons. Shares text_lang_id's
+    oracle: the two physical plans must be result-identical."""
+    from vectordbindexing_spark.operators.textops import LANG_MARKERS, lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lg, m) for lg, ms in LANG_MARKERS.items() for m in ms],
+        schema="lang string, marker string",
+    )
+    return lang_id(docs, text_col="text", id_col="doc_id", lexicon=lex)
+
+
 def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination gate: training docs (doc_id % 20 != 0) sharing ≥5
     distinct 3-grams with any held-out benchmark doc (doc_id % 20 == 0),
@@ -903,6 +948,7 @@ def queries() -> dict[str, Query]:
         "ivf_knn_cosine": _ivf_knn,
         "pq_adc_knn": _pq_adc_knn,
         "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
         "ivfpq_rerank_knn": _ivfpq_rerank_knn,
         "planner_knn_route": _planner_knn_route,
         "planner_graph_route": _planner_graph_route,
@@ -939,6 +985,7 @@ def queries() -> dict[str, Query]:
         "text_token_stats": _text_token_stats,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
         "corpus_filter_gate": _corpus_filter_gate,
         "text_bpe_token_stats": _bpe_token_stats,
         "benchmark_contamination": _benchmark_contamination,
@@ -973,6 +1020,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "pq_adc_knn": oracles.pq_knn_sql(m=8, ks=16, k=10, iters=3),
         "ivfpq_knn": oracles.ivfpq_knn_sql(
+            nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
+        ),
+        "ivfpq_index_knn": oracles.ivfpq_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
         ),
         "ivfpq_rerank_knn": oracles.ivfpq_rerank_knn_sql(
@@ -1031,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS_SQL,
         "text_quality_score": oracles.quality_score_sql(STOPWORDS),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS),
+        "text_lang_id_lexicon": oracles.lang_id_sql(LANG_MARKERS),
         "corpus_filter_gate": oracles.corpus_filter_gate_sql(
             LANG_MARKERS, STOPWORDS
         ),
