@@ -219,6 +219,29 @@ def corpus_filter_gate(
     """
     from pyspark.sql import Window
 
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    is_keeper = F.row_number().over(w) == 1
+    return gate_with_keeper(
+        df, is_keeper, text_col, id_col, lang, min_tokens, max_tokens,
+        max_punct_ratio,
+    )
+
+
+def gate_with_keeper(
+    df: DataFrame,
+    is_keeper: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """The stateless verdict of corpus_filter_gate with the exact-dup
+    keeper supplied as a Column — shared by the batch gate (md5 window,
+    min id wins) and the streaming gate (stateful first-arrival dedup,
+    streaming.filter_gate), so the rule set and reason priority cannot
+    drift between the two."""
     toks = words(F.col(text_col))
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(text_col).cast("double")
@@ -250,8 +273,6 @@ def corpus_filter_gate(
     pred_lang = (
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
     )
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    is_keeper = F.row_number().over(w) == 1
     reason = (
         F.when(~is_keeper, F.lit("duplicate"))
         .when(pred_lang != F.lit(lang), F.lit("lang"))
