@@ -619,6 +619,48 @@ def _corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter_gate(docs, text_col="text", id_col="doc_id")
 
 
+def _text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically salted corpus: the synthetic
+    documents contain no PII, so each doc gets a synthetic email, IPv4
+    and phone appended (pure function of doc_id, mirrored byte-for-byte
+    in oracles.PII_SALT_SQL) before textops.pii_redact counts and
+    replaces them. Verifies pattern parity, replacement order and the
+    progressive-count contract end-to-end."""
+    from vectordbindexing_spark.operators.textops import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return pii_redact(salted, text_col="text", id_col="doc_id")
+
+
+def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals. The synthetic docs are
+    single-line, so the entry splits them into lines first (literal
+    replace of ' a ' with newline — same non-overlapping left-to-right
+    semantics in both engines) to exercise the duplicate-line fraction
+    alongside the top/dup n-gram fractions."""
+    from vectordbindexing_spark.operators.textops import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+    return repetition_stats(lined, text_col="text", id_col="doc_id", ns=(2, 3))
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.textops import doc_fingerprint
 
@@ -989,6 +1031,8 @@ def queries() -> dict[str, Query]:
         "corpus_filter_gate": _corpus_filter_gate,
         "text_bpe_token_stats": _bpe_token_stats,
         "benchmark_contamination": _benchmark_contamination,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition_stats": _text_repetition_stats,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -1088,6 +1132,10 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_token_stats": oracles.bpe_token_stats_sql(BPE_ISH_PATTERN),
         "benchmark_contamination": oracles.benchmark_contamination_sql(
             n=3, min_overlap=5, bench_mod=20
+        ),
+        "text_pii_redact": oracles.pii_redact_sql(salted=True),
+        "text_repetition_stats": oracles.repetition_stats_sql(
+            ns=(2, 3), line_token=" a "
         ),
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,

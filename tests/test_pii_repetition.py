@@ -1,0 +1,97 @@
+"""Unit tests for textops.pii_redact and textops.repetition_stats
+(training-pipeline scrub + Gopher-style repetition quality signals)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordbindexing_spark.operators.textops import (  # noqa: E402
+    pii_redact,
+    repetition_stats,
+)
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_pii_redact_all_types(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a@b.org and c.d+x@sub.example.co from 10.0.37.7 "
+             "call 555-123-0042 end")],
+        "doc_id long, text string",
+    )
+    r = _one(pii_redact(df))
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (2, 1, 1)
+    assert r["redacted"] == (
+        "mail <EMAIL> and <EMAIL> from <IP> call <PHONE> end"
+    )
+
+
+def test_pii_redact_clean_text_unchanged(spark):
+    txt = "no pii here, just v1.2.3 and 12345-678-9012 and a at b dot com"
+    df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+    r = _one(pii_redact(df))
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (0, 0, 0)
+    assert r["redacted"] == txt
+
+
+def test_pii_counts_are_progressive(spark):
+    # the IP inside the email's local part is consumed by the email rule
+    # first, so it must NOT also count as an IP
+    df = spark.createDataFrame(
+        [(0, "x 10.0.0.1@example.com y")], "doc_id long, text string"
+    )
+    r = _one(pii_redact(df))
+    assert (r["n_email"], r["n_ip"]) == (1, 0)
+    assert r["redacted"] == "x <EMAIL> y"
+
+
+def test_repetition_stats_known_fractions(spark):
+    # 2-grams of "p q p q p q": [p q, q p, p q, q p, p q] → top 3/5,
+    # distinct 2 → dup 1 - 2/5; 3-grams: [p q p, q p q, p q p, q p q]
+    # → top 2/4, dup 1 - 2/4
+    df = spark.createDataFrame(
+        [(7, "p q p q p q")], "doc_id long, text string"
+    )
+    r = _one(repetition_stats(df, ns=(2, 3)))
+    assert r["n_lines"] == 1 and r["dup_line_frac"] == 0.0
+    assert r["top_2gram_frac"] == 0.6
+    assert r["dup_2gram_frac"] == 0.6
+    assert r["top_3gram_frac"] == 0.5
+    assert r["dup_3gram_frac"] == 0.5
+
+
+def test_repetition_stats_duplicate_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "x y\nx y\nz w")], "doc_id long, text string"
+    )
+    r = _one(repetition_stats(df, ns=(2,)))
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == round(1 - 2 / 3, 6)
+
+
+def test_repetition_stats_bounds_on_corpus(spark, tables):
+    out = repetition_stats(
+        tables["documents"].limit(50), ns=(2, 3)
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        for c in ("dup_line_frac", "top_2gram_frac", "dup_2gram_frac",
+                  "top_3gram_frac", "dup_3gram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (c, r)
+        # the top gram accounts for at least one occurrence
+        assert r["top_2gram_frac"] > 0.0
+
+
+def test_short_doc_single_shingle(spark):
+    # fewer words than n → word_ngrams yields one whole-doc shingle:
+    # top frac 1, dup frac 0
+    df = spark.createDataFrame([(3, "q")], "doc_id long, text string")
+    r = _one(repetition_stats(df, ns=(3,)))
+    assert r["top_3gram_frac"] == 1.0 and r["dup_3gram_frac"] == 0.0

@@ -355,6 +355,117 @@ def benchmark_contamination(
     )
 
 
+# PII scrub rules, applied in order. Patterns live in the Java-regex ∩ RE2
+# common subset (no groups, no lookaround) so Spark and the DuckDB oracle
+# redact byte-identically. Heuristic by design — the standard pre-training
+# scrub (C4/CCNet-style), not a compliance guarantee: versions like
+# "1.2.3.4" do read as IPs, international phone prefixes and obfuscated
+# emails ("a at b dot com") pass through. Extend by prepending rules.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, IPv4 addresses
+    and phone numbers with typed placeholders and count what was removed.
+
+    Each rule's count is taken on the text AFTER the earlier rules ran
+    (an address inside an already-redacted span cannot double-count), so
+    counts always agree with what the redacted text actually lost.
+    Pure nested Column expressions — one scan, whole-stage codegen, no
+    shuffle, no Python in the row path. Output:
+    (id, n_email, n_ip, n_phone, redacted).
+    """
+    t = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, repl)
+    return df.select(F.col(id_col), *counts, t.alias("redacted"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-line fraction plus, per n in ``ns``, the fraction of word
+    n-gram occurrences taken by the single most frequent n-gram
+    (top_{n}gram_frac) and the fraction that are repeats of an earlier
+    occurrence (dup_{n}gram_frac). High values flag boilerplate /
+    machine-generated text that length or stopword filters miss.
+
+    Physical plan: line stats are pure expressions over split('\\n') (no
+    shuffle); n-gram frequencies explode shingles tagged by n and
+    aggregate — shuffle volume ∝ corpus token count × |ns|, the same
+    scale class as the dedup shingle joins. Deliberately NOT a per-row
+    frequency expression (transform × filter is O(len²) per document and
+    a million-token doc would quadratically blow up one task); the
+    groupBy form spreads every document's gram counting across the
+    cluster.
+    """
+    from vectordbindexing_spark.functions.text import word_ngrams
+
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.size(lines).cast("double"),
+            round_to,
+        ).alias("dup_line_frac"),
+    )
+    gram_rows = None
+    for n in ns:
+        g = df.select(
+            F.col(id_col),
+            F.lit(int(n)).alias("_n"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        gram_rows = g if gram_rows is None else gram_rows.unionByName(g)
+    per_gram = gram_rows.groupBy(id_col, "_n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy(id_col, "_n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    aggs = []
+    for n in ns:
+        top = F.max(F.when(F.col("_n") == n, F.col("top")))
+        total = F.max(F.when(F.col("_n") == n, F.col("total")))
+        dist = F.max(F.when(F.col("_n") == n, F.col("n_distinct")))
+        aggs.append(
+            F.round(top.cast("double") / total, round_to).alias(
+                f"top_{n}gram_frac"
+            )
+        )
+        aggs.append(
+            F.round(F.lit(1.0) - dist.cast("double") / total, round_to).alias(
+                f"dup_{n}gram_frac"
+            )
+        )
+    wide = per_doc.groupBy(id_col).agg(*aggs)
+    # word_ngrams maps every doc (even empty text) to ≥1 shingle, so the
+    # join never drops or nulls a document
+    return base.join(wide, id_col, "left")
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1667,6 +1667,80 @@ def bpe_token_stats_sql(pattern: str) -> str:
     """
 
 
+PII_SALT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'"
+    " || (doc_id % 256)::VARCHAR || '.7 call 555-123-'"
+    " || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.'"
+)
+
+
+def pii_redact_sql(salted: bool = True) -> str:
+    """Mirrors textops.pii_redact over the entry query's salted text
+    (deterministic synthetic email/IP/phone appended per doc_id — the raw
+    synthetic corpus contains no PII, so redacting it verifies nothing).
+    Counts are taken on the progressively-redacted text, exactly as the
+    Spark operator chains them."""
+    from vectordbindexing_spark.operators.textops import PII_RULES
+
+    text = PII_SALT_SQL if salted else "text"
+    sql = f"WITH r0 AS (SELECT doc_id, {text} AS t0 FROM documents)"
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        prev = ", ".join(carried) + ", " if carried else ""
+        sql += f""",
+    r{i + 1} AS (SELECT doc_id, {prev}
+                 len(regexp_extract_all(t{i}, '{pat}'))::BIGINT AS n_{name},
+                 regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}
+                 FROM r{i})"""
+        carried.append(f"n_{name}")
+    cols = ", ".join(carried)
+    return sql + f"""
+    SELECT doc_id, {cols}, t{len(PII_RULES)} AS redacted
+    FROM r{len(PII_RULES)}
+    """
+
+
+def repetition_stats_sql(
+    ns: tuple[int, ...] = (2, 3), line_token: str = " a ", round_to: int = 6
+) -> str:
+    """Mirrors textops.repetition_stats over the entry query's lined text
+    (the synthetic corpus is single-line, so the entry splits it into
+    lines by replacing the literal ``line_token`` with newlines — both
+    engines use literal non-overlapping left-to-right replace)."""
+    lines = "string_split(t, chr(10))"
+    per_n = []
+    joins = []
+    for n in ns:
+        grams = word_ngrams_sql("t", n)
+        per_n.append(f"""
+    g{n} AS (SELECT doc_id, unnest({grams}) AS gram FROM t),
+    c{n} AS (SELECT doc_id, gram, count(*) AS c FROM g{n} GROUP BY 1, 2),
+    a{n} AS (SELECT doc_id,
+                    round(max(c)::DOUBLE / sum(c), {round_to})
+                        AS top_{n}gram_frac,
+                    round(1.0 - count(*)::DOUBLE / sum(c), {round_to})
+                        AS dup_{n}gram_frac
+             FROM c{n} GROUP BY doc_id)""")
+        joins.append(
+            f"JOIN a{n} USING (doc_id)"
+        )
+    body = ",".join(per_n)
+    gram_cols = ", ".join(
+        f"top_{n}gram_frac, dup_{n}gram_frac" for n in ns
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, replace(text, '{line_token}', chr(10)) AS t
+               FROM documents),
+    l AS (SELECT doc_id,
+                 len({lines})::BIGINT AS n_lines,
+                 round(1.0 - len(list_distinct({lines}))::DOUBLE
+                       / len({lines}), {round_to}) AS dup_line_frac
+          FROM t),{body}
+    SELECT doc_id, n_lines, dup_line_frac, {gram_cols}
+    FROM l {' '.join(joins)}
+    """
+
+
 def benchmark_contamination_sql(
     n: int = 3, min_overlap: int = 5, bench_mod: int = 20
 ) -> str:
