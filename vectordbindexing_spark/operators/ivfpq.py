@@ -7,9 +7,11 @@ are computed against m-byte PQ codes instead of raw vectors.
 Composition of the two existing scale primitives with their oracle
 conventions intact:
 
-- coarse quantizer = ivf.kmeans_fit / ivf.ivf_assign (expansion-formula
-  d², ties → lowest cid),
-- codes = pq.pq_fit / pq.pq_encode (elementwise d², ties → lowest code),
+- coarse quantizer = ivf.kmeans_fit fit + the ivf_assign convention
+  (expansion-formula d², ties → lowest cid),
+- codes = pq.pq_fit fit + the pq_encode convention (elementwise d²,
+  ties → lowest code) — assignment and encoding run FUSED in one Arrow
+  pass (ivfpq_encode_assign), so the index build never joins,
 - scan = the PQ ADC lookup-table kernel, restricted per batch to the
   rows whose cell some query probes.
 
@@ -34,15 +36,50 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectordbindexing_spark.operators.ivf import ivf_assign, kmeans_fit
+from vectordbindexing_spark.operators.ivf import _argmin_d2_blocked, kmeans_fit
 from vectordbindexing_spark.operators.pq import (
     _ADC_BLOCK_TARGET_BYTES,
     _BLOCKED_THRESHOLD_QUERIES,
-    pq_encode,
+    encode_codes_np,
     pq_fit,
 )
 from vectordbindexing_spark.operators.topk import topk_per_group
 
+
+def ivfpq_encode_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    b_id: str = "id",
+    b_vec: str = "vec",
+) -> DataFrame:
+    """(cid, id, codes) in ONE broadcast Arrow pass. Cell assignment and
+    PQ encoding are both per-row functions of the same vector, so fusing
+    them removes the pq_encode ⨝ ivf_assign equi-join that shuffled the
+    full codes table just to glue two columns computed from the same
+    batch — at 100 TB that join was the only corpus-sized shuffle in the
+    index build. Conventions unchanged: assignment ties → lowest cid
+    (_argmin_d2_blocked), code ties → lowest code (encode_codes_np)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            yield pd.DataFrame(
+                {
+                    "cid": _argmin_d2_blocked(X, C),
+                    "id": pdf["i"].to_numpy(),
+                    "codes": list(encode_codes_np(X, B)),
+                }
+            )
+
+    return df.select(
+        F.col(b_id).cast("long").alias("i"), F.col(b_vec).alias("v")
+    ).mapInPandas(both, schema="cid long, id long, codes array<long>")
 
 
 def _collect_queries(queries: DataFrame, q_id: str, q_vec: str):
@@ -199,9 +236,7 @@ def ivfpq_knn(
     if codebooks is None:
         codebooks = pq_fit(base, m, ks, max_iter, b_id, b_vec)
     m, ks, dsub = codebooks.shape
-    inv = pq_encode(base, codebooks, b_id, b_vec).join(
-        ivf_assign(base, centroids, b_id, b_vec), "id"
-    )
+    inv = ivfpq_encode_assign(base, centroids, codebooks, b_id, b_vec)
 
     qids, Q = _collect_queries(queries, q_id, q_vec)
     probes_of, luts = _probes_and_luts(Q, centroids, codebooks, nprobe)
@@ -250,36 +285,98 @@ def save_ivfpq_index(
       so serving's parquet scan partition-prunes to the probed cells,
     - ``path/centroids`` / ``path/codebooks`` — the two fitted arrays.
 
-    One assignment + one encode scan at build time; thereafter every
+    One fused encode+assign scan at build time (no join); thereafter every
     query batch reads nprobe/nlist of an already-64×-compressed table —
     the artifact for 100 TB corpora is ~nprobe/nlist · raw/64 bytes per
     search.
     """
     spark = base.sparkSession
-    b = base.select(
-        F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
-    ).localCheckpoint(eager=True)
-    inv = pq_encode(b, codebooks, b_id, b_vec).join(
-        ivf_assign(b, centroids, b_id, b_vec), "id"
-    )
+    inv = ivfpq_encode_assign(base, centroids, codebooks, b_id, b_vec)
     inv.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
-        schema="cid long, cvec array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
     m, ks, dsub = codebooks.shape
+    # centroids/codebooks/meta are driver-resident metadata (O(nlist·d) +
+    # O(m·ks·dsub) floats — KBs to a few MB even at planner-scale nlist),
+    # so they go through pyarrow directly instead of three Spark jobs
+    # whose scheduler + commit-protocol overhead dwarfs the bytes. Only
+    # the codes table — the data-scale part — is a distributed write.
+    if "://" in path:  # object-store/HDFS URI: stay on the Spark writer
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(centroids)
+            ],
+            schema="cid long, cvec array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        flat = codebooks.reshape(m * ks, dsub)
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(flat)],
+            schema="i long, row array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        spark.createDataFrame(
+            [(int(m), int(ks), int(dsub))], schema="m long, ks long, dsub long"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    def _write(sub: str, table: pa.Table) -> None:
+        os.makedirs(f"{path}/{sub}", exist_ok=True)
+        papq.write_table(table, f"{path}/{sub}/part-00000.parquet")
+
+    _write(
+        "centroids",
+        pa.table(
+            {
+                "cid": pa.array(range(len(centroids)), pa.int64()),
+                "cvec": pa.array(
+                    centroids.astype(np.float64).tolist(),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+    )
     flat = codebooks.reshape(m * ks, dsub)
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(flat)],
-        schema="i long, row array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(int(m), int(ks), int(dsub))], schema="m long, ks long, dsub long"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    _write(
+        "codebooks",
+        pa.table(
+            {
+                "i": pa.array(range(len(flat)), pa.int64()),
+                "row": pa.array(
+                    flat.astype(np.float64).tolist(), pa.list_(pa.float64())
+                ),
+            }
+        ),
+    )
+    _write(
+        "meta",
+        pa.table(
+            {
+                "m": pa.array([int(m)], pa.int64()),
+                "ks": pa.array([int(ks)], pa.int64()),
+                "dsub": pa.array([int(dsub)], pa.int64()),
+            }
+        ),
+    )
 
 
 def load_ivfpq_arrays(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
-    """(centroids, codebooks) back from the artifact."""
+    """(centroids, codebooks) back from the artifact. Local paths read
+    the three metadata tables with pyarrow on the driver (no Spark jobs);
+    URI paths fall back to distributed reads. Either way the layout is
+    plain parquet — both writers produce files the other reader accepts."""
+    if "://" not in path:
+        import pyarrow.parquet as papq
+
+        ct = papq.read_table(f"{path}/centroids").sort_by("cid")
+        centroids = np.array(ct["cvec"].to_pylist(), dtype=np.float64)
+        meta = papq.read_table(f"{path}/meta").to_pylist()[0]
+        bt = papq.read_table(f"{path}/codebooks").sort_by("i")
+        books = np.array(bt["row"].to_pylist(), dtype=np.float64).reshape(
+            meta["m"], meta["ks"], meta["dsub"]
+        )
+        return centroids, books
     cents = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     centroids = np.array([r["cvec"] for r in cents], dtype=np.float64)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]

@@ -117,6 +117,19 @@ def pq_fit(
     return pq_fit_arrays(ids, X, m, ks, max_iter)
 
 
+def encode_codes_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) nearest-codeword indices per sub-vector (ties → lowest
+    code, the np.argmin convention the oracle mirrors). Shared by
+    pq_encode and the fused IVF-PQ encode+assign pass."""
+    m, ks, dsub = codebooks.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -129,17 +142,13 @@ def pq_encode(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = bc.value
-        m, ks, dsub = B.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            codes = np.empty((len(X), m), dtype=np.int64)
-            for j in range(m):
-                S = X[:, j * dsub : (j + 1) * dsub]
-                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d2, axis=1)
-            yield pd.DataFrame({"id": pdf["i"].to_numpy(), "codes": list(codes)})
+            yield pd.DataFrame(
+                {"id": pdf["i"].to_numpy(), "codes": list(encode_codes_np(X, B))}
+            )
 
     return df.select(
         F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
