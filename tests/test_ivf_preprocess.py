@@ -210,3 +210,50 @@ def test_assignment_blocking_is_invisible(monkeypatch):
     tiny = ivfmod._argmin_d2_blocked(X, C)
     np.testing.assert_array_equal(full, dense)
     np.testing.assert_array_equal(tiny, dense)
+
+
+def test_kmeans_fit_distributed_matches_driver_fit(spark, tables):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.ivf import (
+        ivf_knn,
+        kmeans_fit,
+        kmeans_fit_distributed,
+    )
+
+    emb = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    # n <= sample budget: both fits see every row and share the init,
+    # so centroids agree to cross-partition summation-order drift
+    C_driver = kmeans_fit(emb, 8, max_iter=4, id_col="id", vec_col="vec")
+    C_dist = kmeans_fit_distributed(
+        emb, 8, max_iter=4, id_col="id", vec_col="vec"
+    )
+    assert C_dist.shape == C_driver.shape
+    assert np.allclose(C_dist, C_driver, atol=1e-9)
+
+    # the distributed fit slots into the same downstream serving path
+    q = emb.filter(F.col("id") < 10).select(F.col("id").alias("qid"), "vec")
+    got = ivf_knn(
+        q, emb, k=5, nlist=8, nprobe=8, metric="l2", centroids=C_dist
+    )
+    assert got.count() == 10 * 5
+
+
+def test_kmeans_fit_distributed_accepts_precomputed_init(spark, tables):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.ivf import kmeans_fit_distributed
+
+    emb = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    rows = emb.filter(F.col("id") < 6).orderBy("id").collect()
+    init = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    C = kmeans_fit_distributed(emb, 6, max_iter=2, id_col="id",
+                               vec_col="vec", init=init)
+    assert C.shape == init.shape
+    assert not np.allclose(C, init)  # the update steps actually moved it

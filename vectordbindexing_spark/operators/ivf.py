@@ -92,6 +92,107 @@ def kmeans_fit(
     return C
 
 
+def kmeans_fit_distributed(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    init: np.ndarray | None = None,
+    sample_size: int = KMEANS_SAMPLE_SIZE,
+) -> np.ndarray:
+    """Lloyd k-means with DISTRIBUTED update steps — the fit for nlist
+    beyond the driver-sample budget (``kmeans_fit`` degenerates past
+    ~sample/40 centroids; the planner caps nlist there, and this lifts
+    the cap: at 10¹¹ rows and nlist = √n ≈ 3·10⁵ every centroid still
+    trains on the full corpus).
+
+    Per iteration: ONE corpus scan (broadcast-centroid blocked argmin,
+    the exact ivf_assign convention — ties → lowest cid) emitting
+    per-batch (cid, partial vector sum, count) rows via np.unique
+    segment sums, then a groupBy(cid) with d element-wise SUM columns —
+    map-side combined, shuffle ∝ occupied cells × partitions, never ∝
+    corpus rows. New centroid = sum/count collected driver-side (k·d
+    floats — the size of the result itself); empty cells keep their old
+    centroid and convergence breaks early, both matching kmeans_fit.
+
+    Init defaults to the same bounded hash-ordered sample rule as
+    kmeans_fit, so at n ≤ sample_size the two fits start identically and
+    agree to summation-order float drift (pinned by test). Caveat: the
+    cross-partition sum order is not run-deterministic, so this fit is
+    allclose-reproducible, not bit-reproducible — oracle-pinned paths
+    keep using the driver fit.
+    """
+    v = df.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    )
+    if init is None:
+        from vectordbindexing_spark.functions.hashing import det_hash64
+
+        rows = (
+            v.orderBy(det_hash64(F.col("i").cast("string")), "i")
+            .limit(sample_size)
+            .toPandas()
+        )
+        order = np.argsort(rows["i"].to_numpy(), kind="stable")[:k]
+        X0 = np.stack([np.asarray(x, dtype=np.float64) for x in rows["v"]])
+        C = X0[order].copy()
+    else:
+        C = np.asarray(init, dtype=np.float64).copy()
+    d = C.shape[1]
+    spark = df.sparkSession
+    v = v.localCheckpoint(eager=True)  # scanned once per iteration
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partial_sums(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            Cb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                a = _argmin_d2_blocked(X, Cb)
+                uniq, inv = np.unique(a, return_inverse=True)
+                sums = np.zeros((len(uniq), d), dtype=np.float64)
+                np.add.at(sums, inv, X)
+                counts = np.bincount(inv, minlength=len(uniq))
+                yield pd.DataFrame(
+                    {
+                        "cid": uniq,
+                        "s": list(sums),
+                        "n": counts.astype(np.int64),
+                    }
+                )
+
+        agg = (
+            v.mapInPandas(
+                partial_sums, schema="cid long, s array<double>, n long"
+            )
+            .groupBy("cid")
+            .agg(
+                *[F.sum(F.col("s").getItem(i)).alias(f"s{i}") for i in range(d)],
+                F.sum("n").alias("n"),
+            )
+            .toPandas()
+        )
+        newC = C.copy()
+        cids = agg["cid"].to_numpy()
+        counts = agg["n"].to_numpy().astype(np.float64)
+        sums = agg[[f"s{i}" for i in range(d)]].to_numpy(dtype=np.float64)
+        newC[cids] = sums / counts[:, None]
+        bc.destroy()
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
