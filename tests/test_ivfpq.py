@@ -334,3 +334,71 @@ def test_artifact_rerank_requires_base_and_matches_inmemory(
     mem = mem.sort_values(key).reset_index(drop=True)
     assert art["neighbor_id"].tolist() == mem["neighbor_id"].tolist()
     np.testing.assert_array_equal(art["dist"].to_numpy(), mem["dist"].to_numpy())
+
+
+def test_filtered_search_equals_prefiltered_build(spark, tables, tmp_path):
+    """allowed-subset restriction == building over the filtered base with
+    the same frozen quantizers (cell assignment and codes are per-row)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    from vectordbindexing_spark.operators.ivfpq import (
+        ivfpq_knn,
+        ivfpq_search_index,
+        save_ivfpq_index,
+    )
+    from vectordbindexing_spark.operators.pq import pq_fit
+
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    q = emb.filter(F.col("id") < 20).select(F.col("id").alias("qid"), "vec")
+    cents = kmeans_fit(emb, 8, max_iter=3, id_col="id", vec_col="vec")
+    books = pq_fit(emb, m=8, ks=16, max_iter=3, id_col="id", vec_col="vec")
+    allowed = emb.filter(F.col("id") % 2 == 0).select("id")
+
+    got = ivfpq_knn(
+        q, emb, k=5, nlist=8, nprobe=3, centroids=cents, codebooks=books,
+        allowed=allowed,
+    )
+    want = ivfpq_knn(
+        q, emb.filter(F.col("id") % 2 == 0), k=5, nlist=8, nprobe=3,
+        centroids=cents, codebooks=books,
+    )
+    rows_got = sorted(tuple(r) for r in got.collect())
+    rows_want = sorted(tuple(r) for r in want.collect())
+    assert rows_got == rows_want
+    assert all(r["neighbor_id"] % 2 == 0 for r in got.collect())
+
+    # same contract through the persisted artifact
+    path = str(tmp_path / "fidx")
+    save_ivfpq_index(emb, cents, books, path, b_id="id", b_vec="vec")
+    got2 = ivfpq_search_index(q, path, k=5, nprobe=3, allowed=allowed)
+    assert sorted(tuple(r) for r in got2.collect()) == rows_want
+
+
+def test_sweep_nprobe_monotone_recall(spark, tables):
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.evaluate import sweep_nprobe
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    q = emb.filter(F.col("id") < 30).select(F.col("id").alias("qid"), "vec")
+    exact = exact_knn(q, emb, k=5, metric="l2", impl="blocked",
+                      q_id="qid", q_vec="vec", b_id="id", b_vec="vec")
+    tbl = sweep_nprobe(q, emb, exact, k=5, nprobe_grid=(1, 4, 8), nlist=8)
+    assert list(tbl["nprobe"]) == [1, 4, 8]
+    rec = list(tbl["recall_at_k"])
+    assert rec == sorted(rec)          # more probes never lose recall
+    assert (tbl["wall_sec"] > 0).all()
+    # with exact rerank the full-probe end of the frontier is near-exact
+    tbl2 = sweep_nprobe(q, emb, exact, k=5, nprobe_grid=(8,), nlist=8,
+                        rerank=150)
+    assert tbl2["recall_at_k"].iloc[-1] >= 0.9
+    assert tbl2["recall_at_k"].iloc[-1] >= rec[-1]

@@ -220,6 +220,7 @@ def ivfpq_knn(
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     rerank: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate KNN. Output (qid, nbr_rank, neighbor_id, dist);
     ``dist`` is the ADC squared-L2 approximation (ties → neighbor_id,
@@ -227,7 +228,16 @@ def ivfpq_knn(
     R candidates per query is re-scored with exact squared L2 against the
     true vectors (shared :func:`operators.pq.exact_rerank` stage) — the
     reference-grade two-stage plan: compressed probe scan everywhere,
-    full-width vectors touched only for R·n_q rows."""
+    full-width vectors touched only for R·n_q rows.
+
+    ``allowed`` (a DataFrame with an ``id`` column) restricts search to a
+    metadata-filtered subset — filtered ANN. The restriction is a LEFT
+    SEMI join on the codes table BEFORE the ADC kernel, so the scan
+    prunes to allowed∩probed rows and, because cell assignment and codes
+    are per-row, results are identical to building the index over the
+    pre-filtered base with the same quantizers (pinned by test). Top-k
+    is computed after the restriction — a query whose neighborhood is
+    filtered away still returns its k best allowed rows."""
     base = base.select(
         F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
     ).localCheckpoint(eager=True)  # consumed by both fits + assign + encode
@@ -237,6 +247,10 @@ def ivfpq_knn(
         codebooks = pq_fit(base, m, ks, max_iter, b_id, b_vec)
     m, ks, dsub = codebooks.shape
     inv = ivfpq_encode_assign(base, centroids, codebooks, b_id, b_vec)
+    if allowed is not None:
+        inv = inv.join(
+            allowed.select(F.col("id").cast("long").alias("id")), "id", "semi"
+        )
 
     qids, Q = _collect_queries(queries, q_id, q_vec)
     probes_of, luts = _probes_and_luts(Q, centroids, codebooks, nprobe)
@@ -398,6 +412,7 @@ def ivfpq_search_index(
     base: DataFrame | None = None,
     b_id: str = "id",
     b_vec: str = "vec",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted IVF-PQ artifact. The probed cell ids (≤ nlist
     values) are applied as a literal ``isin`` predicate so the codes
@@ -406,7 +421,9 @@ def ivfpq_search_index(
     IDENTICAL to the in-memory ivfpq_knn with the same arrays (pinned
     by test). ``rerank=R`` exact-rescoring needs the raw vectors, which
     the artifact deliberately does not store (codes are 1/64 the bytes)
-    — pass the vector table as ``base``."""
+    — pass the vector table as ``base``. ``allowed`` restricts to a
+    metadata-filtered id subset (semi join after the partition-pruned
+    scan — filtered ANN, same contract as :func:`ivfpq_knn`)."""
     spark = queries.sparkSession
     centroids, codebooks = load_ivfpq_arrays(spark, path)
     qids, Q = _collect_queries(queries, q_id, q_vec)
@@ -414,6 +431,10 @@ def ivfpq_search_index(
     inv = spark.read.parquet(f"{path}/codes").filter(
         F.col("cid").isin([int(c) for c in sorted(probes_of)])
     )
+    if allowed is not None:
+        inv = inv.join(
+            allowed.select(F.col("id").cast("long").alias("id")), "id", "semi"
+        )
     shortlist = k if rerank is None else max(k, rerank)
     ranked = _adc_probe_topk(inv, qids, luts, probes_of, shortlist)
     if rerank is None:

@@ -33,7 +33,12 @@ BROADCAST_QUERY_LIMIT = 100_000
 # beyond sample/40 would leave fewer than ~40 training points per centroid
 # — a degenerate fit — so √n sizing is capped here. At 10¹⁰ rows √n would
 # ask for 100k centroids from a 100k-row sample; the cap keeps the route
-# the planner advertises for 100 TB actually trainable.
+# the planner advertises for 100 TB actually trainable. Deployments that
+# want uncapped √n centroids fit them with ivf.kmeans_fit_distributed
+# (full-corpus Lloyd updates, one scan per iteration) and pass the
+# matrix through the operators' ``centroids=`` parameter — the planner
+# keeps the capped driver fit because its routes are oracle-pinned and
+# the distributed fit is allclose- but not bit-reproducible.
 MAX_NLIST = KMEANS_SAMPLE_SIZE // MIN_POINTS_PER_CENTROID
 
 
