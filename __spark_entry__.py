@@ -661,6 +661,17 @@ def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(lined, text_col="text", id_col="doc_id", ns=(2, 3))
 
 
+def _text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window=32 tokens, stride=24 → 8-token
+    overlap): the prep step before embedding at corpus scale. Small
+    window so the synthetic ~60-token docs produce multiple chunks."""
+    from vectordbindexing_spark.operators.textops import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, text_col="text", id_col="doc_id",
+                           window=32, stride=24)
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.textops import doc_fingerprint
 
@@ -1033,6 +1044,7 @@ def queries() -> dict[str, Query]:
         "benchmark_contamination": _benchmark_contamination,
         "text_pii_redact": _text_pii_redact,
         "text_repetition_stats": _text_repetition_stats,
+        "text_chunk_documents": _text_chunk_documents,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -1134,6 +1146,9 @@ def oracle_sql() -> dict[str, str]:
             n=3, min_overlap=5, bench_mod=20
         ),
         "text_pii_redact": oracles.pii_redact_sql(salted=True),
+        "text_chunk_documents": oracles.chunk_documents_sql(
+            window=32, stride=24
+        ),
         "text_repetition_stats": oracles.repetition_stats_sql(
             ns=(2, 3), line_token=" a "
         ),

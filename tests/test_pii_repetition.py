@@ -95,3 +95,59 @@ def test_short_doc_single_shingle(spark):
     df = spark.createDataFrame([(3, "q")], "doc_id long, text string")
     r = _one(repetition_stats(df, ns=(3,)))
     assert r["top_3gram_frac"] == 1.0 and r["dup_3gram_frac"] == 0.0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from vectordbindexing_spark.operators.textops import chunk_documents
+
+    txt = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    out = chunk_documents(df, window=4, stride=3).collect()
+    chunks = {r["chunk_id"]: r["chunk_text"] for r in out}
+    # starts 1,4,7,10 -> 4 chunks; final one short
+    assert chunks == {
+        0: "w0 w1 w2 w3",
+        1: "w3 w4 w5 w6",
+        2: "w6 w7 w8 w9",
+        3: "w9",
+    }
+    assert {r["chunk_id"]: r["n_chunk_tokens"] for r in out} == {
+        0: 4, 1: 4, 2: 4, 3: 1,
+    }
+
+
+def test_chunk_documents_short_and_empty(spark):
+    from vectordbindexing_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "just three words"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "just three words"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 0
+
+
+def test_chunk_coverage_reconstructs_document(spark, tables):
+    # stride == window (no overlap): concatenating chunks rebuilds the doc
+    from vectordbindexing_spark.operators.textops import chunk_documents
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].limit(20)
+    out = (
+        chunk_documents(docs, window=16, stride=16)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(out, "doc_id").select(
+        (F.col("rebuilt") == F.concat_ws(" ",
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0))).alias("ok")
+    )
+    assert all(r["ok"] for r in joined.collect())

@@ -466,6 +466,43 @@ def repetition_stats(
     return base.join(wide, id_col, "left")
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking — the prep step every
+    embedding/RAG pipeline runs before encoding: split each document
+    into ``window``-token chunks starting every ``stride`` tokens
+    (overlap = window − stride). Chunk starts are 1, 1+stride, … up to
+    the token count, so every token is covered and the final chunk may
+    be short; ``chunk_id`` is the 0-based window index, making
+    (doc_id, chunk_id) the stable key downstream embeddings join back
+    on. Pure expressions (sequence → transform → posexplode): the
+    explode multiplies rows ~⌈n_tokens/stride⌉ per doc but shuffles
+    nothing — chunking stays scan-local at any corpus size.
+    Output: (doc_id, chunk_id, chunk_text, n_chunk_tokens)."""
+    toks = words(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(int(stride))
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, int(window)))
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.size(words(F.col("chunk_text"))).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

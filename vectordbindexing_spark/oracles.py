@@ -1741,6 +1741,27 @@ def repetition_stats_sql(
     """
 
 
+def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
+    """Mirrors textops.chunk_documents: sliding-window token chunks,
+    starts 1, 1+stride, … ≤ max(n_tokens, 1), final chunk may be short;
+    chunk_id = (start−1)/stride."""
+    toks = WORDS_SQL.format(t="text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(range(1, greatest(len(toks), 1) + 1, {stride}))
+                          AS start
+               FROM t)
+    SELECT doc_id,
+           ((start - 1) / {stride})::BIGINT AS chunk_id,
+           array_to_string(list_slice(toks, start, start + {window} - 1), ' ')
+               AS chunk_text,
+           len(list_slice(toks, start, start + {window} - 1))::BIGINT
+               AS n_chunk_tokens
+    FROM s
+    """
+
+
 def benchmark_contamination_sql(
     n: int = 3, min_overlap: int = 5, bench_mod: int = 20
 ) -> str:
