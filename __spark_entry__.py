@@ -661,6 +661,29 @@ def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(lined, text_col="text", id_col="doc_id", ns=(2, 3))
 
 
+def _embedding_pool_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document mean pooling (preprocess.pool_embeddings): the
+    embeddings table grouped by vec_id % 250 simulates ~4-chunk
+    documents; the fold runs in vec_id order (run-deterministic float
+    summation) and the pooled vector is exploded to (pos, val) scalar
+    rows so the oracle hashes every dimension."""
+    from vectordbindexing_spark.operators.preprocess import pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        (F.col("vec_id") % 250).alias("doc_id"), "vec_id", "embedding"
+    )
+    pooled = pool_embeddings(
+        chunks, group_col="doc_id", vec_col="embedding", order_col="vec_id"
+    )
+    return pooled.select(
+        "doc_id", "n_pooled",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "doc_id", "n_pooled", F.col("pos").cast("long").alias("pos"), "val"
+    )
+
+
 def _text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (window=32 tokens, stride=24 → 8-token
     overlap): the prep step before embedding at corpus scale. Small
@@ -1045,6 +1068,7 @@ def queries() -> dict[str, Query]:
         "text_pii_redact": _text_pii_redact,
         "text_repetition_stats": _text_repetition_stats,
         "text_chunk_documents": _text_chunk_documents,
+        "embedding_pool_by_doc": _embedding_pool_by_doc,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -1149,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_documents": oracles.chunk_documents_sql(
             window=32, stride=24
         ),
+        "embedding_pool_by_doc": oracles.pool_embeddings_sql(group_mod=250),
         "text_repetition_stats": oracles.repetition_stats_sql(
             ns=(2, 3), line_token=" a "
         ),

@@ -257,3 +257,55 @@ def test_kmeans_fit_distributed_accepts_precomputed_init(spark, tables):
                                vec_col="vec", init=init)
     assert C.shape == init.shape
     assert not np.allclose(C, init)  # the update steps actually moved it
+
+
+def test_pool_embeddings_mean_and_normalize(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.preprocess import pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 0.0, 3.0]),
+            (1, 11, [3.0, 2.0, 1.0]),
+            (2, 12, [0.0, 5.0, 0.0]),
+        ],
+        "doc_id long, cid long, vec array<double>",
+    )
+    out = {r["doc_id"]: r for r in pool_embeddings(
+        df, group_col="doc_id", vec_col="vec", order_col="cid",
+        round_to=None,
+    ).collect()}
+    assert out[1]["n_pooled"] == 2 and out[1]["vec"] == [2.0, 1.0, 2.0]
+    assert out[2]["vec"] == [0.0, 5.0, 0.0]
+
+    normed = {r["doc_id"]: np.asarray(r["vec"]) for r in pool_embeddings(
+        df, group_col="doc_id", vec_col="vec", normalize=True,
+        round_to=None,
+    ).collect()}
+    for v in normed.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_pool_embeddings_numpy_parity(spark, tables):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.preprocess import pool_embeddings
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 100)
+    chunks = emb.select((F.col("vec_id") % 10).alias("g"), "vec_id",
+                        "embedding")
+    got = {r["g"]: np.asarray(r["embedding"]) for r in pool_embeddings(
+        chunks, group_col="g", vec_col="embedding", order_col="vec_id",
+        round_to=None,
+    ).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["vec_id"] % 10, []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    for g, vs in groups.items():
+        np.testing.assert_allclose(got[g], np.mean(vs, axis=0), atol=1e-12)

@@ -286,3 +286,55 @@ def whitening_transform(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema += f", {out_col} array<double>"
     return df.mapInPandas(run, schema=schema)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "vec",
+    normalize: bool = False,
+    round_to: int | None = 6,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Mean-pool embeddings per group — the doc-level aggregation step
+    after chunk-level encoding (doc embedding = mean of its chunks'
+    embeddings; ``normalize=True`` re-unit-norms the mean, the usual
+    retrieval convention).
+
+    Pure JVM expressions: collect_list per group, then a zip_with fold
+    over the list — ONE shuffle of the vectors to their groups, no
+    Python, no per-dimension explode (the posexplode formulation
+    shuffles n·d rows; this moves n rows of d floats). Per-group memory
+    is chunks-per-group × d — bounded by construction for chunked
+    documents. ``order_col`` fixes the summation order (collect_list
+    order is partition-dependent; float addition isn't associative, so
+    ordered folds make the pooled values run-deterministic — required
+    for oracle-pinned paths). Output: (group_col, n_pooled, vec_col)."""
+    if order_col is not None:
+        pairs = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    to_double_array(F.col(vec_col)).alias("v"),
+                )
+            )
+        )
+        vecs = F.transform(pairs, lambda p: p["v"]).alias("_vs")
+    else:
+        vecs = F.collect_list(to_double_array(F.col(vec_col))).alias("_vs")
+    grouped = df.groupBy(group_col).agg(
+        vecs, F.count(F.lit(1)).cast("long").alias("n_pooled")
+    )
+    zero = F.transform(F.element_at("_vs", 1), lambda _: F.lit(0.0))
+    summed = F.aggregate(
+        "_vs", zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    mean = F.transform(summed, lambda s: s / F.col("n_pooled"))
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(mean, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        mean = F.transform(mean, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    if round_to is not None:
+        mean = F.transform(mean, lambda x: F.round(x, round_to))
+    return grouped.select(F.col(group_col), F.col("n_pooled"), mean.alias(vec_col))

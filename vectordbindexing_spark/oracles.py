@@ -1741,6 +1741,30 @@ def repetition_stats_sql(
     """
 
 
+def pool_embeddings_sql(group_mod: int = 250, round_to: int = 6) -> str:
+    """Mirrors preprocess.pool_embeddings over the entry grouping
+    (vec_id % group_mod as the simulated doc key), pooled vector exploded
+    to (doc_id, pos, val) scalar rows so the hash check covers every
+    dimension. DuckDB's avg summation order differs from the Spark
+    ordered fold by ~1 ulp — absorbed by the shared 1e-6 rounding, the
+    same contract every float oracle here uses."""
+    return f"""
+    WITH g AS (SELECT vec_id % {group_mod} AS doc_id, embedding
+               FROM embeddings),
+         n AS (SELECT doc_id, count(*)::BIGINT AS n_pooled
+               FROM g GROUP BY doc_id),
+         s AS (SELECT doc_id,
+                      unnest(range(1, len(embedding) + 1)) AS i,
+                      embedding
+               FROM g),
+         a AS (SELECT doc_id, i,
+                      round(avg(embedding[i]), {round_to}) AS val
+               FROM s GROUP BY doc_id, i)
+    SELECT a.doc_id, n.n_pooled, (a.i - 1)::BIGINT AS pos, a.val
+    FROM a JOIN n USING (doc_id)
+    """
+
+
 def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
     """Mirrors textops.chunk_documents: sliding-window token chunks,
     starts 1, 1+stride, … ≤ max(n_tokens, 1), final chunk may be short;
