@@ -163,11 +163,12 @@ def _lang_id_table(
 ) -> DataFrame:
     """Broadcast-lexicon scoring: explode lowercased tokens, equi-join
     the (lang, marker) table, count hits per (doc, lang), keep the
-    argmax row per doc (ties → greatest lang, matching the literal
-    path), left-join back so zero-hit docs stay 'und'. The lexicon is a
+    argmax per doc via max(struct(hits, lang)) — lexicographic struct
+    max = highest hit count with ties → greatest lang, exactly the
+    literal path's array_max convention, and it stays a partial-
+    aggregatable groupBy (a row_number window here would add a per-doc
+    sort). Left-join back so zero-hit docs stay 'und'. The lexicon is a
     dimension table — broadcast, never shuffled against the corpus."""
-    from pyspark.sql import Window
-
     toks = words(F.lower(F.col(text_col)))
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
     # distinct: a duplicated (lang, marker) row must not double-count —
@@ -176,16 +177,19 @@ def _lang_id_table(
         F.col("lang").cast("string").alias("lang"),
         F.col("marker").cast("string").alias("_tok"),
     ).distinct()
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("marker_hits").desc(), F.col("lang").desc()
-    )
     best = (
         tok_rows.join(F.broadcast(lex), "_tok")
         .groupBy(id_col, "lang")
         .agg(F.count(F.lit(1)).alias("marker_hits"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "lang", "marker_hits")
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("marker_hits"), F.col("lang"))).alias("_b")
+        )
+        .select(
+            id_col,
+            F.col("_b.lang").alias("lang"),
+            F.col("_b.marker_hits").alias("marker_hits"),
+        )
     )
     return df.select(F.col(id_col)).join(best, id_col, "left").select(
         F.col(id_col),
