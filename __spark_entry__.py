@@ -661,6 +661,30 @@ def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(lined, text_col="text", id_col="doc_id", ns=(2, 3))
 
 
+def _text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-domain mix over a URL-salted corpus (the synthetic docs
+    contain no URLs, so two deterministic URLs per doc_id are appended —
+    mirrored byte-for-byte in oracles.URL_SALT_SQL; one carries a
+    trailing period to pin the punctuation-exclusion rule)."""
+    from vectordbindexing_spark.operators.textops import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://ref"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org."),
+        ).alias("text"),
+    )
+    return domain_stats(salted, text_col="text", id_col="doc_id")
+
+
 def _embedding_pool_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→document mean pooling (preprocess.pool_embeddings): the
     embeddings table grouped by vec_id % 250 simulates ~4-chunk
@@ -1069,6 +1093,7 @@ def queries() -> dict[str, Query]:
         "text_repetition_stats": _text_repetition_stats,
         "text_chunk_documents": _text_chunk_documents,
         "embedding_pool_by_doc": _embedding_pool_by_doc,
+        "text_url_domains": _text_url_domains,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -1174,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
             window=32, stride=24
         ),
         "embedding_pool_by_doc": oracles.pool_embeddings_sql(group_mod=250),
+        "text_url_domains": oracles.domain_stats_sql(),
         "text_repetition_stats": oracles.repetition_stats_sql(
             ns=(2, 3), line_token=" a "
         ),

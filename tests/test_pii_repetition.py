@@ -151,3 +151,37 @@ def test_chunk_coverage_reconstructs_document(spark, tables):
             F.filter(F.split("text", " "), lambda x: F.length(x) > 0))).alias("ok")
     )
     assert all(r["ok"] for r in joined.collect())
+
+
+def test_extract_urls_and_domains(spark):
+    from vectordbindexing_spark.operators.textops import extract_urls
+
+    df = spark.createDataFrame(
+        [(1, "see https://sub.example.com/a/b?x=1 and http://foo.org, "
+             "plus https://foo.org/z. none here")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["url"], r["domain"]) for r in extract_urls(df).collect()
+    )
+    assert rows == [
+        ("http://foo.org", "foo.org"),
+        ("https://foo.org/z", "foo.org"),
+        ("https://sub.example.com/a/b?x=1", "sub.example.com"),
+    ]
+
+
+def test_domain_stats_counts(spark):
+    from vectordbindexing_spark.operators.textops import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x https://a.com/1 y https://a.com/2 z http://b.io/"),
+            (2, "only https://a.com/3 here"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: (r["n_urls"], r["n_docs"])
+           for r in domain_stats(df).collect()}
+    assert out == {"a.com": (3, 2), "b.io": (1, 1)}

@@ -470,6 +470,46 @@ def repetition_stats(
     return base.join(wide, id_col, "left")
 
 
+# URL pattern in the Java ∩ RE2 common subset (no groups, no
+# lookaround, SQL-literal-safe chars only). The mandatory trailing
+# [A-Za-z0-9/] keeps sentence punctuation out of the match
+# ("http://foo.org," captures without the comma).
+URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&*+=%-]*[A-Za-z0-9/]"
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per URL occurrence: (id, url, domain). Pure expressions
+    (regexp_extract_all → explode → regexp_extract) — scan-local, the
+    fan-out is ∝ URL count. Feed of :func:`domain_stats` and of any
+    per-domain filter/license/robots policy join."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    return df.select(F.col(id_col), F.explode(urls).alias("url")).select(
+        F.col(id_col),
+        "url",
+        F.regexp_extract("url", DOMAIN_PATTERN, 1).alias("domain"),
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Source-domain mix of a corpus: per domain, URL occurrences and
+    distinct documents citing it — the report every training-data
+    pipeline keeps for provenance/licensing review. One scan + one
+    groupBy on domain (map-side combined; cardinality = |domains|)."""
+    return (
+        extract_urls(df, text_col, id_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -1765,6 +1765,39 @@ def pool_embeddings_sql(group_mod: int = 250, round_to: int = 6) -> str:
     """
 
 
+URL_SALT_SQL = (
+    "text || ' see https://site' || (doc_id % 7)::VARCHAR"
+    " || '.example.com/p/' || doc_id::VARCHAR"
+    " || ' and http://ref' || (doc_id % 3)::VARCHAR || '.org.'"
+)
+
+
+def domain_stats_sql() -> str:
+    """Mirrors textops.domain_stats over the entry query's URL-salted
+    text (the synthetic corpus has no URLs; two deterministic URLs per
+    doc_id are appended on both engines — one with a trailing period to
+    exercise the no-trailing-punctuation match rule)."""
+    from vectordbindexing_spark.operators.textops import (
+        DOMAIN_PATTERN,
+        URL_PATTERN,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {URL_SALT_SQL} AS text FROM documents),
+         u AS (SELECT doc_id,
+                      unnest(regexp_extract_all(text, '{URL_PATTERN}'))
+                          AS url
+               FROM t),
+         d AS (SELECT doc_id,
+                      regexp_extract(url, '{DOMAIN_PATTERN}', 1) AS domain
+               FROM u)
+    SELECT domain,
+           count(*)::BIGINT AS n_urls,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM d GROUP BY domain
+    """
+
+
 def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
     """Mirrors textops.chunk_documents: sliding-window token chunks,
     starts 1, 1+stride, … ≤ max(n_tokens, 1), final chunk may be short;
