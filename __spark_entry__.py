@@ -661,6 +661,28 @@ def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(lined, text_col="text", id_col="doc_id", ns=(2, 3))
 
 
+def _mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document quota (data-mixing sampler):
+    md5-hash-ordered prefix of 10 docs per source — same sample every
+    run, every engine."""
+    from vectordbindexing_spark.operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, strata_col="source", quota=10,
+                        id_col="doc_id")
+
+
+def _mix_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill (600 whitespace tokens): inclusive
+    running sum in hash order, first doc always kept."""
+    from vectordbindexing_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(docs, strata_col="source",
+                               budget_tokens=600, text_col="text",
+                               id_col="doc_id")
+
+
 def _text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-domain mix over a URL-salted corpus (the synthetic docs
     contain no URLs, so two deterministic URLs per doc_id are appended —
@@ -1094,6 +1116,8 @@ def queries() -> dict[str, Query]:
         "text_chunk_documents": _text_chunk_documents,
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
+        "mix_quota_sample": _mix_quota_sample,
+        "mix_token_budget_sample": _mix_token_budget_sample,
         "doc_fingerprint": _doc_fingerprint,
         # relational / events
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -1200,6 +1224,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_pool_by_doc": oracles.pool_embeddings_sql(group_mod=250),
         "text_url_domains": oracles.domain_stats_sql(),
+        "mix_quota_sample": oracles.quota_sample_sql(quota=10),
+        "mix_token_budget_sample": oracles.token_budget_sample_sql(
+            budget_tokens=600
+        ),
         "text_repetition_stats": oracles.repetition_stats_sql(
             ns=(2, 3), line_token=" a "
         ),

@@ -1765,6 +1765,45 @@ def pool_embeddings_sql(group_mod: int = 250, round_to: int = 6) -> str:
     """
 
 
+def quota_sample_sql(quota: int = 10) -> str:
+    """Mirrors sampling.quota_sample over (documents, strata=source):
+    md5-hash-ordered row_number per stratum, prefix ≤ quota."""
+    from vectordbindexing_spark.functions.hashing import DET_HASH64_SQL
+
+    h = DET_HASH64_SQL.format(s="doc_id::VARCHAR")
+    return f"""
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {h}, doc_id) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= {quota}
+    """
+
+
+def token_budget_sample_sql(budget_tokens: int = 600) -> str:
+    """Mirrors sampling.token_budget_sample: inclusive running token sum
+    per stratum in hash order, keep cum ≤ budget plus the first row."""
+    from vectordbindexing_spark.functions.hashing import DET_HASH64_SQL
+
+    h = DET_HASH64_SQL.format(s="doc_id::VARCHAR")
+    toks = WORDS_SQL.format(t="text")
+    return f"""
+    WITH b AS (SELECT doc_id, source, len({toks})::BIGINT AS n_tokens
+               FROM documents),
+         w AS (SELECT doc_id, source, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY {h}, doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                          AS cum_tokens,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY {h}, doc_id) AS rn
+               FROM b)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM w WHERE cum_tokens <= {budget_tokens} OR rn = 1
+    """
+
+
 URL_SALT_SQL = (
     "text || ' see https://site' || (doc_id % 7)::VARCHAR"
     " || '.example.com/p/' || doc_id::VARCHAR"
