@@ -131,3 +131,27 @@ def test_salted_join_rejects_row_duplicating_hows(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_scan_local_text_ops_have_no_exchange(spark, sf_dir):
+    """chunking, PII redaction and URL extraction are pure projections —
+    a shuffle appearing in their plans means an accidental wide
+    transform crept in (at 10^10 docs that shuffle IS the job cost)."""
+    q = entrymod.queries()
+    for name in ("text_chunk_documents", "text_pii_redact",
+                 "text_url_domains"):
+        plan = _plan(q[name](spark, sf_dir), "simple")
+        if name == "text_url_domains":
+            # one aggregation exchange (groupBy domain) and nothing else
+            assert plan.count("Exchange") <= 2, plan
+        else:
+            assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_sampler_single_shuffle(spark, sf_dir):
+    """Both mixing samplers are one stratum shuffle + window; a second
+    data shuffle would mean the window lost its partitioning reuse."""
+    q = entrymod.queries()
+    for name in ("mix_quota_sample", "mix_token_budget_sample"):
+        plan = _plan(q[name](spark, sf_dir), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
