@@ -118,3 +118,23 @@ def test_refit_restores_fresh_fit(spark, tables, tmp_path):
     assert cents.shape[0] == 8 and books.shape[:2] == (8, 16)
     queries = v.filter(F.col("id") < 20).select(F.col("id").alias("qid"), "vec")
     assert ivfpq_search_index(queries, out, k=5, nprobe=4).count() == 20 * 5
+
+
+def test_refit_distributed_fit_route(spark, tables, tmp_path):
+    import pytest
+
+    from vectordbindexing_spark.operators.ivfpq import (
+        ivfpq_search_index,
+        load_ivfpq_arrays,
+    )
+    from vectordbindexing_spark.streaming.ivfpq_ingest import refit_ivfpq
+
+    v = _vecs(tables).filter(F.col("id") < 200)
+    out = str(tmp_path / "refit_dist")
+    refit_ivfpq(v, out, nlist=6, m=8, ks=16, fit="distributed")
+    cents, books = load_ivfpq_arrays(spark, out)
+    assert cents.shape[0] == 6
+    q = v.filter(F.col("id") < 10).select(F.col("id").alias("qid"), "vec")
+    assert ivfpq_search_index(q, out, k=3, nprobe=3).count() == 10 * 3
+    with pytest.raises(ValueError, match="driver.*distributed"):
+        refit_ivfpq(v, out, fit="bogus")

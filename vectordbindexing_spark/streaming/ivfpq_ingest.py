@@ -74,20 +74,33 @@ def refit_ivfpq(
     max_iter: int = 3,
     id_col: str = "id",
     vec_col: str = "vec",
+    fit: str = "driver",
 ) -> None:
     """Compaction: refit coarse centroids + codebooks on the CURRENT full
     vector set (base + everything streamed since the last fit) and write
     a fresh artifact — restores quantization quality after drift, exactly
     as compact_deltas restores graph search cost. ``vectors`` is the raw
     vector table; the artifact stores only codes, so the caller owns the
-    vector-of-record table (at 100 TB that table is the corpus itself)."""
-    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    vector-of-record table (at 100 TB that table is the corpus itself).
+
+    ``fit='driver'`` (default) trains centroids on the bounded sample
+    (ivf.kmeans_fit — right up to nlist ≈ sample/40);
+    ``fit='distributed'`` runs full-corpus Lloyd updates
+    (ivf.kmeans_fit_distributed) for planner-scale nlist beyond the
+    sample budget."""
+    from vectordbindexing_spark.operators.ivf import (
+        kmeans_fit,
+        kmeans_fit_distributed,
+    )
     from vectordbindexing_spark.operators.ivfpq import save_ivfpq_index
     from vectordbindexing_spark.operators.pq import pq_fit
 
+    if fit not in ("driver", "distributed"):
+        raise ValueError(f"fit must be 'driver' or 'distributed', got {fit!r}")
     v = vectors.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).localCheckpoint(eager=True)  # consumed by both fits + the save scan
-    centroids = kmeans_fit(v, nlist, max_iter, id_col, vec_col)
+    fit_fn = kmeans_fit if fit == "driver" else kmeans_fit_distributed
+    centroids = fit_fn(v, nlist, max_iter, id_col, vec_col)
     codebooks = pq_fit(v, m, ks, max_iter, id_col, vec_col)
     save_ivfpq_index(v, centroids, codebooks, out_path, id_col, vec_col)
