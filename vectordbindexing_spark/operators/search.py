@@ -456,3 +456,46 @@ def frontier_search(
         topk_per_group(best, ["qid"], "dist", k, tie_col="neighbor_id")
         .select("qid", "nbr_rank", "neighbor_id", "dist")
     )
+
+
+def filtered_graph_search(
+    queries: DataFrame,
+    index: CompactIndex,
+    allowed: DataFrame,
+    k: int = 10,
+    overfetch: int = 4,
+    ef_search: int = 64,
+    q_id: str = "qid",
+    q_vec: str = "vec",
+    **kwargs,
+) -> DataFrame:
+    """Metadata-filtered graph ANN by overfetch + post-filter — the
+    standard practical recipe when the index was built unfiltered: beam
+    search for k·``overfetch`` candidates (ef is raised to at least
+    the overfetched k so the beam can actually hold them), LEFT SEMI
+    join against the ``allowed`` id set, re-rank to k.
+
+    Contract differences vs the IVF-PQ ``allowed=`` path (which filters
+    BEFORE scoring and always returns the best allowed rows): a query
+    whose entire graph neighborhood is filtered away can return fewer
+    than k rows — selectivity below ~1/overfetch calls for a bigger
+    overfetch or the IVF-PQ filtered route. Returns
+    (qid, nbr_rank, neighbor_id, dist)."""
+    from vectordbindexing_spark.operators.topk import topk_per_group
+
+    kk = max(k, 1) * max(overfetch, 1)
+    got = graph_search(
+        queries, index, k=kk, ef_search=max(ef_search, kk),
+        q_id=q_id, q_vec=q_vec, **kwargs,
+    )
+    kept = got.join(
+        allowed.select(F.col("id").cast("long").alias("neighbor_id")),
+        "neighbor_id", "semi",
+    )
+    return (
+        topk_per_group(
+            kept.select("qid", "neighbor_id", "dist"),
+            ["qid"], "dist", k, tie_col="neighbor_id",
+        )
+        .select("qid", "nbr_rank", "neighbor_id", "dist")
+    )
