@@ -185,3 +185,39 @@ def test_domain_stats_counts(spark):
     out = {r["domain"]: (r["n_urls"], r["n_docs"])
            for r in domain_stats(df).collect()}
     assert out == {"a.com": (3, 2), "b.io": (1, 1)}
+
+
+def test_text_ops_null_safe(spark):
+    """A corpus row with NULL text must yield defined zero-ish stats, not
+    Spark's size(null) = -1 (real corpora have missing text)."""
+    from vectordbindexing_spark.operators.sampling import token_budget_sample
+    from vectordbindexing_spark.operators.textops import (
+        bpe_token_stats,
+        chunk_documents,
+        pii_redact,
+        repetition_stats,
+        token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "two words")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert ts[1]["n_tokens"] == 0 and ts[1]["n_chars"] == 0
+    bp = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    assert bp[1]["n_bpe_tokens"] == 0
+    pr = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert pr[1]["n_email"] == 0 and pr[1]["redacted"] == ""
+    ck = [r for r in chunk_documents(df).collect() if r["doc_id"] == 1]
+    assert len(ck) == 1 and ck[0]["n_chunk_tokens"] == 0
+    rp = {r["doc_id"]: r for r in repetition_stats(df, ns=(2,)).collect()}
+    assert rp[1]["n_lines"] == 1 and rp[1]["dup_line_frac"] == 0.0
+    sdf = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    tb = {r["doc_id"]: r for r in token_budget_sample(
+        sdf, strata_col="source", budget_tokens=100
+    ).collect()}
+    assert tb[1]["n_tokens"] == 0 and tb[2]["n_tokens"] == 3

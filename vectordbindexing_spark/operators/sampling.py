@@ -71,7 +71,11 @@ def token_budget_sample(
     from vectordbindexing_spark.functions.text import words
 
     w = _hash_window(strata_col, id_col)
-    toks = F.size(words(F.col(text_col))).cast("long")
+    # null-safe: a missing text counts as 0 tokens (size(null) is -1 and
+    # would corrupt the running sum)
+    toks = F.size(
+        words(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    ).cast("long")
     return (
         df.select(F.col(id_col), F.col(strata_col), toks.alias("n_tokens"))
         .withColumn(

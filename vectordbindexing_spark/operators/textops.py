@@ -25,22 +25,35 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
+def _txt(text_col: str):
+    """NULL-safe text column: a null document reads as the empty string,
+    so size()/length() never return Spark's null-propagated -1 and every
+    operator gives defined output on real-world corpora with missing
+    text. (md5/fingerprint sites keep the raw column — a null fingerprint
+    is more honest than hashing ''.)"""
+    return F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+
+
 
 def token_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc token statistics (counting + length profile)."""
-    toks = words(F.col(text_col))
+    toks = words(_txt(text_col))
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
+        F.length(_txt(text_col)).alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.round(
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
-            )
-            / F.size(toks).cast("double"),
+            F.try_divide(
+                F.aggregate(
+                    toks,
+                    F.lit(0.0),
+                    lambda acc, x: acc + F.length(x).cast("double"),
+                ),
+                F.size(toks).cast("double"),
+            ),
             4,
         ).alias("avg_token_len"),
     )
@@ -60,8 +73,8 @@ def bpe_token_stats(
     whitespace count — the cheap proxy every data pipeline uses to
     estimate training-token cost before running a real tokenizer.
     tokens_per_word > ~1.5 flags code/numeric/punctuation-heavy docs."""
-    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
-    n_words = F.size(words(F.col(text_col))).cast("long")
+    pieces = F.regexp_extract_all(_txt(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    n_words = F.size(words(_txt(text_col))).cast("long")
     n_bpe = F.size(pieces).cast("long")
     return df.select(
         F.col(id_col),
@@ -79,30 +92,31 @@ def quality_score(
 ) -> DataFrame:
     """Heuristic quality features: length, stopword ratio, punct ratio,
     uppercase ratio, type-token ratio — the standard cheap LLM-data filters."""
-    toks = words(F.col(text_col))
+    toks = words(_txt(text_col))
     n_tok = F.size(toks).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("double")
     stop_hits = F.size(
         F.filter(toks, lambda t: F.array_contains(stop_arr, t))
     ).cast("double")
-    n_chars = F.length(text_col).cast("double")
+    n_chars = F.length(_txt(text_col)).cast("double")
     n_punct = (
-        n_chars - F.length(F.regexp_replace(text_col, r"[.,;:!?]", "")).cast("double")
+        n_chars - F.length(F.regexp_replace(_txt(text_col), r"[.,;:!?]", "")).cast("double")
     )
     n_upper = (
-        n_chars - F.length(F.regexp_replace(text_col, r"[A-Z]", "")).cast("double")
+        n_chars - F.length(F.regexp_replace(_txt(text_col), r"[A-Z]", "")).cast("double")
     )
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
+        F.length(_txt(text_col)).alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
-        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
-        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias(
-            "type_token_ratio"
-        ),
+        F.round(F.try_divide(stop_hits, n_tok), 6).alias("stopword_ratio"),
+        F.round(F.try_divide(n_punct, n_chars), 6).alias("punct_ratio"),
+        F.round(F.try_divide(n_upper, n_chars), 6).alias("upper_ratio"),
+        F.round(
+            F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n_tok),
+            6,
+        ).alias("type_token_ratio"),
         (n_stop > 0).alias("has_stopwords"),
     )
 
@@ -133,7 +147,7 @@ def lang_id(
     if isinstance(lexicon, DataFrame):
         return _lang_id_table(df, lexicon, text_col, id_col)
     markers_by_lang = LANG_MARKERS if lexicon is None else lexicon
-    toks = words(F.lower(F.col(text_col)))
+    toks = words(F.lower(_txt(text_col)))
     scores = [
         F.struct(
             F.size(
@@ -169,7 +183,7 @@ def _lang_id_table(
     aggregatable groupBy (a row_number window here would add a per-doc
     sort). Left-join back so zero-hit docs stay 'und'. The lexicon is a
     dimension table — broadcast, never shuffled against the corpus."""
-    toks = words(F.lower(F.col(text_col)))
+    toks = words(F.lower(_txt(text_col)))
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
     # distinct: a duplicated (lang, marker) row must not double-count —
     # the literal path's array_contains is naturally duplicate-immune
@@ -246,19 +260,19 @@ def gate_with_keeper(
     min id wins) and the streaming gate (stateful first-arrival dedup,
     streaming.filter_gate), so the rule set and reason priority cannot
     drift between the two."""
-    toks = words(F.col(text_col))
+    toks = words(_txt(text_col))
     n_tok = F.size(toks).cast("long")
-    n_chars = F.length(text_col).cast("double")
+    n_chars = F.length(_txt(text_col)).cast("double")
     n_punct = (
         n_chars
-        - F.length(F.regexp_replace(text_col, r"[.,;:!?]", "")).cast("double")
+        - F.length(F.regexp_replace(_txt(text_col), r"[.,;:!?]", "")).cast("double")
     )
-    punct_ratio = F.round(n_punct / n_chars, 6)
+    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     has_stop = (
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
     )
-    ltoks = words(F.lower(F.col(text_col)))
+    ltoks = words(F.lower(_txt(text_col)))
     scores = [
         F.struct(
             F.size(
@@ -331,7 +345,7 @@ def benchmark_contamination(
         return df.select(
             F.col(id_col).cast("long").alias(out_id),
             F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
+                F.array_distinct(word_ngrams(_txt(text_col), n))
             ).alias("gram"),
         )
 
@@ -385,7 +399,7 @@ def pii_redact(
     shuffle, no Python in the row path. Output:
     (id, n_email, n_ip, n_phone, redacted).
     """
-    t = F.col(text_col)
+    t = _txt(text_col)
     counts = []
     for name, pat, repl in PII_RULES:
         counts.append(
@@ -422,7 +436,7 @@ def repetition_stats(
     """
     from vectordbindexing_spark.functions.text import word_ngrams
 
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(_txt(text_col), "\n")
     base = df.select(
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),
@@ -438,7 +452,7 @@ def repetition_stats(
         g = df.select(
             F.col(id_col),
             F.lit(int(n)).alias("_n"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+            F.explode(word_ngrams(_txt(text_col), n)).alias("gram"),
         )
         gram_rows = g if gram_rows is None else gram_rows.unionByName(g)
     per_gram = gram_rows.groupBy(id_col, "_n", "gram").agg(
@@ -485,7 +499,7 @@ def extract_urls(
     (regexp_extract_all → explode → regexp_extract) — scan-local, the
     fan-out is ∝ URL count. Feed of :func:`domain_stats` and of any
     per-domain filter/license/robots policy join."""
-    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    urls = F.regexp_extract_all(_txt(text_col), F.lit(URL_PATTERN), F.lit(0))
     return df.select(F.col(id_col), F.explode(urls).alias("url")).select(
         F.col(id_col),
         "url",
@@ -528,7 +542,7 @@ def chunk_documents(
     explode multiplies rows ~⌈n_tokens/stride⌉ per doc but shuffles
     nothing — chunking stays scan-local at any corpus size.
     Output: (doc_id, chunk_id, chunk_text, n_chunk_tokens)."""
-    toks = words(F.col(text_col))
+    toks = words(_txt(text_col))
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(int(stride))
     )
