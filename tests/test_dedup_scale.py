@@ -159,3 +159,27 @@ def test_minhash_pairs_jvm_matches_arrow(spark, tables):
     a = sorted(map(key, minhash_dedup_pairs(docs, impl="arrow").collect()))
     j = sorted(map(key, minhash_dedup_pairs(docs, impl="jvm").collect()))
     assert a == j and len(a) > 0
+
+
+def test_dedup_ops_tolerate_null_text(spark):
+    """A corpus row with NULL text must not crash any dedup kernel; the
+    SimHash fingerprint treats it as an empty doc (all bits set, same on
+    the Arrow and JVM paths)."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e f g"), (4, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    assert dedup.exact_dedup_stats(df).count() >= 1
+    assert dedup.minhash_dedup_pairs(
+        df, n=3, num_hashes=8, bands=4, threshold=0.5
+    ).count() >= 1
+    a = {r["did"]: r["fingerprint"]
+         for r in dedup.simhash_text_fingerprints(df).collect()}
+    j = {r["did"]: r["fingerprint"]
+         for r in dedup.simhash_text_fingerprints(df, impl="jvm").collect()}
+    assert a == j and len(a) == 4
+    assert a[1] == a[2]  # null ≡ empty doc

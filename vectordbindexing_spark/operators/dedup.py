@@ -339,7 +339,10 @@ def simhash_text_fingerprints(
             if len(pdf) == 0:
                 continue
             toks = [
-                [t for t in txt.split(" ") if t] for txt in pdf["txt"]
+                # None (missing text) tokenizes as empty — same contract
+                # as the textops null-safe tokenization
+                [t for t in txt.split(" ") if t] if txt is not None else []
+                for txt in pdf["txt"]
             ]
             lens = np.array([len(t) for t in toks], dtype=np.int64)
             # empty docs → all bits set (sum 0 ≥ 0 for every bit)
