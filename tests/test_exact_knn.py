@@ -102,3 +102,39 @@ def test_pair_dist_udf_matches_expr(spark, tables, metric):
         .collect()[0]["mx"]
     )
     assert got < 1e-9
+
+
+def test_null_vectors_are_excluded_everywhere(spark):
+    """Rows with NULL embeddings (missing vectors) are excluded on both
+    sides of every KNN family member instead of crashing the Arrow
+    kernels or polluting top-k with null distances."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.ivf import ivf_knn
+    from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
+    from vectordbindexing_spark.operators.pq import pq_knn
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+        + [(99, None), (98, None)],
+        "id long, vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (8, None)], "qid long, vec array<double>"
+    )
+    kw = dict(q_id="qid", q_vec="vec", b_id="id", b_vec="vec")
+    outs = {
+        "exact_blocked": exact_knn(q, base, k=3, metric="l2",
+                                   impl="blocked", **kw),
+        "exact_expr": exact_knn(q, base, k=3, metric="l2", impl="expr", **kw),
+        "ivf": ivf_knn(q, base, k=3, nlist=4, nprobe=4, metric="l2", **kw),
+        "pq": pq_knn(q, base, k=3, m=2, ks=4, **kw),
+        "ivfpq": ivfpq_knn(q, base, k=3, nlist=4, nprobe=4, m=2, ks=4, **kw),
+    }
+    for name, df in outs.items():
+        rows = df.collect()
+        assert rows, name
+        assert {r["qid"] for r in rows} == {9}, name
+        assert all(r["neighbor_id"] not in (98, 99) for r in rows), name
+        assert all(r["dist"] is not None for r in rows), name

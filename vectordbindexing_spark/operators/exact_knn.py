@@ -83,7 +83,11 @@ def exact_knn(
     squared distance. ``exclude_self`` drops base rows whose id equals the
     query id *before* ranking (self-join graph builds) — cheaper than a
     post-filter, which would need a second ranking pass to repair ranks.
+    Rows with NULL vectors (missing embeddings) are excluded on both
+    sides — they cannot participate in a distance computation.
     """
+    queries = queries.filter(F.col(q_vec).isNotNull())
+    base = base.filter(F.col(b_vec).isNotNull())
     if metric == "weighted_l2":
         if weights is None:
             raise ValueError("weighted_l2 requires weights")

@@ -70,7 +70,8 @@ def kmeans_fit(
     from vectordbindexing_spark.functions.hashing import det_hash64
 
     rows = (
-        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
         .orderBy(det_hash64(F.col("i").cast("string")), "i")
         .limit(sample_size)
         .toPandas()
@@ -123,7 +124,7 @@ def kmeans_fit_distributed(
     allclose-reproducible, not bit-reproducible — oracle-pinned paths
     keep using the driver fit.
     """
-    v = df.select(
+    v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
     )
     if init is None:
@@ -213,7 +214,7 @@ def ivf_assign(
                 {"cid": _argmin_d2_blocked(X, C), "id": pdf["i"].to_numpy()}
             )
 
-    return df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
     ).mapInPandas(assign, schema="cid long, id long")
 
@@ -273,7 +274,7 @@ def ivf_search_index(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         schema="cid long, cvec array<double>",
     )
-    q = queries.select(
+    q = queries.filter(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
     ).localCheckpoint(eager=True)  # consumed by probe + candidate join
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
@@ -339,7 +340,7 @@ def ivf_knn(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         schema="cid long, cvec array<double>",
     )
-    q = queries.select(
+    q = queries.filter(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
     )
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(

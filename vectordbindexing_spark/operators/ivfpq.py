@@ -77,14 +77,14 @@ def ivfpq_encode_assign(
                 }
             )
 
-    return df.select(
+    return df.filter(F.col(b_vec).isNotNull()).select(
         F.col(b_id).cast("long").alias("i"), F.col(b_vec).alias("v")
     ).mapInPandas(both, schema="cid long, id long, codes array<long>")
 
 
 def _collect_queries(queries: DataFrame, q_id: str, q_vec: str):
     """Bounded query collect (same broadcast contract as pq_knn)."""
-    qsel = queries.select(
+    qsel = queries.filter(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
     )
     qrows = qsel.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()

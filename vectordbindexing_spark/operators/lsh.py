@@ -76,7 +76,8 @@ def simhash_buckets(
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
 
     out = repartition_for_compute(
-        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
     ).mapInPandas(hash_batches, schema="id long, bucket long")
     if bucket_cap is not None:
         out = (

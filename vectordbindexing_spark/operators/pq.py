@@ -107,7 +107,8 @@ def pq_fit(
     from vectordbindexing_spark.functions.hashing import det_hash64
 
     rows = (
-        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
         .orderBy(det_hash64(F.col("i").cast("string")), "i")
         .limit(sample_size)
         .toPandas()
@@ -150,7 +151,7 @@ def pq_encode(
                 {"id": pdf["i"].to_numpy(), "codes": list(encode_codes_np(X, B))}
             )
 
-    return df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
     ).mapInPandas(encode, schema="id long, codes array<long>")
 
@@ -213,7 +214,7 @@ def pq_knn(
     enc = pq_encode(base, codebooks, b_id, b_vec)
 
     spark = queries.sparkSession
-    qsel = queries.select(
+    qsel = queries.filter(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
     )
     # bounded collect probe (same contract as _exact_knn_blocked): N+1

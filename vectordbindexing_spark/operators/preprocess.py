@@ -67,7 +67,7 @@ def _moments(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int]:
             )
 
     parts = (
-        df.select(F.col(vec_col).alias("v"))
+        df.filter(F.col(vec_col).isNotNull()).select(F.col(vec_col).alias("v"))
         .mapInPandas(partials, schema="n long, s array<double>, ss array<double>")
         .collect()
     )
