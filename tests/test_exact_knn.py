@@ -138,3 +138,25 @@ def test_null_vectors_are_excluded_everywhere(spark):
         assert {r["qid"] for r in rows} == {9}, name
         assert all(r["neighbor_id"] not in (98, 99) for r in rows), name
         assert all(r["dist"] is not None for r in rows), name
+
+
+def test_null_vectors_excluded_in_builds(spark):
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    from vectordbindexing_spark.operators import dedup
+    from vectordbindexing_spark.operators.shard import build_sharded_index
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows + [(99, None)], "id long, vec array<double>"
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        df, id_col="id", vec_col="vec", threshold=0.4
+    )
+    assert pairs.filter((F.col("id_a") == 99) | (F.col("id_b") == 99)).count() == 0
+    idx = build_sharded_index(df, num_shards=2, id_col="id", vec_col="vec",
+                              M0=4, M1=2)
+    assert idx.filter(F.col("id") == 99).count() == 0
+    assert idx.select("id").distinct().count() == 60

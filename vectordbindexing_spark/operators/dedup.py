@@ -569,7 +569,9 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     spark = df.sparkSession
-    src = df.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v"))
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v")
+    )
     # bounded collect: limit+1 rows coming back IS the "too big" signal —
     # one job, and the driver never holds more than broadcast_limit+1 rows
     rows = src.limit(broadcast_limit + 1).toPandas()

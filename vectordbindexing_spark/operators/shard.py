@@ -133,7 +133,7 @@ def build_sharded_index(
     regardless of id distribution), one independent graph per shard built
     executor-side. Size ``num_shards`` so each shard's (n/num_shards)²
     distance matrix fits an executor — that is the only memory contract."""
-    src = base.select(
+    src = base.filter(F.col(vec_col).isNotNull()).select(
         F.pmod(det_hash64(F.col(id_col).cast("string")), F.lit(num_shards))
         .cast("int")
         .alias("shard"),
