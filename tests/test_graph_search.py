@@ -214,3 +214,39 @@ def test_filtered_graph_search_respects_allowed(spark, tables):
     for v in per_q.values():
         d = [r["dist"] for r in sorted(v, key=lambda r: r["nbr_rank"])]
         assert d == sorted(d)
+
+
+def test_graph_paths_exclude_null_vectors(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.graph import (
+        build_two_layer_index,
+        knn_graph,
+        mutualize,
+    )
+    from vectordbindexing_spark.operators.search import (
+        compact_index,
+        frontier_search,
+        graph_search,
+    )
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    df = spark.createDataFrame(rows + [(99, None)], "id long, vec array<double>")
+    q = spark.createDataFrame(
+        [(9, [float(x) for x in rng.normal(size=8)]), (8, None)],
+        "qid long, vec array<double>",
+    )
+    edges = build_two_layer_index(df, M0=4, M1=2, metric="cosine",
+                                  id_col="id", vec_col="vec")
+    idx = compact_index(edges, df, id_col="id", vec_col="vec", metric="cosine")
+    out = graph_search(q, idx, k=3, ef_search=16, q_id="qid", q_vec="vec").collect()
+    e2 = mutualize(knn_graph(df, 4, "cosine", "id", "vec"), max_degree=8)
+    out2 = frontier_search(
+        q, e2, df, k=3, rounds=2, beam=8, metric="cosine",
+        q_id="qid", q_vec="vec", b_id="id", b_vec="vec",
+    ).collect()
+    for rows_ in (out, out2):
+        assert rows_ and all(r["qid"] == 9 for r in rows_)
+        assert all(r["neighbor_id"] != 99 for r in rows_)

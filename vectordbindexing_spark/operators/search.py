@@ -67,7 +67,8 @@ def compact_index(
     from vectordbindexing_spark.operators.graph import entry_points
 
     vec_pdf = (
-        base.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+        base.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
         .toPandas()  # Arrow transfer — much faster than Row collect()
     )
@@ -355,7 +356,8 @@ def graph_search(
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
 
     q = repartition_for_compute(
-        queries.select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
+        queries.filter(F.col(q_vec).isNotNull())
+        .select(F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v"))
     )
     schema = "qid long, nbr_rank long, neighbor_id long, dist double"
     if with_stats:
@@ -403,10 +405,10 @@ def frontier_search(
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    bv = base.select(
+    bv = base.filter(F.col(b_vec).isNotNull()).select(
         F.col(b_id).cast("long").alias("neighbor_id"), F.col(b_vec).alias("_bv")
     )
-    qv = queries.select(
+    qv = queries.filter(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("_qv")
     ).localCheckpoint(eager=True)
 
