@@ -166,3 +166,15 @@ def test_unknown_decoder_rejected(spark):
                                "media_id long, content binary")
     with _pytest.raises(ValueError):
         decode_image_features(df, decoder="pil")
+
+
+def test_decode_excludes_null_content(spark):
+    from vectordbindexing_spark.operators.multimodal import decode_image_features
+
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, None)], "media_id long, content binary"
+    )
+    out = decode_image_features(df, decoder="ppm").collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["width"] == 2 and out[0]["height"] == 2

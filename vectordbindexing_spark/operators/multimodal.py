@@ -134,7 +134,11 @@ def decode_image_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    # null payloads are excluded (same contract as NULL vectors in the
+    # KNN family — nothing to decode), and the filter pushes to the scan
+    return df.filter(F.col(content_col).isNotNull()).select(
+        id_col, content_col
+    ).mapInPandas(
         extract,
         schema=(
             "media_id long, width int, height int, "
