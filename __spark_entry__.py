@@ -661,6 +661,27 @@ def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(lined, text_col="text", id_col="doc_id", ns=(2, 3))
 
 
+def _text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal over salted multi-line
+    docs: a constant footer appended to every doc (→ boilerplate,
+    dropped) and a per-doc unique line (→ kept). min_df=50 so the footer
+    trips the gate at every sf while real content lines never do."""
+    from vectordbindexing_spark.operators.textops import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
+            F.lit("\nSubscribe to our newsletter"),
+            F.lit("\ndoc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate(lined, text_col="text", id_col="doc_id",
+                              min_df=50)
+
+
 def _mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source document quota (data-mixing sampler):
     md5-hash-ordered prefix of 10 docs per source — same sample every
@@ -1116,6 +1137,7 @@ def queries() -> dict[str, Query]:
         "text_chunk_documents": _text_chunk_documents,
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
+        "text_line_dedup": _text_line_dedup,
         "mix_quota_sample": _mix_quota_sample,
         "mix_token_budget_sample": _mix_token_budget_sample,
         "doc_fingerprint": _doc_fingerprint,
@@ -1224,6 +1246,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_pool_by_doc": oracles.pool_embeddings_sql(group_mod=250),
         "text_url_domains": oracles.domain_stats_sql(),
+        "text_line_dedup": oracles.remove_boilerplate_sql(
+            min_df=50, line_token=" a "
+        ),
         "mix_quota_sample": oracles.quota_sample_sql(quota=10),
         "mix_token_budget_sample": oracles.token_budget_sample_sql(
             budget_tokens=600

@@ -221,3 +221,33 @@ def test_text_ops_null_safe(spark):
         sdf, strata_col="source", budget_tokens=100
     ).collect()}
     assert tb[1]["n_tokens"] == 0 and tb[2]["n_tokens"] == 3
+
+
+def test_remove_boilerplate_drops_repeated_lines(spark):
+    from vectordbindexing_spark.operators.textops import (
+        boilerplate_lines,
+        remove_boilerplate,
+    )
+
+    docs = [(i, f"unique content {i}\nCopyright Corp\nmore {i}")
+            for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bp = {r["line"] for r in boilerplate_lines(df, min_df=3).collect()}
+    assert bp == {"Copyright Corp"}
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, min_df=3).collect()}
+    for i in range(5):
+        assert out[i]["clean_text"] == f"unique content {i}\nmore {i}"
+        assert out[i]["n_kept"] == 2 and out[i]["n_dropped"] == 1
+
+
+def test_remove_boilerplate_fully_boilerplate_doc_survives(spark):
+    from vectordbindexing_spark.operators.textops import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, "other\nsame")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, min_df=3).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[1]["n_dropped"] == 1
+    assert out[4]["clean_text"] == "other"

@@ -484,6 +484,72 @@ def repetition_stats(
     return base.join(wide, id_col, "left")
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """Lines appearing in ≥ ``min_df`` DISTINCT documents — the
+    boilerplate set of CCNet-style line-level dedup (headers, footers,
+    cookie banners repeat across a site's pages; document-level dedup
+    never catches them). One explode + one groupBy on the line —
+    map-side combined, output cardinality = |distinct lines|.
+    Output: (line, n_docs)."""
+    lines = F.split(_txt(text_col), "\n")
+    return (
+        df.select(F.col(id_col), F.explode(lines).alias("line"))
+        .groupBy("line")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """CCNet-style line-level dedup: rebuild each document without the
+    lines that appear in ≥ ``min_df`` distinct documents (empty lines
+    count as boilerplate once they repeat — by design). Physical plan:
+    explode lines with position, LEFT ANTI join the boilerplate set
+    (an aggregate ≪ corpus — Catalyst/AQE picks broadcast when it
+    fits), regroup by doc with an ordered collect, concat back. Line
+    order is preserved via the position sort, and a fully-boilerplate
+    document survives with empty clean_text (dropping whole documents
+    is the filter gate's decision, not this operator's).
+    Output: (id, n_kept, n_dropped, clean_text)."""
+    lines = F.split(_txt(text_col), "\n")
+    bp = boilerplate_lines(df, text_col, id_col, min_df).select("line")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    kept = ex.join(bp, "line", "anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(lines).cast("long").alias("_n_total")
+    )
+    return totals.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # URL pattern in the Java ∩ RE2 common subset (no groups, no
 # lookaround, SQL-literal-safe chars only). The mandatory trailing
 # [A-Za-z0-9/] keeps sentence punctuation out of the match

@@ -1765,6 +1765,41 @@ def pool_embeddings_sql(group_mod: int = 250, round_to: int = 6) -> str:
     """
 
 
+def remove_boilerplate_sql(min_df: int = 50, line_token: str = " a ") -> str:
+    """Mirrors textops.remove_boilerplate over the entry salting: docs
+    are split into lines by replacing ``line_token`` with newlines, then
+    a constant footer line (in every doc → boilerplate) and a per-doc
+    line (unique → kept) are appended on both engines."""
+    text = (
+        f"replace(text, '{line_token}', chr(10))"
+        " || chr(10) || 'Subscribe to our newsletter'"
+        " || chr(10) || 'doc ' || doc_id::VARCHAR"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {text} AS text FROM documents),
+         ex AS (SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1
+                           AS pos
+                FROM t),
+         bp AS (SELECT line FROM ex GROUP BY line
+                HAVING count(DISTINCT doc_id) >= {min_df}),
+         kept AS (SELECT ex.* FROM ex ANTI JOIN bp USING (line)),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                        array_to_string(list(line ORDER BY pos), chr(10))
+                            AS clean_text
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id,
+                        len(string_split(text, chr(10)))::BIGINT AS n_total
+                 FROM t)
+    SELECT tot.doc_id,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           tot.n_total - coalesce(agg.n_kept, 0) AS n_dropped,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """
+
+
 def quota_sample_sql(quota: int = 10) -> str:
     """Mirrors sampling.quota_sample over (documents, strata=source):
     md5-hash-ordered row_number per stratum, prefix ≤ quota."""
