@@ -309,3 +309,26 @@ def test_pool_embeddings_numpy_parity(spark, tables):
         )
     for g, vs in groups.items():
         np.testing.assert_allclose(got[g], np.mean(vs, axis=0), atol=1e-12)
+
+
+def test_pool_embeddings_weighted(spark):
+    import numpy as np
+
+    from vectordbindexing_spark.operators.preprocess import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, 10, 3.0, [1.0, 0.0]), (1, 11, 1.0, [0.0, 4.0])],
+        "doc_id long, cid long, w double, vec array<double>",
+    )
+    r = pool_embeddings(
+        df, group_col="doc_id", vec_col="vec", order_col="cid",
+        weight_col="w", round_to=None,
+    ).collect()[0]
+    # (3*[1,0] + 1*[0,4]) / 4 = [0.75, 1.0]
+    np.testing.assert_allclose(r["vec"], [0.75, 1.0], atol=1e-12)
+    # weight None keeps the plain mean
+    r2 = pool_embeddings(
+        df, group_col="doc_id", vec_col="vec", order_col="cid",
+        round_to=None,
+    ).collect()[0]
+    np.testing.assert_allclose(r2["vec"], [0.5, 2.0], atol=1e-12)

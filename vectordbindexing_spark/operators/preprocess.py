@@ -295,6 +295,7 @@ def pool_embeddings(
     normalize: bool = False,
     round_to: int | None = 6,
     order_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Mean-pool embeddings per group — the doc-level aggregation step
     after chunk-level encoding (doc embedding = mean of its chunks'
@@ -309,27 +310,37 @@ def pool_embeddings(
     documents. ``order_col`` fixes the summation order (collect_list
     order is partition-dependent; float addition isn't associative, so
     ordered folds make the pooled values run-deterministic — required
-    for oracle-pinned paths). Output: (group_col, n_pooled, vec_col)."""
+    for oracle-pinned paths). ``weight_col`` switches to a weighted mean
+    (Σ wᵢ·vᵢ / Σ wᵢ — e.g. weight chunks by token count so a short
+    trailing chunk doesn't count as much as a full window).
+    Output: (group_col, n_pooled, vec_col)."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    scaled = F.transform(
+        to_double_array(F.col(vec_col)), lambda x: x * w
+    )
     if order_col is not None:
         pairs = F.array_sort(
             F.collect_list(
-                F.struct(
-                    F.col(order_col).alias("o"),
-                    to_double_array(F.col(vec_col)).alias("v"),
-                )
+                F.struct(F.col(order_col).alias("o"), scaled.alias("v"))
             )
         )
         vecs = F.transform(pairs, lambda p: p["v"]).alias("_vs")
     else:
-        vecs = F.collect_list(to_double_array(F.col(vec_col))).alias("_vs")
+        vecs = F.collect_list(scaled).alias("_vs")
     grouped = df.groupBy(group_col).agg(
-        vecs, F.count(F.lit(1)).cast("long").alias("n_pooled")
+        vecs,
+        F.count(F.lit(1)).cast("long").alias("n_pooled"),
+        F.sum(w).alias("_wsum"),
     )
     zero = F.transform(F.element_at("_vs", 1), lambda _: F.lit(0.0))
     summed = F.aggregate(
         "_vs", zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
     )
-    mean = F.transform(summed, lambda s: s / F.col("n_pooled"))
+    mean = F.transform(summed, lambda s: s / F.col("_wsum"))
     if normalize:
         norm = F.sqrt(
             F.aggregate(mean, F.lit(0.0), lambda acc, x: acc + x * x)
