@@ -78,3 +78,22 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     emitted = counts((r["user_id"], r["n_events"]) for r in got)
     assert emitted == truth
     assert all(r["session_end"] >= r["session_start"] for r in got)
+
+
+def test_session_window_twin_matches_lag_formulation(spark, tables):
+    """The built-in session_window formulation (gap·60+1 s over
+    second-truncated ts) must reproduce the lag/cumsum sessionize
+    row-for-row on the events fixture — including near-boundary gaps."""
+    from vectordbindexing_spark.operators.events import (
+        sessionize,
+        sessionize_native,
+    )
+
+    ev = tables["events"]
+    a = sorted(tuple(r) for r in sessionize(ev, gap_minutes=30).collect())
+    b = sorted(tuple(r) for r in sessionize_native(ev, gap_minutes=30).collect())
+    assert a == b
+    # and at a tighter gap where many more boundaries are exercised
+    a5 = sorted(tuple(r) for r in sessionize(ev, gap_minutes=5).collect())
+    b5 = sorted(tuple(r) for r in sessionize_native(ev, gap_minutes=5).collect())
+    assert a5 == b5

@@ -66,3 +66,35 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("sess_events").alias("max_session_events"),
         )
     )
+
+
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """:func:`sessionize` through Spark's built-in ``session_window``
+    aggregation — same output schema and (pinned by test) identical
+    results. session_window merges an event into the open session when
+    its timestamp is STRICTLY inside the previous event's window, so a
+    window of ``gap·60 + 1`` seconds over second-truncated timestamps
+    merges exactly when the whole-second gap is ≤ gap·60 — i.e. the
+    lag formulation's "gap > threshold starts a new session" rule.
+    The truncation is what makes the two rules coincide: on raw
+    microsecond timestamps the boundary cases differ.
+
+    Why keep both: this form is a single aggregation (no lag window)
+    and is what Structured Streaming's watermarked session windows use,
+    so batch and streaming sessionization share one code shape; the lag
+    formulation exists because its unrolled-SQL oracle pins the exact
+    session-boundary arithmetic cross-engine."""
+    ts = F.date_trunc("second", F.col("ts").cast("timestamp"))
+    per_sess = (
+        events.withColumn("_ts", ts)
+        .groupBy(
+            "user_id",
+            F.session_window("_ts", f"{gap_minutes * 60 + 1} seconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("sess_events"))
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("sess_events").alias("n_events"),
+        F.max("sess_events").alias("max_session_events"),
+    )
