@@ -155,3 +155,27 @@ def test_sampler_single_shuffle(spark, sf_dir):
     for name in ("mix_quota_sample", "mix_token_budget_sample"):
         plan = _plan(q[name](spark, sf_dir), "simple")
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_graph_knn_allowed_filters_both_routes(spark, tables, monkeypatch):
+    import vectordbindexing_spark.plans.knn_planner as kp
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    b = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    allowed = b.filter(F.col("id") % 2 == 0).select("id")
+    out = kp.graph_knn(q, b, k=5, q_id="qid", q_vec="vec",
+                       b_id="id", b_vec="vec", allowed=allowed)
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] % 2 == 0 for r in rows)
+    # force the sharded route and repeat
+    monkeypatch.setattr(kp, "COMPACT_INDEX_LIMIT", 10)
+    out2 = kp.graph_knn(q, b, k=5, M0=8, M1=4, q_id="qid", q_vec="vec",
+                        b_id="id", b_vec="vec", allowed=allowed)
+    rows2 = out2.collect()
+    assert rows2 and all(r["neighbor_id"] % 2 == 0 for r in rows2)

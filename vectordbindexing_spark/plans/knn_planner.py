@@ -196,6 +196,8 @@ def graph_knn(
     b_id: str = "id",
     b_vec: str = "vec",
     artifact_path: str | None = None,
+    allowed: DataFrame | None = None,
+    overfetch: int = 4,
 ) -> DataFrame:
     """Planner-dispatched graph-ANN serving: build + search via the route
     :func:`plan_graph_serving` picks from a bounded size probe. Both
@@ -203,9 +205,18 @@ def graph_knn(
     ``artifact_path`` the sharded route persists and serves from the
     parquet artifact (save → load → search); the compact route ignores it
     (its artifact is the in-memory broadcast).
-    """
+
+    ``allowed`` (a DataFrame with an ``id`` column) restricts results to
+    a metadata-filtered subset on EITHER route via the overfetch +
+    semi-join + re-rank recipe (search.filtered_graph_search's contract:
+    a query whose graph neighborhood is mostly filtered away can return
+    fewer than k rows — selectivity below ~1/overfetch calls for a
+    bigger overfetch or the IVF-PQ filtered route, which filters before
+    scoring)."""
     n_b = base.limit(COMPACT_INDEX_LIMIT + 1).count()
     plan = plan_graph_serving(n_b)
+    kk = k if allowed is None else max(k, 1) * max(overfetch, 1)
+    ef = ef_search if allowed is None else max(ef_search, kk)
     if plan.strategy == "compact":
         from vectordbindexing_spark.operators.graph import build_two_layer_index
         from vectordbindexing_spark.operators.search import (
@@ -218,24 +229,40 @@ def graph_knn(
         ).localCheckpoint(eager=True)  # consumed by build + compact
         edges = build_two_layer_index(b, M0=M0, M1=M1, metric=metric)
         idx = compact_index(edges, b, metric=metric)
-        return graph_search(
-            queries, idx, k=k, ef_search=ef_search, q_id=q_id, q_vec=q_vec
+        got = graph_search(
+            queries, idx, k=kk, ef_search=ef, q_id=q_id, q_vec=q_vec
         )
-    from vectordbindexing_spark.operators.shard import (
-        build_sharded_index,
-        load_sharded_index,
-        save_sharded_index,
-        search_sharded,
-    )
+    else:
+        from vectordbindexing_spark.operators.shard import (
+            build_sharded_index,
+            load_sharded_index,
+            save_sharded_index,
+            search_sharded,
+        )
 
-    art = build_sharded_index(
-        base, num_shards=plan.params["num_shards"], M0=M0, M1=M1,
-        metric=metric, id_col=b_id, vec_col=b_vec,
+        art = build_sharded_index(
+            base, num_shards=plan.params["num_shards"], M0=M0, M1=M1,
+            metric=metric, id_col=b_id, vec_col=b_vec,
+        )
+        if artifact_path is not None:
+            save_sharded_index(art, artifact_path)
+            art = load_sharded_index(queries.sparkSession, artifact_path)
+        got = search_sharded(
+            queries, art, k=kk, ef_search=ef, metric=metric,
+            q_id=q_id, q_vec=q_vec,
+        )
+    if allowed is None:
+        return got
+    from vectordbindexing_spark.operators.topk import topk_per_group
+
+    kept = got.join(
+        allowed.select(F.col("id").cast("long").alias("neighbor_id")),
+        "neighbor_id", "semi",
     )
-    if artifact_path is not None:
-        save_sharded_index(art, artifact_path)
-        art = load_sharded_index(queries.sparkSession, artifact_path)
-    return search_sharded(
-        queries, art, k=k, ef_search=ef_search, metric=metric,
-        q_id=q_id, q_vec=q_vec,
+    return (
+        topk_per_group(
+            kept.select("qid", "neighbor_id", "dist"),
+            ["qid"], "dist", k, tie_col="neighbor_id",
+        )
+        .select("qid", "nbr_rank", "neighbor_id", "dist")
     )
