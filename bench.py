@@ -140,9 +140,15 @@ def main() -> None:
     if len(line) > _LINE_BUDGET:
         print("# full " + line, file=sys.stderr)
         out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+        # error names can dominate an error-heavy round's line — cap them
+        # (full messages are on stderr already)
+        if len(out.get("errors", [])) > 10:
+            out["errors"] = out["errors"][:10] + ["..."]
         line = json.dumps(out, separators=(",", ":"))
-    while len(line) > _LINE_BUDGET and out["queries"]:
+    while len(line) > _LINE_BUDGET and len(out["queries"]) > 1:
         keep = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        # drop 5 per pass; len>1 guard means the map always shrinks, so
+        # this terminates even when the fixed fields alone are oversized
         out["queries"] = dict(keep[: max(1, len(keep) - 5)])
         out["queries_truncated"] = len(qtimes) - len(out["queries"])
         line = json.dumps(out, separators=(",", ":"))

@@ -178,3 +178,24 @@ def test_decode_excludes_null_content(spark):
     out = decode_image_features(df, decoder="ppm").collect()
     assert [r["media_id"] for r in out] == [1]
     assert out[0]["width"] == 2 and out[0]["height"] == 2
+
+
+def test_media_kind_handles_null_and_fill_bytes(spark):
+    from vectordbindexing_spark.io.jpeg import scan_jpeg_kind
+    from vectordbindexing_spark.operators.multimodal import media_kind
+
+    # fill byte (FF) before the SOF marker must not desync the sniff
+    fake_baseline = (
+        b"\xff\xd8" + b"\xff" + b"\xff\xc0" + b"\x00\x0b"
+        + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9"
+    )
+    assert scan_jpeg_kind(fake_baseline) == "baseline"
+    df = spark.createDataFrame(
+        [(1, bytearray(fake_baseline)), (2, None),
+         (3, bytearray(b"P6\n1 1\n255\nabc"))],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in media_kind(df).collect()}
+    assert out[1]["kind"] == "baseline"
+    assert out[2]["kind"] == "missing" and out[2]["n_bytes"] == 0
+    assert out[3]["kind"] == "ppm"

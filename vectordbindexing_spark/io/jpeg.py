@@ -236,6 +236,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             i += 1
             continue
         marker = buf[i + 1]
+        if marker == 0xFF:
+            # optional fill byte before a marker (T.81 B.1.1.2) — step
+            # ONE byte so the real marker is read next
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -629,6 +634,12 @@ def scan_jpeg_kind(buf: bytes) -> str:
             i += 1
             continue
         marker = buf[i + 1]
+        if marker == 0xFF:
+            # optional fill byte before a marker (T.81 B.1.1.2) — step
+            # ONE byte: treating the second FF as a marker byte would
+            # read a bogus segment length and skip the real SOF
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -313,7 +313,7 @@ def save_ivfpq_index(
     # so they go through pyarrow directly instead of three Spark jobs
     # whose scheduler + commit-protocol overhead dwarfs the bytes. Only
     # the codes table — the data-scale part — is a distributed write.
-    if "://" in path:  # object-store/HDFS URI: stay on the Spark writer
+    if not _metadata_local(spark, path):  # non-local FS: Spark writer
         spark.createDataFrame(
             [
                 (int(i), [float(x) for x in row])
@@ -335,9 +335,11 @@ def save_ivfpq_index(
     import pyarrow as pa
     import pyarrow.parquet as papq
 
+    lpath = _strip_file_scheme(path)
+
     def _write(sub: str, table: pa.Table) -> None:
-        os.makedirs(f"{path}/{sub}", exist_ok=True)
-        papq.write_table(table, f"{path}/{sub}/part-00000.parquet")
+        os.makedirs(f"{lpath}/{sub}", exist_ok=True)
+        papq.write_table(table, f"{lpath}/{sub}/part-00000.parquet")
 
     _write(
         "centroids",
@@ -375,14 +377,45 @@ def save_ivfpq_index(
     )
 
 
+def _strip_file_scheme(path: str) -> str:
+    """'file:///x' / 'file:/x' → '/x' for the pyarrow/os calls (Spark
+    accepts either form; pyarrow wants a plain local path)."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
+
+
+def _metadata_local(spark, path: str) -> bool:
+    """True when ``path`` resolves to the driver's local filesystem for
+    BOTH Spark and pyarrow — i.e. the artifact's codes (Spark writer)
+    and metadata (pyarrow) land on the same filesystem. A scheme-less
+    path resolves against Hadoop's fs.defaultFS, so on an HDFS-default
+    cluster '/indexes/foo' is NOT local even though it has no scheme —
+    writing metadata to the driver's disk there would split the artifact
+    across filesystems."""
+    if "://" in path:
+        return path.startswith("file:")
+    default_fs = (
+        spark.sparkContext._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+    )
+    return default_fs.startswith("file:")
+
+
 def load_ivfpq_arrays(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
-    """(centroids, codebooks) back from the artifact. Local paths read
-    the three metadata tables with pyarrow on the driver (no Spark jobs);
-    URI paths fall back to distributed reads. Either way the layout is
-    plain parquet — both writers produce files the other reader accepts."""
-    if "://" not in path:
+    """(centroids, codebooks) back from the artifact. Paths on the local
+    filesystem (per Hadoop fs.defaultFS resolution) read the three
+    metadata tables with pyarrow on the driver (no Spark jobs); other
+    filesystems use distributed reads. Either way the layout is plain
+    parquet — both writers produce files the other reader accepts."""
+    if _metadata_local(spark, path):
         import pyarrow.parquet as papq
 
+        path = _strip_file_scheme(path)
         ct = papq.read_table(f"{path}/centroids").sort_by("cid")
         centroids = np.array(ct["cvec"].to_pylist(), dtype=np.float64)
         meta = papq.read_table(f"{path}/meta").to_pylist()[0]

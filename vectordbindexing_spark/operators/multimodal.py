@@ -206,6 +206,12 @@ def media_kind(
         for pdf in batches:
             kinds, sizes = [], []
             for buf in pdf[content_col]:
+                if buf is None:
+                    # triage runs FIRST on messy corpora — a missing
+                    # payload is a routable kind, not a crash
+                    kinds.append("missing")
+                    sizes.append(0)
+                    continue
                 b = bytes(buf)
                 kinds.append(
                     "ppm" if b[:2] == b"P6" else scan_jpeg_kind(b)

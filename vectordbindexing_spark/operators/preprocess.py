@@ -312,8 +312,13 @@ def pool_embeddings(
     ordered folds make the pooled values run-deterministic — required
     for oracle-pinned paths). ``weight_col`` switches to a weighted mean
     (Σ wᵢ·vᵢ / Σ wᵢ — e.g. weight chunks by token count so a short
-    trailing chunk doesn't count as much as a full window).
+    trailing chunk doesn't count as much as a full window; a group whose
+    weights sum to 0 pools to a NULL vector via try_divide rather than
+    erroring under ANSI mode). Rows with NULL vectors are excluded
+    up front (the KNN-family contract) so the counts and weight sums
+    always describe exactly the vectors that entered the fold.
     Output: (group_col, n_pooled, vec_col)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -340,7 +345,7 @@ def pool_embeddings(
     summed = F.aggregate(
         "_vs", zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
     )
-    mean = F.transform(summed, lambda s: s / F.col("_wsum"))
+    mean = F.transform(summed, lambda s: F.try_divide(s, F.col("_wsum")))
     if normalize:
         norm = F.sqrt(
             F.aggregate(mean, F.lit(0.0), lambda acc, x: acc + x * x)

@@ -490,6 +490,17 @@ def filtered_graph_search(
         queries, index, k=kk, ef_search=max(ef_search, kk),
         q_id=q_id, q_vec=q_vec, **kwargs,
     )
+    return allowed_topk(got, allowed, k)
+
+
+def allowed_topk(got: DataFrame, allowed: DataFrame, k: int) -> DataFrame:
+    """Post-filter + re-rank tail of the overfetch filtered-ANN recipe:
+    LEFT SEMI join the (qid, nbr_rank, neighbor_id, dist) candidates
+    against the allowed id set, then re-rank to k. Shared by
+    filtered_graph_search and plans.knn_planner.graph_knn so the two
+    routes cannot drift."""
+    from vectordbindexing_spark.operators.topk import topk_per_group
+
     kept = got.join(
         allowed.select(F.col("id").cast("long").alias("neighbor_id")),
         "neighbor_id", "semi",

@@ -1500,7 +1500,11 @@ def planner_ivfpq_knn_sql(k: int = 10, m: int = 8, ks: int = 16,
             raise RuntimeError(f"expected ivfpq route, got {plan}")
         return plan.params["nlist"], plan.params["nprobe"]
 
-    return _ivfpq_sql(sizing, m, ks, k, iters, normalize=True)
+    # the planner's cosine route rescales ADC squared-L2 to the cosine
+    # scale (on unit vectors ||q-b||^2 = 2(1-cos), so x0.5) so every
+    # route returns dist on the same scale
+    return _ivfpq_sql(sizing, m, ks, k, iters, normalize=True,
+                      dist_scale=0.5)
 
 
 def ivfpq_rerank_knn_sql(
@@ -1523,7 +1527,8 @@ def ivfpq_rerank_knn_sql(
 
 
 def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool,
-               rerank: int | None = None) -> str:
+               rerank: int | None = None,
+               dist_scale: float = 1.0) -> str:
     """Shared IVF-PQ oracle builder. ``sizing(n_q, n_b) -> (nlist,
     nprobe)`` is evaluated per dataset (nprobe becomes a CASE arm);
     ``normalize`` unit-normalizes both engines' inputs before fit and
@@ -1581,7 +1586,8 @@ def _ivfpq_sql(sizing, m, ks, k, iters, normalize: bool,
         rerank_ctes = ""
         final_select = (
             "SELECT qid, rnk AS nbr_rank, id AS neighbor_id, "
-            f"round(dist, 6) AS dist\n    FROM r WHERE rnk <= {k}"
+            f"round(dist * {dist_scale!r}, 6) AS dist"
+            f"\n    FROM r WHERE rnk <= {k}"
         )
     else:
         shortlist = max(k, rerank)

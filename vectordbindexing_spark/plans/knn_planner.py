@@ -144,7 +144,15 @@ def knn(
                 f"ivfpq route scores squared L2; metric={metric!r} is not "
                 "expressible as an ADC-L2 ranking - use the ivf/lsh routes"
             )
-        return ivfpq_knn(queries, base, k, **plan.params, **cols)
+        out = ivfpq_knn(queries, base, k, **plan.params, **cols)
+        if metric == "cosine":
+            # rescale ADC squared L2 to the cosine-distance scale the
+            # other routes return (on unit vectors ||q-b||^2 = 2(1-cos));
+            # monotone, so ranks and ties are untouched — without this a
+            # caller thresholding on dist sees absolute values double
+            # when corpus growth flips the route to ivfpq
+            out = out.withColumn("dist", F.col("dist") / 2)
+        return out
     if plan.strategy == "ivf":
         from vectordbindexing_spark.operators.ivf import ivf_knn
 
@@ -253,16 +261,6 @@ def graph_knn(
         )
     if allowed is None:
         return got
-    from vectordbindexing_spark.operators.topk import topk_per_group
+    from vectordbindexing_spark.operators.search import allowed_topk
 
-    kept = got.join(
-        allowed.select(F.col("id").cast("long").alias("neighbor_id")),
-        "neighbor_id", "semi",
-    )
-    return (
-        topk_per_group(
-            kept.select("qid", "neighbor_id", "dist"),
-            ["qid"], "dist", k, tie_col="neighbor_id",
-        )
-        .select("qid", "nbr_rank", "neighbor_id", "dist")
-    )
+    return allowed_topk(got, allowed, k)
