@@ -257,8 +257,10 @@ def test_planner_cosine_route_normalizes(spark, emb_split, monkeypatch):
     routed = routed.sort_values(key).reset_index(drop=True)
     direct = direct.sort_values(key).reset_index(drop=True)
     assert routed["neighbor_id"].tolist() == direct["neighbor_id"].tolist()
+    # the planner rescales ADC squared L2 to the cosine-distance scale
+    # every other route returns (||q-b||^2 = 2(1-cos) on unit vectors)
     np.testing.assert_allclose(
-        routed["dist"].to_numpy(), direct["dist"].to_numpy()
+        routed["dist"].to_numpy(), direct["dist"].to_numpy() / 2
     )
 
 
