@@ -404,3 +404,41 @@ def test_sweep_nprobe_monotone_recall(spark, tables):
                         rerank=150)
     assert tbl2["recall_at_k"].iloc[-1] >= 0.9
     assert tbl2["recall_at_k"].iloc[-1] >= rec[-1]
+
+
+def test_artifact_path_helpers(spark):
+    """The metadata-IO routing helpers decide whether pyarrow (driver-
+    local) or Spark (distributed) reads/writes the artifact's metadata —
+    a wrong decision splits the artifact across filesystems."""
+    from vectordbindexing_spark.operators.ivfpq import (
+        _metadata_local,
+        _strip_file_scheme,
+    )
+
+    assert _strip_file_scheme("/tmp/x") == "/tmp/x"
+    assert _strip_file_scheme("file:/tmp/x") == "/tmp/x"
+    assert _strip_file_scheme("file:///tmp/x") == "/tmp/x"
+    assert _metadata_local(spark, "file:///tmp/x")
+    assert not _metadata_local(spark, "hdfs://nn/indexes/x")
+    assert not _metadata_local(spark, "s3a://bucket/x")
+    # scheme-less resolves against fs.defaultFS — local[*] sessions
+    # default to file:, so a bare path is local here
+    assert _metadata_local(spark, "/tmp/x")
+
+
+def test_save_load_accepts_file_scheme(spark, emb_split, tmp_path):
+    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    from vectordbindexing_spark.operators.ivfpq import (
+        load_ivfpq_arrays,
+        save_ivfpq_index,
+    )
+
+    q, b = emb_split
+    cents = kmeans_fit(b, 4, max_iter=1, id_col="vec_id", vec_col="embedding")
+    books = pq_fit(b, m=4, ks=8, max_iter=1, id_col="vec_id",
+                   vec_col="embedding")
+    path = "file://" + str(tmp_path / "scheme_idx")
+    save_ivfpq_index(b, cents, books, path, b_id="vec_id", b_vec="embedding")
+    c2, b2 = load_ivfpq_arrays(spark, path)
+    np.testing.assert_array_equal(cents, c2)
+    np.testing.assert_array_equal(books, b2)
