@@ -778,18 +778,25 @@ def _simhash_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal ingest path over REAL compressed images: deterministic
-    synthetic frames (seeded per doc_id) are JPEG-encoded and decoded
-    executor-side with the vendored pure-numpy T.81 codec (io/jpeg.py),
-    then reduced to typed stats. Rows-only check (a codec is not
-    SQL-expressible); the codec itself is round-trip-pinned by test_jpeg.
-    Mirrors the reference's flickr30k_clip.ipynb cell 6 ingest
-    (JPEG files → batch decode → features) in distributed form."""
+    synthetic frames (seeded per doc_id) are JPEG-encoded — even doc_ids
+    baseline (SOF0), odd doc_ids progressive (SOF2, spectral selection +
+    successive approximation) — and decoded executor-side with the
+    vendored pure-numpy T.81 codec (io/jpeg.py), then reduced to typed
+    stats. Rows-only check (a codec is not SQL-expressible); the codec
+    itself is round-trip-pinned by test_jpeg / test_jpeg_progressive
+    (progressive decode is bit-identical to baseline at the same
+    settings). Mirrors the reference's flickr30k_clip.ipynb cell 6
+    ingest (JPEG files → batch decode → features) in distributed form."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from vectordbindexing_spark.io.jpeg import decode_jpeg, encode_jpeg
+    from vectordbindexing_spark.io.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -808,7 +815,10 @@ def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .clip(0, 255)
                     .astype(np.uint8)
                 )
-                buf = encode_jpeg(img, quality=90)
+                enc = encode_jpeg if int(did) % 2 == 0 else (
+                    encode_jpeg_progressive
+                )
+                buf = enc(img, quality=90)
                 dec = decode_jpeg(buf)
                 ids.append(int(did))
                 hs.append(dec.shape[0])

@@ -66,14 +66,19 @@ def test_quality_monotone():
     assert len(encode_jpeg(img, quality=20)) < len(encode_jpeg(img, quality=95))
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"P6 1 1 255 abc")
-    # fake a SOF2 (progressive) frame header
+    # fake a SOF9 (arithmetic sequential) frame header — still rejected
     buf = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     idx = buf.find(b"\xff\xc0")
+    buf[idx + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(bytes(buf))
+    # a SOF2 marker glued onto a baseline (full-band) scan is now parsed
+    # as progressive and must fail script validation, not desync
     buf[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(buf))
 
 
@@ -193,9 +198,10 @@ def test_scan_jpeg_kind_triage():
     assert scan_jpeg_kind(b"") == "not_jpeg"
     # SOI but truncated before any SOF
     assert scan_jpeg_kind(base[:4]) == "unknown"
-    # sniff must agree with the decoder's accept/reject behavior
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(bytes(prog))
+    # sniff must agree with the decoder's accept/reject behavior:
+    # arithmetic-coded processes stay rejected
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(bytes(arith))
 
 
 def test_media_kind_routes_decode(spark):

@@ -1,23 +1,33 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, JFIF).
+"""Pure-numpy JPEG codec (ITU-T T.81 sequential + progressive DCT, JFIF).
 
 The reference ingests JPEG images through PIL + CLIP
 (flickr30k_clip.ipynb cell 6); this container ships neither, so the
 multimodal operators previously treated compressed formats as a
-deployment-registered gap. This module closes it for baseline JPEG with
-a self-contained decoder (and a minimal encoder used by tests to
-generate real bitstreams): segment parser, canonical Huffman entropy
-decode with byte-unstuffing and restart markers, dequantize → inverse
-zigzag → orthonormal 8×8 IDCT, nearest-neighbor chroma upsampling and
-JFIF YCbCr→RGB.
+deployment-registered gap. This module closes it for Huffman-coded DCT
+JPEG with a self-contained decoder (and a minimal encoder used by tests
+to generate real bitstreams): segment parser, canonical Huffman entropy
+decode with byte-unstuffing and restart markers, progressive scan
+accumulation (spectral selection + successive approximation, §G),
+dequantize → inverse zigzag → orthonormal 8×8 IDCT, nearest-neighbor
+chroma upsampling and JFIF YCbCr→RGB.
 
-Implemented from the public spec (ITU-T T.81 §F, Annex K tables); no
-code derived from libjpeg/PIL. Scope: baseline sequential, 8-bit, Y or
-YCbCr, interleaved single scan — progressive/arithmetic/12-bit raise
-ValueError. Per-pixel Python cost is zero: the entropy decode is
-per-coefficient Python (fine for the thumbnail-scale fixtures the tests
-use), everything after it is vectorized numpy. For production-scale
-decode throughput register a libjpeg-backed decoder at deployment — the
-Spark dataflow (operators.multimodal) is decoder-agnostic either way.
+Implemented from the public spec (ITU-T T.81 §F/§G, Annex K tables); no
+code derived from libjpeg/PIL. Scope: baseline sequential (SOF0) and
+progressive (SOF2), 8-bit, Y or YCbCr — arithmetic-coded / lossless /
+12-bit processes raise ValueError (``scan_jpeg_kind`` triages those to
+a deployment decoder). The entropy decode is per-coefficient Python
+(fine for the thumbnail-scale fixtures the tests use); dequantization
+and the IDCT are batched numpy over all blocks at once. For
+production-scale decode throughput register a libjpeg-backed decoder at
+deployment — the Spark dataflow (operators.multimodal) is
+decoder-agnostic either way.
+
+Decode architecture: every scan (a sequential file has one; a
+progressive file has many) deposits quantized coefficients into
+per-component ``(blocks_y, blocks_x, 64)`` zigzag-order arrays, and a
+single vectorized finish pass dequantizes, IDCTs, upsamples and
+color-converts. Sequential vs progressive differ only in which scan
+decoder fills the arrays.
 """
 
 from __future__ import annotations
@@ -222,16 +232,47 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _parse_frame(seg: bytes, progressive: bool) -> dict:
+    """SOFn payload → frame dict with sampling geometry precomputed."""
+    h, w = int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big")
+    ncomp = seg[5]
+    comps = []
+    for c in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        # interleaved (MCU-padded) block grid — the coefficient array
+        c["bw_full"] = mcus_x * c["h"]
+        c["bh_full"] = mcus_y * c["v"]
+        # true block grid for non-interleaved scans (T.81 A.2.2: data
+        # units pad to whole blocks but NOT to MCU multiples)
+        comp_w = -(-w * c["h"] // hmax)
+        comp_h = -(-h * c["v"] // vmax)
+        c["bw"] = -(-comp_w // 8)
+        c["bh"] = -(-comp_h // 8)
+    return {
+        "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+        "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive,
+    }
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w) grayscale or (h, w, 3) RGB uint8."""
+    """JPEG bytes (baseline SOF0 or progressive SOF2) →
+    (h, w) grayscale or (h, w, 3) RGB uint8."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    saw_scan = False
     i = 2
-    while i < len(buf):
+    while i + 1 < len(buf):
         if buf[i] != 0xFF:
             i += 1
             continue
@@ -269,70 +310,230 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _canonical_codes(bits, symbols)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            h, w = int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big")
-            ncomp = seg[5]
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            frame = _parse_frame(seg, progressive=(marker == 0xC2))
+            for c in frame["comps"]:
+                coef[c["id"]] = np.zeros(
+                    (c["bh_full"], c["bw_full"], 64), dtype=np.int64
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline sequential (SOF0) supported, got SOF{marker - 0xC0}"
+                "only baseline (SOF0) and progressive (SOF2) supported, "
+                f"got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scomps = []
+            by_id = {c["id"]: c for c in frame["comps"]}
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            data_start = i + 2 + seg_len
-            return _decode_scan(
-                buf, data_start, frame, scan_tables, qt, huff,
-                restart_interval,
-            )
+                scomps.append((by_id[cs], tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            reader = _BitReader(buf, i + 2 + seg_len)
+            try:
+                _scan_pass(
+                    reader, frame, scomps, ss, se, ah, al, huff,
+                    restart_interval, coef,
+                )
+            except _RestartMarker as exc:
+                # an RSTn inside entropy data where none is expected
+                # means the stream desynced (or the interval is wrong) —
+                # a malformed-input error, not control flow to leak
+                raise ValueError(
+                    f"unexpected restart marker RST{exc.n} in entropy data"
+                ) from None
+            saw_scan = True
+            i = reader.pos
+            continue
         i += 2 + seg_len
-    raise ValueError("no SOS segment found")
+    if not saw_scan:
+        raise ValueError("no SOS segment found")
+    return _finish(frame, coef, qt)
 
 
-def _decode_scan(buf, pos, frame, scan_tables, qt, huff, restart_interval):
-    comps = frame["comps"]
+def _scan_pass(reader, frame, scomps, ss, se, ah, al, huff,
+               restart_interval, coef):
+    """Decode one scan's entropy data into the coefficient arrays.
+
+    Sequential scans carry the full band (Ss=0, Se=63, Ah=Al=0);
+    progressive scans carry a DC or AC band slice at one bit of
+    precision (T.81 §G.2). Interleaved scans iterate MCUs; a
+    single-component scan iterates that component's true block grid.
+    """
+    progressive = frame["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("invalid progressive scan: DC scan with Se>0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("invalid progressive scan: interleaved AC scan")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("invalid sequential scan header")
+    pred = {c["id"]: 0 for c, _, _ in scomps}
+    state = {"eobrun": 0}
+
+    def block_units():
+        """Yield (comp, dc_table, ac_table, by, bx) in scan order, with
+        a unit counted per MCU (interleaved) or per block (single)."""
+        if len(scomps) > 1:
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    blocks = []
+                    for c, dc_t, ac_t in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blocks.append(
+                                    (c, dc_t, ac_t,
+                                     my * c["v"] + by, mx * c["h"] + bx)
+                                )
+                    yield blocks
+        else:
+            c, dc_t, ac_t = scomps[0]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    yield [(c, dc_t, ac_t, by, bx)]
+
+    unit = 0
+    for blocks in block_units():
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_and_skip_rst()
+            pred = {c["id"]: 0 for c, _, _ in scomps}
+            state["eobrun"] = 0
+        for c, dc_t, ac_t, by, bx in blocks:
+            out = coef[c["id"]][by, bx]
+            if not progressive:
+                _block_seq(reader, out, huff[(0, dc_t)], huff[(1, ac_t)],
+                           pred, c["id"])
+            elif ss == 0:
+                if ah == 0:
+                    t = _decode_huffman(reader, huff[(0, dc_t)])
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[c["id"]] += diff
+                    out[0] = pred[c["id"]] << al
+                else:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        out[0] |= 1 << al
+            elif ah == 0:
+                _block_ac_first(reader, out, huff[(1, ac_t)], ss, se, al,
+                                state)
+            else:
+                _block_ac_refine(reader, out, huff[(1, ac_t)], ss, se, al,
+                                 state)
+        unit += 1
+
+
+def _block_seq(reader, out, dct, act, pred, cid):
+    """Full-band sequential block decode (T.81 §F.2.2) → zigzag coefs."""
+    t = _decode_huffman(reader, dct)
+    diff = _extend(reader.read_bits(t), t)
+    pred[cid] += diff
+    out[0] = pred[cid]
+    kk = 1
+    while kk < 64:
+        rs = _decode_huffman(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                kk += 16
+                continue
+            break  # EOB
+        kk += r
+        out[kk] = _extend(reader.read_bits(s), s)
+        kk += 1
+
+
+def _block_ac_first(reader, out, act, ss, se, al, state):
+    """Progressive AC band, first pass at this precision (§G.2.2): runs
+    of zeros + magnitudes scaled by 2^Al, with EOBn codes spanning runs
+    of all-zero bands across blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        out[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(reader, out, act, ss, se, al, state):
+    """Progressive AC refinement (§G.2.3): add one bit of precision to
+    already-nonzero coefficients (correction bits) and place newly
+    significant ±2^Al values. History coefficients inside any traversed
+    span consume one correction bit each, in positional order."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(kk: int) -> None:
+        if reader.read_bit() and not (int(out[kk]) & p1):
+            out[kk] += p1 if out[kk] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn terminates this block's band
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # ZRL: traverse 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if out[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                out[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run: only correction bits for history coefs
+        while k <= se:
+            if out[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish(frame, coef, qt):
+    """Dequantize + inverse-zigzag + IDCT all blocks at once, then
+    upsample subsampled planes, crop, and color-convert."""
+    hmax, vmax = frame["hmax"], frame["vmax"]
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
-        )
-    reader = _BitReader(buf, pos)
-    pred = {c["id"]: 0 for c in comps}
-    try:
-        _decode_mcus(
-            reader, comps, scan_tables, qt, huff, planes,
-            mcus_x, mcus_y, pred, restart_interval,
-        )
-    except _RestartMarker as exc:
-        # an RSTn inside entropy data where none is expected means the
-        # stream desynced (or the interval is wrong) — a malformed-input
-        # error, not an internal control-flow signal to leak
-        raise ValueError(
-            f"unexpected restart marker RST{exc.n} in entropy data"
-        ) from None
-    # upsample to full resolution, crop, color-convert
     full = []
-    for c in comps:
-        p = planes[c["id"]]
+    for c in frame["comps"]:
+        zz = coef[c["id"]]  # (bh, bw, 64) zigzag order
+        nat = np.zeros(zz.shape, dtype=np.float64)
+        nat[..., _ZIGZAG] = zz
+        blocks = nat.reshape(zz.shape[0], zz.shape[1], 8, 8) * qt[c["tq"]]
+        pix = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(
+            zz.shape[0] * 8, zz.shape[1] * 8
+        )
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
@@ -345,48 +546,6 @@ def _decode_scan(buf, pos, frame, scan_tables, qt, huff, restart_interval):
     b = Y + 1.772 * (Cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_mcus(reader, comps, scan_tables, qt, huff, planes,
-                 mcus_x, mcus_y, pred, restart_interval):
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_and_skip_rst()
-                pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                dc_t, ac_t = scan_tables[c["id"]]
-                dct = huff[(0, dc_t)]
-                act = huff[(1, ac_t)]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coefs = np.zeros(64, dtype=np.int64)
-                        t = _decode_huffman(reader, dct)
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[c["id"]] += diff
-                        coefs[0] = pred[c["id"]]
-                        kk = 1
-                        while kk < 64:
-                            rs = _decode_huffman(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    kk += 16
-                                    continue
-                                break  # EOB
-                            kk += r
-                            coefs[kk] = _extend(reader.read_bits(s), s)
-                            kk += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coefs
-                        block = block.reshape(8, 8) * q
-                        pixels = _C.T @ block @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pixels
-            mcu_count += 1
 
 
 # --------------------------------------------------------------- encoder
@@ -438,19 +597,10 @@ def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsample: str = "444",
-) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
-    Annex K tables scaled by ``quality`` (libjpeg's scaling convention);
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
-    MCUs; ``subsample`` is "444" (chroma at full resolution) or "420"
-    (chroma averaged 2×2, Y sampling factor 2×2 — exercises the
-    decoder's interleaved multi-block MCUs and upsampling).
-    Test-fixture-grade: correctness over speed."""
+def _setup_encode(img: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: color transform, chroma subsampling,
+    quant tables, sampling factors. Returns everything both the
+    sequential and progressive entropy back halves need."""
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     img = np.asarray(img)
@@ -469,26 +619,54 @@ def encode_jpeg(
         # pad to even dims, then 2×2 box-average the chroma planes
         eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
         for ci in (1, 2):
-            p = np.pad(
-                planes[ci], ((0, eh - h), (0, ew - w)), mode="edge"
-            )
-            planes[ci] = (
-                p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
-            )
+            p = np.pad(planes[ci], ((0, eh - h), (0, ew - w)), mode="edge")
+            planes[ci] = p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
     qy = _scaled_q(_Q_LUMA, quality)
     qc = _scaled_q(_Q_CHROMA, quality)
     qtabs = [qy] if gray else [qy, qc, qc]
     tq_ids = [0] if gray else [0, 1, 1]
-    # per-component (h, v) sampling factors
     samp = [(1, 1)] if gray else (
         [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
     )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return gray, planes, samp, qtabs, tq_ids, h, w, mcus_x, mcus_y
 
-    out = bytearray(b"\xff\xd8")  # SOI
+
+def _quantized_blocks(planes, samp, qtabs, mcus_x, mcus_y):
+    """Forward DCT + quantization for every block of every component at
+    once (batched matmul) → list of (bh, bw, 64) int64 arrays in zigzag
+    order. Both encoders entropy-code from these arrays, so a
+    progressive and a sequential encode of the same image carry
+    IDENTICAL coefficients — decode must be bit-identical."""
+    out = []
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        pp = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        bh, bw = ph // 8, pw // 8
+        blocks = pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        S = np.matmul(np.matmul(_C, blocks - 128.0), _C.T)
+        coefs = np.round(S / qtabs[ci]).astype(np.int64)
+        out.append(coefs.reshape(bh, bw, 64)[..., _ZIGZAG])
+    return out
+
+
+def _write_headers(out: bytearray, sof_marker: int, gray: bool,
+                   qtabs, tq_ids, samp, h: int, w: int) -> None:
+    """SOI + JFIF APP0 + DQT(s) + SOFn, shared by both encoders."""
+    out += b"\xff\xd8"
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tq, q in ((0, qy),) if gray else ((0, qy), (1, qc)):
-        zz = np.empty(64, dtype=np.uint8)
-        zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+    emitted = set()
+    for ci, tq in enumerate(tq_ids):
+        if tq in emitted:
+            continue
+        emitted.add(tq)
+        zz = qtabs[ci].reshape(64)[_ZIGZAG].astype(np.uint8)
         out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq]) + zz.tobytes()
     ncomp = 1 if gray else 3
     sof = bytearray()
@@ -498,7 +676,28 @@ def encode_jpeg(
     for cid in range(1, ncomp + 1):
         sh, sv = samp[cid - 1]
         sof += bytes([cid, (sh << 4) | sv, tq_ids[cid - 1]])
-    out += b"\xff\xc0" + sof
+    out += bytes([0xFF, sof_marker]) + sof
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsample: str = "444",
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
+    Annex K tables scaled by ``quality`` (libjpeg's scaling convention);
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs; ``subsample`` is "444" (chroma at full resolution) or "420"
+    (chroma averaged 2×2, Y sampling factor 2×2 — exercises the
+    decoder's interleaved multi-block MCUs and upsampling).
+    Test-fixture-grade: correctness over speed."""
+    gray, planes, samp, qtabs, tq_ids, h, w, mcus_x, mcus_y = _setup_encode(
+        img, quality, subsample
+    )
+    ncomp = 1 if gray else 3
+    out = bytearray()
+    _write_headers(out, 0xC0, gray, qtabs, tq_ids, samp, h, w)
     tables = (
         ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA))
         if gray
@@ -527,20 +726,7 @@ def encode_jpeg(
         [] if gray else [_encode_codes(*_AC_CHROMA)] * 2
     )
     bw = _BitWriter()
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    padded = []
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
-        p = planes[ci]
-        padded.append(
-            np.pad(
-                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
-            )
-        )
+    coefs_all = _quantized_blocks(planes, samp, qtabs, mcus_x, mcus_y)
     pred = [0] * ncomp
     mcu_count = 0
     rst_n = 0
@@ -560,12 +746,7 @@ def encode_jpeg(
                 sh, sv = samp[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        S = _C @ (block - 128.0) @ _C.T
-                        coefs = np.round(S / qtabs[ci]).astype(np.int64)
-                        zz = coefs.reshape(64)[_ZIGZAG]
+                        zz = coefs_all[ci][my * sv + by, mx * sh + bx]
                         diff = int(zz[0]) - pred[ci]
                         pred[ci] = int(zz[0])
                         s, bits_v = _magnitude(diff)
@@ -594,6 +775,242 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+# AC table for progressive scans: the Annex K AC tables lack the EOBn
+# (r<<4, s=0, r≥1) symbols progressive coding emits, so use a flat
+# canonical table covering every possible RS byte (255 codes of length
+# 9 + one of length 10 — valid Kraft, terrible compression, which is
+# irrelevant for test fixtures; the decoder reads whatever DHT says).
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+_EOBRUN_MAX = 0x7FFF  # largest run EOB14 can carry
+
+
+class _ProgState:
+    """Per-scan EOB-run + buffered-correction-bit state (T.81 §G.1.2.2-3).
+
+    Correction bits that fall after the last emitted symbol of a block
+    are buffered and emitted after the EOBn symbol that closes the run —
+    the decoder consumes them in positional order while traversing the
+    run's blocks."""
+
+    def __init__(self, bw: _BitWriter, ac_tab: dict):
+        self.bw = bw
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def symbol(self, rs: int) -> None:
+        code, length = self.ac[rs]
+        self.bw.write(code, length)
+
+    def emit_bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.symbol(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.emit_bits(self.bits)
+            self.bits = []
+            self.eobrun = 0
+
+
+def _enc_ac_first(st: _ProgState, zz, ss: int, se: int, al: int) -> None:
+    """One block of an AC first-pass scan: (run, size) symbols over the
+    band with magnitudes truncated toward zero by Al."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        st.flush_eob()
+        while r > 15:
+            st.symbol(0xF0)  # ZRL
+            r -= 16
+        s, bits_v = _magnitude(a if v > 0 else -a)
+        st.symbol((r << 4) | s)
+        st.bw.write(bits_v, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == _EOBRUN_MAX:
+            st.flush_eob()
+
+
+def _enc_ac_refine(st: _ProgState, zz, ss: int, se: int, al: int) -> None:
+    """One block of an AC refinement scan: correction bits for history
+    (already-significant) coefficients, (run, 1)+sign for newly
+    significant ones. Mirrors the decoder traversal in
+    :func:`_block_ac_refine`; the ZRL check runs at EVERY nonzero
+    coefficient so buffered correction bits stay within the span the
+    decoder traverses for each symbol."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eob()
+            st.symbol(0xF0)
+            r -= 16
+            st.emit_bits(pending)
+            pending = []
+        if a > 1:  # history coefficient: one correction bit
+            pending.append(a & 1)
+            continue
+        st.flush_eob()
+        st.symbol((r << 4) | 1)
+        st.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        st.emit_bits(pending)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        st.eobrun += 1
+        st.bits.extend(pending)
+        if st.eobrun == _EOBRUN_MAX:
+            st.flush_eob()
+
+
+def default_progressive_scans(gray: bool) -> list[tuple]:
+    """A libjpeg-style scan script: (comp_indices, Ss, Se, Ah, Al).
+    Exercises spectral selection, successive approximation, DC and AC
+    refinement, and multi-block EOB runs."""
+    if gray:
+        return [
+            ([0], 0, 0, 0, 1),    # DC first, minus the low bit
+            ([0], 1, 63, 0, 2),   # all AC at 1/4 precision
+            ([0], 1, 63, 2, 1),   # AC refine 2→1
+            ([0], 0, 0, 1, 0),    # DC refine
+            ([0], 1, 63, 1, 0),   # AC refine 1→0
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),  # interleaved DC first
+        ([0], 1, 5, 0, 2),        # luma low band first
+        ([1], 1, 63, 0, 1),       # chroma AC first
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),       # luma high band first
+        ([0], 1, 63, 2, 1),       # luma AC refine 2→1
+        ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+        ([0], 1, 63, 1, 0),       # luma AC refine 1→0
+        ([1], 1, 63, 1, 0),       # chroma AC refine 1→0
+        ([2], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → progressive (SOF2)
+    JFIF bytes. ``scans`` overrides the default scan script with a list
+    of (comp_indices, Ss, Se, Ah, Al) tuples. The quantized
+    coefficients come from the same :func:`_quantized_blocks` pass the
+    sequential encoder uses, so decoding a progressive encode is
+    bit-identical to decoding a sequential encode at the same settings.
+    Test-fixture-grade: correctness over speed."""
+    gray, planes, samp, qtabs, tq_ids, h, w, mcus_x, mcus_y = _setup_encode(
+        img, quality, subsample
+    )
+    ncomp = 1 if gray else 3
+    if scans is None:
+        scans = default_progressive_scans(gray)
+    coefs_all = _quantized_blocks(planes, samp, qtabs, mcus_x, mcus_y)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray()
+    _write_headers(out, 0xC2, gray, qtabs, tq_ids, samp, h, w)
+    tables = [(0, 0, _DC_LUMA), (1, 0, _AC_PROG)]
+    if not gray:
+        tables += [(0, 1, _DC_CHROMA), (1, 1, _AC_PROG)]
+    for tc, th, (bits, symbols) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+    dc_enc = [_encode_codes(*_DC_LUMA)] + (
+        [] if gray else [_encode_codes(*_DC_CHROMA)] * 2
+    )
+    ac_enc = _encode_codes(*_AC_PROG)
+
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytearray()
+        sos += (6 + 2 * len(comp_idx)).to_bytes(2, "big")
+        sos += bytes([len(comp_idx)])
+        for ci in comp_idx:
+            dc_id = 0 if ci == 0 else 1
+            ac_id = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_id << 4) | ac_id])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + sos
+
+        bw = _BitWriter()
+        if ss == 0:  # DC scan, MCU-interleaved iteration
+            pred = [0] * ncomp
+            if len(comp_idx) > 1:
+                units = [
+                    (ci, my * samp[ci][1] + by, mx * samp[ci][0] + bx)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for ci in comp_idx
+                    for by in range(samp[ci][1])
+                    for bx in range(samp[ci][0])
+                ]
+            else:
+                ci = comp_idx[0]
+                cw = -(-(-(-w * samp[ci][0] // hmax)) // 8)
+                ch = -(-(-(-h * samp[ci][1] // vmax)) // 8)
+                units = [
+                    (ci, by, bx) for by in range(ch) for bx in range(cw)
+                ]
+            for ci, by, bx in units:
+                dc = int(coefs_all[ci][by, bx, 0])
+                if ah == 0:
+                    v = dc >> al  # arithmetic shift (§G.1.2.1)
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s, bits_v = _magnitude(diff)
+                    code, length = dc_enc[ci][s]
+                    bw.write(code, length)
+                    if s:
+                        bw.write(bits_v, s)
+                else:
+                    bw.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component, its true block grid
+            ci = comp_idx[0]
+            sh, sv = samp[ci]
+            cw = -(-(-(-w * sh // hmax)) // 8)
+            ch = -(-(-(-h * sv // vmax)) // 8)
+            st = _ProgState(bw, ac_enc)
+            for by in range(ch):
+                for bx in range(cw):
+                    zz = coefs_all[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first(st, zz, ss, se, al)
+                    else:
+                        _enc_ac_refine(st, zz, ss, se, al)
+            st.flush_eob()
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -81,9 +81,9 @@ def _decode_ppm(buf: bytes) -> np.ndarray:
 
 
 def _decode_jpeg_luma(buf: bytes) -> np.ndarray:
-    """Baseline JPEG → luminance grid (channel mean, like the PPM
-    decoder) as float64 in [0, 255]. Vendored pure-numpy T.81 decoder —
-    see io/jpeg.py."""
+    """Huffman DCT JPEG (baseline SOF0 or progressive SOF2) → luminance
+    grid (channel mean, like the PPM decoder) as float64 in [0, 255].
+    Vendored pure-numpy T.81 decoder — see io/jpeg.py."""
     from vectordbindexing_spark.io.jpeg import decode_jpeg
 
     img = decode_jpeg(buf).astype(np.float64)
@@ -197,9 +197,10 @@ def media_kind(
     :func:`io.jpeg.scan_jpeg_kind` ('baseline', 'progressive',
     'arith_sequential', ...), or 'not_jpeg'. Header-bytes-only sniff (no
     decode), so a corpus pass costs one scan of marker prefixes; the
-    canonical use is ``filter(kind == 'baseline')`` before
-    decode_image_features and shipping the rest to the deployment
-    decoder instead of erroring mid-job."""
+    canonical use is ``filter(kind.isin('baseline', 'progressive'))``
+    (both decode via the vendored codec) before decode_image_features
+    and shipping the rest — arithmetic-coded, lossless, 12-bit — to the
+    deployment decoder instead of erroring mid-job."""
     from vectordbindexing_spark.io.jpeg import scan_jpeg_kind
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
