@@ -462,6 +462,21 @@ def _pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) asymmetric KNN: per-dim affine uint8
+    codes (4× under float32), decode-and-scan with exact queries — the
+    FAISS IndexScalarQuantizer rung between raw floats and PQ. The
+    oracle replays fit+encode+decode+distance entirely in SQL (no
+    literals), so this row is algorithm-independent truth."""
+    from vectordbindexing_spark.operators.sq import sq8_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return sq8_knn(
+        q, b, k=10,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _whitening_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: PCA-whitening fit+transform (Norm method); outputs the
     whitened L2 norm per vector (SVD not SQL-expressible)."""
@@ -1100,6 +1115,7 @@ def queries() -> dict[str, Query]:
         "simhash_buckets": _simhash_buckets,
         "ivf_knn_cosine": _ivf_knn,
         "pq_adc_knn": _pq_adc_knn,
+        "sq8_knn": _sq8_knn,
         "ivfpq_knn": _ivfpq_knn,
         "ivfpq_index_knn": _ivfpq_index_knn,
         "ivfpq_rerank_knn": _ivfpq_rerank_knn,
@@ -1180,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "pq_adc_knn": oracles.pq_knn_sql(m=8, ks=16, k=10, iters=3),
+        "sq8_knn": oracles.sq8_knn_sql(k=10),
         "ivfpq_knn": oracles.ivfpq_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
         ),

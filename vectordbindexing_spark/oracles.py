@@ -2228,3 +2228,51 @@ def pq_knn_sql(m: int = 8, ks: int = 16, k: int = 10, iters: int = 3) -> str:
     SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
     FROM r WHERE rnk <= {k}
     """
+
+
+def sq8_knn_sql(k: int = 10) -> str:
+    """Mirrors operators.sq.sq8_knn (no rerank) with NO literals: SQ8
+    has no trained codebook, so the oracle recomputes the whole pipeline
+    from the raw table — per-dim min/max over the base split, the
+    encode transform clip(floor((x-min)*255/(max-min)+0.5), 0, 255),
+    decode min + code*(max-min)/255, and asymmetric L2 in the same
+    expanded form as the exact-KNN oracle. Codes and decoded values are
+    the same IEEE expression tree in both engines (bit-exact); only the
+    inner-product summation order differs, absorbed by round(dist, 6).
+    """
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         dims AS (SELECT pos, min(x) AS mn, max(x) AS mx
+                  FROM (SELECT unnest(v) AS x,
+                               generate_subscripts(v, 1) AS pos
+                        FROM b)
+                  GROUP BY pos),
+         p AS (SELECT list(mn ORDER BY pos) AS mns,
+                      list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                           ELSE 0.0 END ORDER BY pos) AS scales,
+                      list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                           ELSE 0.0 END ORDER BY pos) AS invs
+               FROM dims),
+         dec AS (SELECT b.id,
+                        list_transform(range(1, len(b.v) + 1),
+                          i -> p.mns[i]
+                               + least(greatest(floor((b.v[i] - p.mns[i])
+                                                      * p.scales[i] + 0.5),
+                                                0.0), 255.0)
+                                 * p.invs[i]) AS dv
+                 FROM b, p),
+         d AS (SELECT q.qid, dec.id,
+                      sqrt(greatest(
+                        list_inner_product(q.v, q.v)
+                        + list_inner_product(dec.dv, dec.dv)
+                        - 2 * list_inner_product(q.v, dec.dv), 0.0)) AS dist
+               FROM q, dec),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dist, id) AS rnk
+               FROM d)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
