@@ -462,6 +462,20 @@ def _pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _opq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized PQ (Ge et al. 2013): PQ behind a learned orthogonal
+    rotation fitted by alternating Procrustes/k-means — cuts
+    cross-subspace correlation loss; serving is one extra broadcast
+    matmul per batch, then the plain PQ ADC scan."""
+    from vectordbindexing_spark.operators.opq import opq_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return opq_knn(
+        q, b, k=10, m=8, ks=16, opq_iters=3, pq_iters=3,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization (SQ8) asymmetric KNN: per-dim affine uint8
     codes (4× under float32), decode-and-scan with exact queries — the
@@ -1115,6 +1129,7 @@ def queries() -> dict[str, Query]:
         "simhash_buckets": _simhash_buckets,
         "ivf_knn_cosine": _ivf_knn,
         "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
         "sq8_knn": _sq8_knn,
         "ivfpq_knn": _ivfpq_knn,
         "ivfpq_index_knn": _ivfpq_index_knn,
@@ -1196,6 +1211,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_knn_cosine": oracles.ivf_knn_sql(nlist=16, nprobe=4, k=10, iters=3),
         "pq_adc_knn": oracles.pq_knn_sql(m=8, ks=16, k=10, iters=3),
+        "opq_knn": oracles.opq_knn_sql(m=8, ks=16, k=10, opq_iters=3,
+                                       pq_iters=3),
         "sq8_knn": oracles.sq8_knn_sql(k=10),
         "ivfpq_knn": oracles.ivfpq_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3

@@ -2230,6 +2230,79 @@ def pq_knn_sql(m: int = 8, ks: int = 16, k: int = 10, iters: int = 3) -> str:
     """
 
 
+def opq_knn_sql(
+    m: int = 8, ks: int = 16, k: int = 10,
+    opq_iters: int = 3, pq_iters: int = 3,
+) -> str:
+    """Mirrors operators.opq.opq_knn (ADC, no rerank): the rotation R
+    and the codebooks — both produced by the SAME opq_fit_arrays the
+    Spark operator runs on the base split — embed as literals behind
+    the dataset discriminator; SQL then rotates every vector
+    (rotated_j = list_inner_product(v, R_col_j)) and replays the PQ
+    encode + ADC pipeline on the rotated space. Rotated values differ
+    from numpy's BLAS matmul only in final-ulp summation order,
+    absorbed by round(dist, 6)."""
+    from vectordbindexing_spark.operators.opq import opq_fit_arrays
+
+    book_arms, rot_arms = [], []
+    dsub = None
+    for key, ids, V in _embedding_datasets():
+        bmask = ids % 10 != 0
+        R, books = opq_fit_arrays(
+            ids[bmask], V[bmask], m, ks, opq_iters, pq_iters
+        )
+        dsub = books.shape[2]
+        flat = books.reshape(m * ks, dsub)
+        blit = "[" + ", ".join(_list_lit(row) for row in flat) + "]::DOUBLE[][]"
+        rlit = (
+            "["
+            + ", ".join(_list_lit(R[:, j]) for j in range(R.shape[1]))
+            + "]::DOUBLE[][]"
+        )
+        book_arms.append(f"WHEN {key} THEN {blit}")
+        rot_arms.append(f"WHEN {key} THEN {rlit}")
+    books_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(book_arms) + " END"
+    rot_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(rot_arms) + " END"
+    pd2 = (
+        "list_sum(list_transform(list_slice(v, j*{d}+1, (j+1)*{d}), "
+        "(x, i) -> (x - cv[i]) * (x - cv[i])))"
+    ).format(d=dsub)
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         rot AS (SELECT {rot_case} AS rc),
+         e AS (SELECT vec_id,
+                      list_transform(range(1, len(v0) + 1),
+                                     j -> list_inner_product(v0, rc[j])) AS v
+               FROM e0, rot),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         p AS (SELECT {books_case} AS books),
+         cb AS (SELECT (i - 1) // {ks} AS j, (i - 1) % {ks} AS c, cv
+                FROM (SELECT unnest(books) AS cv,
+                             generate_subscripts(books, 1) AS i
+                      FROM p)),
+         benc AS (
+           SELECT id, j, c AS code FROM (
+             SELECT b.id, cb.j, cb.c,
+                    row_number() OVER (PARTITION BY b.id, cb.j
+                                       ORDER BY {pd2}, cb.c) AS rnk
+             FROM b, cb) WHERE rnk = 1),
+         qtab AS (SELECT q.qid, cb.j, cb.c, {pd2} AS pdist
+                  FROM q, cb),
+         adc AS (SELECT qid, id,
+                        list_sum(list(pdist ORDER BY qtab.j)) AS dist
+                 FROM benc JOIN qtab
+                   ON qtab.j = benc.j AND qtab.c = benc.code
+                 GROUP BY qid, id),
+         r AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dist, id) AS rnk
+               FROM adc)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM r WHERE rnk <= {k}
+    """
+
+
 def sq8_knn_sql(k: int = 10) -> str:
     """Mirrors operators.sq.sq8_knn (no rerank) with NO literals: SQ8
     has no trained codebook, so the oracle recomputes the whole pipeline
