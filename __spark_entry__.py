@@ -798,6 +798,19 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs, text_col="text", id_col="doc_id")
 
 
+def _pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: hash-shard, concatenate, cut into
+    fixed 512-token training windows — per-doc coordinates in the
+    packed stream (the final prep step of a pretraining pipeline).
+    Small seq_len so the synthetic ~60-token docs span boundaries."""
+    from vectordbindexing_spark.operators.textops import pack_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_windows(
+        docs, seq_len=512, n_shards=8, text_col="text", id_col="doc_id"
+    )
+
+
 def _simhash_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.dedup import simhash_text_fingerprints
 
@@ -1176,6 +1189,7 @@ def queries() -> dict[str, Query]:
         "text_pii_redact": _text_pii_redact,
         "text_repetition_stats": _text_repetition_stats,
         "text_chunk_documents": _text_chunk_documents,
+        "text_pack_windows": _pack_token_windows,
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
         "text_line_dedup": _text_line_dedup,
@@ -1287,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": oracles.pii_redact_sql(salted=True),
         "text_chunk_documents": oracles.chunk_documents_sql(
             window=32, stride=24
+        ),
+        "text_pack_windows": oracles.pack_token_windows_sql(
+            seq_len=512, n_shards=8
         ),
         "embedding_pool_by_doc": oracles.pool_embeddings_sql(group_mod=250),
         "text_url_domains": oracles.domain_stats_sql(),

@@ -638,3 +638,75 @@ def doc_fingerprint(
         F.md5(F.col(text_col)).alias("fingerprint"),
         det_hash64(F.col(text_col)).alias("fingerprint64"),
     )
+
+
+def pack_token_windows(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence-packing coordinates: where every document's
+    tokens land once the corpus is concatenated and cut into fixed
+    ``seq_len`` training windows.
+
+    Pretraining pipelines don't feed one document per sequence — they
+    shuffle deterministically, concatenate the token stream, and slice
+    it into equal windows (documents span window boundaries; packing
+    efficiency is 100% by construction). The distributed form shards
+    first: documents hash into ``n_shards`` independent streams
+    (a global single stream would serialize the cumsum through one
+    window partition — the classic scale trap), then within each shard
+    a hash-ordered running token sum places each document at
+    [tok_start, tok_end) of the shard stream; training window ``s``
+    covers [s·seq_len, (s+1)·seq_len).
+
+    Output per doc: (doc_id, shard, n_tokens, tok_start, tok_end,
+    seq_first, seq_last, crosses_boundary). Deterministic and
+    content-independent (md5 of the id), so the same corpus always
+    packs identically — reproducible data recipes, and the DuckDB
+    oracle replays it exactly. One shuffle (the per-shard window).
+
+    At 100 TB: n_shards scales with the cluster (one running sum per
+    shard, each a separate window partition); tokens here are the
+    whitespace proxy — swap the count column for a real tokenizer's
+    output upstream without touching the packing math.
+    """
+    from pyspark.sql import Window
+
+    from vectordbindexing_spark.functions.hashing import det_hash64
+
+    toks = F.size(words(_txt(text_col))).cast("long")
+    h = det_hash64(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        h.alias("_h"),
+        (h % n_shards).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    out = (
+        base.withColumn("tok_end", F.sum("n_tokens").over(w))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        .withColumn("seq_first", F.floor(F.col("tok_start") / seq_len))
+        .withColumn(
+            "seq_last",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor((F.col("tok_end") - 1) / seq_len),
+            ).otherwise(F.floor(F.col("tok_start") / seq_len)),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.col("seq_first").cast("long").alias("seq_first"),
+        F.col("seq_last").cast("long").alias("seq_last"),
+        (F.col("seq_last") > F.col("seq_first"))
+        .cast("long")
+        .alias("crosses_boundary"),
+    )

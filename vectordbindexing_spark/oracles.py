@@ -1673,6 +1673,34 @@ def bpe_token_stats_sql(pattern: str) -> str:
     """
 
 
+def pack_token_windows_sql(seq_len: int = 512, n_shards: int = 8) -> str:
+    """Mirrors textops.pack_token_windows: md5-hash sharding, per-shard
+    hash-ordered running token sum, fixed-window coordinates. All
+    integer arithmetic — exact in both engines."""
+    toks = WORDS_SQL.format(t="coalesce(text, '')")
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      len({toks})::BIGINT AS n_tokens,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+               FROM documents),
+         c AS (SELECT doc_id, h % {n_shards} AS shard, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY h % {n_shards}
+                                          ORDER BY h, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS tok_end
+               FROM t)
+    SELECT doc_id, shard, n_tokens,
+           tok_end - n_tokens AS tok_start,
+           tok_end,
+           (tok_end - n_tokens) // {seq_len} AS seq_first,
+           CASE WHEN n_tokens > 0 THEN (tok_end - 1) // {seq_len}
+                ELSE (tok_end - n_tokens) // {seq_len} END AS seq_last,
+           (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // {seq_len}
+                 ELSE (tok_end - n_tokens) // {seq_len} END
+            > (tok_end - n_tokens) // {seq_len})::BIGINT AS crosses_boundary
+    FROM c
+    """
+
+
 PII_SALT_SQL = (
     "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'"
     " || (doc_id % 256)::VARCHAR || '.7 call 555-123-'"
