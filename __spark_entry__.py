@@ -462,6 +462,20 @@ def _pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization KNN: 1-bit midrange sign codes (32× under
+    float32), XOR+popcount Hamming shortlist, exact-L2 rerank — the
+    cheap-filter end of the quantization family. Oracle replays
+    thresholds, packing, Hamming and rerank entirely in SQL."""
+    from vectordbindexing_spark.operators.bq import bq_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return bq_knn(
+        q, b, k=10, shortlist=60,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _opq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimized PQ (Ge et al. 2013): PQ behind a learned orthogonal
     rotation fitted by alternating Procrustes/k-means — cuts
@@ -1144,6 +1158,7 @@ def queries() -> dict[str, Query]:
         "pq_adc_knn": _pq_adc_knn,
         "opq_knn": _opq_knn,
         "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
         "ivfpq_knn": _ivfpq_knn,
         "ivfpq_index_knn": _ivfpq_index_knn,
         "ivfpq_rerank_knn": _ivfpq_rerank_knn,
@@ -1228,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         "opq_knn": oracles.opq_knn_sql(m=8, ks=16, k=10, opq_iters=3,
                                        pq_iters=3),
         "sq8_knn": oracles.sq8_knn_sql(k=10),
+        "bq_hamming_knn": oracles.bq_knn_sql(k=10, shortlist=60),
         "ivfpq_knn": oracles.ivfpq_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3
         ),

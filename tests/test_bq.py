@@ -1,0 +1,123 @@
+"""Binary-quantization contract: packing round-trip, Hamming kernel vs
+a bit-string reference, full-shortlist rerank ≡ exact, recall floor,
+and Spark↔DuckDB parity for the no-literal oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.operators.bq import (
+    _popcount,
+    bq_encode_np,
+    bq_knn,
+)
+
+
+def test_popcount_lut_matches_python():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**32, size=100, dtype=np.int64)
+    expect = np.array([bin(int(x)).count("1") for x in a])
+    np.testing.assert_array_equal(_popcount(a), expect)
+
+
+def test_encode_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(40, 70))  # 70 dims → 3 words, last partial
+    thr = np.zeros(70)
+    W = bq_encode_np(X, thr)
+    assert W.shape == (40, 3)
+    assert (W >= 0).all()
+    for i in range(40):
+        for d in range(70):
+            bit = (W[i, d // 32] >> (d % 32)) & 1
+            assert bit == int(X[i, d] >= 0.0)
+
+
+def test_hamming_equals_sign_disagreements():
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(20, 64))
+    Y = rng.normal(size=(15, 64))
+    thr = np.zeros(64)
+    WX, WY = bq_encode_np(X, thr), bq_encode_np(Y, thr)
+    ham = np.zeros((20, 15), dtype=np.int64)
+    for w in range(WX.shape[1]):
+        ham += _popcount(WX[:, w : w + 1] ^ WY[None, :, w])
+    expect = ((X[:, None, :] >= 0) != (Y[None, :, :] >= 0)).sum(axis=2)
+    np.testing.assert_array_equal(ham, expect)
+
+
+def _vec_df(spark, n=200, d=32, seed=9):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, schema="id long, vec array<double>"
+    )
+
+
+def test_full_shortlist_rerank_equals_exact(spark):
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    df = _vec_df(spark)
+    q = df.filter(F.col("id") % 10 == 0)
+    b = df.filter(F.col("id") % 10 != 0)
+    exact = exact_knn(q, b, k=8, metric="l2", q_id="id", q_vec="vec",
+                      b_id="id", b_vec="vec")
+    full = bq_knn(q, b, k=8, shortlist=b.count(),
+                  q_id="id", q_vec="vec", b_id="id", b_vec="vec")
+    left = [
+        (r["qid"], r["nbr_rank"], r["neighbor_id"], round(r["dist"], 9))
+        for r in full.orderBy("qid", "nbr_rank").collect()
+    ]
+    right = [
+        (r["qid"], r["nbr_rank"], r["neighbor_id"], round(r["dist"], 9))
+        for r in exact.orderBy("qid", "nbr_rank").collect()
+    ]
+    assert left == right
+
+
+def test_recall_floor_with_modest_shortlist(spark):
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    df = _vec_df(spark, n=300, d=64, seed=4)
+    q = df.filter(F.col("id") % 10 == 0)
+    b = df.filter(F.col("id") % 10 != 0)
+    exact = {
+        (r["qid"], r["neighbor_id"])
+        for r in exact_knn(q, b, k=5, metric="l2", q_id="id",
+                           q_vec="vec", b_id="id", b_vec="vec").collect()
+    }
+    got = {
+        (r["qid"], r["neighbor_id"])
+        for r in bq_knn(q, b, k=5, shortlist=60, q_id="id", q_vec="vec",
+                        b_id="id", b_vec="vec").collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_oracle_parity_duckdb(spark, sf_dir):
+    duckdb = pytest.importorskip("duckdb")
+    import os
+
+    import __spark_entry__ as entry
+    from vectordbindexing_spark import oracles
+
+    sdf = entry.queries()["bq_hamming_knn"](spark, sf_dir)
+    srows = sorted(
+        (r["qid"], r["nbr_rank"], r["neighbor_id"], r["dist"])
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    orows = sorted(
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in con.execute(
+            oracles.bq_knn_sql(k=10, shortlist=60)
+        ).fetchall()
+    )
+    assert srows == orows

@@ -2258,6 +2258,74 @@ def pq_knn_sql(m: int = 8, ks: int = 16, k: int = 10, iters: int = 3) -> str:
     """
 
 
+def bq_knn_sql(
+    k: int = 10, shortlist: int = 100, bits_per_word: int = 32
+) -> str:
+    """Mirrors operators.bq.bq_knn with NO literals: per-dim midrange
+    thresholds (min+max)/2 from the base split, packed sign-bit encode,
+    Hamming shortlist via xor+bit_count (integer distances — exact tie
+    semantics in both engines), then the exact-L2 rerank stage. The only
+    float comparison is x >= thr on exactly-equal doubles; everything
+    until the final rerank is integer arithmetic."""
+    bpw = bits_per_word
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         dims AS (SELECT pos, min(x) AS mn, max(x) AS mx
+                  FROM (SELECT unnest(v) AS x,
+                               generate_subscripts(v, 1) AS pos
+                        FROM b)
+                  GROUP BY pos),
+         p AS (SELECT list((mn + mx) / 2.0 ORDER BY pos) AS thr,
+                      ((count(*) + {bpw} - 1) // {bpw})::BIGINT AS nwords
+               FROM dims),
+         benc AS (SELECT b.id,
+                         list_transform(range(0, p.nwords), w ->
+                           list_sum(list_transform(range(1, {bpw} + 1), i ->
+                             CASE WHEN w * {bpw} + i <= len(b.v)
+                                   AND b.v[(w * {bpw} + i)::INT]
+                                       >= p.thr[(w * {bpw} + i)::INT]
+                                  THEN (1::BIGINT << (i - 1)::INT)
+                                  ELSE 0 END))) AS words
+                  FROM b, p),
+         qenc AS (SELECT q.qid,
+                         list_transform(range(0, p.nwords), w ->
+                           list_sum(list_transform(range(1, {bpw} + 1), i ->
+                             CASE WHEN w * {bpw} + i <= len(q.v)
+                                   AND q.v[(w * {bpw} + i)::INT]
+                                       >= p.thr[(w * {bpw} + i)::INT]
+                                  THEN (1::BIGINT << (i - 1)::INT)
+                                  ELSE 0 END))) AS words
+                  FROM q, p),
+         ham AS (SELECT qe.qid, be.id,
+                        list_sum(list_transform(
+                          range(1, len(qe.words) + 1),
+                          w -> bit_count(xor(qe.words[w::INT],
+                                             be.words[w::INT]))::BIGINT
+                        )) AS hd
+                 FROM qenc qe, benc be),
+         sl AS (SELECT qid, id FROM (
+                  SELECT qid, id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY hd, id) AS rnk
+                  FROM ham) WHERE rnk <= {shortlist}),
+         rr AS (SELECT s.qid, s.id,
+                       sqrt(list_sum(list_transform(
+                           qv.v, (x, i) -> (x - bv.v[i]) * (x - bv.v[i])
+                       ))) AS dist
+                FROM sl s
+                JOIN q qv USING (qid)
+                JOIN b bv ON bv.id = s.id),
+         rfin AS (SELECT qid, id, dist,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dist, id) AS rnk
+                  FROM rr)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
+    FROM rfin WHERE rnk <= {k}
+    """
+
+
 def opq_knn_sql(
     m: int = 8, ks: int = 16, k: int = 10,
     opq_iters: int = 3, pq_iters: int = 3,
