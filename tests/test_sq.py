@@ -105,6 +105,59 @@ def test_null_vectors_excluded(spark):
     assert {r["neighbor_id"] for r in out} == {0, 2, 3}
 
 
+def test_plan_knn_recall_target_routes_sq8():
+    import vectordbindexing_spark.plans.knn_planner as kp
+
+    common = dict(approximate_ok=True, repeated_queries=True,
+                  memory_tight=True)
+    assert kp.plan_knn(100, 5_000_000, 10, **common).strategy == "ivfpq"
+    assert kp.plan_knn(
+        100, 5_000_000, 10, recall_target=0.5, **common
+    ).strategy == "ivfpq"
+    p = kp.plan_knn(100, 5_000_000, 10, recall_target=0.95, **common)
+    assert p.strategy == "sq8"
+    assert p.params["rerank"] >= 40
+    # without memory pressure the full-precision IVF still wins
+    assert kp.plan_knn(
+        100, 5_000_000, 10, approximate_ok=True, repeated_queries=True,
+        recall_target=0.95,
+    ).strategy == "ivf"
+
+
+def test_planner_sq8_route_executes_and_rescales_cosine(spark, monkeypatch):
+    """Planner-dispatched cosine→sq8 must rank like sq8_knn on
+    pre-unit-normalized input and return cosine-scale distances
+    (dist² / 2 of the rotated L2), matching every other route."""
+    import numpy as np
+
+    import vectordbindexing_spark.plans.knn_planner as kp
+    from vectordbindexing_spark.functions.vector import unit_norm
+
+    monkeypatch.setattr(kp, "EXACT_BASE_LIMIT", 10)
+    df, _ = _vec_df(spark, n=120, d=8, seed=21)
+    q = df.filter(F.col("id") % 10 == 0).localCheckpoint(eager=True)
+    b = df.filter(F.col("id") % 10 != 0)
+    routed = kp.knn(
+        q, b, k=5, metric="cosine", approximate_ok=True,
+        repeated_queries=True, memory_tight=True, recall_target=0.95,
+        q_id="id", q_vec="vec", b_id="id", b_vec="vec",
+    ).toPandas()
+    qn = q.withColumn("vec", unit_norm("vec"))
+    bn = b.withColumn("vec", unit_norm("vec"))
+    direct = sq8_knn(
+        qn, bn, k=5, rerank=50, q_id="id", q_vec="vec",
+        b_id="id", b_vec="vec",
+    ).toPandas()
+    key = ["qid", "nbr_rank"]
+    routed = routed.sort_values(key).reset_index(drop=True)
+    direct = direct.sort_values(key).reset_index(drop=True)
+    assert routed["neighbor_id"].tolist() == direct["neighbor_id"].tolist()
+    np.testing.assert_allclose(
+        routed["dist"].to_numpy(),
+        direct["dist"].to_numpy() ** 2 / 2,
+    )
+
+
 def test_oracle_parity_duckdb(spark, sf_dir):
     """The t2 gate in miniature: Spark sq8_knn vs the no-literal DuckDB
     replay at the test scale factor."""

@@ -10,7 +10,16 @@ Strategies:
   exact-expr      both sides big but candidates already pruned upstream
   lsh             large base, approximate OK → bucket equi-join
   ivf             large base, repeated query batches → amortized k-means
-  ivfpq           ivf conditions + memory-tight → compressed-code scan
+  ivfpq           ivf conditions + memory-tight → cell-pruned code scan
+  sq8             ivfpq conditions + a high recall_target → full scan of
+                  4× scalar codes (no cell-miss risk; near-exact)
+
+Not auto-routed (explicit operator choices, by design):
+  opq             drop-in ``codebooks=``/``model=`` upgrade for the
+                  pq/ivfpq routes when embeddings are correlated — the
+                  planner can't observe correlation from row counts
+  bq              1-bit Hamming pre-filter + exact rerank — the recall/
+                  shortlist trade is workload policy, not a sizing fact
 """
 
 from __future__ import annotations
@@ -51,6 +60,14 @@ class KnnPlan:
         return f"KnnPlan({self.strategy}, {self.params})"
 
 
+# recall_target at or above this routes the memory-tight compressed
+# scan to SQ8 instead of IVF-PQ: cell pruning caps IVF-PQ recall at the
+# probability the true neighbors' cells are probed, while SQ8 scans
+# every row at 8-bit precision (near-exact) for raw/4 bytes — 16× the
+# bytes of an nprobe/nlist=1/8 IVF-PQ scan, the price of the guarantee.
+SQ8_RECALL_THRESHOLD = 0.9
+
+
 def plan_knn(
     n_queries: int,
     n_base: int,
@@ -60,15 +77,20 @@ def plan_knn(
     memory_tight: bool = False,
     exact_base_limit: int | None = None,
     broadcast_query_limit: int | None = None,
+    recall_target: float | None = None,
 ) -> KnnPlan:
     """Pure sizing decision — callers pass known/estimated counts so the
     planner itself triggers no Spark jobs. ``memory_tight`` signals the
     raw vector table exceeds the scan budget (cluster-memory or IO-bound
     serving): with repeated queries it upgrades IVF to IVF-PQ, whose
-    per-search bytes are nprobe/nlist · raw/64. The two limit overrides
-    (default: the module thresholds, resolved at call time) let tests
-    and contract queries pin a route at small data scales — the routing
-    logic itself is identical at every scale."""
+    per-search bytes are nprobe/nlist · raw/64 — unless
+    ``recall_target`` ≥ SQ8_RECALL_THRESHOLD, where the cell-miss
+    recall ceiling of pruned scans is not acceptable and the planner
+    picks the SQ8 full compressed scan instead (raw/4 bytes, near-exact,
+    exact rerank attached). The two limit overrides (default: the module
+    thresholds, resolved at call time) let tests and contract queries
+    pin a route at small data scales — the routing logic itself is
+    identical at every scale."""
     if exact_base_limit is None:
         exact_base_limit = EXACT_BASE_LIMIT
     if broadcast_query_limit is None:
@@ -78,6 +100,12 @@ def plan_knn(
             return KnnPlan("exact-blocked", {"impl": "blocked"})
         return KnnPlan("exact-expr", {"impl": "expr"})
     if repeated_queries:
+        if (
+            memory_tight
+            and recall_target is not None
+            and recall_target >= SQ8_RECALL_THRESHOLD
+        ):
+            return KnnPlan("sq8", {"rerank": max(4 * k, 50)})
         nlist = max(16, min(int(n_base ** 0.5), MAX_NLIST))
         strategy = "ivfpq" if memory_tight else "ivf"
         return KnnPlan(strategy, {"nlist": nlist, "nprobe": max(1, nlist // 8)})
@@ -94,6 +122,7 @@ def knn(
     memory_tight: bool = False,
     exact_base_limit: int | None = None,
     broadcast_query_limit: int | None = None,
+    recall_target: float | None = None,
     **cols,
 ) -> DataFrame:
     """Planner-dispatched KNN — probes the sides and routes to the chosen
@@ -115,16 +144,42 @@ def knn(
     n_q = queries.limit(bql + 1).count()
     n_b = base.limit(ebl + 1).count()
     plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries,
-                    memory_tight, ebl, bql)
+                    memory_tight, ebl, bql, recall_target)
     if plan.strategy in ("ivf", "ivfpq"):
         plan = plan_knn(
             n_q, base.count(), k, approximate_ok, repeated_queries,
-            memory_tight, ebl, bql,
+            memory_tight, ebl, bql, recall_target,
         )
     if plan.strategy in ("exact-blocked", "exact-expr"):
         from vectordbindexing_spark.operators.exact_knn import exact_knn
 
         return exact_knn(queries, base, k, metric, impl=plan.params["impl"], **cols)
+    if plan.strategy == "sq8":
+        from vectordbindexing_spark.operators.sq import sq8_knn
+
+        if metric == "cosine":
+            # SQ8 scores L2; on unit vectors ranks match cosine and the
+            # output rescales below (same contract as the ivfpq branch)
+            from vectordbindexing_spark.functions.vector import unit_norm
+
+            q_vec = cols.get("q_vec", "vec")
+            b_vec = cols.get("b_vec", "vec")
+            queries = queries.withColumn(q_vec, unit_norm(q_vec))
+            base = base.withColumn(b_vec, unit_norm(b_vec))
+        elif metric not in ("l2",):
+            raise ValueError(
+                f"sq8 route scores L2; metric={metric!r} is not "
+                "expressible as an L2 ranking - use the ivf/lsh routes"
+            )
+        out = sq8_knn(queries, base, k, **plan.params, **cols)
+        if metric == "cosine":
+            # ‖q−b‖ = √(2(1−cos)) on unit vectors → cos dist = dist²/2;
+            # monotone, so ranks/ties are untouched — keeps the dist
+            # scale identical across planner routes
+            out = out.withColumn(
+                "dist", (F.col("dist") * F.col("dist")) / 2
+            )
+        return out
     if plan.strategy == "ivfpq":
         from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
 
