@@ -211,6 +211,25 @@ def _planner_knn_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _planner_sq8_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-dispatched KNN through the recall_target branch: with a
+    0.95 recall target under memory pressure the planner picks the SQ8
+    full compressed scan + exact rerank instead of the cell-pruned
+    IVF-PQ, unit-normalizing for cosine and rescaling the reranked L2
+    to cosine-distance scale. The oracle replays the sizing decision,
+    normalization, SQ8 pipeline, shortlist, rerank and rescale — so a
+    regression anywhere in the routed path shows up in CORRECTNESS."""
+    from vectordbindexing_spark.plans.knn_planner import knn
+
+    q, b = _emb_split(spark, sf_dir)
+    return knn(
+        q, b, k=10, metric="cosine", approximate_ok=True,
+        repeated_queries=True, memory_tight=True, exact_base_limit=0,
+        recall_target=0.95,
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    ).withColumn("dist", F.round("dist", 6))
+
+
 def _planner_graph_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner-dispatched graph-ANN serving: plans.knn_planner.graph_knn
     probes the base size, picks the compact broadcast route below
@@ -1163,6 +1182,7 @@ def queries() -> dict[str, Query]:
         "ivfpq_index_knn": _ivfpq_index_knn,
         "ivfpq_rerank_knn": _ivfpq_rerank_knn,
         "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
         "planner_graph_route": _planner_graph_route,
         "ann_two_layer_recall": _ann_two_layer_recall,
         "ann_sharded_recall": _ann_sharded_recall,
@@ -1253,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_rerank_knn": oracles.ivfpq_rerank_knn_sql(
             nlist=16, nprobe=4, m=8, ks=16, k=10, iters=3, rerank=50
         ),
+        "planner_sq8_route": oracles.planner_sq8_knn_sql(k=10),
         "planner_knn_route": oracles.planner_ivfpq_knn_sql(
             k=10, m=8, ks=16, iters=3
         ),

@@ -2258,6 +2258,81 @@ def pq_knn_sql(m: int = 8, ks: int = 16, k: int = 10, iters: int = 3) -> str:
     """
 
 
+def planner_sq8_knn_sql(k: int = 10) -> str:
+    """Mirrors plans.knn_planner.knn routed to sq8 with metric='cosine'
+    (approximate_ok + repeated_queries + memory_tight +
+    recall_target=0.95, exact_base_limit=0): both sides unit-normalized
+    (same list-ops normalization as the planner ivfpq oracle), the SQ8
+    fit/encode/decode replayed from the normalized base with NO
+    literals, the plan's rerank shortlist re-scored with exact L2, and
+    the final distance rescaled to the cosine scale (dist²/2 on unit
+    vectors) exactly as the planner branch computes it."""
+    from vectordbindexing_spark.plans.knn_planner import plan_knn
+
+    plan = plan_knn(
+        1, 10**9, k, approximate_ok=True, repeated_queries=True,
+        memory_tight=True, exact_base_limit=0, recall_target=0.95,
+    )
+    if plan.strategy != "sq8":
+        raise RuntimeError(f"expected sq8 route, got {plan}")
+    shortlist = max(k, plan.params["rerank"])
+    return f"""
+    WITH e AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 1e-12
+                       THEN list_transform(
+                                v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                       ELSE v0 END AS v
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         dims AS (SELECT pos, min(x) AS mn, max(x) AS mx
+                  FROM (SELECT unnest(v) AS x,
+                               generate_subscripts(v, 1) AS pos
+                        FROM b)
+                  GROUP BY pos),
+         p AS (SELECT list(mn ORDER BY pos) AS mns,
+                      list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                           ELSE 0.0 END ORDER BY pos) AS scales,
+                      list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                           ELSE 0.0 END ORDER BY pos) AS invs
+               FROM dims),
+         dec AS (SELECT b.id,
+                        list_transform(range(1, len(b.v) + 1),
+                          i -> p.mns[i]
+                               + least(greatest(floor((b.v[i] - p.mns[i])
+                                                      * p.scales[i] + 0.5),
+                                                0.0), 255.0)
+                                 * p.invs[i]) AS dv
+                 FROM b, p),
+         d AS (SELECT q.qid, dec.id,
+                      sqrt(greatest(
+                        list_inner_product(q.v, q.v)
+                        + list_inner_product(dec.dv, dec.dv)
+                        - 2 * list_inner_product(q.v, dec.dv), 0.0)) AS dist
+               FROM q, dec),
+         sl AS (SELECT qid, id FROM (
+                  SELECT qid, id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dist, id) AS rnk
+                  FROM d) WHERE rnk <= {shortlist}),
+         rr AS (SELECT s.qid, s.id,
+                       sqrt(list_sum(list_transform(
+                           qv.v, (x, i) -> (x - bv.v[i]) * (x - bv.v[i])
+                       ))) AS dist
+                FROM sl s
+                JOIN q qv USING (qid)
+                JOIN b bv ON bv.id = s.id),
+         rfin AS (SELECT qid, id, dist,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dist, id) AS rnk
+                  FROM rr)
+    SELECT qid, rnk AS nbr_rank, id AS neighbor_id,
+           round(dist * dist / 2, 6) AS dist
+    FROM rfin WHERE rnk <= {k}
+    """
+
+
 def bq_knn_sql(
     k: int = 10, shortlist: int = 100, bits_per_word: int = 32
 ) -> str:
