@@ -116,3 +116,127 @@ def test_jpeg_roundtrip_property(h, w, quality, restart, seed):
     from vectordbindexing_spark.io.jpeg import scan_jpeg_kind
 
     assert scan_jpeg_kind(buf) == "baseline"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    quality=st.integers(30, 95),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_sequential_property(h, w, quality, gray, seed):
+    """The structural pin of the progressive codec, under randomized
+    shapes/qualities/content: progressive and sequential encodes carry
+    identical quantized coefficients, so decodes must be bit-identical
+    — including high-entropy images where every AC band is active."""
+    from vectordbindexing_spark.io.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    seq = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    np.testing.assert_array_equal(prog, seq)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    d=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_sq8_decode_error_envelope_property(n, d, seed):
+    """SQ8 encode/decode: codes in [0,255], reconstruction within half a
+    quantization step per dim, constant dims exact — for arbitrary
+    scales per dimension (incl. tiny and huge spans)."""
+    from vectordbindexing_spark.operators.sq import (
+        _sq8_params,
+        sq8_decode_np,
+        sq8_encode_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    scale = 10.0 ** rng.uniform(-6, 6, size=d)
+    X = rng.normal(size=(n, d)) * scale
+    X[:, 0] = X[0, 0]  # force one constant dim
+    mins, maxs = X.min(axis=0), X.max(axis=0)
+    scales, invs = _sq8_params(mins, maxs)
+    codes = sq8_encode_np(X, mins, scales)
+    assert codes.min() >= 0 and codes.max() <= 255
+    dec = sq8_decode_np(codes, mins, invs)
+    step = (maxs - mins) / 255.0
+    assert (np.abs(dec - X) <= step / 2 + 1e-9 * np.abs(X).max()).all()
+    np.testing.assert_array_equal(dec[:, 0], X[:, 0])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 50),
+    d=st.integers(1, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bq_hamming_metric_properties(n, d, seed):
+    """Packed-word Hamming distance is a metric on the bit codes:
+    symmetric, zero iff codes equal, triangle inequality — and equals
+    the unpacked sign-disagreement count for arbitrary d (incl. partial
+    last words)."""
+    from vectordbindexing_spark.operators.bq import _popcount, bq_encode_np
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    thr = rng.normal(size=d)
+    W = bq_encode_np(X, thr)
+
+    def ham(a, b):
+        return int(_popcount(a ^ b).sum())
+
+    bits = X >= thr
+    for _ in range(min(10, n * n)):
+        i, j, l = rng.integers(0, n, size=3)
+        dij = ham(W[i], W[j])
+        assert dij == int((bits[i] != bits[j]).sum())
+        assert dij == ham(W[j], W[i])
+        assert (dij == 0) == bool((bits[i] == bits[j]).all())
+        assert dij <= ham(W[i], W[l]) + ham(W[l], W[j])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_docs=st.integers(0, 40),
+    seq_len=st.integers(1, 64),
+    n_shards=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_packing_invariants_property(n_docs, seq_len, n_shards, seed):
+    """Packing coordinates replayed in pure python: per-shard intervals
+    are gapless and ordered, window indices consistent, totals
+    conserved — for arbitrary token counts including zeros."""
+    import hashlib
+
+    rng = np.random.default_rng(seed)
+    toks = {i: int(rng.integers(0, 30)) for i in range(n_docs)}
+
+    def h64(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    shards: dict[int, list[int]] = {}
+    for i in toks:
+        shards.setdefault(h64(i) % n_shards, []).append(i)
+    for shard, ids in shards.items():
+        ids.sort(key=lambda i: (h64(i), i))
+        pos = 0
+        for i in ids:
+            start, end = pos, pos + toks[i]
+            seq_first = start // seq_len
+            seq_last = (end - 1) // seq_len if toks[i] else start // seq_len
+            assert seq_last >= seq_first >= 0
+            # a doc spans at most ceil(n/L)+1 windows
+            assert seq_last - seq_first <= toks[i] // seq_len + 1
+            pos = end
+        assert pos == sum(toks[i] for i in ids)
