@@ -1158,6 +1158,28 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase joins to the
+    click events of the same user in the preceding 6 hours (the
+    stream-stream interval-join shape — streaming/attribution.py runs
+    the SAME expressions with watermarked state; the batch run here is
+    its row-identical twin), then keeps the latest preceding click."""
+    from vectordbindexing_spark.streaming.attribution import (
+        attribution_pairs,
+        last_touch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = attribution_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_delay="6 hours",
+    )
+    return last_touch(pairs).select(
+        "user_id", "exposure_id", "conversion_id", "delay_seconds"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1240,6 +1262,7 @@ def queries() -> dict[str, Query]:
         "events_value_histogram": _events_value_histogram,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
+        "events_attribution": _events_attribution,
     }
 
 
@@ -1363,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": oracles.EVENTS_VALUE_HISTOGRAM_SQL,
         "events_hourly_stats": oracles.EVENTS_HOURLY_SQL,
         "events_sessionize": oracles.sessionize_sql(gap_minutes=30),
+        "events_attribution": oracles.attribution_sql(max_delay_hours=6),
         # every queries() entry has an oracle: iterative ops are unrolled
         # in SQL (ivf), embedded as runtime-selected literals (whitening
         # Σ⁺), or pinned via an independent numpy replication (the two

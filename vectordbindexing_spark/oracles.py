@@ -2033,6 +2033,37 @@ GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
 """
 
 
+def attribution_sql(max_delay_hours: int = 6) -> str:
+    """Mirrors __spark_entry__._events_attribution: the interval join of
+    streaming/attribution.attribution_pairs (batch twin) + last_touch.
+    Join comparisons are on raw microsecond timestamps (exact in both
+    engines); delay uses boundary-count date_diff matching Spark's
+    second-truncated timestampdiff; last-touch ties → lowest
+    exposure_id."""
+    return f"""
+    WITH x AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         pairs AS (SELECT x.user_id,
+                          x.event_id AS exposure_id,
+                          c.event_id AS conversion_id,
+                          date_diff('second', x.ts, c.ts)::BIGINT
+                              AS delay_seconds
+                   FROM x JOIN c
+                     ON x.user_id = c.user_id
+                    AND x.ts <= c.ts
+                    AND c.ts <= x.ts + INTERVAL {max_delay_hours} HOUR),
+         lt AS (SELECT *,
+                       row_number() OVER (PARTITION BY conversion_id
+                                          ORDER BY delay_seconds,
+                                                   exposure_id) AS rn
+                FROM pairs)
+    SELECT user_id, exposure_id, conversion_id, delay_seconds
+    FROM lt WHERE rn = 1
+    """
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     return f"""
     WITH o AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
