@@ -146,6 +146,32 @@ def test_randomized_images_match_exactly():
         np.testing.assert_array_equal(prog, seq)
 
 
+@pytest.mark.parametrize("interval", [1, 2, 5])
+def test_restart_markers_in_progressive_scans(interval):
+    """DRI + RSTn inside every progressive scan: EOB runs and DC
+    predictors terminate at each restart; decode must still be
+    bit-identical to the sequential decode (the decoder's
+    progressive-restart path is otherwise unreachable from fixtures)."""
+    img = _smooth(40, 24, seed=13)
+    seq = decode_jpeg(encode_jpeg(img, quality=70))
+    buf = encode_jpeg_progressive(
+        img, quality=70, restart_interval=interval
+    )
+    assert b"\xff\xdd" in buf  # DRI present
+    assert any(bytes([0xFF, 0xD0 + n]) in buf for n in range(8))
+    np.testing.assert_array_equal(decode_jpeg(buf), seq)
+    # color + subsampling: restart counts MCUs on the interleaved DC
+    # scan and blocks on the per-component AC scans
+    rgb = _smooth_rgb(24, 40, seed=14)
+    seq_c = decode_jpeg(encode_jpeg(rgb, quality=60, subsample="420"))
+    prog_c = decode_jpeg(
+        encode_jpeg_progressive(
+            rgb, quality=60, subsample="420", restart_interval=interval
+        )
+    )
+    np.testing.assert_array_equal(prog_c, seq_c)
+
+
 def test_default_scan_script_shape():
     """Script invariants the decoder validates: DC scans have Se=0, AC
     scans are single-component, refinements step Ah=Al+1."""

@@ -920,14 +920,18 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsample: str = "444",
     scans: list[tuple] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → progressive (SOF2)
     JFIF bytes. ``scans`` overrides the default scan script with a list
-    of (comp_indices, Ss, Se, Ah, Al) tuples. The quantized
-    coefficients come from the same :func:`_quantized_blocks` pass the
-    sequential encoder uses, so decoding a progressive encode is
-    bit-identical to decoding a sequential encode at the same settings.
-    Test-fixture-grade: correctness over speed."""
+    of (comp_indices, Ss, Se, Ah, Al) tuples; ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every N MCUs in EVERY scan
+    (EOB runs and the DC predictor terminate at each restart, per
+    T.81 §G.1.2). The quantized coefficients come from the same
+    :func:`_quantized_blocks` pass the sequential encoder uses, so
+    decoding a progressive encode is bit-identical to decoding a
+    sequential encode at the same settings. Test-fixture-grade:
+    correctness over speed."""
     gray, planes, samp, qtabs, tq_ids, h, w, mcus_x, mcus_y = _setup_encode(
         img, quality, subsample
     )
@@ -946,10 +950,17 @@ def encode_jpeg_progressive(
     for tc, th, (bits, symbols) in tables:
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
         out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     dc_enc = [_encode_codes(*_DC_LUMA)] + (
         [] if gray else [_encode_codes(*_DC_CHROMA)] * 2
     )
     ac_enc = _encode_codes(*_AC_PROG)
+
+    def comp_grid(ci):
+        cw = -(-(-(-w * samp[ci][0] // hmax)) // 8)
+        ch = -(-(-(-h * samp[ci][1] // vmax)) // 8)
+        return ch, cw
 
     for comp_idx, ss, se, ah, al in scans:
         sos = bytearray()
@@ -963,51 +974,55 @@ def encode_jpeg_progressive(
         out += b"\xff\xda" + sos
 
         bw = _BitWriter()
-        if ss == 0:  # DC scan, MCU-interleaved iteration
-            pred = [0] * ncomp
-            if len(comp_idx) > 1:
-                units = [
+        # restart units mirror the decoder's: one per MCU (interleaved)
+        # or one per block (single-component scan)
+        if len(comp_idx) > 1:
+            units = [
+                [
                     (ci, my * samp[ci][1] + by, mx * samp[ci][0] + bx)
-                    for my in range(mcus_y)
-                    for mx in range(mcus_x)
                     for ci in comp_idx
                     for by in range(samp[ci][1])
                     for bx in range(samp[ci][0])
                 ]
-            else:
-                ci = comp_idx[0]
-                cw = -(-(-(-w * samp[ci][0] // hmax)) // 8)
-                ch = -(-(-(-h * samp[ci][1] // vmax)) // 8)
-                units = [
-                    (ci, by, bx) for by in range(ch) for bx in range(cw)
-                ]
-            for ci, by, bx in units:
-                dc = int(coefs_all[ci][by, bx, 0])
-                if ah == 0:
-                    v = dc >> al  # arithmetic shift (§G.1.2.1)
-                    diff = v - pred[ci]
-                    pred[ci] = v
-                    s, bits_v = _magnitude(diff)
-                    code, length = dc_enc[ci][s]
-                    bw.write(code, length)
-                    if s:
-                        bw.write(bits_v, s)
-                else:
-                    bw.write((dc >> al) & 1, 1)
-        else:  # AC scan: single component, its true block grid
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+            ]
+        else:
             ci = comp_idx[0]
-            sh, sv = samp[ci]
-            cw = -(-(-(-w * sh // hmax)) // 8)
-            ch = -(-(-(-h * sv // vmax)) // 8)
-            st = _ProgState(bw, ac_enc)
-            for by in range(ch):
-                for bx in range(cw):
-                    zz = coefs_all[ci][by, bx]
+            ch, cw = comp_grid(ci)
+            units = [
+                [(ci, by, bx)] for by in range(ch) for bx in range(cw)
+            ]
+        pred = [0] * ncomp
+        st = _ProgState(bw, ac_enc)
+        rst_n = 0
+        for u, blocks in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                st.flush_eob()
+                bw.flush()  # byte-align, then the RSTn marker
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred = [0] * ncomp
+            for ci, by, bx in blocks:
+                zz = coefs_all[ci][by, bx]
+                if ss == 0:
+                    dc = int(zz[0])
                     if ah == 0:
-                        _enc_ac_first(st, zz, ss, se, al)
+                        v = dc >> al  # arithmetic shift (§G.1.2.1)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s, bits_v = _magnitude(diff)
+                        code, length = dc_enc[ci][s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(bits_v, s)
                     else:
-                        _enc_ac_refine(st, zz, ss, se, al)
-            st.flush_eob()
+                        bw.write((dc >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(st, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(st, zz, ss, se, al)
+        st.flush_eob()
         bw.flush()
         out += bw.out
     out += b"\xff\xd9"
