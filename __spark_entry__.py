@@ -831,6 +831,17 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs, text_col="text", id_col="doc_id")
 
 
+def _char_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity signal: every document scored under a
+    char-trigram model trained on the corpus itself — the filter signal
+    real pipelines get from KenLM, as a pure engine-replayable dataflow
+    (the oracle retrains and rescores the LM in SQL, no literals)."""
+    from vectordbindexing_spark.operators.textops import char_trigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_trigram_logprob(docs, text_col="text", id_col="doc_id")
+
+
 def _pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: hash-shard, concatenate, cut into
     fixed 512-token training windows — per-doc coordinates in the
@@ -1247,6 +1258,7 @@ def queries() -> dict[str, Query]:
         "text_repetition_stats": _text_repetition_stats,
         "text_chunk_documents": _text_chunk_documents,
         "text_pack_windows": _pack_token_windows,
+        "text_lm_logprob": _char_trigram_logprob,
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
         "text_line_dedup": _text_line_dedup,
@@ -1365,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_windows": oracles.pack_token_windows_sql(
             seq_len=512, n_shards=8
         ),
+        "text_lm_logprob": oracles.char_trigram_logprob_sql(k=0.5),
         "embedding_pool_by_doc": oracles.pool_embeddings_sql(group_mod=250),
         "text_url_domains": oracles.domain_stats_sql(),
         "text_line_dedup": oracles.remove_boilerplate_sql(

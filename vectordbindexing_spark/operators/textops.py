@@ -640,6 +640,102 @@ def doc_fingerprint(
     )
 
 
+def char_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity filtering signal: score every document
+    under a character-trigram language model trained on the corpus
+    itself (Wenzek et al., "CCNet", LREC 2020 filter by LM perplexity —
+    here a self-trained char LM instead of an external KenLM binary, so
+    the whole computation stays an engine-replayable dataflow).
+
+    Model: P(c₃|c₁c₂) = (count(c₁c₂c₃) + k) / (count(c₁c₂·) + k·V) with
+    add-k smoothing over the corpus trigram/prefix tables, V = distinct
+    trigram count. Score = mean −ln P over the doc's trigrams; unusually
+    high scores mark gibberish/boilerplate/non-language bytes, unusually
+    low mark degenerate repetition — both filter targets.
+
+    Output: (doc_id, n_trigrams, avg_neg_logp) for docs with ≥ 1
+    trigram. Determinism: the per-doc sum folds logs in POSITION order
+    (array_sort + aggregate here, ``list_sum(list(... ORDER BY pos))``
+    in the oracle) so both engines add in the same sequence; everything
+    before the log is exact integer arithmetic.
+
+    Scale: trigram extraction is a per-row expression; the count tables
+    and the scoring join shuffle ∝ corpus trigram volume — the same
+    class as repetition_stats/decontamination, map-side combined. The
+    LM tables themselves are tiny (≤ |charset|³ rows) and broadcast in
+    the scoring join.
+    """
+    txt = _txt(text_col)
+    n_tri = F.length(txt) - F.lit(2)
+    tris = F.transform(
+        F.sequence(F.lit(1), n_tri),
+        lambda i: F.struct(
+            i.alias("pos"), F.substring(txt, i, 3).alias("tri")
+        ),
+    )
+    occ = (
+        # the length guard must come BEFORE sequence(): Spark's
+        # sequence(1, n) turns DESCENDING for n < 1 and would fabricate
+        # positions for sub-trigram docs (the oracle's range() is empty
+        # there)
+        df.filter(F.length(txt) >= 3)
+        .select(F.col(id_col), tris.alias("ts"))
+        .select(F.col(id_col), F.explode("ts").alias("t"))
+        .select(
+            F.col(id_col),
+            F.col("t.pos").alias("pos"),
+            F.col("t.tri").alias("tri"),
+            F.substring(F.col("t.tri"), 1, 2).alias("bi"),
+        )
+    )
+    tri_counts = occ.groupBy("tri").agg(F.count(F.lit(1)).alias("ct"))
+    bi_counts = occ.groupBy("bi").agg(F.count(F.lit(1)).alias("cb"))
+    v = tri_counts.count()  # distinct trigrams (exact, both engines)
+    # broadcast the LM tables only when the exact count just computed
+    # proves them small (same gate rationale as benchmark_contamination:
+    # a forced broadcast of an unexpectedly large side OOMs executors —
+    # CJK-heavy corpora can push |charset|³ into the millions); past the
+    # limit the join strategy is left to Catalyst/AQE
+    tri_c = F.broadcast(tri_counts) if v <= 1_000_000 else tri_counts
+    bi_c = F.broadcast(bi_counts) if v <= 1_000_000 else bi_counts
+    scored = (
+        occ.join(tri_c, "tri")
+        .join(bi_c, "bi")
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("ct") + F.lit(float(k)))
+                / (F.col("cb") + F.lit(float(k) * v))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "logp"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["logp"],
+            ).alias("_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.round(-F.col("_sum") / F.col("n_trigrams"), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+
+
 def pack_token_windows(
     df: DataFrame,
     seq_len: int = 2048,

@@ -1673,6 +1673,41 @@ def bpe_token_stats_sql(pattern: str) -> str:
     """
 
 
+def char_trigram_logprob_sql(k: float = 0.5) -> str:
+    """Mirrors textops.char_trigram_logprob with NO literals: trigram /
+    prefix counts, add-k smoothing with V = distinct trigrams, and the
+    per-doc mean −ln P — the log-sum folds in POSITION order
+    (``list_sum(list(... ORDER BY pos))`` = Spark's sorted-array
+    aggregate), so only per-log ulp drift remains, absorbed by
+    round(·, 6)."""
+    return f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         pos AS (SELECT doc_id, t,
+                        unnest(range(1, greatest(length(t) - 2, 0) + 1))
+                            AS pos
+                 FROM d),
+         occ AS (SELECT doc_id, pos,
+                        substr(t, pos::INT, 3) AS tri,
+                        substr(t, pos::INT, 2) AS bi
+                 FROM pos),
+         tric AS (SELECT tri, count(*) AS ct FROM occ GROUP BY tri),
+         bic AS (SELECT bi, count(*) AS cb FROM occ GROUP BY bi),
+         vv AS (SELECT count(*) AS v FROM tric),
+         sc AS (SELECT occ.doc_id, occ.pos,
+                       ln((ct + {k}) / (cb + {k} * vv.v)) AS logp
+                FROM occ
+                JOIN tric USING (tri)
+                JOIN bic USING (bi), vv),
+         agg AS (SELECT doc_id,
+                        count(*)::BIGINT AS n_trigrams,
+                        list_sum(list(logp ORDER BY pos)) AS s
+                 FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_trigrams,
+           round(-s / n_trigrams, 6) AS avg_neg_logp
+    FROM agg
+    """
+
+
 def pack_token_windows_sql(seq_len: int = 512, n_shards: int = 8) -> str:
     """Mirrors textops.pack_token_windows: md5-hash sharding, per-shard
     hash-ordered running token sum, fixed-window coordinates. All
