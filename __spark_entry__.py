@@ -1075,6 +1075,60 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item revenue: which customers returned the
+    most revenue in one quarter (customer⨝orders⨝lineitem[R]⨝nation —
+    fact-table filter pushdown + dimension broadcasts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers: orders whose total quantity
+    exceeds a threshold (aggregate → semi-join back into the fact
+    table — the classic having-subquery shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-style local-supplier revenue: 6-way join through the star schema
     (region→nation→customer/supplier→orders→lineitem) — exercises join
@@ -1269,6 +1323,8 @@ def queries() -> dict[str, Query]:
         "tpch_q1_pricing_summary": _tpch_q1,
         "tpch_q3_shipping_priority": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q18_large_volume": _tpch_q18,
         "top_orders_per_customer": _top_orders_per_customer,
         "events_props_json": _events_props_json,
         "events_value_histogram": _events_value_histogram,
@@ -1394,6 +1450,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,
         "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,
         "tpch_q5_local_supplier": oracles.TPCH_Q5_SQL,
+        "tpch_q10_returned_items": oracles.TPCH_Q10_SQL,
+        "tpch_q18_large_volume": oracles.TPCH_Q18_SQL,
         "top_orders_per_customer": oracles.TOP_ORDERS_PER_CUSTOMER_SQL,
         "events_props_json": oracles.EVENTS_PROPS_JSON_SQL,
         "events_value_histogram": oracles.EVENTS_VALUE_HISTOGRAM_SQL,
