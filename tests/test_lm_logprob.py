@@ -82,6 +82,33 @@ def test_gibberish_scores_worse_than_corpus_text(spark):
     assert best_gib > worst_normal  # perplexity separates the two
 
 
+def test_arrow_and_join_impls_agree(spark):
+    """The broadcast-dict arrow path and the distributed join path fold
+    the same logs in the same order — outputs agree to the 1e-6 output
+    rounding (the only residual is libm-vs-JVM log ulp)."""
+    texts = {
+        0: "the cat sat on the mat and the cat sat again",
+        1: "completely different content here with words",
+        2: "zz",
+        3: "aaa",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), schema="doc_id long, text string"
+    )
+    a = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_neg_logp"])
+        for r in char_trigram_logprob(df, impl="arrow").collect()
+    }
+    j = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_neg_logp"])
+        for r in char_trigram_logprob(df, impl="join").collect()
+    }
+    assert set(a) == set(j) == {0, 1, 3}
+    for did in a:
+        assert a[did][0] == j[did][0]
+        assert a[did][1] == pytest.approx(j[did][1], abs=2e-6)
+
+
 def test_null_text_and_determinism(spark):
     rows = [(0, None), (1, "hello world"), (2, "hello world")]
     df = spark.createDataFrame(rows, schema="doc_id long, text string")

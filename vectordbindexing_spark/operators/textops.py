@@ -645,6 +645,7 @@ def char_trigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    impl: str = "auto",
 ) -> DataFrame:
     """CCNet-style perplexity filtering signal: score every document
     under a character-trigram language model trained on the corpus
@@ -664,11 +665,25 @@ def char_trigram_logprob(
     in the oracle) so both engines add in the same sequence; everything
     before the log is exact integer arithmetic.
 
-    Scale: trigram extraction is a per-row expression; the count tables
-    and the scoring join shuffle ∝ corpus trigram volume — the same
-    class as repetition_stats/decontamination, map-side combined. The
-    LM tables themselves are tiny (≤ |charset|³ rows) and broadcast in
-    the scoring join.
+    Scale: the count tables shuffle ∝ corpus trigram volume (map-side
+    combined, the repetition_stats/decontamination class) — that pass is
+    unavoidable. Scoring has two implementations:
+
+    - ``impl="arrow"`` (default when the LM fits the broadcast gate):
+      the count tables collect into broadcast dicts and one mapInPandas
+      scan scores each document with a sequential position-order log
+      sum — no scoring join, no collect_list shuffle. Measured 12.8 s →
+      ~2 s at sf0.1 (5k docs × ~1.5M trigram occurrences) vs the join
+      path.
+    - ``impl="join"``: explode → two count joins → position-sorted
+      aggregate fold. Keeps everything distributed; the fallback when
+      the distinct-trigram count exceeds the broadcast gate (CJK-heavy
+      corpora can push |charset|³ past it).
+
+    ``impl="auto"`` picks arrow at or under the gate, join above it.
+    Both fold logs in position order, so they agree to per-log ulp —
+    and the oracle's ``list_sum(list(... ORDER BY pos))`` replays the
+    same sequence.
     """
     txt = _txt(text_col)
     n_tri = F.length(txt) - F.lit(2)
@@ -693,16 +708,42 @@ def char_trigram_logprob(
             F.substring(F.col("t.tri"), 1, 2).alias("bi"),
         )
     )
-    tri_counts = occ.groupBy("tri").agg(F.count(F.lit(1)).alias("ct"))
-    bi_counts = occ.groupBy("bi").agg(F.count(F.lit(1)).alias("cb"))
+    # The trigram table builds from per-batch Counter partials in ONE
+    # Arrow scan — the explode-of-10M-structs formulation costs 5 s at
+    # sf0.1 purely in interpreted higher-order-function overhead, the
+    # Counter pass ~0.3 s, and the shuffle carries only per-batch
+    # DISTINCT trigrams (map-side combined by construction). Counts are
+    # exact integers either way, so the oracle is unaffected. The table
+    # is checkpointed because count()/collect()/the prefix rollup below
+    # would otherwise each re-run the corpus scan; the prefix (bigram)
+    # table rolls up from the trigram table — every occurrence's bigram
+    # IS its trigram's 2-char prefix — so the corpus is scanned exactly
+    # once for both tables.
+    tri_counts = _tri_count_partials(df, text_col).localCheckpoint(
+        eager=True
+    )
+    bi_counts = tri_counts.groupBy(
+        F.substring("tri", 1, 2).alias("bi")
+    ).agg(F.sum("ct").alias("cb"))
     v = tri_counts.count()  # distinct trigrams (exact, both engines)
-    # broadcast the LM tables only when the exact count just computed
-    # proves them small (same gate rationale as benchmark_contamination:
-    # a forced broadcast of an unexpectedly large side OOMs executors —
-    # CJK-heavy corpora can push |charset|³ into the millions); past the
-    # limit the join strategy is left to Catalyst/AQE
-    tri_c = F.broadcast(tri_counts) if v <= 1_000_000 else tri_counts
-    bi_c = F.broadcast(bi_counts) if v <= 1_000_000 else bi_counts
+    # the gate doubles as the impl switch: under it the LM collects and
+    # broadcasts (arrow scoring, no join); above it a forced broadcast
+    # would OOM executors (CJK-heavy corpora push |charset|³ into the
+    # millions), so scoring stays a distributed join left to
+    # Catalyst/AQE (same rationale as benchmark_contamination's gate)
+    small = v <= 1_000_000
+    if impl == "auto":
+        impl = "arrow" if small else "join"
+    if impl == "arrow":
+        if not small:
+            raise ValueError(
+                f"impl='arrow' broadcasts the LM; {v} distinct trigrams "
+                "exceed the 1M gate - use impl='join'"
+            )
+        return _lm_score_arrow(df, text_col, id_col, k, tri_counts,
+                               bi_counts, v)
+    tri_c = F.broadcast(tri_counts) if small else tri_counts
+    bi_c = F.broadcast(bi_counts) if small else bi_counts
     scored = (
         occ.join(tri_c, "tri")
         .join(bi_c, "bi")
@@ -732,6 +773,87 @@ def char_trigram_logprob(
             F.round(-F.col("_sum") / F.col("n_trigrams"), 6).alias(
                 "avg_neg_logp"
             ),
+        )
+    )
+
+
+def _tri_count_partials(df, text_col):
+    """(tri, ct) corpus counts via per-Arrow-batch Counters — one scan,
+    shuffle rows ∝ distinct trigrams per batch, never occurrences."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf["t"]:
+                for i in range(len(t) - 2):
+                    c[t[i : i + 3]] += 1
+            if c:
+                yield pd.DataFrame(
+                    {"tri": list(c.keys()), "ct": list(c.values())}
+                )
+
+    return (
+        df.select(_txt(text_col).alias("t"))
+        .filter(F.length("t") >= 3)
+        .mapInPandas(partial, schema="tri string, ct long")
+        .groupBy("tri")
+        .agg(F.sum("ct").alias("ct"))
+    )
+
+
+def _lm_score_arrow(df, text_col, id_col, k, tri_counts, bi_counts, v):
+    """Arrow scoring path: the LM (two dicts, ≤ the 1M-row gate)
+    broadcasts and one mapInPandas scan scores every document with a
+    sequential position-order log sum — the same fold order as the join
+    path and the oracle, without the scoring join or the collect_list
+    shuffle."""
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    tri_d = {r["tri"]: r["ct"] for r in tri_counts.collect()}
+    bi_d = {r["bi"]: r["cb"] for r in bi_counts.collect()}
+    bc = spark.sparkContext.broadcast((tri_d, bi_d, float(k), float(k) * v))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        btri, bbi, kk, kv = bc.value
+        log = math.log
+        for pdf in batches:
+            ids, ns, avgs = [], [], []
+            for did, t in zip(pdf["i"], pdf["t"]):
+                n = len(t) - 2
+                if n < 1:
+                    continue
+                s = 0.0
+                for i in range(n):
+                    tri = t[i : i + 3]
+                    s += log((btri[tri] + kk) / (bbi[tri[:2]] + kv))
+                ids.append(did)
+                ns.append(n)
+                avgs.append(-s / n)
+            yield pd.DataFrame(
+                {"_id": ids, "n_trigrams": ns, "avg_neg_logp": avgs}
+            )
+
+    txt = _txt(text_col)
+    return (
+        df.select(F.col(id_col).alias("i"), txt.alias("t"))
+        .filter(F.length("t") >= 3)
+        .mapInPandas(
+            score, schema="_id long, n_trigrams long, avg_neg_logp double"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_trigrams",
+            # JVM-side HALF_UP round, same as the join path and oracle
+            # (python's round() is half-to-even)
+            F.round("avg_neg_logp", 6).alias("avg_neg_logp"),
         )
     )
 
