@@ -97,6 +97,58 @@ def test_recall_floor_with_modest_shortlist(spark):
     assert len(exact & got) / len(exact) >= 0.6
 
 
+def test_oracle_parity_single_partition(spark, sf_dir):
+    """Regression for the per-batch tie-truncation hole: with the whole
+    encoded base in ONE Arrow batch (batch size > shortlist, so the
+    per-batch cut actually engages) the output must still match the
+    oracle exactly. Before the exact (dist, id) batch selection this
+    diverged on 113/500 rows — integer Hamming distances tie constantly
+    and argpartition kept tied candidates by batch position."""
+    duckdb = pytest.importorskip("duckdb")
+    import os
+    from unittest import mock
+
+    import vectordbindexing_spark.plans.partitioning as pt
+
+    import __spark_entry__ as entry
+    from vectordbindexing_spark import oracles
+
+    with mock.patch.object(
+        pt, "repartition_for_compute", lambda df, *a, **k: df.coalesce(1)
+    ):
+        sdf = entry.queries()["bq_hamming_knn"](spark, sf_dir)
+        srows = sorted(
+            (r["qid"], r["nbr_rank"], r["neighbor_id"], r["dist"])
+            for r in sdf.collect()
+        )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    orows = sorted(
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in con.execute(
+            oracles.bq_knn_sql(k=10, shortlist=60)
+        ).fetchall()
+    )
+    assert srows == orows
+
+
+def test_batch_topk_tie_break_is_lowest_id():
+    """The shared batch selector must keep the LOWEST ids among equal
+    distances even when the tie group straddles the cut."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.topk import batch_topk_by_dist_id
+
+    D = np.array([[1.0, 0.0, 0.0, 0.0, 2.0]])
+    ids = np.array([50, 40, 30, 20, 10])
+    nbr, dist = batch_topk_by_dist_id(D, ids, 2)
+    assert nbr.tolist() == [[20, 30]]  # not whichever argpartition kept
+    assert dist.tolist() == [[0.0, 0.0]]
+
+
 def test_oracle_parity_duckdb(spark, sf_dir):
     duckdb = pytest.importorskip("duckdb")
     import os

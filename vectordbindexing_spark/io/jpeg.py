@@ -232,6 +232,18 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _comp_block_grid(w: int, h: int, sh: int, sv: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """True (blocks_high, blocks_wide) of one component for
+    non-interleaved scans (T.81 A.2.2: data units pad to whole blocks
+    but NOT to MCU multiples). Shared by the decoder's frame geometry
+    and the progressive encoder's scan iteration — the two MUST agree
+    or single-component scan geometry silently diverges."""
+    comp_w = -(-w * sh // hmax)
+    comp_h = -(-h * sv // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
 def _parse_frame(seg: bytes, progressive: bool) -> dict:
     """SOFn payload → frame dict with sampling geometry precomputed."""
     h, w = int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big")
@@ -248,12 +260,8 @@ def _parse_frame(seg: bytes, progressive: bool) -> dict:
         # interleaved (MCU-padded) block grid — the coefficient array
         c["bw_full"] = mcus_x * c["h"]
         c["bh_full"] = mcus_y * c["v"]
-        # true block grid for non-interleaved scans (T.81 A.2.2: data
-        # units pad to whole blocks but NOT to MCU multiples)
-        comp_w = -(-w * c["h"] // hmax)
-        comp_h = -(-h * c["v"] // vmax)
-        c["bw"] = -(-comp_w // 8)
-        c["bh"] = -(-comp_h // 8)
+        c["bh"], c["bw"] = _comp_block_grid(w, h, c["h"], c["v"],
+                                            hmax, vmax)
     return {
         "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
         "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive,
@@ -958,9 +966,9 @@ def encode_jpeg_progressive(
     ac_enc = _encode_codes(*_AC_PROG)
 
     def comp_grid(ci):
-        cw = -(-(-(-w * samp[ci][0] // hmax)) // 8)
-        ch = -(-(-(-h * samp[ci][1] // vmax)) // 8)
-        return ch, cw
+        return _comp_block_grid(
+            w, h, samp[ci][0], samp[ci][1], hmax, vmax
+        )
 
     for comp_idx, ss, se, ah, al in scans:
         sos = bytearray()

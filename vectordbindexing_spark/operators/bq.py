@@ -30,11 +30,15 @@ from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.vector import to_double_array
 from vectordbindexing_spark.operators.pq import (
+    _ADC_BLOCK_TARGET_BYTES,
     _BLOCKED_THRESHOLD_QUERIES,
     exact_rerank,
 )
 from vectordbindexing_spark.operators.sq import sq8_fit
-from vectordbindexing_spark.operators.topk import topk_per_group
+from vectordbindexing_spark.operators.topk import (
+    batch_topk_by_dist_id,
+    topk_per_group,
+)
 
 _BITS_PER_WORD = 32  # 32 bits per int64 word keeps every value positive
 # and < 2^32 — safe in BIGINT arithmetic on both engines (bit 63 of a
@@ -149,24 +153,29 @@ def bq_knn(
             )
             bids = pdf["id"].to_numpy()
             kk = min(shortlist, len(bids))
-            # (n_q, batch) Hamming: XOR word-wise, popcount, sum words.
-            # Integer distances — ties are exact, broken by neighbor_id
-            # downstream in both engines identically.
-            D = np.zeros((len(bqids), len(bids)), dtype=np.int64)
-            for w in range(W.shape[1]):
-                D += _popcount(bqc[:, w : w + 1] ^ W[None, :, w])
-            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            rows_d = np.take_along_axis(D, idx, axis=1)
-            order = np.argsort(rows_d, axis=1, kind="stable")
-            idx = np.take_along_axis(idx, order, axis=1)
-            rows_d = np.take_along_axis(rows_d, order, axis=1)
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(bqids, kk),
-                    "neighbor_id": bids[idx].ravel(),
-                    "dist": rows_d.ravel().astype(np.float64),
-                }
-            )
+            # query-block the (q_block × batch) Hamming matrix like the
+            # SQ8/PQ scans — at the 100k-query cap an unblocked matrix
+            # over a 10k-row batch is 8 GB per task
+            q_block = max(1, _ADC_BLOCK_TARGET_BYTES // (len(bids) * 8))
+            for q0 in range(0, len(bqids), q_block):
+                q1 = min(q0 + q_block, len(bqids))
+                # Hamming: XOR word-wise, popcount, sum words — integer
+                # distances, so ties are constant; exact (dist, id)
+                # selection is what keeps the kept/dropped tied rows
+                # batch-position-independent (see batch_topk_by_dist_id;
+                # an argpartition cut here flipped 113/500 oracle rows
+                # at single-partition parallelism)
+                D = np.zeros((q1 - q0, len(bids)), dtype=np.int64)
+                for w in range(W.shape[1]):
+                    D += _popcount(bqc[q0:q1, w : w + 1] ^ W[None, :, w])
+                nbr, rows_d = batch_topk_by_dist_id(D, bids, kk)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bqids[q0:q1], kk),
+                        "neighbor_id": nbr.ravel(),
+                        "dist": rows_d.ravel().astype(np.float64),
+                    }
+                )
 
     from vectordbindexing_spark.plans.partitioning import (
         repartition_for_compute,

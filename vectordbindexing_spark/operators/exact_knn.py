@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.vector import METRICS, metric_dist, to_double_array
-from vectordbindexing_spark.operators.topk import topk_per_group
+from vectordbindexing_spark.operators.topk import (
+    batch_topk_by_dist_id,
+    topk_per_group,
+)
 
 _BLOCKED_THRESHOLD_QUERIES = 100_000  # above this, queries don't broadcast
 
@@ -178,18 +181,15 @@ def _exact_knn_blocked(
             if exclude_self:
                 D[np.equal.outer(bqids, bids)] = np.inf
             kk = min(k, D.shape[1])
-            # partial selection per query (argpartition = reference's
-            # np.argpartition path, hnsw_cosine.py:146-148), then exact
-            # sort of just the k survivors
-            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            rows_d = np.take_along_axis(D, idx, axis=1)
-            order = np.argsort(rows_d, axis=1, kind="stable")
-            idx = np.take_along_axis(idx, order, axis=1)
-            rows_d = np.take_along_axis(rows_d, order, axis=1)
+            # exact per-batch (dist, id) selection — duplicate vectors
+            # tie exactly, and an argpartition cut at a tie boundary
+            # would keep/drop them by batch position instead of the
+            # lowest-id convention the merge window and oracle use
+            nbr, rows_d = batch_topk_by_dist_id(D, bids, kk)
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(bqids, kk),
-                    "neighbor_id": bids[idx].ravel(),
+                    "neighbor_id": nbr.ravel(),
                     "dist": rows_d.ravel(),
                 }
             )

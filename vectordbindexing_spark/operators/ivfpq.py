@@ -43,7 +43,10 @@ from vectordbindexing_spark.operators.pq import (
     encode_codes_np,
     pq_fit,
 )
-from vectordbindexing_spark.operators.topk import topk_per_group
+from vectordbindexing_spark.operators.topk import (
+    batch_topk_by_dist_id,
+    topk_per_group,
+)
 
 
 def ivfpq_encode_assign(
@@ -182,15 +185,13 @@ def _adc_probe_topk(inv: DataFrame, qids, luts, probes_of, k: int) -> DataFrame:
                     D = np.zeros((len(qs), len(sub_ids)), dtype=np.float64)
                     for j in range(blut.shape[1]):
                         D += blut[qs, j, :][:, sub_codes[:, j]]
-                    idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-                    rows_d = np.take_along_axis(D, idx, axis=1)
-                    order = np.argsort(rows_d, axis=1, kind="stable")
-                    idx = np.take_along_axis(idx, order, axis=1)
-                    rows_d = np.take_along_axis(rows_d, order, axis=1)
+                    # exact (dist, id) selection — equal-code rows tie
+                    # bit-exactly; see batch_topk_by_dist_id
+                    nbr, rows_d = batch_topk_by_dist_id(D, sub_ids, kk)
                     yield pd.DataFrame(
                         {
                             "qid": np.repeat(bqids[qs], kk),
-                            "neighbor_id": sub_ids[idx].ravel(),
+                            "neighbor_id": nbr.ravel(),
                             "dist": rows_d.ravel(),
                         }
                     )

@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.vector import to_double_array
-from vectordbindexing_spark.operators.topk import topk_per_group
+from vectordbindexing_spark.operators.topk import (
+    batch_topk_by_dist_id,
+    topk_per_group,
+)
 
 _FIT_SAMPLE_SIZE = 100_000
 _BLOCKED_THRESHOLD_QUERIES = 100_000
@@ -261,15 +264,15 @@ def pq_knn(
                 D = np.zeros((q1 - q0, len(bids)), dtype=np.float64)
                 for j in range(blut.shape[1]):
                     D += blut[q0:q1, j, :][:, codes[:, j]]
-                idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-                rows_d = np.take_along_axis(D, idx, axis=1)
-                order = np.argsort(rows_d, axis=1, kind="stable")
-                idx = np.take_along_axis(idx, order, axis=1)
-                rows_d = np.take_along_axis(rows_d, order, axis=1)
+                # exact (dist, id) selection: rows sharing codes tie
+                # bit-exactly, so an argpartition cut at the boundary
+                # would keep/drop tied rows by batch position, not the
+                # lowest-id convention the merge window and oracle use
+                nbr, rows_d = batch_topk_by_dist_id(D, bids, kk)
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(bqids[q0:q1], kk),
-                        "neighbor_id": bids[idx].ravel(),
+                        "neighbor_id": nbr.ravel(),
                         "dist": rows_d.ravel(),
                     }
                 )

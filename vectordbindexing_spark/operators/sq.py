@@ -41,7 +41,10 @@ from vectordbindexing_spark.operators.pq import (
     _BLOCKED_THRESHOLD_QUERIES,
     exact_rerank,
 )
-from vectordbindexing_spark.operators.topk import topk_per_group
+from vectordbindexing_spark.operators.topk import (
+    batch_topk_by_dist_id,
+    topk_per_group,
+)
 
 
 def sq8_fit(
@@ -204,15 +207,14 @@ def sq8_knn(
                     - 2.0 * (bQ[q0:q1] @ dec.T)
                 )
                 np.sqrt(np.maximum(D, 0.0, out=D), out=D)
-                idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-                rows_d = np.take_along_axis(D, idx, axis=1)
-                order = np.argsort(rows_d, axis=1, kind="stable")
-                idx = np.take_along_axis(idx, order, axis=1)
-                rows_d = np.take_along_axis(rows_d, order, axis=1)
+                # exact (dist, id) selection: distinct rows can share
+                # 8-bit codes and tie bit-exactly on decoded distance —
+                # see batch_topk_by_dist_id for the boundary hazard
+                nbr, rows_d = batch_topk_by_dist_id(D, bids, kk)
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(bqids[q0:q1], kk),
-                        "neighbor_id": bids[idx].ravel(),
+                        "neighbor_id": nbr.ravel(),
                         "dist": rows_d.ravel(),
                     }
                 )
