@@ -929,6 +929,51 @@ def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingest path over REAL PCM clips: deterministic per-doc_id
+    tones (seeded frequency/amplitude) are WAV-encoded and decoded
+    executor-side with the vendored RIFF codec (io/wav.py), reduced to
+    the standard audio-triage features. Rows-only check (FFT features
+    are not SQL-expressible); the codec round-trips are pinned by
+    test_wav. The audio twin of media_jpeg_decode_stats."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vectordbindexing_spark.io.wav import encode_wav
+    from vectordbindexing_spark.operators.multimodal import audio_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") < 64)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000
+        t = np.arange(int(rate * 0.25)) / rate
+        for pdf in batches:
+            ids, bufs = [], []
+            for mid in pdf["media_id"]:
+                f = 200.0 + 40.0 * (int(mid) % 32)
+                a = 0.2 + 0.7 * ((int(mid) % 7) / 7.0)
+                wave = a * np.sin(2 * np.pi * f * t)
+                bits = 16 if int(mid) % 2 == 0 else 8
+                ids.append(int(mid))
+                bufs.append(encode_wav(wave, rate, bits=bits))
+            yield pd.DataFrame({"media_id": ids, "content": bufs})
+
+    from vectordbindexing_spark.plans.partitioning import (
+        repartition_for_compute,
+    )
+
+    clips = repartition_for_compute(docs).mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    return audio_features(clips)
+
+
 def _dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup grouping: simhash near-dup pairs →
     large-star/small-star connected components → per-doc group assignment
@@ -1297,6 +1342,7 @@ def queries() -> dict[str, Query]:
         # stats / eval (SURVEY §2.5/2.11)
         "modality_stats": _modality_stats,
         "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
         "events_value_percentiles": _events_value_percentiles,

@@ -187,13 +187,54 @@ def embed_media(
     )
 
 
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """binary WAV → (media_id, sample_rate, n_samples, duration_s, rms,
+    zero_cross_rate, spectral_centroid_hz) — the audio leg of the
+    multimodal ingest path, REAL through PCM (vendored io/wav.py, like
+    the image leg's PPM/JPEG). Compressed audio (MP3/AAC/Opus) is
+    triaged by :func:`media_kind` to a deployment decoder. Null
+    payloads are excluded (same contract as the image path)."""
+    from vectordbindexing_spark.io.wav import audio_features_np, decode_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rate, x = decode_wav(bytes(buf))
+                rows.append({"media_id": mid, **audio_features_np(rate, x)})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "zero_cross_rate", "spectral_centroid_hz",
+                ],
+            )
+
+    return (
+        df.filter(F.col(content_col).isNotNull())
+        .select(id_col, content_col)
+        .mapInPandas(
+            extract,
+            schema=(
+                "media_id long, sample_rate long, n_samples long, "
+                "duration_s double, rms double, zero_cross_rate double, "
+                "spectral_centroid_hz double"
+            ),
+        )
+    )
+
+
 def media_kind(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
     """Triage column for media routing: (media_id, kind, n_bytes) where
-    ``kind`` is 'ppm', a JPEG coding process from
+    ``kind`` is 'ppm', 'wav' (RIFF/WAVE), a JPEG coding process from
     :func:`io.jpeg.scan_jpeg_kind` ('baseline', 'progressive',
     'arith_sequential', ...), or 'not_jpeg'. Header-bytes-only sniff (no
     decode), so a corpus pass costs one scan of marker prefixes; the
@@ -214,9 +255,12 @@ def media_kind(
                     sizes.append(0)
                     continue
                 b = bytes(buf)
-                kinds.append(
-                    "ppm" if b[:2] == b"P6" else scan_jpeg_kind(b)
-                )
+                if b[:2] == b"P6":
+                    kinds.append("ppm")
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    kinds.append("wav")
+                else:
+                    kinds.append(scan_jpeg_kind(b))
                 sizes.append(len(b))
             yield pd.DataFrame(
                 {
