@@ -974,6 +974,60 @@ def _media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips)
 
 
+def _media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video ingest path over REAL MJPEG-AVI clips: per doc_id a short
+    clip of drifting-gradient frames is JPEG-encoded, wrapped in a RIFF
+    AVI container (io/avi.py), and decoded executor-side (container
+    walk + vendored JPEG frame decode) into frame/motion stats.
+    Rows-only check (a codec pipeline is not SQL-expressible); the
+    container and frame codecs are round-trip-pinned by
+    test_video/test_jpeg. Completes the multimodal triad next to
+    media_jpeg_decode_stats and media_wav_features."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vectordbindexing_spark.io.avi import encode_avi_mjpeg
+    from vectordbindexing_spark.io.jpeg import encode_jpeg
+    from vectordbindexing_spark.operators.multimodal import video_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") < 32)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            ids, bufs = [], []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                frames = []
+                for fi in range(3 + m % 3):
+                    img = (
+                        (128 + 70 * np.sin(xx / 5.0 + m + fi * (m % 4))
+                         + 40 * np.cos(yy / 7.0))
+                        .clip(0, 255)
+                        .astype(np.uint8)
+                    )
+                    frames.append(encode_jpeg(img, quality=90))
+                ids.append(m)
+                bufs.append(encode_avi_mjpeg(frames, fps=10, width=16,
+                                             height=16))
+            yield pd.DataFrame({"media_id": ids, "content": bufs})
+
+    from vectordbindexing_spark.plans.partitioning import (
+        repartition_for_compute,
+    )
+
+    clips = repartition_for_compute(docs).mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    return video_features(clips)
+
+
 def _dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup grouping: simhash near-dup pairs →
     large-star/small-star connected components → per-doc group assignment
@@ -1343,6 +1397,7 @@ def queries() -> dict[str, Query]:
         "modality_stats": _modality_stats,
         "media_jpeg_decode_stats": _media_jpeg_decode_stats,
         "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
         "events_value_percentiles": _events_value_percentiles,
