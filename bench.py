@@ -145,6 +145,12 @@ def main() -> None:
         if len(out.get("errors", [])) > 10:
             out["errors"] = out["errors"][:10] + ["..."]
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > _LINE_BUDGET:
+        # one decimal keeps EVERY query visible at ~70+ entries (the 2dp
+        # map is only ~50 chars over); dropping entries is the last
+        # resort below
+        out["queries"] = {k: round(v, 1) for k, v in out["queries"].items()}
+        line = json.dumps(out, separators=(",", ":"))
     while len(line) > _LINE_BUDGET and len(out["queries"]) > 1:
         keep = sorted(out["queries"].items(), key=lambda kv: -kv[1])
         # drop 5 per pass; len>1 guard means the map always shrinks, so
