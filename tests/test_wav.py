@@ -69,7 +69,7 @@ def test_media_kind_sniffs_wav(spark):
 
     rows = [
         (1, bytearray(encode_wav(_tone(), 8000))),
-        (2, bytearray(b"RIFFxxxxAVI LIST")),  # RIFF but not WAVE
+        (2, bytearray(b"RIFFxxxxACONanih")),  # RIFF, neither WAVE nor AVI
         (3, bytearray(b"P6 2 2 255 " + b"\x00" * 12)),
     ]
     df = spark.createDataFrame(rows, schema="media_id long, content binary")
