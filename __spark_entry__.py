@@ -1028,6 +1028,24 @@ def _media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_features(clips)
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, compare
+    only within-cell pairs at the cosine threshold, group transitively,
+    keep the min id — the embedding-space dedup pass real LLM pipelines
+    run after text dedup. Oracle replays centroids (literal fit),
+    assignment, within-cell pairs, and the recursive-CTE closure."""
+    from vectordbindexing_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, max_iter=3,
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        "vec_id", "group_id", "group_size",
+        F.col("is_keeper").cast("long").alias("is_keeper"),
+    )
+
+
 def _dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup grouping: simhash near-dup pairs →
     large-star/small-star connected components → per-doc group assignment
@@ -1398,6 +1416,7 @@ def queries() -> dict[str, Query]:
         "media_jpeg_decode_stats": _media_jpeg_decode_stats,
         "media_wav_features": _media_wav_features,
         "media_video_stats": _media_video_stats,
+        "semantic_dedup": _semantic_dedup,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
         "events_value_percentiles": _events_value_percentiles,
@@ -1508,6 +1527,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_groups": oracles.dedup_groups_sql(
             num_bits=32, max_hamming=3, bands=4
+        ),
+        "semantic_dedup": oracles.semantic_dedup_sql(
+            n_clusters=8, threshold=0.4, iters=3
         ),
         "modality_stats": oracles.modality_stats_sql(M=16),
         "train_test_split": oracles.TRAIN_TEST_SPLIT_SQL,

@@ -2301,6 +2301,76 @@ def dedup_groups_sql(
     """
 
 
+def semantic_dedup_sql(
+    n_clusters: int = 8, threshold: float = 0.4, iters: int = 3
+) -> str:
+    """Mirrors operators.semdedup.semantic_dedup over the embeddings
+    table: k-means centroids (same numpy fit the Spark operator runs on
+    the full corpus, embedded as literals behind the dataset
+    discriminator), nearest-cell assignment (expansion-formula d²,
+    ties → lowest cid), within-cell cosine pairs at the threshold, and
+    the recursive-CTE transitive closure with min-id groups — the same
+    closure the text dedup_groups oracle uses."""
+    arms = []
+    for key, ids, V in _embedding_datasets():
+        C = _np_kmeans_fit_like_spark(ids, V, n_clusters, iters)
+        arms.append(
+            f"WHEN {key} THEN ["
+            + ", ".join(_list_lit(row) for row in C)
+            + "]::DOUBLE[][]"
+        )
+    cents_case = f"CASE {EMB_DISCRIMINATOR_SQL} " + " ".join(arms) + " END"
+    d2c = (
+        "(list_inner_product(v, v) - 2*list_inner_product(v, c.cv)"
+        " + list_inner_product(c.cv, c.cv))"
+    )
+    return f"""
+    WITH RECURSIVE
+         e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         cp AS (SELECT {cents_case} AS cvs),
+         cents AS (SELECT (i - 1) AS cid, cv
+                   FROM (SELECT unnest(cvs) AS cv,
+                                generate_subscripts(cvs, 1) AS i
+                         FROM cp)),
+         assign AS (
+           SELECT id, cid FROM (
+             SELECT e.id, c.cid,
+                    row_number() OVER (PARTITION BY e.id
+                                       ORDER BY {d2c}, c.cid) AS rnk
+             FROM e, cents c) WHERE rnk = 1),
+         sided AS (SELECT a.id, a.cid, e.v
+                   FROM assign a JOIN e USING (id)),
+         pairs AS (
+           SELECT x.id AS id_a, y.id AS id_b
+           FROM sided x JOIN sided y
+             ON x.cid = y.cid AND x.id < y.id
+           WHERE 1.0 - list_inner_product(x.v, y.v)
+                 / (sqrt(list_inner_product(x.v, x.v))
+                    * sqrt(list_inner_product(y.v, y.v)))
+                 <= {1.0 - threshold!r}),
+         edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+             SELECT DISTINCT s, s FROM edges
+             UNION
+             SELECT ed.t, r.lbl FROM reach r JOIN edges ed ON ed.s = r.id),
+         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         labeled AS (
+             SELECT e.id AS did,
+                    coalesce(c.component, e.id) AS group_id
+             FROM e LEFT JOIN comp c ON c.id = e.id),
+         sizes AS (SELECT group_id, count(*) AS group_size
+                   FROM labeled GROUP BY group_id)
+    SELECT l.did::BIGINT AS vec_id,
+           l.group_id::BIGINT AS group_id,
+           s.group_size::BIGINT AS group_size,
+           (CASE WHEN l.did = l.group_id THEN 1 ELSE 0 END)::BIGINT
+               AS is_keeper
+    FROM labeled l JOIN sizes s USING (group_id)
+    """
+
+
 def pq_knn_sql(m: int = 8, ks: int = 16, k: int = 10, iters: int = 3) -> str:
     """Mirrors operators.pq.pq_knn (ADC, no rerank). The per-subspace
     Lloyd fit is the SAME numpy routine the Spark operator runs
