@@ -1028,6 +1028,44 @@ def _media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_features(clips)
 
 
+def _ann_ladder_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression ladder in one row set: recall@10 vs exact L2 for
+    SQ8, PQ, IVF-PQ and BQ on the same query/base split, each method
+    run with its contract-query parameters so the oracle can embed the
+    SAME per-method SQL replays as subqueries. Hits are summed as
+    integers and divided once (n_hits / (n_q·k)) so the recall value is
+    exactly deterministic across engines."""
+    from vectordbindexing_spark.operators.bq import bq_knn
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
+    from vectordbindexing_spark.operators.pq import pq_knn
+    from vectordbindexing_spark.operators.sq import sq8_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    kw = dict(q_id="vec_id", q_vec="embedding",
+              b_id="vec_id", b_vec="embedding")
+    exact = exact_knn(q, b, k=10, metric="l2", **kw).select(
+        "qid", "neighbor_id"
+    )
+    methods = {
+        "sq8": sq8_knn(q, b, k=10, **kw),
+        "pq": pq_knn(q, b, k=10, m=8, ks=16, max_iter=3, **kw),
+        "ivfpq": ivfpq_knn(q, b, k=10, nlist=16, nprobe=4, m=8, ks=16,
+                           max_iter=3, **kw),
+        "bq": bq_knn(q, b, k=10, shortlist=60, **kw),
+    }
+    n_q = q.count()
+    outs = []
+    for name, res in methods.items():
+        hits = res.select("qid", "neighbor_id").join(
+            exact, ["qid", "neighbor_id"]
+        ).count()
+        outs.append((name, hits, round(hits / (n_q * 10.0), 6)))
+    return spark.createDataFrame(
+        outs, schema="method string, n_hits long, recall double"
+    )
+
+
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, compare
     only within-cell pairs at the cosine threshold, group transitively,
@@ -1417,6 +1455,7 @@ def queries() -> dict[str, Query]:
         "media_wav_features": _media_wav_features,
         "media_video_stats": _media_video_stats,
         "semantic_dedup": _semantic_dedup,
+        "ann_ladder_recall": _ann_ladder_recall,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
         "events_value_percentiles": _events_value_percentiles,
@@ -1531,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": oracles.semantic_dedup_sql(
             n_clusters=8, threshold=0.4, iters=3
         ),
+        "ann_ladder_recall": oracles.ann_ladder_recall_sql(),
         "modality_stats": oracles.modality_stats_sql(M=16),
         "train_test_split": oracles.TRAIN_TEST_SPLIT_SQL,
         "recall_lsh_vs_exact": oracles.recall_lsh_vs_exact_sql(

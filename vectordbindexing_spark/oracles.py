@@ -2301,6 +2301,36 @@ def dedup_groups_sql(
     """
 
 
+def ann_ladder_recall_sql() -> str:
+    """Mirrors __spark_entry__._ann_ladder_recall: every method's
+    contract-parameter oracle replay embedded as a subquery (DuckDB
+    allows WITH inside derived tables), joined against the exact-L2
+    replay, hits counted as integers, one division per method."""
+    ex = knn_exact_sql("l2", k=10)
+    subs = {
+        "sq8": sq8_knn_sql(k=10),
+        "pq": pq_knn_sql(m=8, ks=16, k=10, iters=3),
+        "ivfpq": ivfpq_knn_sql(nlist=16, nprobe=4, m=8, ks=16, k=10,
+                               iters=3),
+        "bq": bq_knn_sql(k=10, shortlist=60),
+    }
+    arms = []
+    for name, sql in subs.items():
+        arms.append(f"""
+    SELECT '{name}' AS method,
+           (SELECT count(*) FROM ({sql}) m
+            JOIN ({ex}) x
+              ON m.qid = x.qid AND m.neighbor_id = x.neighbor_id
+           )::BIGINT AS n_hits""")
+    union = " UNION ALL ".join(arms)
+    nq = "(SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)"
+    return f"""
+    SELECT method, n_hits,
+           round(n_hits / ({nq} * 10.0), 6) AS recall
+    FROM ({union})
+    """
+
+
 def semantic_dedup_sql(
     n_clusters: int = 8, threshold: float = 0.4, iters: int = 3
 ) -> str:
