@@ -47,8 +47,25 @@ def test_bench_json_contract_with_secondary_sf():
     ]
     assert len(sec_lines) == 1
     sec = json.loads(sec_lines[0][len("# secondary "):])
-    assert set(sec["queries_secondary"]) == set(out["queries"])
     assert sec["errors_secondary"] == []
+    if "queries_truncated" in out:
+        # past ~72 queries the per-query map no longer fits the stdout
+        # budget even at one decimal; bench degrades by dropping the
+        # SMALLEST entries and flagging the count — the FULL map must
+        # then be on stderr ("# full"), and nothing big may be missing
+        full_lines = [
+            ln for ln in proc.stderr.splitlines() if ln.startswith("# full ")
+        ]
+        assert len(full_lines) == 1
+        full = json.loads(full_lines[0][len("# full "):])
+        assert set(full["queries"]) == set(sec["queries_secondary"])
+        assert out["queries_truncated"] == len(full["queries"]) - len(
+            out["queries"]
+        )
+        dropped = set(full["queries"]) - set(out["queries"])
+        assert all(full["queries"][q] <= 1.0 for q in dropped), dropped
+    else:
+        assert set(sec["queries_secondary"]) == set(out["queries"])
     # the stdout contract line itself must fit the driver's tail buffer
     assert len(lines[0]) < 2000, f"stdout JSON line {len(lines[0])}B >= 2KB"
 
