@@ -1039,20 +1039,28 @@ def _ann_ladder_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.exact_knn import exact_knn
     from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
     from vectordbindexing_spark.operators.pq import pq_knn
-    from vectordbindexing_spark.operators.sq import sq8_knn
+    from vectordbindexing_spark.operators.sq import sq8_fit, sq8_knn
 
     q, b = _emb_split(spark, sf_dir)
     kw = dict(q_id="vec_id", q_vec="embedding",
               b_id="vec_id", b_vec="embedding")
+    # the exact baseline joins against every method — checkpoint it or
+    # the full exact scan re-runs once per method
     exact = exact_knn(q, b, k=10, metric="l2", **kw).select(
         "qid", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    # SQ8 and BQ share the per-dim min/max fit (BQ's thresholds are the
+    # midrange of the same stats) — compute the corpus stats pass once
+    mins, maxs = sq8_fit(
+        b.filter(F.col("embedding").isNotNull()), "embedding"
     )
     methods = {
-        "sq8": sq8_knn(q, b, k=10, **kw),
+        "sq8": sq8_knn(q, b, k=10, params=(mins, maxs), **kw),
         "pq": pq_knn(q, b, k=10, m=8, ks=16, max_iter=3, **kw),
         "ivfpq": ivfpq_knn(q, b, k=10, nlist=16, nprobe=4, m=8, ks=16,
                            max_iter=3, **kw),
-        "bq": bq_knn(q, b, k=10, shortlist=60, **kw),
+        "bq": bq_knn(q, b, k=10, shortlist=60,
+                     thresholds=(mins + maxs) / 2.0, **kw),
     }
     n_q = q.count()
     outs = []

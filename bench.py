@@ -120,6 +120,19 @@ def main() -> None:
         os.path.isdir(secondary)
         and os.path.abspath(secondary) != os.path.abspath(sf_dir)
     ):
+        # fresh JVM for the secondary pass: after ~75 query executions
+        # the shared session degrades (codegen-cache growth + heap
+        # fragmentation survive the per-query GC), which inflated the
+        # ENTIRE secondary map 2-3x at 74 queries — a ~10 s restart
+        # buys back ~70 s of phantom slowdown and keeps the two passes
+        # independently attributable
+        spark.stop()
+        spark = get_spark(app_name="vdbi-bench-secondary", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.range(0, cpus * 4, 1, cpus).selectExpr(
+            "id as i", "array(cast(id as float)) as v"
+        ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
         _warm_tables(spark, secondary)
         q2, errs2 = _run_suite(spark, entrymod, secondary)
         # two scalars inline (regression attribution at a glance); the full
