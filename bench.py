@@ -51,16 +51,19 @@ def _warm_tables(spark, sf_dir: str) -> None:
 
 
 def _run_suite(
-    spark, entrymod, sf_dir: str
+    spark, entrymod, sf_dir: str, names: set[str] | None = None
 ) -> tuple[dict[str, float], dict[str, str]]:
-    """Run every entry query; one failing query must not discard the rest
-    (round 3 lost all 42 good timings to one AnalysisException). Returns
-    (times, errors) — a failed query lands in errors, not times."""
+    """Run every entry query (or the ``names`` subset); one failing query
+    must not discard the rest (round 3 lost all 42 good timings to one
+    AnalysisException). Returns (times, errors) — a failed query lands
+    in errors, not times."""
     import gc
 
     qtimes: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
+        if names is not None and name not in names:
+            continue
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -92,19 +95,42 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from vectordbindexing_spark.session import get_spark
 
-    spark = get_spark(app_name="vdbi-bench", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session(app: str, warm_dir: str):
+        """New warmed session: JVM codegen + a Python worker per core +
+        table metadata, so the first timed query measures the query."""
+        s = get_spark(app_name=app, cpus=cpus)
+        s.sparkContext.setLogLevel("ERROR")
+        s.range(1_000_000).selectExpr("sum(id)").collect()
+        s.range(0, cpus * 4, 1, cpus).selectExpr(
+            "id as i", "array(cast(id as float)) as v"
+        ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
+        _warm_tables(s, warm_dir)
+        return s
 
-    # warm up JVM codegen + Python workers so the first query's time is the
-    # query, not session bring-up
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # one partition per core so every Python worker is spawned before timing
-    spark.range(0, cpus * 4, 1, cpus).selectExpr(
-        "id as i", "array(cast(id as float)) as v"
-    ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
-    _warm_tables(spark, sf_dir)
+    spark = fresh_session("vdbi-bench", sf_dir)
 
-    qtimes, errs = _run_suite(spark, entrymod, sf_dir)
+    # session hygiene: after ~40 back-to-back query executions the JVM
+    # degrades (codegen-cache growth + heap fragmentation survive the
+    # per-query GC) and inflates every later timing 2-3× — measured 165 s
+    # → 96 s on the secondary pass at 74 queries. Run each pass in
+    # ~40-query chunks on fresh sessions; restart time is NOT part of any
+    # query's measurement, so this removes a harness artifact rather than
+    # hiding engine cost.
+    all_names = list(entrymod.queries())
+    chunk_size = 40
+    chunks = [
+        set(all_names[i : i + chunk_size])
+        for i in range(0, len(all_names), chunk_size)
+    ]
+    qtimes: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    for ci, chunk in enumerate(chunks):
+        if ci > 0:
+            spark.stop()
+            spark = fresh_session(f"vdbi-bench-{ci}", sf_dir)
+        t, e2 = _run_suite(spark, entrymod, sf_dir, names=chunk)
+        qtimes.update(t)
+        errs.update(e2)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(qtimes.values()), 3),
@@ -120,21 +146,14 @@ def main() -> None:
         os.path.isdir(secondary)
         and os.path.abspath(secondary) != os.path.abspath(sf_dir)
     ):
-        # fresh JVM for the secondary pass: after ~75 query executions
-        # the shared session degrades (codegen-cache growth + heap
-        # fragmentation survive the per-query GC), which inflated the
-        # ENTIRE secondary map 2-3x at 74 queries — a ~10 s restart
-        # buys back ~70 s of phantom slowdown and keeps the two passes
-        # independently attributable
-        spark.stop()
-        spark = get_spark(app_name="vdbi-bench-secondary", cpus=cpus)
-        spark.sparkContext.setLogLevel("ERROR")
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        spark.range(0, cpus * 4, 1, cpus).selectExpr(
-            "id as i", "array(cast(id as float)) as v"
-        ).mapInPandas(lambda it: it, schema="i long, v array<float>").count()
-        _warm_tables(spark, secondary)
-        q2, errs2 = _run_suite(spark, entrymod, secondary)
+        q2: dict[str, float] = {}
+        errs2: dict[str, str] = {}
+        for ci, chunk in enumerate(chunks):
+            spark.stop()
+            spark = fresh_session(f"vdbi-bench-sec-{ci}", secondary)
+            t, e2 = _run_suite(spark, entrymod, secondary, names=chunk)
+            q2.update(t)
+            errs2.update(e2)
         # two scalars inline (regression attribution at a glance); the full
         # per-query secondary map goes to stderr — inlining it doubled the
         # stdout line past the driver's ~2 KB tail buffer in round 2
