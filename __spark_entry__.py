@@ -1068,10 +1068,13 @@ def _ann_ladder_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = res.select("qid", "neighbor_id").join(
             exact, ["qid", "neighbor_id"]
         ).count()
-        outs.append((name, hits, round(hits / (n_q * 10.0), 6)))
+        outs.append((name, hits))
+    # round JVM-side (HALF_UP, matching DuckDB's round) — Python's
+    # built-in round is half-to-even and would be the one off-convention
+    # rounding engine in the repo
     return spark.createDataFrame(
-        outs, schema="method string, n_hits long, recall double"
-    )
+        outs, schema="method string, n_hits long"
+    ).withColumn("recall", F.round(F.col("n_hits") / (n_q * 10.0), 6))
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,65 +1419,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Query]:
+    # Registry ORDER is a contract with the driver: its per-round
+    # CORRECTNESS file covers roughly the first 50 entries, so each round
+    # leads with the queries that most need a fresh driver-side oracle
+    # row. Round-6 rotation: (a) the 14 queries that had never appeared
+    # in any CORRECTNESS_r* file, (b) the 10 whose last driver row was
+    # r04, (c) the media queries (newly hash-gated this round) and the
+    # queries whose operators changed this round, (d) everything
+    # re-confirmed green in r05. Rotate again next round so every query
+    # keeps a recent driver row.
     return {
-        # ANN / vector search (SURVEY §2.3/2.4/2.6/2.9)
-        "knn_exact_cosine": _knn_query("cosine"),
-        "knn_exact_l2": _knn_query("l2"),
-        "knn_exact_ip": _knn_query("ip"),
-        "lsh_knn_cosine": _lsh_knn,
-        "simhash_buckets": _simhash_buckets,
-        "ivf_knn_cosine": _ivf_knn,
-        "pq_adc_knn": _pq_adc_knn,
-        "opq_knn": _opq_knn,
-        "sq8_knn": _sq8_knn,
-        "bq_hamming_knn": _bq_knn,
-        "ivfpq_knn": _ivfpq_knn,
-        "ivfpq_index_knn": _ivfpq_index_knn,
-        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
-        "planner_knn_route": _planner_knn_route,
-        "planner_sq8_route": _planner_sq8_route,
-        "planner_graph_route": _planner_graph_route,
-        "ann_two_layer_recall": _ann_two_layer_recall,
-        "ann_sharded_recall": _ann_sharded_recall,
-        "roargraph_recall": _roargraph_recall,
-        "frontier_knn": _frontier_knn,
-        "khop_reachability": _khop_reachability,
-        "augment_star_edges": _augment_star_edges,
-        "traced_steps_summary": _traced_steps_summary,
-        # graph build (SURVEY §2.8)
-        "hnsw_level_assignment": _hnsw_levels,
-        "knn_graph_degree_stats": _knn_graph_degree_stats,
-        # preprocessing (SURVEY §2.10)
-        "whitening_pca_norms": _whitening_pca,
-        # dedup (north star)
-        "dedup_exact": _dedup_exact,
-        "minhash_neardup": _minhash_neardup,
-        "jaccard_neardup_pairs": _jaccard_pairs,
-        "embedding_neardup": _embedding_neardup,
-        "embedding_neardup_lsh": _embedding_neardup_lsh,
-        "weighted_l2_knn": _weighted_l2_knn,
-        "gt_clean_arrays": _gt_clean,
-        "simhash_text_fingerprints": _simhash_text_fp,
-        "simhash_text_neardup": _simhash_text_neardup,
-        "dedup_groups": _dedup_groups,
-        # stats / eval (SURVEY §2.5/2.11)
-        "modality_stats": _modality_stats,
-        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
-        "media_wav_features": _media_wav_features,
-        "media_video_stats": _media_video_stats,
-        "semantic_dedup": _semantic_dedup,
-        "ann_ladder_recall": _ann_ladder_recall,
-        "train_test_split": _train_test_split,
-        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
-        "events_value_percentiles": _events_value_percentiles,
-        # text analysis (north star)
-        "text_token_stats": _text_token_stats,
-        "text_quality_score": _text_quality,
-        "text_lang_id": _text_lang_id,
-        "text_lang_id_lexicon": _text_lang_id_lexicon,
-        "corpus_filter_gate": _corpus_filter_gate,
-        "text_bpe_token_stats": _bpe_token_stats,
-        "benchmark_contamination": _benchmark_contamination,
+        # (a) never driver-checked before r06
         "text_pii_redact": _text_pii_redact,
         "text_repetition_stats": _text_repetition_stats,
         "text_chunk_documents": _text_chunk_documents,
@@ -1486,18 +1441,72 @@ def queries() -> dict[str, Query]:
         "mix_quota_sample": _mix_quota_sample,
         "mix_token_budget_sample": _mix_token_budget_sample,
         "doc_fingerprint": _doc_fingerprint,
-        # relational / events
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q18_large_volume": _tpch_q18,
+        "events_attribution": _events_attribution,
+        # (b) last driver row was r04
+        "text_bpe_token_stats": _bpe_token_stats,
+        "benchmark_contamination": _benchmark_contamination,
         "tpch_q1_pricing_summary": _tpch_q1,
         "tpch_q3_shipping_priority": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q10_returned_items": _tpch_q10,
-        "tpch_q18_large_volume": _tpch_q18,
         "top_orders_per_customer": _top_orders_per_customer,
         "events_props_json": _events_props_json,
         "events_value_histogram": _events_value_histogram,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
-        "events_attribution": _events_attribution,
+        # (c) media (hash-gated in r06) + operators changed in r06
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
+        "semantic_dedup": _semantic_dedup,
+        "ann_ladder_recall": _ann_ladder_recall,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
+        # (d) re-confirmed green in CORRECTNESS_r05
+        "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
+        "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
+        "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
+        "planner_graph_route": _planner_graph_route,
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_ip": _knn_query("ip"),
+        "lsh_knn_cosine": _lsh_knn,
+        "ivf_knn_cosine": _ivf_knn,
+        "simhash_buckets": _simhash_buckets,
+        "ann_two_layer_recall": _ann_two_layer_recall,
+        "frontier_knn": _frontier_knn,
+        "dedup_groups": _dedup_groups,
+        "corpus_filter_gate": _corpus_filter_gate,
+        "ann_sharded_recall": _ann_sharded_recall,
+        "roargraph_recall": _roargraph_recall,
+        "khop_reachability": _khop_reachability,
+        "augment_star_edges": _augment_star_edges,
+        "traced_steps_summary": _traced_steps_summary,
+        "hnsw_level_assignment": _hnsw_levels,
+        "knn_graph_degree_stats": _knn_graph_degree_stats,
+        "whitening_pca_norms": _whitening_pca,
+        "dedup_exact": _dedup_exact,
+        "minhash_neardup": _minhash_neardup,
+        "jaccard_neardup_pairs": _jaccard_pairs,
+        "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "weighted_l2_knn": _weighted_l2_knn,
+        "gt_clean_arrays": _gt_clean,
+        "simhash_text_fingerprints": _simhash_text_fp,
+        "simhash_text_neardup": _simhash_text_neardup,
+        "modality_stats": _modality_stats,
+        "train_test_split": _train_test_split,
+        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
+        "events_value_percentiles": _events_value_percentiles,
+        "text_token_stats": _text_token_stats,
+        "text_quality_score": _text_quality,
+        "text_lang_id": _text_lang_id,
     }
 
 

@@ -61,10 +61,15 @@ def semantic_neardup_pairs(
     b = sided.select(
         F.col("cid"), F.col("id").alias("id_b"), F.col("vec").alias("_vb")
     )
+    # Round the distance to 6 decimals BEFORE thresholding: Spark's
+    # einsum/BLAS cosine and the oracle's sequential list_inner_product
+    # can differ by a ulp, and an unrounded `dist <= 1-threshold` would
+    # let that ulp flip pair membership (and hence group assignment) at
+    # the boundary. Rounding first absorbs it on both sides.
     pairs = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", pair_dist_udf("cosine")("_va", "_vb"))
+        .withColumn("dist", F.round(pair_dist_udf("cosine")("_va", "_vb"), 6))
         .filter(F.col("dist") <= F.lit(1.0 - threshold))
     )
     return pairs.select(

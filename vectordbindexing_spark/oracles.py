@@ -2375,9 +2375,9 @@ def semantic_dedup_sql(
            SELECT x.id AS id_a, y.id AS id_b
            FROM sided x JOIN sided y
              ON x.cid = y.cid AND x.id < y.id
-           WHERE 1.0 - list_inner_product(x.v, y.v)
+           WHERE round(1.0 - list_inner_product(x.v, y.v)
                  / (sqrt(list_inner_product(x.v, x.v))
-                    * sqrt(list_inner_product(y.v, y.v)))
+                    * sqrt(list_inner_product(y.v, y.v))), 6)
                  <= {1.0 - threshold!r}),
          edges AS (SELECT id_a AS s, id_b AS t FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),
