@@ -670,11 +670,12 @@ def char_trigram_logprob(
     unavoidable. Scoring has two implementations:
 
     - ``impl="arrow"`` (default when the LM fits the broadcast gate):
-      the count tables collect into broadcast dicts and one mapInPandas
-      scan scores each document with a sequential position-order log
-      sum — no scoring join, no collect_list shuffle. Measured 12.8 s →
-      ~2 s at sf0.1 (5k docs × ~1.5M trigram occurrences) vs the join
-      path.
+      the count tables collect into broadcast sorted-id arrays and one
+      mapInPandas scan scores each document fully vectorized
+      (searchsorted vocab lookup + np.add.reduceat segment sums in
+      position order) — no scoring join, no collect_list shuffle, no
+      per-character Python loop. Measured 12.8 s (join) → ~2 s
+      (interpreted arrow, r05) → vectorized (r06) at sf0.1.
     - ``impl="join"``: explode → two count joins → position-sorted
       aggregate fold. Keeps everything distributed; the fallback when
       the distinct-trigram count exceeds the broadcast gate (CJK-heavy
@@ -777,24 +778,70 @@ def char_trigram_logprob(
     )
 
 
+def _doc_trigram_ids(texts):
+    """Vectorized character-trigram extraction: concatenate the docs
+    (each ≥ 3 code points) into one uint32 codepoint array and return
+    ``(tri_ids, bi_ids, n, seg)`` — int64 trigram / prefix-bigram ids
+    for every in-document window in POSITION order, the per-doc window
+    counts, and each doc's first-window offset into the id arrays.
+
+    Ids pack the 3 (resp. 2) code points into one int64 (21 bits per
+    code point covers all of Unicode, 3·21 = 63 bits), so id order is
+    irrelevant to the math — they only need to be *injective* for the
+    vocab lookup and np.unique. Windows never cross a doc boundary:
+    each doc contributes exactly len-2 windows starting at its own
+    offset."""
+    import numpy as np
+
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    cp = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    n = lens - 2
+    doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    seg = np.concatenate(([0], np.cumsum(n)[:-1]))
+    idx = np.arange(int(n.sum()), dtype=np.int64) + np.repeat(
+        doc_off - seg, n
+    )
+    c0, c1, c2 = cp[idx], cp[idx + 1], cp[idx + 2]
+    tri = (c0 << 42) | (c1 << 21) | c2
+    bi = (c0 << 21) | c1
+    return tri, bi, n, seg
+
+
+def _ids_to_strs(ids, width):
+    """Decode packed codepoint ids back to their ``width``-char strings
+    (inverse of the packing in _doc_trigram_ids). One Python slice per
+    DISTINCT id — never per occurrence."""
+    import numpy as np
+
+    c = np.empty((len(ids), width), dtype=np.uint32)
+    for j in range(width):
+        c[:, width - 1 - j] = (ids >> (21 * j)) & 0x1FFFFF
+    s = c.tobytes().decode("utf-32-le")
+    return [s[i : i + width] for i in range(0, len(s), width)]
+
+
 def _tri_count_partials(df, text_col):
-    """(tri, ct) corpus counts via per-Arrow-batch Counters — one scan,
-    shuffle rows ∝ distinct trigrams per batch, never occurrences."""
-    from collections import Counter
+    """(tri, ct) corpus counts via per-Arrow-batch np.unique over the
+    vectorized trigram ids — one scan, shuffle rows ∝ distinct trigrams
+    per batch, never occurrences. Counts are exact integers, so the
+    id-space detour is invisible to the oracle."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            c: Counter = Counter()
-            for t in pdf["t"]:
-                for i in range(len(t) - 2):
-                    c[t[i : i + 3]] += 1
-            if c:
-                yield pd.DataFrame(
-                    {"tri": list(c.keys()), "ct": list(c.values())}
-                )
+            texts = [t for t in pdf["t"] if len(t) >= 3]
+            if not texts:
+                continue
+            tri, _, _, _ = _doc_trigram_ids(texts)
+            u, cts = np.unique(tri, return_counts=True)
+            yield pd.DataFrame(
+                {"tri": _ids_to_strs(u, 3), "ct": cts.astype(np.int64)}
+            )
 
     return (
         df.select(_txt(text_col).alias("t"))
@@ -806,39 +853,72 @@ def _tri_count_partials(df, text_col):
 
 
 def _lm_score_arrow(df, text_col, id_col, k, tri_counts, bi_counts, v):
-    """Arrow scoring path: the LM (two dicts, ≤ the 1M-row gate)
-    broadcasts and one mapInPandas scan scores every document with a
-    sequential position-order log sum — the same fold order as the join
-    path and the oracle, without the scoring join or the collect_list
-    shuffle."""
-    import math
+    """Arrow scoring path: the LM (two sorted id/count arrays, ≤ the
+    1M-row gate) broadcasts and one mapInPandas scan scores every
+    document fully vectorized — packed-codepoint trigram ids, binary
+    vocab lookup (np.searchsorted), np.log over the whole batch, and
+    per-doc segment sums via np.add.reduceat in position order. No
+    scoring join, no collect_list shuffle, and no per-character Python
+    loop (the r05 version walked every character interpreted; at 10¹⁰
+    docs that constant factor was the fleet bill)."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
+    def _pack_vocab(rows, key, val, width):
+        """Encode the collected count table to (sorted packed-id array,
+        aligned count array) for O(log V) searchsorted lookups."""
+        ks = [r[key] for r in rows]
+        cp = np.frombuffer(
+            "".join(ks).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64).reshape(-1, width)
+        ids = np.zeros(len(ks), dtype=np.int64)
+        for j in range(width):
+            ids |= cp[:, width - 1 - j] << (21 * j)
+        order = np.argsort(ids)
+        vals = np.fromiter((r[val] for r in rows), np.int64, len(ks))
+        return ids[order], vals[order]
+
     spark = df.sparkSession
-    tri_d = {r["tri"]: r["ct"] for r in tri_counts.collect()}
-    bi_d = {r["bi"]: r["cb"] for r in bi_counts.collect()}
-    bc = spark.sparkContext.broadcast((tri_d, bi_d, float(k), float(k) * v))
+    tri_keys, tri_vals = _pack_vocab(tri_counts.collect(), "tri", "ct", 3)
+    bi_keys, bi_vals = _pack_vocab(bi_counts.collect(), "bi", "cb", 2)
+    bc = spark.sparkContext.broadcast(
+        (tri_keys, tri_vals, bi_keys, bi_vals, float(k), float(k) * v)
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        btri, bbi, kk, kv = bc.value
-        log = math.log
+        tk, tv, bk, bv, kk, kv = bc.value
         for pdf in batches:
-            ids, ns, avgs = [], [], []
-            for did, t in zip(pdf["i"], pdf["t"]):
-                n = len(t) - 2
-                if n < 1:
-                    continue
-                s = 0.0
-                for i in range(n):
-                    tri = t[i : i + 3]
-                    s += log((btri[tri] + kk) / (bbi[tri[:2]] + kv))
-                ids.append(did)
-                ns.append(n)
-                avgs.append(-s / n)
+            keep = [
+                (did, t)
+                for did, t in zip(pdf["i"], pdf["t"])
+                if len(t) >= 3
+            ]
+            if not keep:
+                continue
+            texts = [t for _, t in keep]
+            tri, bi, n, seg = _doc_trigram_ids(texts)
+            # the model trained on this same corpus, so every window id
+            # is present in the vocab and searchsorted is an exact hit
+            ct = tv[np.searchsorted(tk, tri)]
+            cb = bv[np.searchsorted(bk, bi)]
+            # same expression tree as the join path: divide, then log.
+            # np.log's vectorized libm differs from JVM/DuckDB log by
+            # ≤1 ulp per term (as math.log already did); the summation
+            # order below (reduceat segment sums) can differ from the
+            # oracle's sequential fold by strictly less than that —
+            # both absorbed by the round(·,6) on the final average.
+            logp = np.log((ct + kk) / (cb + kv))
+            sums = np.add.reduceat(logp, seg)
             yield pd.DataFrame(
-                {"_id": ids, "n_trigrams": ns, "avg_neg_logp": avgs}
+                {
+                    "_id": np.fromiter(
+                        (d for d, _ in keep), np.int64, len(keep)
+                    ),
+                    "n_trigrams": n,
+                    "avg_neg_logp": -sums / n,
+                }
             )
 
     txt = _txt(text_col)
@@ -904,16 +984,21 @@ def pack_token_windows(
         (h % n_shards).cast("long").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("_h", id_col)
+    # Integer floor division (DIV) on longs, not F.floor(x / n): the
+    # double division loses exactness once a shard's running token sum
+    # exceeds 2^53, and the DuckDB oracle uses exact integer `//`.
+    # Offsets are non-negative so DIV == floor division here.
+    sl = int(seq_len)
     out = (
         base.withColumn("tok_end", F.sum("n_tokens").over(w))
         .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-        .withColumn("seq_first", F.floor(F.col("tok_start") / seq_len))
+        .withColumn("seq_first", F.expr(f"tok_start DIV {sl}"))
         .withColumn(
             "seq_last",
             F.when(
                 F.col("n_tokens") > 0,
-                F.floor((F.col("tok_end") - 1) / seq_len),
-            ).otherwise(F.floor(F.col("tok_start") / seq_len)),
+                F.expr(f"(tok_end - 1) DIV {sl}"),
+            ).otherwise(F.expr(f"tok_start DIV {sl}")),
         )
     )
     return out.select(
