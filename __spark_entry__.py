@@ -868,21 +868,19 @@ def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (SOF0), odd doc_ids progressive (SOF2, spectral selection +
     successive approximation) — and decoded executor-side with the
     vendored pure-numpy T.81 codec (io/jpeg.py), then reduced to typed
-    stats. Rows-only check (a codec is not SQL-expressible); the codec
+    stats. Hash-gated since r06: each row is a pure function of doc_id,
+    so the oracle precomputes expected rows with the same code
+    (operators/media_demo.py) and pins them as SQL literals — the
+    trained-state technique of EMB_DISCRIMINATOR_SQL. The codec
     itself is round-trip-pinned by test_jpeg / test_jpeg_progressive
     (progressive decode is bit-identical to baseline at the same
     settings). Mirrors the reference's flickr30k_clip.ipynb cell 6
     ingest (JPEG files → batch decode → features) in distributed form."""
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    from vectordbindexing_spark.io.jpeg import (
-        decode_jpeg,
-        encode_jpeg,
-        encode_jpeg_progressive,
-    )
+    from vectordbindexing_spark.operators.media_demo import jpeg_demo_stats
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -891,31 +889,14 @@ def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def codec_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yy, xx = np.mgrid[0:24, 0:24]
         for pdf in batches:
-            ids, ws, hs, means, sizes = [], [], [], [], []
-            for did in pdf["doc_id"]:
-                img = (
-                    (128 + 80 * np.sin(xx / 18.0 + int(did))
-                     + 40 * np.cos(yy / 11.0))
-                    .clip(0, 255)
-                    .astype(np.uint8)
-                )
-                enc = encode_jpeg if int(did) % 2 == 0 else (
-                    encode_jpeg_progressive
-                )
-                buf = enc(img, quality=90)
-                dec = decode_jpeg(buf)
-                ids.append(int(did))
-                hs.append(dec.shape[0])
-                ws.append(dec.shape[1])
-                means.append(round(float(dec.mean()), 4))
-                sizes.append(len(buf))
+            rows = [jpeg_demo_stats(int(did)) for did in pdf["doc_id"]]
             yield pd.DataFrame(
-                {
-                    "doc_id": ids, "width": ws, "height": hs,
-                    "mean_intensity": means, "jpeg_bytes": sizes,
-                }
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mean_intensity",
+                    "jpeg_bytes",
+                ],
             )
 
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
@@ -933,15 +914,15 @@ def _media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio ingest path over REAL PCM clips: deterministic per-doc_id
     tones (seeded frequency/amplitude) are WAV-encoded and decoded
     executor-side with the vendored RIFF codec (io/wav.py), reduced to
-    the standard audio-triage features. Rows-only check (FFT features
-    are not SQL-expressible); the codec round-trips are pinned by
+    the standard audio-triage features. Hash-gated since r06 via
+    pinned-literal expected rows (operators/media_demo.py — each row is
+    a pure function of the id); the codec round-trips are pinned by
     test_wav. The audio twin of media_jpeg_decode_stats."""
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    from vectordbindexing_spark.io.wav import encode_wav
+    from vectordbindexing_spark.operators.media_demo import wav_demo_clip
     from vectordbindexing_spark.operators.multimodal import audio_features
 
     docs = (
@@ -951,18 +932,12 @@ def _media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rate = 8000
-        t = np.arange(int(rate * 0.25)) / rate
         for pdf in batches:
-            ids, bufs = [], []
-            for mid in pdf["media_id"]:
-                f = 200.0 + 40.0 * (int(mid) % 32)
-                a = 0.2 + 0.7 * ((int(mid) % 7) / 7.0)
-                wave = a * np.sin(2 * np.pi * f * t)
-                bits = 16 if int(mid) % 2 == 0 else 8
-                ids.append(int(mid))
-                bufs.append(encode_wav(wave, rate, bits=bits))
-            yield pd.DataFrame({"media_id": ids, "content": bufs})
+            ids = [int(mid) for mid in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids,
+                 "content": [wav_demo_clip(m) for m in ids]}
+            )
 
     from vectordbindexing_spark.plans.partitioning import (
         repartition_for_compute,
@@ -979,17 +954,16 @@ def _media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip of drifting-gradient frames is JPEG-encoded, wrapped in a RIFF
     AVI container (io/avi.py), and decoded executor-side (container
     walk + vendored JPEG frame decode) into frame/motion stats.
-    Rows-only check (a codec pipeline is not SQL-expressible); the
-    container and frame codecs are round-trip-pinned by
+    Hash-gated since r06 via pinned-literal expected rows
+    (operators/media_demo.py — each row is a pure function of the id);
+    the container and frame codecs are round-trip-pinned by
     test_video/test_jpeg. Completes the multimodal triad next to
     media_jpeg_decode_stats and media_wav_features."""
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    from vectordbindexing_spark.io.avi import encode_avi_mjpeg
-    from vectordbindexing_spark.io.jpeg import encode_jpeg
+    from vectordbindexing_spark.operators.media_demo import video_demo_clip
     from vectordbindexing_spark.operators.multimodal import video_features
 
     docs = (
@@ -999,24 +973,12 @@ def _media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yy, xx = np.mgrid[0:16, 0:16]
         for pdf in batches:
-            ids, bufs = [], []
-            for mid in pdf["media_id"]:
-                m = int(mid)
-                frames = []
-                for fi in range(3 + m % 3):
-                    img = (
-                        (128 + 70 * np.sin(xx / 5.0 + m + fi * (m % 4))
-                         + 40 * np.cos(yy / 7.0))
-                        .clip(0, 255)
-                        .astype(np.uint8)
-                    )
-                    frames.append(encode_jpeg(img, quality=90))
-                ids.append(m)
-                bufs.append(encode_avi_mjpeg(frames, fps=10, width=16,
-                                             height=16))
-            yield pd.DataFrame({"media_id": ids, "content": bufs})
+            ids = [int(mid) for mid in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids,
+                 "content": [video_demo_clip(m) for m in ids]}
+            )
 
     from vectordbindexing_spark.plans.partitioning import (
         repartition_for_compute,
@@ -1545,6 +1507,11 @@ def oracle_sql() -> dict[str, str]:
             k=10, m=8, ks=16, iters=3
         ),
         "planner_graph_route": oracles.ann_two_layer_recall_sql(),
+        # media: pinned-literal expected rows (pure functions of the id,
+        # precomputed by the same codec code the executors run)
+        "media_jpeg_decode_stats": oracles.media_jpeg_sql(),
+        "media_wav_features": oracles.media_wav_sql(),
+        "media_video_stats": oracles.media_video_sql(),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

@@ -228,6 +228,37 @@ def audio_features(
     )
 
 
+def video_feature_row(mid: int, buf: bytes, frame_stride: int = 1) -> dict:
+    """Per-clip body of :func:`video_features` (container walk + JPEG
+    frame decode → frame/motion stats). Factored out so the media
+    oracle can precompute expected rows driver-side with the exact
+    code the executors run."""
+    from vectordbindexing_spark.io.avi import decode_avi_mjpeg
+    from vectordbindexing_spark.io.jpeg import decode_jpeg
+
+    fps, _, _, frames = decode_avi_mjpeg(buf)
+    sampled = []
+    for fb in frames[:: max(1, frame_stride)]:
+        img = decode_jpeg(fb).astype(np.float64)
+        sampled.append(img.mean(axis=2) if img.ndim == 3 else img)
+    diffs = [
+        float(np.abs(b - a).mean())
+        for a, b in zip(sampled, sampled[1:])
+    ]
+    return {
+        "media_id": int(mid),
+        "n_frames": len(frames),
+        "fps": round(fps, 3),
+        "duration_s": round(len(frames) / fps if fps else 0.0, 6),
+        "width": sampled[0].shape[1],
+        "height": sampled[0].shape[0],
+        "mean_luma": round(
+            float(np.mean([s.mean() for s in sampled])), 4
+        ),
+        "motion": round(float(np.mean(diffs)) if diffs else 0.0, 4),
+    }
+
+
 def video_features(
     df: DataFrame,
     content_col: str = "content",
@@ -242,42 +273,13 @@ def video_features(
     cheap static-vs-moving triage signal; width/height/mean_luma come
     from the decoded samples. Inter-coded video routes to a deployment
     decoder via :func:`media_kind`."""
-    from vectordbindexing_spark.io.avi import decode_avi_mjpeg
-    from vectordbindexing_spark.io.jpeg import decode_jpeg
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                fps, _, _, frames = decode_avi_mjpeg(bytes(buf))
-                sampled = []
-                for fb in frames[:: max(1, frame_stride)]:
-                    img = decode_jpeg(fb).astype(np.float64)
-                    sampled.append(
-                        img.mean(axis=2) if img.ndim == 3 else img
-                    )
-                diffs = [
-                    float(np.abs(b - a).mean())
-                    for a, b in zip(sampled, sampled[1:])
-                ]
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "n_frames": len(frames),
-                        "fps": round(fps, 3),
-                        "duration_s": round(
-                            len(frames) / fps if fps else 0.0, 6
-                        ),
-                        "width": sampled[0].shape[1],
-                        "height": sampled[0].shape[0],
-                        "mean_luma": round(
-                            float(np.mean([s.mean() for s in sampled])), 4
-                        ),
-                        "motion": round(
-                            float(np.mean(diffs)) if diffs else 0.0, 4
-                        ),
-                    }
-                )
+            rows = [
+                video_feature_row(int(mid), bytes(buf), frame_stride)
+                for mid, buf in zip(pdf[id_col], pdf[content_col])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -2720,3 +2720,84 @@ def sq8_knn_sql(k: int = 10) -> str:
     SELECT qid, rnk AS nbr_rank, id AS neighbor_id, round(dist, 6) AS dist
     FROM r WHERE rnk <= {k}
     """
+
+
+def _values_lit(v) -> str:
+    """SQL literal for a pinned media value: ints verbatim, floats via
+    repr (17-sig-digit round-trip, so DuckDB parses the exact double
+    the Spark kernel produced)."""
+    if isinstance(v, bool):
+        raise TypeError("no boolean media columns")
+    if isinstance(v, int):
+        return str(v)
+    return repr(float(v))
+
+
+def _pinned_media_sql(rows, cols, types, id_col, id_limit) -> str:
+    """Pinned-literal oracle for a media contract query: the expected
+    rows (precomputed driver-side by the SAME pure codec code the
+    executors run — operators/media_demo.py) join to the documents ids
+    the Spark query reads, so row membership still comes from the
+    table and the values come from the pin. This is the trained-state
+    technique of EMB_DISCRIMINATOR_SQL applied to codec outputs; it
+    upgrades the media queries from rows-only to full hash gates."""
+    vals = ", ".join(
+        "(" + ", ".join(_values_lit(r[c]) for c in cols) + ")"
+        for r in rows
+    )
+    proj = ", ".join(
+        f"e.{c}::{t} AS {c}" for c, t in zip(cols, types)
+    )
+    return f"""
+    WITH expected({", ".join(cols)}) AS (VALUES {vals})
+    SELECT {proj}
+    FROM expected e
+    JOIN (SELECT doc_id FROM documents WHERE doc_id < {id_limit}) d
+      ON d.doc_id = e.{id_col}
+    """
+
+
+@functools.lru_cache(maxsize=None)
+def media_jpeg_sql() -> str:
+    from vectordbindexing_spark.operators.media_demo import jpeg_demo_stats
+
+    rows = [jpeg_demo_stats(i) for i in range(64)]
+    return _pinned_media_sql(
+        rows,
+        ["doc_id", "width", "height", "mean_intensity", "jpeg_bytes"],
+        ["BIGINT", "INT", "INT", "DOUBLE", "INT"],
+        "doc_id",
+        64,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def media_wav_sql() -> str:
+    from vectordbindexing_spark.operators.media_demo import wav_demo_stats
+
+    rows = [wav_demo_stats(i) for i in range(64)]
+    return _pinned_media_sql(
+        rows,
+        ["media_id", "sample_rate", "n_samples", "duration_s", "rms",
+         "zero_cross_rate", "spectral_centroid_hz"],
+        ["BIGINT", "BIGINT", "BIGINT", "DOUBLE", "DOUBLE", "DOUBLE",
+         "DOUBLE"],
+        "media_id",
+        64,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def media_video_sql() -> str:
+    from vectordbindexing_spark.operators.media_demo import video_demo_stats
+
+    rows = [video_demo_stats(i) for i in range(32)]
+    return _pinned_media_sql(
+        rows,
+        ["media_id", "n_frames", "fps", "duration_s", "width", "height",
+         "mean_luma", "motion"],
+        ["BIGINT", "BIGINT", "DOUBLE", "DOUBLE", "INT", "INT", "DOUBLE",
+         "DOUBLE"],
+        "media_id",
+        32,
+    )
