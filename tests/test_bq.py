@@ -173,3 +173,33 @@ def test_oracle_parity_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert srows == orows
+
+
+def test_batch_topk_hybrid_matches_full_sort():
+    """The O(n) hybrid selection (argpartition + boundary-tie fill) must
+    equal the full stable-sort reference on tie-heavy integer distances
+    (the BQ Hamming regime) and on float distances, for every kk
+    including kk ≥ n."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.topk import batch_topk_by_dist_id
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(3, 40))
+        rows = int(rng.integers(1, 6))
+        if trial % 2 == 0:
+            D = rng.integers(0, 4, size=(rows, n)).astype(np.float64)
+        else:
+            D = np.round(rng.random((rows, n)), 1)
+        ids = rng.permutation(1000)[:n].astype(np.int64)
+        for kk in (1, 2, n // 2 or 1, n - 1, n, n + 3):
+            nbr, dist = batch_topk_by_dist_id(D, ids, kk)
+            order = np.argsort(ids, kind="stable")
+            Do = D[:, order]
+            sel = np.argsort(Do, axis=1, kind="stable")[:, :kk]
+            assert nbr.tolist() == ids[order][sel].tolist(), (trial, kk)
+            assert (
+                dist.tolist()
+                == np.take_along_axis(Do, sel, axis=1).tolist()
+            ), (trial, kk)
