@@ -332,3 +332,43 @@ def test_pool_embeddings_weighted(spark):
         round_to=None,
     ).collect()[0]
     np.testing.assert_allclose(r2["vec"], [0.5, 2.0], atol=1e-12)
+
+
+def test_kmeans_driver_fit_degenerates_past_sample_budget(spark, tables):
+    """The reason the planner's distributed-fit escape exists: ask for
+    more centroids than sample/MIN_POINTS_PER_CENTROID supports and the
+    driver-sample fit trains each centroid on a couple of points, while
+    the distributed fit keeps using the full corpus — measurably lower
+    full-corpus quantization error."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators import ivf as ivfmod
+    from vectordbindexing_spark.operators.ivf import (
+        kmeans_fit,
+        kmeans_fit_distributed,
+    )
+
+    emb = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    X = np.stack([
+        np.asarray(r["vec"], dtype=np.float64)
+        for r in emb.orderBy("id").collect()
+    ])
+    k, sample = 32, 64  # k >> sample/MIN_POINTS_PER_CENTROID
+    C_driver = kmeans_fit(
+        emb, k, max_iter=4, id_col="id", vec_col="vec", sample_size=sample
+    )
+    C_dist = kmeans_fit_distributed(
+        emb, k, max_iter=4, id_col="id", vec_col="vec", sample_size=sample
+    )
+
+    def qerr(C):
+        a = ivfmod._argmin_d2_blocked(X, C)
+        return float(np.mean(np.sum((X - C[a]) ** 2, axis=1)))
+
+    # same init (the 64-row sample), but the distributed update steps
+    # see every corpus row — the 64-point driver fit must be clearly
+    # worse on the full corpus
+    assert qerr(C_dist) < qerr(C_driver)

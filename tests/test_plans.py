@@ -179,3 +179,44 @@ def test_graph_knn_allowed_filters_both_routes(spark, tables, monkeypatch):
                         b_id="id", b_vec="vec", allowed=allowed)
     rows2 = out2.collect()
     assert rows2 and all(r["neighbor_id"] % 2 == 0 for r in rows2)
+
+
+def test_planner_distributed_fit_escape(spark, tables, monkeypatch):
+    """√n sizing past MAX_NLIST: without the opt-in the plan caps nlist
+    at the driver-sample budget; with distributed_fit_ok=True it keeps
+    the uncapped nlist and routes the fit to kmeans_fit_distributed.
+    The dispatch is exercised end-to-end with a shrunken MAX_NLIST."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.plans import knn_planner as kp
+
+    # pure decision at 100 TB sizing: √(10¹⁰) = 100k > MAX_NLIST (2500)
+    capped = kp.plan_knn(
+        1000, 10_000_000_000, 10, approximate_ok=True,
+        repeated_queries=True,
+    )
+    assert capped.params["nlist"] == kp.MAX_NLIST
+    assert "fit" not in capped.params
+    escaped = kp.plan_knn(
+        1000, 10_000_000_000, 10, approximate_ok=True,
+        repeated_queries=True, distributed_fit_ok=True,
+    )
+    assert escaped.params["nlist"] == int(10_000_000_000 ** 0.5)
+    assert escaped.params["fit"] == "distributed"
+
+    # end-to-end dispatch at test scale: shrink MAX_NLIST so the escape
+    # triggers, then the ivf route must train distributed and still
+    # return k rows per query
+    monkeypatch.setattr(kp, "MAX_NLIST", 4)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    q = emb.filter(F.col("id") < 5).select(F.col("id").alias("qid"), "vec")
+    got = kp.knn(
+        q, emb, k=5, metric="l2", approximate_ok=True,
+        repeated_queries=True, exact_base_limit=10,
+        distributed_fit_ok=True, q_id="qid", q_vec="vec",
+        b_id="id", b_vec="vec",
+    )
+    rows = got.groupBy("qid").count().collect()
+    assert len(rows) == 5 and all(r["count"] == 5 for r in rows)

@@ -42,12 +42,13 @@ BROADCAST_QUERY_LIMIT = 100_000
 # beyond sample/40 would leave fewer than ~40 training points per centroid
 # — a degenerate fit — so √n sizing is capped here. At 10¹⁰ rows √n would
 # ask for 100k centroids from a 100k-row sample; the cap keeps the route
-# the planner advertises for 100 TB actually trainable. Deployments that
-# want uncapped √n centroids fit them with ivf.kmeans_fit_distributed
-# (full-corpus Lloyd updates, one scan per iteration) and pass the
-# matrix through the operators' ``centroids=`` parameter — the planner
-# keeps the capped driver fit because its routes are oracle-pinned and
-# the distributed fit is allclose- but not bit-reproducible.
+# the planner advertises for 100 TB actually trainable. Deployments
+# that want uncapped √n centroids opt in with distributed_fit_ok=True:
+# past the cap the plan then carries fit='distributed' and the
+# dispatcher trains with ivf.kmeans_fit_distributed (full-corpus Lloyd
+# updates, one scan per iteration). Opt-in, never default, because the
+# distributed fit is allclose- but not bit-reproducible — oracle-pinned
+# contract paths keep the capped driver fit.
 MAX_NLIST = KMEANS_SAMPLE_SIZE // MIN_POINTS_PER_CENTROID
 
 
@@ -58,6 +59,29 @@ class KnnPlan:
 
     def __repr__(self) -> str:  # shown in logs/explain-style output
         return f"KnnPlan({self.strategy}, {self.params})"
+
+
+def _resolve_fit(plan: KnnPlan, base, cols: dict) -> dict:
+    """Materialize a plan's coarse-quantizer fit choice into operator
+    kwargs: the default driver-sample fit passes through untouched,
+    while ``fit='distributed'`` trains the uncapped-nlist centroids
+    with full-corpus Lloyd updates (ivf.kmeans_fit_distributed — one
+    scan per iteration, shuffle ∝ occupied cells) and hands them to
+    the operator via ``centroids=``. Called AFTER any metric
+    normalization so the fit sees exactly the vectors the scan will."""
+    params = dict(plan.params)
+    if params.pop("fit", None) == "distributed":
+        from vectordbindexing_spark.operators.ivf import (
+            kmeans_fit_distributed,
+        )
+
+        params["centroids"] = kmeans_fit_distributed(
+            base,
+            params["nlist"],
+            id_col=cols.get("b_id", "id"),
+            vec_col=cols.get("b_vec", "vec"),
+        )
+    return params
 
 
 # recall_target at or above this routes the memory-tight compressed
@@ -78,6 +102,7 @@ def plan_knn(
     exact_base_limit: int | None = None,
     broadcast_query_limit: int | None = None,
     recall_target: float | None = None,
+    distributed_fit_ok: bool = False,
 ) -> KnnPlan:
     """Pure sizing decision — callers pass known/estimated counts so the
     planner itself triggers no Spark jobs. ``memory_tight`` signals the
@@ -106,8 +131,23 @@ def plan_knn(
             and recall_target >= SQ8_RECALL_THRESHOLD
         ):
             return KnnPlan("sq8", {"rerank": max(4 * k, 50)})
-        nlist = max(16, min(int(n_base ** 0.5), MAX_NLIST))
         strategy = "ivfpq" if memory_tight else "ivf"
+        raw_nlist = max(16, int(n_base ** 0.5))
+        if raw_nlist > MAX_NLIST and distributed_fit_ok:
+            # the √n sizing exceeds what the driver-sample fit can train
+            # (< MIN_POINTS_PER_CENTROID points per centroid degenerates
+            # the model); with the caller's opt-in the plan keeps the
+            # uncapped nlist and routes the fit to
+            # ivf.kmeans_fit_distributed (full-corpus Lloyd updates, one
+            # scan per iteration). Opt-in only because the distributed
+            # fit is allclose- but not bit-reproducible — oracle-pinned
+            # paths must keep the driver fit.
+            return KnnPlan(
+                strategy,
+                {"nlist": raw_nlist, "nprobe": max(1, raw_nlist // 8),
+                 "fit": "distributed"},
+            )
+        nlist = min(raw_nlist, MAX_NLIST)
         return KnnPlan(strategy, {"nlist": nlist, "nprobe": max(1, nlist // 8)})
     return KnnPlan("lsh", {"num_bits": 12, "num_tables": 8})
 
@@ -123,6 +163,7 @@ def knn(
     exact_base_limit: int | None = None,
     broadcast_query_limit: int | None = None,
     recall_target: float | None = None,
+    distributed_fit_ok: bool = False,
     **cols,
 ) -> DataFrame:
     """Planner-dispatched KNN — probes the sides and routes to the chosen
@@ -144,11 +185,12 @@ def knn(
     n_q = queries.limit(bql + 1).count()
     n_b = base.limit(ebl + 1).count()
     plan = plan_knn(n_q, n_b, k, approximate_ok, repeated_queries,
-                    memory_tight, ebl, bql, recall_target)
+                    memory_tight, ebl, bql, recall_target,
+                    distributed_fit_ok)
     if plan.strategy in ("ivf", "ivfpq"):
         plan = plan_knn(
             n_q, base.count(), k, approximate_ok, repeated_queries,
-            memory_tight, ebl, bql, recall_target,
+            memory_tight, ebl, bql, recall_target, distributed_fit_ok,
         )
     if plan.strategy in ("exact-blocked", "exact-expr"):
         from vectordbindexing_spark.operators.exact_knn import exact_knn
@@ -199,7 +241,9 @@ def knn(
                 f"ivfpq route scores squared L2; metric={metric!r} is not "
                 "expressible as an ADC-L2 ranking - use the ivf/lsh routes"
             )
-        out = ivfpq_knn(queries, base, k, **plan.params, **cols)
+        out = ivfpq_knn(
+            queries, base, k, **_resolve_fit(plan, base, cols), **cols
+        )
         if metric == "cosine":
             # rescale ADC squared L2 to the cosine-distance scale the
             # other routes return (on unit vectors ||q-b||^2 = 2(1-cos));
@@ -211,7 +255,10 @@ def knn(
     if plan.strategy == "ivf":
         from vectordbindexing_spark.operators.ivf import ivf_knn
 
-        return ivf_knn(queries, base, k, metric=metric, **plan.params, **cols)
+        return ivf_knn(
+            queries, base, k, metric=metric,
+            **_resolve_fit(plan, base, cols), **cols,
+        )
     from vectordbindexing_spark.operators.lsh import lsh_knn
 
     return lsh_knn(queries, base, k, metric=metric, **plan.params, **cols)
