@@ -220,3 +220,43 @@ def test_planner_distributed_fit_escape(spark, tables, monkeypatch):
     )
     rows = got.groupBy("qid").count().collect()
     assert len(rows) == 5 and all(r["count"] == 5 for r in rows)
+
+
+def test_graph_knn_low_selectivity_falls_back(spark, tables):
+    """A ~1% filter is far below the 1/overfetch breakeven, so the
+    overfetch recipe would under-return; the planner must fall back to
+    a filter-first plan — exact on the semi-joined base when the
+    allowed set is brute-forceable, IVF-PQ filtered with
+    selectivity-scaled nprobe past that limit — and every query must
+    still get its full k allowed rows on BOTH tiers."""
+    from pyspark.sql import functions as F
+
+    import vectordbindexing_spark.plans.knn_planner as kp
+
+    emb = tables["embeddings"]
+    b = emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec"))
+    q = b.filter(F.col("id") % 7 == 3).limit(8).select(
+        F.col("id").alias("qid"), "vec"
+    )
+    allowed = b.filter(F.col("id") % 100 == 0).select("id")  # ~1%
+    n_allowed = allowed.count()
+    k = min(3, n_allowed)
+
+    def check(out):
+        per_q = {}
+        for r in out.collect():
+            assert r["neighbor_id"] % 100 == 0
+            per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+        # the whole point of the fallback: k rows per query despite
+        # the filter, which the overfetch recipe cannot guarantee at 1%
+        assert len(per_q) == 8 and all(c == k for c in per_q.values())
+
+    # tier 1: allowed set within the brute-force limit → exact
+    check(kp.graph_knn(q, b, k=k, q_id="qid", q_vec="vec",
+                       b_id="id", b_vec="vec", allowed=allowed))
+    # tier 2: force the IVF-PQ filtered route (limit 0) — the scaled
+    # nprobe must reach the allowed rows' cells
+    check(kp.graph_knn(q, b, k=k, q_id="qid", q_vec="vec",
+                       b_id="id", b_vec="vec", allowed=allowed,
+                       filtered_exact_limit=0))

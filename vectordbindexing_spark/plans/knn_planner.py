@@ -308,6 +308,7 @@ def graph_knn(
     artifact_path: str | None = None,
     allowed: DataFrame | None = None,
     overfetch: int = 4,
+    filtered_exact_limit: int | None = None,
 ) -> DataFrame:
     """Planner-dispatched graph-ANN serving: build + search via the route
     :func:`plan_graph_serving` picks from a bounded size probe. Both
@@ -317,14 +318,78 @@ def graph_knn(
     (its artifact is the in-memory broadcast).
 
     ``allowed`` (a DataFrame with an ``id`` column) restricts results to
-    a metadata-filtered subset on EITHER route via the overfetch +
-    semi-join + re-rank recipe (search.filtered_graph_search's contract:
-    a query whose graph neighborhood is mostly filtered away can return
-    fewer than k rows — selectivity below ~1/overfetch calls for a
-    bigger overfetch or the IVF-PQ filtered route, which filters before
-    scoring)."""
+    a metadata-filtered subset. Selective-enough filters use the
+    overfetch + semi-join + re-rank recipe on either graph route; but
+    that recipe under-returns when the filter keeps less than
+    ~1/overfetch of the base (most of the beam's k·overfetch candidates
+    get filtered away), so the planner probes the allowed set's size
+    with a bounded count and, below 1/overfetch selectivity (the
+    breakeven where even a perfectly mixed beam can no longer fill k),
+    picks a filter-first plan instead: an allowed set small enough to
+    brute-force (≤ ``filtered_exact_limit``, default EXACT_BASE_LIMIT)
+    is semi-joined down and scanned exactly — at 1% of 100 TB the
+    filtered base is still 10⁹ rows, so past the limit the planner
+    routes to the IVF-PQ filtered path, which semi-joins the codes
+    table BEFORE the ADC scan with nprobe scaled up by 1/selectivity so
+    the probed cells still hold a full shortlist of allowed rows.
+    Either way every query returns its k best allowed rows. Exact
+    rerank is attached, and cosine gets the same unit-norm + dist/2
+    contract as plan-routed IVF-PQ in :func:`knn`. Metrics the IVF-PQ
+    route cannot express as an L2 ranking keep the overfetch recipe."""
     n_b = base.limit(COMPACT_INDEX_LIMIT + 1).count()
+    if n_b > COMPACT_INDEX_LIMIT:
+        # the probe saturated — shard sizing needs the true count (else
+        # a 10^9-row base would get the 2M-row shard plan), amortized
+        # over the full scans the sharded build runs anyway
+        n_b = base.count()
     plan = plan_graph_serving(n_b)
+    if allowed is not None and metric in ("cosine", "l2"):
+        fallback_sel = 1.0 / max(overfetch, 1)
+        cap = max(int(fallback_sel * n_b), max(k, 1)) + 1
+        n_allowed = allowed.limit(cap).count()
+        if n_allowed < cap:
+            fel = (
+                EXACT_BASE_LIMIT if filtered_exact_limit is None
+                else filtered_exact_limit
+            )
+            if n_allowed <= fel:
+                from vectordbindexing_spark.operators.exact_knn import (
+                    exact_knn,
+                )
+
+                bb = base.join(
+                    allowed.select(F.col("id").cast("long").alias(b_id)),
+                    b_id, "semi",
+                )
+                return exact_knn(
+                    queries, bb, k, metric,
+                    q_id=q_id, q_vec=q_vec, b_id=b_id, b_vec=b_vec,
+                )
+            from vectordbindexing_spark.operators.ivfpq import ivfpq_knn
+
+            qq, bb = queries, base
+            if metric == "cosine":
+                from vectordbindexing_spark.functions.vector import unit_norm
+
+                qq = qq.withColumn(q_vec, unit_norm(q_vec))
+                bb = bb.withColumn(b_vec, unit_norm(b_vec))
+            nlist = max(16, min(int(n_b ** 0.5), MAX_NLIST))
+            shortlist = max(4 * k, 50)
+            # scale nprobe by 1/selectivity: with ~n_allowed/nlist
+            # allowed rows per cell, nprobe cells must hold a full
+            # shortlist of allowed candidates
+            nprobe = max(
+                1, nlist // 8,
+                min(nlist, -(-shortlist * nlist // max(n_allowed, 1))),
+            )
+            out = ivfpq_knn(
+                qq, bb, k, nlist=nlist, nprobe=nprobe,
+                rerank=shortlist, allowed=allowed,
+                q_id=q_id, q_vec=q_vec, b_id=b_id, b_vec=b_vec,
+            )
+            if metric == "cosine":
+                out = out.withColumn("dist", F.col("dist") / 2)
+            return out
     kk = k if allowed is None else max(k, 1) * max(overfetch, 1)
     ef = ef_search if allowed is None else max(ef_search, kk)
     if plan.strategy == "compact":
