@@ -639,14 +639,20 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same language-ID semantics through the broadcast-lexicon path
-    (explode + broadcast equi-join + per-doc argmax window) — the
-    deployment shape for ≥100-language lexicons. Shares text_lang_id's
-    oracle: the two physical plans must be result-identical."""
-    from vectordbindexing_spark.operators.textops import LANG_MARKERS, lang_id
+    (explode + broadcast equi-join + per-doc argmax) — the deployment
+    shape for large lexicons, exercised here with the 24-language
+    LANG_MARKERS_FULL table (Latin, Cyrillic, Greek, Arabic, Hebrew,
+    Devanagari, Thai, CJK, Hangul scripts) rather than the 5-language
+    literal demo text_lang_id scores. The oracle replays the same
+    24-way argmax in SQL."""
+    from vectordbindexing_spark.operators.textops import (
+        LANG_MARKERS_FULL,
+        lang_id,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     lex = spark.createDataFrame(
-        [(lg, m) for lg, ms in LANG_MARKERS.items() for m in ms],
+        [(lg, m) for lg, ms in LANG_MARKERS_FULL.items() for m in ms],
         schema="lang string, marker string",
     )
     return lang_id(docs, text_col="text", id_col="doc_id", lexicon=lex)
@@ -1476,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
     from vectordbindexing_spark.operators.textops import (
         BPE_ISH_PATTERN,
         LANG_MARKERS,
+        LANG_MARKERS_FULL,
         STOPWORDS,
     )
 
@@ -1565,7 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.TEXT_TOKEN_STATS_SQL,
         "text_quality_score": oracles.quality_score_sql(STOPWORDS),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS),
-        "text_lang_id_lexicon": oracles.lang_id_sql(LANG_MARKERS),
+        "text_lang_id_lexicon": oracles.lang_id_sql(LANG_MARKERS_FULL),
         "corpus_filter_gate": oracles.corpus_filter_gate_sql(
             LANG_MARKERS, STOPWORDS
         ),

@@ -25,6 +25,41 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
+# Deployment-scale marker lexicon: 24 languages × common function words
+# (public-knowledge stopword lists), including real non-Latin scripts
+# (Cyrillic, Greek, Arabic, Hebrew, Devanagari, Thai, CJK, Hangul).
+# This is the shape the broadcast-table lang_id path exists for; the
+# tiny LANG_MARKERS above stays the literal-expression demo. Whitespace
+# tokenization is the documented heuristic: unsegmented CJK/Thai text
+# only matches markers that appear as standalone tokens — production
+# segmenters slot in upstream of lang_id without touching the scoring.
+LANG_MARKERS_FULL: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "that", "is"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "es": ("el", "la", "que", "los", "una", "por", "con"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans"),
+    "it": ("il", "la", "che", "di", "non", "per", "una"),
+    "pt": ("o", "que", "de", "não", "uma", "com", "para"),
+    "nl": ("de", "het", "een", "van", "niet", "dat"),
+    "sv": ("och", "att", "det", "som", "en", "inte"),
+    "da": ("og", "det", "at", "en", "til", "ikke"),
+    "fi": ("ja", "on", "ei", "että", "se", "hän"),
+    "pl": ("nie", "się", "jest", "to", "na", "że"),
+    "cs": ("je", "se", "na", "to", "není", "že"),
+    "ro": ("și", "de", "la", "nu", "este", "cu"),
+    "tr": ("bir", "ve", "bu", "için", "ama", "değil"),
+    "ru": ("и", "в", "не", "на", "что", "это"),
+    "uk": ("і", "в", "не", "на", "що", "це"),
+    "el": ("και", "το", "να", "δεν", "της", "είναι"),
+    "ar": ("في", "من", "على", "أن", "هذا", "لا"),
+    "he": ("של", "את", "על", "לא", "זה", "הוא"),
+    "hi": ("है", "के", "की", "में", "और", "नहीं"),
+    "th": ("ที่", "และ", "ไม่", "ใน", "ของ", "เป็น"),
+    "zh": ("的", "是", "了", "在", "不", "我"),
+    "ja": ("の", "に", "は", "を", "です", "した"),
+    "ko": ("은", "는", "이", "가", "그리고", "있다"),
+}
+
 def _txt(text_col: str):
     """NULL-safe text column: a null document reads as the empty string,
     so size()/length() never return Spark's null-propagated -1 and every
