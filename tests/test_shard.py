@@ -102,3 +102,27 @@ def test_compact_index_persistence_matches_live_search(spark, split, tmp_path):
         q, load_sharded_index(spark, path), k=10, ef_search=64,
         q_id="vec_id", q_vec="embedding").collect())
     assert live == served
+
+
+def test_planner_compact_route_serves_from_artifact(spark, split, tmp_path):
+    """graph_knn with artifact_path on the compact route must persist
+    the index, reload it (load_compact_index), and return exactly what
+    the in-memory route returns."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.plans.knn_planner import graph_knn
+
+    q, b = split
+    kw = dict(k=5, q_id="vec_id", q_vec="embedding",
+              b_id="vec_id", b_vec="embedding")
+    live = sorted(tuple(r) for r in graph_knn(q, b, **kw).collect())
+    path = str(tmp_path / "compact_artifact")
+    served = sorted(
+        tuple(r) for r in graph_knn(q, b, artifact_path=path, **kw).collect()
+    )
+    assert live == served
+    # the artifact is really on disk and independently loadable
+    from vectordbindexing_spark.operators.shard import load_compact_index
+
+    idx = load_compact_index(spark, path)
+    assert len(idx.ids) == b.filter(F.col("embedding").isNotNull()).count()

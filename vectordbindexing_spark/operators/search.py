@@ -61,8 +61,11 @@ def compact_index(
 ) -> CompactIndex:
     """Collect edge + vector DataFrames into a CompactIndex artifact.
 
-    Driver-side collect — the artifact is the thing you broadcast; for a
-    production deployment you'd persist it to parquet and memory-map it.
+    Driver-side collect — the artifact is the thing you broadcast.
+    Production deployments persist it with shard.save_compact_index and
+    reload with shard.load_compact_index (the planner's compact route
+    does both when given artifact_path), so serving sessions never
+    re-collect the build DataFrames.
     """
     from vectordbindexing_spark.operators.graph import entry_points
 

@@ -161,6 +161,19 @@ def load_sharded_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_compact_index(
+    spark: SparkSession, path: str, metric: str = "cosine"
+) -> CompactIndex:
+    """Load a :func:`save_compact_index` artifact back into the
+    in-memory CompactIndex the low-latency compact route serves from —
+    the save → load → search round-trip production deployments run
+    instead of rebuilding the graph per session. The artifact is the
+    single-shard parquet layout, so it is equally servable through
+    :func:`search_sharded`."""
+    pdf = spark.read.parquet(path).toPandas()
+    return _index_from_rows(pdf, metric)
+
+
 def _index_from_rows(pdf: pd.DataFrame, metric: str) -> CompactIndex:
     """Reassemble one shard's rows into a CompactIndex (CSR per layer)."""
     order = np.argsort(pdf["id"].to_numpy(), kind="stable")

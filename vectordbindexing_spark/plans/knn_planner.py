@@ -313,9 +313,11 @@ def graph_knn(
     """Planner-dispatched graph-ANN serving: build + search via the route
     :func:`plan_graph_serving` picks from a bounded size probe. Both
     routes emit (qid, nbr_rank, neighbor_id, dist). With
-    ``artifact_path`` the sharded route persists and serves from the
-    parquet artifact (save → load → search); the compact route ignores it
-    (its artifact is the in-memory broadcast).
+    ``artifact_path`` BOTH routes persist and serve from the parquet
+    artifact (save → load → search): the sharded route through
+    save/load_sharded_index, the compact route through
+    save/load_compact_index (same single-shard layout, reloaded into
+    the broadcast CSR).
 
     ``allowed`` (a DataFrame with an ``id`` column) restricts results to
     a metadata-filtered subset. Selective-enough filters use the
@@ -404,6 +406,19 @@ def graph_knn(
         ).localCheckpoint(eager=True)  # consumed by build + compact
         edges = build_two_layer_index(b, M0=M0, M1=M1, metric=metric)
         idx = compact_index(edges, b, metric=metric)
+        if artifact_path is not None:
+            # persist + serve from the artifact (save → load → search),
+            # the deployment shape: later sessions skip the build and
+            # load the parquet directly via shard.load_compact_index
+            from vectordbindexing_spark.operators.shard import (
+                load_compact_index,
+                save_compact_index,
+            )
+
+            save_compact_index(idx, queries.sparkSession, artifact_path)
+            idx = load_compact_index(
+                queries.sparkSession, artifact_path, metric=metric
+            )
         got = graph_search(
             queries, idx, k=kk, ef_search=ef, q_id=q_id, q_vec=q_vec
         )
