@@ -230,6 +230,29 @@ def _planner_sq8_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dist", F.round("dist", 6))
 
 
+def _planner_filtered_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-dispatched FILTERED graph ANN at ~1% selectivity: the
+    overfetch + post-filter recipe cannot fill k below 1/overfetch
+    selectivity, so graph_knn's bounded allowed-set probe routes to the
+    filter-first plan (semi-join the base to the allowed ids, exact
+    scan) — every query returns its k best allowed rows, which the
+    oracle replays as exact cosine KNN over the same restricted base.
+    Mirrors the reference's allowed-set restriction
+    (hnsw_cosine_layer1enhanced.py search with a candidate filter) as a
+    planner route instead of a search-loop argument."""
+    from vectordbindexing_spark.plans.knn_planner import graph_knn
+
+    q, b = _emb_split(spark, sf_dir)
+    allowed = b.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("id")
+    )
+    return graph_knn(
+        q, b, k=10, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+        allowed=allowed,
+    )
+
+
 def _planner_graph_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner-dispatched graph-ANN serving: plans.knn_planner.graph_knn
     probes the base size, picks the compact broadcast route below
@@ -1430,6 +1453,7 @@ def queries() -> dict[str, Query]:
         "semantic_dedup": _semantic_dedup,
         "ann_ladder_recall": _ann_ladder_recall,
         "text_lang_id_lexicon": _text_lang_id_lexicon,
+        "planner_filtered_route": _planner_filtered_route,
         # (d) re-confirmed green in CORRECTNESS_r05
         "sq8_knn": _sq8_knn,
         "bq_hamming_knn": _bq_knn,
@@ -1519,6 +1543,10 @@ def oracle_sql() -> dict[str, str]:
         "media_jpeg_decode_stats": oracles.media_jpeg_sql(),
         "media_wav_features": oracles.media_wav_sql(),
         "media_video_stats": oracles.media_video_sql(),
+        "planner_filtered_route": oracles.knn_exact_sql(
+            "cosine", k=10,
+            base_where="vec_id % 10 <> 0 AND vec_id % 100 = 3",
+        ),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

@@ -79,11 +79,15 @@ KNN_DIST_SQL = {
 }
 
 
-def knn_exact_sql(metric: str, k: int = 10) -> str:
+def knn_exact_sql(
+    metric: str, k: int = 10, base_where: str = "vec_id % 10 <> 0"
+) -> str:
+    """``base_where`` narrows the base split — the filtered-ANN contract
+    queries replay their allowed-set restriction by tightening it."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 10 = 0),
-         b AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 10 <> 0),
+         b AS (SELECT vec_id AS id, v FROM e WHERE {base_where}),
          d AS (SELECT q.qid, b.id, {KNN_DIST_SQL[metric]} AS dist FROM q, b),
          r AS (SELECT qid, id, dist,
                       row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
