@@ -1209,6 +1209,30 @@ def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast-revenue-change: pure filter + global aggregate — the
+    canonical predicate-pushdown query (every predicate reaches the
+    parquet scan; no shuffle beyond the single partial-agg exchange).
+    Sum drift across engines is ~1e-8 at this magnitude; round(·,2)
+    absorbs it (same convention as Q1/Q3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -1441,6 +1465,7 @@ def queries() -> dict[str, Query]:
         "tpch_q1_pricing_summary": _tpch_q1,
         "tpch_q3_shipping_priority": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q6_forecast_revenue": _tpch_q6,
         "top_orders_per_customer": _top_orders_per_customer,
         "events_props_json": _events_props_json,
         "events_value_histogram": _events_value_histogram,
@@ -1632,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": oracles.TPCH_Q1_SQL,
         "tpch_q3_shipping_priority": oracles.TPCH_Q3_SQL,
         "tpch_q5_local_supplier": oracles.TPCH_Q5_SQL,
+        "tpch_q6_forecast_revenue": oracles.TPCH_Q6_SQL,
         "tpch_q10_returned_items": oracles.TPCH_Q10_SQL,
         "tpch_q18_large_volume": oracles.TPCH_Q18_SQL,
         "top_orders_per_customer": oracles.TOP_ORDERS_PER_CUSTOMER_SQL,

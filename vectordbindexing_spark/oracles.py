@@ -2168,6 +2168,17 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+TPCH_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 TPCH_Q3_SQL = """
 SELECT o_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
