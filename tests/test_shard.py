@@ -126,3 +126,26 @@ def test_planner_compact_route_serves_from_artifact(spark, split, tmp_path):
 
     idx = load_compact_index(spark, path)
     assert len(idx.ids) == b.filter(F.col("embedding").isNotNull()).count()
+
+
+def test_build_shard_blocked_matches_unblocked(monkeypatch):
+    """The row-blocked distance computation in _build_shard must produce
+    the IDENTICAL edge set (selection, tie-breaks, order) as the
+    single-block path — the numpy oracle pins replay the unblocked
+    math, so any divergence would break ann_sharded_recall."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators import shard as shmod
+
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.permutation(5000)[:200]).astype(np.int64)
+    V = rng.normal(size=(200, 16))
+    # duplicate a few vectors so distance ties actually occur
+    V[7] = V[3]
+    V[11] = V[3]
+    for metric in ("cosine", "l2", "ip"):
+        full = shmod._build_shard(ids, V, 8, 4, 16, metric, 3)
+        monkeypatch.setattr(shmod, "_BUILD_BLOCK_TARGET_BYTES", 8 * 200 * 7)
+        blocked = shmod._build_shard(ids, V, 8, 4, 16, metric, 3)
+        monkeypatch.undo()
+        assert full.equals(blocked), metric

@@ -269,9 +269,13 @@ def knn(
 # 2M). Past it the driver-collect broadcast is the wrong plan even if it
 # fits driver memory: route to the sharded artifact.
 COMPACT_INDEX_LIMIT = 2_000_000
-# Target rows per shard for the sharded build (each shard's build is an
-# in-executor kernel; its candidate generation is the binding cost).
-SHARD_TARGET_ROWS = 500_000
+# Target rows per shard for the sharded build. Each shard's build is an
+# in-executor kernel whose candidate generation is O((n/shards)²·d)
+# BLAS with O(block·n) memory (shard._BUILD_BLOCK_TARGET_BYTES row
+# blocks): at 100k rows × d=128 that is ~10¹² madds ≈ minutes per
+# executor core and ~256 MB — the honest single-task budget. The r05
+# value (500k) satisfied neither: its unblocked matrix alone was 2 TB.
+SHARD_TARGET_ROWS = 100_000
 
 
 def plan_graph_serving(n_base: int) -> KnnPlan:
