@@ -3,14 +3,29 @@ reference's `hnsw_optimization/data_loader.py:30-96` (per-modality Gaussian
 cluster center ×2.0 + noise ×0.5, L2-normalized, queries from the same
 centers with seed+1) and `roargraph_python.py:437-448`.
 
-Declarative formulation: `spark.range(n)` + deterministic hash-based
-Gaussians (Box–Muller over md5-derived uniforms) so any worker produces
-identical rows without a shared RNG state — the seeded-numpy equivalent
-that actually distributes.
+Two implementations of the same formula (Box–Muller over md5-derived
+uniforms, so any worker produces identical rows without shared RNG
+state):
+
+- ``impl="arrow"`` (default): a mapInPandas kernel — hashlib md5 +
+  numpy, per-modality centers computed once per batch. ~500 md5/row is
+  microseconds in Python but MILLISECONDS in interpreted Catalyst
+  expressions (the expr path measured ~7 ms/row at d=128 — the
+  128-element transform() lambda falls out of whole-stage codegen), so
+  this is the path that actually generates millions of rows.
+- ``impl="expr"``: the fully declarative Column formulation — useful as
+  the engine-level reference of the formula and for tiny fixtures.
+
+Both are deterministic and distributed; they agree to libm ulp (JVM vs
+numpy log/cos), not bit-exactly — pick one per dataset. Nothing
+oracle-pinned consumes synthetic data.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +47,19 @@ def _gauss(tag: Column) -> Column:
     return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(TWO_PI) * u2)
 
 
+def _u01_py(tag: str) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+    return (h + 0.5) / 4294967296.0
+
+
+def _gauss_py(tag: str) -> float:
+    u1 = _u01_py(tag + ":a")
+    u2 = _u01_py(tag + ":b")
+    return math.sqrt(-2.0 * math.log(u1)) * math.cos(TWO_PI * u2)
+
+
 def synthetic_vectors(
     spark: SparkSession,
     n: int,
@@ -43,6 +71,7 @@ def synthetic_vectors(
     noise_scale: float = 0.5,
     id_col: str = "id",
     vec_col: str = "vec",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, vec, modality) — unit-normalized Gaussian clusters.
 
@@ -52,6 +81,11 @@ def synthetic_vectors(
     per-row noise so a query set can share centers (data_loader.py:62-64).
     """
     noise_seed = seed if noise_seed is None else noise_seed
+    if impl == "arrow":
+        return _synthetic_vectors_arrow(
+            spark, n, dim, n_modalities, seed, noise_seed,
+            center_scale, noise_scale, id_col, vec_col,
+        )
     df = spark.range(n).withColumnRenamed("id", "_i")
     mod = (F.col("_i") % n_modalities).cast("int")
     dims = F.sequence(F.lit(0), F.lit(dim - 1))
@@ -72,6 +106,61 @@ def synthetic_vectors(
         F.col("_i").alias(id_col),
         unit_norm(vec).alias(vec_col),
         F.concat(F.lit("mod"), mod.cast("string")).alias("modality"),
+    )
+
+
+def _synthetic_vectors_arrow(
+    spark, n, dim, n_modalities, seed, noise_seed,
+    center_scale, noise_scale, id_col, vec_col,
+) -> DataFrame:
+    """Same formula as the expr path, computed in a mapInPandas kernel:
+    raw elements round through float32 (the expr path's .cast('float'))
+    then L2-normalize in float64 — the unit_norm contract."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        centers = {
+            m: np.array(
+                [_gauss_py(f"c:{seed}:{m}:d:{d}") for d in range(dim)]
+            )
+            for m in range(n_modalities)
+        }
+        for pdf in batches:
+            ids = pdf["_i"].to_numpy()
+            vecs, mods = [], []
+            for i in ids:
+                i = int(i)
+                m = i % n_modalities
+                noise = np.array(
+                    [
+                        _gauss_py(f"n:{noise_seed}:{i}:d:{d}")
+                        for d in range(dim)
+                    ]
+                )
+                raw = (
+                    (centers[m] * center_scale + noise * noise_scale)
+                    .astype(np.float32)
+                    .astype(np.float64)
+                )
+                nrm = math.sqrt(float(raw @ raw))
+                vecs.append(raw / nrm if nrm > 1e-12 else raw)
+                mods.append(f"mod{m}")
+            yield pd.DataFrame(
+                {"_i": ids, "_v": vecs, "_m": mods}
+            )
+
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "_i")
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="_i long, _v array<double>, _m string")
+        .select(
+            F.col("_i").alias(id_col),
+            F.col("_v").alias(vec_col),
+            F.col("_m").alias("modality"),
+        )
     )
 
 
