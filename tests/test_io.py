@@ -151,7 +151,7 @@ def test_graph_serving_planner(spark, tables, tmp_path, monkeypatch):
     assert plan_graph_serving(10_000).strategy == "compact"
     big = plan_graph_serving(10_000_000)
     assert big.strategy == "sharded"
-    assert big.params["num_shards"] == 20  # ceil(10M / 500k)
+    assert big.params["num_shards"] == 100  # ceil(10M / 100k)
 
     emb = tables["embeddings"]
     q = emb.filter(F.col("vec_id") % 10 == 0).limit(5)
