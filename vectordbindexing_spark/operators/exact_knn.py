@@ -36,6 +36,9 @@ from vectordbindexing_spark.operators.topk import (
 )
 
 _BLOCKED_THRESHOLD_QUERIES = 100_000  # above this, queries don't broadcast
+# Per-task byte target for the blocked kernel's distance matrices; the
+# query axis chunks to fit (memory O(target), not O(n_q · batch)).
+_BLOCK_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def _pairwise_dist(
@@ -177,22 +180,31 @@ def _exact_knn_blocked(
                 continue
             B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             bids = pdf["bid"].to_numpy()
-            D = _pairwise_dist(bQ, B, metric, weights=bw)
-            if exclude_self:
-                D[np.equal.outer(bqids, bids)] = np.inf
-            kk = min(k, D.shape[1])
-            # exact per-batch (dist, id) selection — duplicate vectors
-            # tie exactly, and an argpartition cut at a tie boundary
-            # would keep/drop them by batch position instead of the
-            # lowest-id convention the merge window and oracle use
-            nbr, rows_d = batch_topk_by_dist_id(D, bids, kk)
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(bqids, kk),
-                    "neighbor_id": nbr.ravel(),
-                    "dist": rows_d.ravel(),
-                }
-            )
+            kk = min(k, len(bids))
+            # chunk the QUERY axis so the distance matrix stays under a
+            # fixed byte target: a full n_q × batch matrix is 8 GB/task
+            # at 100k broadcast queries × 10k-row batches — enough to
+            # OOM a 32-task executor even though the math is fine. Each
+            # query's per-batch top-k is independent, so chunking the
+            # rows changes nothing downstream.
+            cq = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * len(bids)))
+            for s in range(0, len(bqids), cq):
+                D = _pairwise_dist(bQ[s : s + cq], B, metric, weights=bw)
+                if exclude_self:
+                    D[np.equal.outer(bqids[s : s + cq], bids)] = np.inf
+                # exact per-batch (dist, id) selection — duplicate
+                # vectors tie exactly, and an argpartition cut at a tie
+                # boundary would keep/drop them by batch position
+                # instead of the lowest-id convention the merge window
+                # and oracle use
+                nbr, rows_d = batch_topk_by_dist_id(D, bids, kk)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bqids[s : s + cq], kk),
+                        "neighbor_id": nbr.ravel(),
+                        "dist": rows_d.ravel(),
+                    }
+                )
 
     from vectordbindexing_spark.plans.partitioning import repartition_for_compute
 
