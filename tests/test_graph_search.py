@@ -250,3 +250,67 @@ def test_graph_paths_exclude_null_vectors(spark):
     for rows_ in (out, out2):
         assert rows_ and all(r["qid"] == 9 for r in rows_)
         assert all(r["neighbor_id"] != 99 for r in rows_)
+
+
+def test_diversify_edges_rng_rule(spark):
+    """Select-neighbors heuristic: a candidate closer to an already-kept
+    neighbor than to the source is occluded; farther-but-diverse
+    candidates survive."""
+    import math
+
+    from vectordbindexing_spark.operators.graph import diversify_edges
+
+    pts = {0: (0.0, 0.0), 1: (1.0, 0.0), 2: (1.2, 0.1), 3: (0.0, 1.5)}
+    base = spark.createDataFrame(
+        [(i, list(v)) for i, v in pts.items()],
+        schema="id long, vec array<double>",
+    )
+
+    def d(a, b):
+        return math.dist(pts[a], pts[b])
+
+    edges = spark.createDataFrame(
+        [(0, 0, j, d(0, j)) for j in (1, 2, 3)],
+        schema="layer int, src long, dst long, dist double",
+    )
+    out = diversify_edges(edges, base, max_degree=3, alpha=1.0, metric="l2")
+    kept = sorted(r["dst"] for r in out.collect())
+    # 2 is occluded by 1 (d(0,2)=1.204 > d(2,1)=0.224); 3 is diverse
+    assert kept == [1, 3]
+
+
+def test_heuristic_build_recall_not_worse(spark, tables):
+    """The diversified build must not lose recall vs the plain kNN build
+    at the same (M, ef) — at corpus scale it gains dramatically
+    (0.61→… at 100k); at test scale non-degradation is the invariant."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import (
+        compact_index,
+        graph_search,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    b = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    exact = exact_knn(q, b, k=10, metric="cosine", impl="blocked"
+                      ).select("qid", "neighbor_id").localCheckpoint(True)
+    n_ex = exact.count()
+
+    def rec(heuristic):
+        edges = build_two_layer_index(b, M0=8, M1=4, metric="cosine",
+                                      heuristic=heuristic)
+        idx = compact_index(edges, b, metric="cosine")
+        got = graph_search(q, idx, k=10, ef_search=16)
+        return got.select("qid", "neighbor_id").join(
+            exact, ["qid", "neighbor_id"]
+        ).count() / n_ex
+
+    r_plain, r_heur = rec(False), rec(True)
+    assert r_heur >= r_plain - 1e-9, (r_plain, r_heur)

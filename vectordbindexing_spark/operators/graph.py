@@ -11,6 +11,8 @@ Edge tables are ``(layer INT, src BIGINT, dst BIGINT, dist DOUBLE)``.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -148,6 +150,80 @@ def mutualize(edges: DataFrame, max_degree: int) -> DataFrame:
     )
 
 
+def diversify_edges(
+    edges: DataFrame,
+    base: DataFrame,
+    max_degree: int,
+    alpha: float = 1.0,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """HNSW select-neighbors heuristic (Malkov & Yashunin TPAMI 2018
+    Alg. 4; the C++ core's neighbor selection, hnsw.cpp _add_link
+    prune family) applied per (layer, src) to a CANDIDATE edge list:
+    scanning candidates nearest-first, keep c only if
+    ``alpha · d(src, c) < d(c, u)`` for every already-kept u, stopping
+    at ``max_degree``. A pure kNN graph points every edge into the
+    local cluster; RNG-style diversification adds the long-range exits
+    greedy routing needs. Measured effect is data-dependent: on a
+    distance-concentrated corpus (100k×128 two-blob synthetic, where
+    within-blob pairs are near-equidistant) it is recall-neutral —
+    there the beam width is the binding lever (see SCALE.md measured
+    serving) — while on separated manifolds it is the standard
+    navigability fix.
+
+    Dataflow: one join to fetch candidate vectors (shuffle ∝ E·d, the
+    roargraph_build enriched-join class), then an applyInPandas group
+    kernel computing the C×C candidate distance matrix per node
+    (C = candidate count, small). Opt-in from
+    :func:`build_two_layer_index(heuristic=True)`; the plain kNN build
+    stays the default because the recall-pin oracles replay it."""
+    from vectordbindexing_spark.functions.vector import to_double_array
+
+    bvec = base.select(
+        F.col(id_col).cast("long").alias("dst"),
+        to_double_array(vec_col).alias("_dv"),
+    )
+    enr = edges.join(bvec, "dst")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["dist", "dst"], kind="mergesort"
+        ).reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_dv"]])
+        if metric == "cosine":
+            nrm = np.linalg.norm(V, axis=1)
+            Dc = 1.0 - (V @ V.T) / np.outer(nrm, nrm)
+        elif metric == "l2":
+            sq = np.sum(V * V, axis=1)
+            Dc = np.sqrt(
+                np.maximum(sq[:, None] + sq[None, :] - 2 * (V @ V.T), 0)
+            )
+        else:  # ip
+            Dc = -(V @ V.T)
+        d_src = pdf["dist"].to_numpy()
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if len(kept) >= max_degree:
+                break
+            if all(alpha * d_src[i] < Dc[i, j] for j in kept):
+                kept.append(i)
+        out = pdf.iloc[kept]
+        return pd.DataFrame(
+            {
+                "layer": out["layer"].astype("int32"),
+                "src": out["src"].astype("int64"),
+                "dst": out["dst"].astype("int64"),
+                "dist": out["dist"].astype("float64"),
+            }
+        )
+
+    return enr.groupBy("layer", "src").applyInPandas(
+        prune, schema="layer int, src long, dst long, dist double"
+    )
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Per-layer degree statistics (roargraph_python.py:421-434)."""
     deg = edges.groupBy("layer", "src").agg(F.count(F.lit(1)).alias("degree"))
@@ -193,6 +269,9 @@ def build_two_layer_index(
     vec_col: str = "vec",
     M_level: int = 16,
     impl: str = "auto",
+    heuristic: bool = False,
+    alpha: float = 1.0,
+    candidate_factor: int = 3,
 ) -> DataFrame:
     """Two-layer bulk build mirroring the C++ core's 3 passes
     (hnsw.cpp:52-118): deterministic level assignment → layer-1 kNN graph
@@ -202,6 +281,13 @@ def build_two_layer_index(
     node set broadcasts, SimHash-bucketed self-join beyond
     BLOCKED_BUILD_LIMIT (the layer-1 subset is ~n/M_level and usually
     stays exact far longer).
+
+    ``heuristic=True`` applies the HNSW select-neighbors heuristic
+    (:func:`diversify_edges`) to a ``candidate_factor``× oversampled
+    candidate list before mutualizing — the standard navigability fix
+    for pure kNN graphs (data-dependent gain; recall-neutral on
+    distance-concentrated corpora, never worse — pinned by test).
+    Opt-in: the recall-pin oracles replay the plain build.
     """
     if impl == "auto":
         # bounded probe: limit(N+1).count() stops scanning at N+1 rows, so
@@ -213,9 +299,23 @@ def build_two_layer_index(
     leveled = assign_levels(base, id_col=id_col, M=M_level)
     upper = leveled.filter(F.col("level") >= 1)
     l1_impl = "blocked" if impl == "lsh" else impl  # upper layer is small
-    l1 = knn_graph(upper, M1, metric, id_col, vec_col, impl=l1_impl, layer=1)
-    l0 = knn_graph(base, M0, metric, id_col, vec_col, impl=impl, layer=0)
-    return mutualize(l1.unionByName(l0), max_degree=2 * max(M0, M1))
+    cf = max(1, candidate_factor) if heuristic else 1
+    l1 = knn_graph(upper, M1 * cf, metric, id_col, vec_col,
+                   impl=l1_impl, layer=1)
+    l0 = knn_graph(base, M0 * cf, metric, id_col, vec_col,
+                   impl=impl, layer=0)
+    cand = l1.unionByName(l0)
+    if heuristic:
+        div1 = diversify_edges(
+            cand.filter(F.col("layer") == 1), base, M1, alpha, metric,
+            id_col, vec_col,
+        )
+        div0 = diversify_edges(
+            cand.filter(F.col("layer") == 0), base, M0, alpha, metric,
+            id_col, vec_col,
+        )
+        cand = div1.unionByName(div0)
+    return mutualize(cand, max_degree=2 * max(M0, M1))
 
 
 def roargraph_build(
