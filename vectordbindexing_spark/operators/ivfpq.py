@@ -40,6 +40,7 @@ from vectordbindexing_spark.operators.ivf import _argmin_d2_blocked, kmeans_fit
 from vectordbindexing_spark.operators.pq import (
     _ADC_BLOCK_TARGET_BYTES,
     _BLOCKED_THRESHOLD_QUERIES,
+    _elementwise_d2,
     encode_codes_np,
     pq_fit,
 )
@@ -144,9 +145,7 @@ def _probes_and_luts(Q, centroids: np.ndarray, codebooks: np.ndarray,
         q1 = min(q0 + lut_block, n_q)
         for j in range(m):
             qs = Q[q0:q1, j * dsub : (j + 1) * dsub]
-            luts[q0:q1, j, :] = (
-                (qs[:, None, :] - codebooks[j][None, :, :]) ** 2
-            ).sum(axis=2)
+            luts[q0:q1, j, :] = _elementwise_d2(qs, codebooks[j])
     return probes_of, luts
 
 
