@@ -183,3 +183,55 @@ def test_dedup_ops_tolerate_null_text(spark):
          for r in dedup.simhash_text_fingerprints(df, impl="jvm").collect()}
     assert a == j and len(a) == 4
     assert a[1] == a[2]  # null ≡ empty doc
+
+
+def test_simhash_wide_fingerprint_paths_agree(spark, sf_dir):
+    """num_bits > 32 draws bits 32+ from the second derived hash; the
+    Arrow and JVM fingerprint kernels must still agree bit-for-bit, and
+    the high bits must actually vary (no mega-bucket collapse)."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.io.tables import load_table
+    from vectordbindexing_spark.operators.dedup import (
+        simhash_text_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = {r["did"]: r["fingerprint"] for r in
+         simhash_text_fingerprints(docs, num_bits=40, impl="arrow").collect()}
+    j = {r["did"]: r["fingerprint"] for r in
+         simhash_text_fingerprints(docs, num_bits=40, impl="jvm").collect()}
+    assert a == j
+    highs = {fp >> 32 for fp in a.values()}
+    assert len(highs) > 1
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpora(spark):
+    """A corpus whose fingerprints collapse onto one band key must not
+    explode the candidate join: the cap keeps the cap-smallest ids per
+    bucket, so pair volume is bounded and capped results equal the
+    uncapped join restricted to the kept ids."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.dedup import simhash_text_neardup
+
+    # 60 identical docs → identical fingerprints → one bucket per band
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate template text here").alias("text"),
+    )
+    capped = simhash_text_neardup(docs, num_bits=32, bucket_cap=10)
+    # cap 10 → only ids 0..9 survive banding → C(10,2) pairs
+    assert capped.count() == 45
+    assert capped.agg(F.max("id_b")).first()[0] == 9
+    uncapped = simhash_text_neardup(docs, num_bits=32, bucket_cap=None)
+    assert uncapped.count() == 60 * 59 // 2
+
+
+def test_scaled_simhash_bits_occupancy():
+    from vectordbindexing_spark.operators.dedup import scaled_simhash_bits
+
+    assert scaled_simhash_bits(200) == 32          # floor: 8 bits/band
+    assert scaled_simhash_bits(5_000) == 52        # 13 bits/band
+    assert scaled_simhash_bits(100_000) == 60      # clamped at 15/band
+    assert scaled_simhash_bits(10**9) == 60        # clamped at 15/band
