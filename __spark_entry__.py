@@ -1479,6 +1479,8 @@ def queries() -> dict[str, Query]:
         "ann_ladder_recall": _ann_ladder_recall,
         "text_lang_id_lexicon": _text_lang_id_lexicon,
         "planner_filtered_route": _planner_filtered_route,
+        "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
         # (d) re-confirmed green in CORRECTNESS_r05
         "sq8_knn": _sq8_knn,
         "bq_hamming_knn": _bq_knn,
@@ -1498,7 +1500,6 @@ def queries() -> dict[str, Query]:
         "simhash_buckets": _simhash_buckets,
         "ann_two_layer_recall": _ann_two_layer_recall,
         "frontier_knn": _frontier_knn,
-        "dedup_groups": _dedup_groups,
         "corpus_filter_gate": _corpus_filter_gate,
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
@@ -1516,7 +1517,6 @@ def queries() -> dict[str, Query]:
         "weighted_l2_knn": _weighted_l2_knn,
         "gt_clean_arrays": _gt_clean,
         "simhash_text_fingerprints": _simhash_text_fp,
-        "simhash_text_neardup": _simhash_text_neardup,
         "modality_stats": _modality_stats,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
