@@ -45,7 +45,9 @@ def test_embedding_neardup_autoroutes_past_broadcast_limit(spark, tables):
 
     emb = tables["embeddings"]
     routed = _pairs(
-        embedding_neardup_pairs(emb, threshold=0.4, broadcast_limit=50)
+        embedding_neardup_pairs(
+            emb, threshold=0.4, broadcast_limit=50, num_bits=8
+        )
     )
     direct = _pairs(
         embedding_neardup_lsh(emb, threshold=0.4, num_bits=8, num_tables=8)

@@ -573,9 +573,9 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_bits: int = 8,
+    num_bits: int | str = "auto",
     num_tables: int = 8,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = 20_000,
 ) -> DataFrame:
     """Corpus-scale embedding near-dup: SimHash bucket equi-join candidate
     pairs → exact cosine verify (the scale composition the broadcast path
@@ -584,32 +584,85 @@ def embedding_neardup_lsh(
     no table is missed — recall rises with num_tables and falls with
     num_bits (tune to the threshold's angle: P(bit agree) = 1 - θ/π).
 
+    ``num_bits="auto"`` sizes buckets by lsh.scaled_num_bits' occupancy
+    rule (one count job): a fixed 8-bit table is 256 buckets — ~1000
+    rows per bucket at 250k vectors and a quadratic join on clustered
+    data (reproduced: the 250k smoke never finished) — while scaled
+    bits keep per-bucket volume ~constant as n grows. ``bucket_cap``
+    (the reference's 20k) bounds the worst skewed bucket either way.
+
     Output (id_a, id_b, cos_sim ≥ threshold) with id_a < id_b, exact sims —
     precision 1.0 relative to :func:`embedding_neardup_pairs`.
     """
-    from vectordbindexing_spark.operators.lsh import simhash_buckets
+    from vectordbindexing_spark.operators.lsh import (
+        scaled_num_bits,
+        simhash_buckets,
+    )
 
     src = df.select(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v")
     )
+    if num_bits == "auto":
+        # target ~256/bucket: the verify kernel comfortably handles
+        # 256²/2 exact sims per bucket, and the cap still bounds skew
+        num_bits = scaled_num_bits(src.count(), target_bucket=256)
     bt = simhash_buckets(src, "vid", "v", num_bits, num_tables, bucket_cap)
-    # materialize once: the self-join consumes bt on BOTH sides — without
-    # this the hashing kernel runs twice
-    bt = bt.localCheckpoint(eager=True)
-    a = bt.select(F.col("id").alias("id_a"), "bucket")
-    b = bt.select(F.col("id").alias("id_b"), "bucket")
-    pair_ids = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # Verify WITHIN each bucket in an Arrow kernel instead of a
+    # candidate self-join: a tight cluster puts ~cap ids in one bucket
+    # per table, and materializing the tables·cap²/2 candidate pairs as
+    # shuffle rows OOMed a 128 GiB box at 250k vectors (the cap bounds
+    # the count, not the row explosion). Per bucket the kernel holds
+    # only (cap·d) vectors plus one blocked Gram slab, and PAIRS ONLY
+    # EXIST AS OUTPUT — rows emitted ∝ matches, the same principle as
+    # the blocked exact-KNN kernel. Cross-table duplicates are deduped
+    # on the (output-sized) match set with min() for determinism.
+    rows = bt.join(src.select(F.col("vid").alias("id"), "v"), "id")
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64),
+                 "id_b": np.empty(0, np.int64),
+                 "cos_sim": np.empty(0, np.float64)}
+            )
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        blk = max(1, (64 * 1024 * 1024) // max(8 * n, 1))
+        outs = []
+        for s in range(0, n, blk):
+            S = np.round(Vn[s : s + blk] @ Vn.T, 6)
+            ii, jj = np.nonzero(
+                (S >= thr)
+                & (ids[s : s + blk, None] < ids[None, :])
+            )
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[s + ii], "id_b": ids[jj],
+                         "cos_sim": S[ii, jj]}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64),
+                 "id_b": np.empty(0, np.int64),
+                 "cos_sim": np.empty(0, np.float64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    matched = rows.groupBy("bucket").applyInPandas(
+        verify, schema="id_a long, id_b long, cos_sim double"
     )
-    cand = pair_ids.join(
-        src.select(F.col("vid").alias("id_a"), F.col("v").alias("_va")), "id_a"
-    ).join(
-        src.select(F.col("vid").alias("id_b"), F.col("v").alias("_vb")), "id_b"
+    return matched.groupBy("id_a", "id_b").agg(
+        F.min("cos_sim").alias("cos_sim")
     )
-    return _pair_cos_sim(cand).filter(F.col("cos_sim") >= threshold)
 
 
 def embedding_neardup_pairs(
@@ -618,7 +671,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     broadcast_limit: int = 200_000,
-    num_bits: int = 8,
+    num_bits: int | str = "auto",
     num_tables: int = 8,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold (embedding near-dup).
