@@ -243,11 +243,26 @@ def test_graph_knn_low_selectivity_falls_back(spark, tables):
     n_allowed = allowed.count()
     k = min(3, n_allowed)
 
+    import numpy as np
+
+    vecs = {r["id"]: np.asarray(r["vec"], dtype=np.float64)
+            for r in b.collect()}
+
+    def cos_dist(a, bb):
+        return 1.0 - float(
+            vecs[a] @ vecs[bb]
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[bb]))
+        )
+
     def check(out):
         per_q = {}
         for r in out.collect():
             assert r["neighbor_id"] % 100 == 0
             per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+            # dist VALUES must be on the cosine-distance scale, not just
+            # rank-monotone in it (r07: the tier-2 rerank emits root-L2,
+            # which must rescale as dist²/2, not dist/2)
+            assert abs(r["dist"] - cos_dist(r["qid"], r["neighbor_id"])) < 1e-6
         # the whole point of the fallback: k rows per query despite
         # the filter, which the overfetch recipe cannot guarantee at 1%
         assert len(per_q) == 8 and all(c == k for c in per_q.values())

@@ -68,3 +68,42 @@ def test_token_budget_keeps_first_doc_even_if_over(spark):
     ).collect()}
     assert out["s"]["n_tokens"] == 50 and out["s"]["cum_tokens"] == 50
     assert out["t"]["n_tokens"] == 2
+
+
+def test_token_budget_null_text_matches_oracle(spark):
+    # r07: the oracle must coalesce(text, '') like the operator does —
+    # a NULL-text doc counts as 0 tokens on BOTH sides, keeping running
+    # sums (and therefore the driver hash) aligned on NULL-bearing data.
+    import duckdb
+
+    from vectordbindexing_spark.oracles import token_budget_sample_sql
+
+    rows = [
+        (1, "s", "a b c"),
+        (2, "s", None),
+        (3, "s", "d e f g h"),
+        (4, "t", None),
+        (5, "t", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        tuple(r)
+        for r in token_budget_sample(df, "source", budget_tokens=6)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{s}', " + ("NULL" if t is None else f"'{t}'") + ")"
+            for i, s, t in rows
+        )
+        + ") AS v(doc_id, source, text)"
+    )
+    want = sorted(tuple(r) for r in con.sql(
+        token_budget_sample_sql(budget_tokens=6)
+    ).fetchall())
+    assert got == want
+    assert any(r[2] == 0 for r in got)  # the NULL rows really hit the path

@@ -225,8 +225,9 @@ def ivfpq_knn(
     """IVF-PQ approximate KNN. Output (qid, nbr_rank, neighbor_id, dist);
     ``dist`` is the ADC squared-L2 approximation (ties → neighbor_id,
     deterministic in both engines). With ``rerank=R`` the ADC shortlist of
-    R candidates per query is re-scored with exact squared L2 against the
-    true vectors (shared :func:`operators.pq.exact_rerank` stage) — the
+    R candidates per query is re-scored with exact ROOT L2 against the
+    true vectors (shared :func:`operators.pq.exact_rerank` stage — note
+    the metric change: reranked dist is √L2, not squared) — the
     reference-grade two-stage plan: compressed probe scan everywhere,
     full-width vectors touched only for R·n_q rows.
 

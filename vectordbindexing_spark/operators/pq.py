@@ -190,11 +190,13 @@ def pq_encode(
 def exact_rerank(
     shortlist: DataFrame, qdf: DataFrame, bv: DataFrame, k: int
 ) -> DataFrame:
-    """Exact squared-L2 re-score of an ADC shortlist — the second stage of
+    """Exact root-L2 re-score of an ADC shortlist — the second stage of
     the classic two-stage serving plan (compressed scan everywhere, true
     vectors touched only for shortlist·n_q rows). ``qdf`` is (qid, _qv),
     ``bv`` is (neighbor_id, _bv); output (qid, nbr_rank, neighbor_id,
-    dist). Shared by pq_knn and ivfpq_knn so both reranks stay
+    dist) where ``dist`` is ROOT L2 (pair_dist_udf('l2') takes the
+    sqrt) — callers rescaling to another metric must square first.
+    Shared by pq_knn and ivfpq_knn so both reranks stay
     convention-identical (ties → neighbor_id)."""
     from vectordbindexing_spark.functions.vector import pair_dist_udf
 

@@ -1723,9 +1723,13 @@ def pack_token_windows_sql(seq_len: int = 512, n_shards: int = 8) -> str:
                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
                FROM documents),
          c AS (SELECT doc_id, h % {n_shards} AS shard, n_tokens,
-                      sum(n_tokens) OVER (PARTITION BY h % {n_shards}
-                                          ORDER BY h, doc_id
-                                          ROWS UNBOUNDED PRECEDING) AS tok_end
+                      -- ::BIGINT: DuckDB sum(BIGINT) promotes to HUGEINT,
+                      -- which the driver hasher serializes differently from
+                      -- Spark LONG (r06 red row). Values are far below 2^63.
+                      (sum(n_tokens) OVER (PARTITION BY h % {n_shards}
+                                           ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING))::BIGINT
+                          AS tok_end
                FROM t)
     SELECT doc_id, shard, n_tokens,
            tok_end - n_tokens AS tok_start,
@@ -1895,14 +1899,17 @@ def token_budget_sample_sql(budget_tokens: int = 600) -> str:
     from vectordbindexing_spark.functions.hashing import DET_HASH64_SQL
 
     h = DET_HASH64_SQL.format(s="doc_id::VARCHAR")
-    toks = WORDS_SQL.format(t="text")
+    # coalesce: the Spark operator (sampling.py token_budget_sample) counts
+    # NULL text as 0 tokens; tokenizing raw text would diverge on NULLs.
+    toks = WORDS_SQL.format(t="coalesce(text, '')")
     return f"""
     WITH b AS (SELECT doc_id, source, len({toks})::BIGINT AS n_tokens
                FROM documents),
          w AS (SELECT doc_id, source, n_tokens,
-                      sum(n_tokens) OVER (PARTITION BY source
-                                          ORDER BY {h}, doc_id
-                                          ROWS UNBOUNDED PRECEDING)
+                      -- ::BIGINT: avoid DuckDB HUGEINT promotion (r06 red)
+                      (sum(n_tokens) OVER (PARTITION BY source
+                                           ORDER BY {h}, doc_id
+                                           ROWS UNBOUNDED PRECEDING))::BIGINT
                           AS cum_tokens,
                       row_number() OVER (PARTITION BY source
                                          ORDER BY {h}, doc_id) AS rn
@@ -2145,7 +2152,7 @@ WITH b AS (SELECT floor(value / 5.0)::BIGINT AS bin, count(*) AS n
            FROM events GROUP BY 1),
      t AS (SELECT count(*)::DOUBLE AS total FROM events)
 SELECT bin,
-       bin * 5.0 AS bin_low,
+       (bin * 5.0)::DOUBLE AS bin_low,
        n,
        round(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / t.total, 6)
            AS cdf

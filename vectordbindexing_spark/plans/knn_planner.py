@@ -394,7 +394,14 @@ def graph_knn(
                 q_id=q_id, q_vec=q_vec, b_id=b_id, b_vec=b_vec,
             )
             if metric == "cosine":
-                out = out.withColumn("dist", F.col("dist") / 2)
+                # rerank=R makes ivfpq_knn emit exact ROOT-L2 (not ADC
+                # squared L2 — see exact_rerank), so the unit-vector
+                # identity is cos dist = dist²/2, same as the sq8 route.
+                # dist/2 here would keep the ranks (monotone) but report
+                # sqrt(2(1-cos))/2 — numerically wrong dist values.
+                out = out.withColumn(
+                    "dist", (F.col("dist") * F.col("dist")) / 2
+                )
             return out
     kk = k if allowed is None else max(k, 1) * max(overfetch, 1)
     ef = ef_search if allowed is None else max(ef_search, kk)
