@@ -237,3 +237,21 @@ def test_scaled_simhash_bits_occupancy():
     assert scaled_simhash_bits(5_000) == 52        # 13 bits/band
     assert scaled_simhash_bits(100_000) == 60      # clamped at 15/band
     assert scaled_simhash_bits(10**9) == 60        # clamped at 15/band
+
+
+def test_simhash_width_guard_and_auto_total():
+    # r07: >60-bit fingerprints must be rejected (they'd silently
+    # recreate the collapsed-band mega-bucket), and the auto rule must
+    # keep bands * bits_per_band <= 60 for EVERY band count
+    import pytest
+
+    from vectordbindexing_spark.operators.dedup import (
+        scaled_simhash_bits,
+        simhash_text_fingerprints,
+    )
+
+    for bands in range(1, 12):
+        assert scaled_simhash_bits(10**9, bands) <= 60, bands
+        assert scaled_simhash_bits(100, bands) <= 60, bands
+    with pytest.raises(ValueError, match="60"):
+        simhash_text_fingerprints(None, num_bits=61)

@@ -321,6 +321,15 @@ def simhash_text_fingerprints(
       no-Python-worker deployment (or a GIL-bound executor profile) may
       prefer it, and the choice is one flag.
     """
+    if num_bits > 60:
+        # bits 32-59 come from the second derived hash (28-bit mask);
+        # beyond 60 the high bands' sign sums are all -len again (the
+        # collapsed mega-bucket bug this layout fixes) and 1<<i bit
+        # weights overflow int64 at i >= 63
+        raise ValueError(
+            f"num_bits={num_bits} > 60: the packed int64 fingerprint "
+            "carries at most 60 derived hash bits"
+        )
     if impl == "jvm":
         return _simhash_text_fingerprints_jvm(df, text_col, id_col, num_bits)
     from collections.abc import Iterator
@@ -457,7 +466,10 @@ def scaled_simhash_bits(n: int, bands: int = 4) -> int:
     import math
 
     bpb = math.ceil(math.log2(max(n, 2)))
-    return bands * min(15, max(8, bpb))
+    # 60 // bands: the TOTAL must stay ≤ 60 whatever the band count —
+    # bands ≥ 5 at 15 bits/band would yield 75 bits, silently recreating
+    # the >60-bit collapse the width guard below rejects
+    return bands * max(1, min(15, 60 // bands, max(8, bpb)))
 
 
 def simhash_text_neardup(
@@ -511,14 +523,28 @@ def simhash_text_neardup(
         ).alias("band"),
     ).select("did", "fingerprint", "band.band_idx", "band.band_key")
     if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_key").orderBy("did")
-        banded = (
-            banded.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= bucket_cap)
-            .drop("_r")
+        # r07: probe max bucket occupancy first — one map-side-combined
+        # count job over the (cheap, fp is checkpointed) banded
+        # projection — and only pay the row_number window (a full
+        # shuffle+sort of every (band, key) partition) when some bucket
+        # actually exceeds the cap. At every contract scale the cap is a
+        # no-op, and the unconditional window was the r06 bench
+        # regression (dedup_groups 6.3→10.1 s, simhash 2.6→5.1 s).
+        max_occ = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
         )
+        if max_occ is not None and max_occ > bucket_cap:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band_idx", "band_key").orderBy("did")
+            banded = (
+                banded.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= bucket_cap)
+                .drop("_r")
+            )
     a = banded.select(
         F.col("did").alias("id_a"), F.col("fingerprint").alias("fp_a"),
         "band_idx", "band_key",
