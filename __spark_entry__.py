@@ -1437,67 +1437,19 @@ def queries() -> dict[str, Query]:
     # Registry ORDER is a contract with the driver: its per-round
     # CORRECTNESS file covers roughly the first 50 entries, so each round
     # leads with the queries that most need a fresh driver-side oracle
-    # row. Round-6 rotation: (a) the 14 queries that had never appeared
-    # in any CORRECTNESS_r* file, (b) the 10 whose last driver row was
-    # r04, (c) the media queries (newly hash-gated this round) and the
-    # queries whose operators changed this round, (d) everything
-    # re-confirmed green in r05. Rotate again next round so every query
-    # keeps a recent driver row.
+    # row. Round-7 rotation: (a) the two r06 reds, re-fixed this round
+    # (HUGEINT oracle sums cast ::BIGINT); (b) r06 positions 51-76 —
+    # green in r05 and in every local replay but outside the r06 driver
+    # window, so the union of r06+r07 driver rows covers all 76 queries;
+    # (c) queries whose operator or oracle changed in r07 (conditional
+    # simhash bucket cap, histogram DECIMAL->DOUBLE pin, planner
+    # fallback rescale); (d) r06-green unchanged queries fill the rest
+    # of the window, the r06-green text/media block brings up the tail.
     return {
-        # (a) never driver-checked before r06
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition_stats": _text_repetition_stats,
-        "text_chunk_documents": _text_chunk_documents,
+        # (a) r06 red, re-fixed: windowed sums now ::BIGINT
         "text_pack_windows": _pack_token_windows,
-        "text_lm_logprob": _char_trigram_logprob,
-        "embedding_pool_by_doc": _embedding_pool_by_doc,
-        "text_url_domains": _text_url_domains,
-        "text_line_dedup": _text_line_dedup,
-        "mix_quota_sample": _mix_quota_sample,
         "mix_token_budget_sample": _mix_token_budget_sample,
-        "doc_fingerprint": _doc_fingerprint,
-        "tpch_q10_returned_items": _tpch_q10,
-        "tpch_q18_large_volume": _tpch_q18,
-        "events_attribution": _events_attribution,
-        # (b) last driver row was r04
-        "text_bpe_token_stats": _bpe_token_stats,
-        "benchmark_contamination": _benchmark_contamination,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "top_orders_per_customer": _top_orders_per_customer,
-        "events_props_json": _events_props_json,
-        "events_value_histogram": _events_value_histogram,
-        "events_hourly_stats": _events_hourly,
-        "events_sessionize": _events_sessionize,
-        # (c) media (hash-gated in r06) + operators changed in r06
-        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
-        "media_wav_features": _media_wav_features,
-        "media_video_stats": _media_video_stats,
-        "semantic_dedup": _semantic_dedup,
-        "ann_ladder_recall": _ann_ladder_recall,
-        "text_lang_id_lexicon": _text_lang_id_lexicon,
-        "planner_filtered_route": _planner_filtered_route,
-        "simhash_text_neardup": _simhash_text_neardup,
-        "dedup_groups": _dedup_groups,
-        # (d) re-confirmed green in CORRECTNESS_r05
-        "sq8_knn": _sq8_knn,
-        "bq_hamming_knn": _bq_knn,
-        "pq_adc_knn": _pq_adc_knn,
-        "opq_knn": _opq_knn,
-        "ivfpq_knn": _ivfpq_knn,
-        "ivfpq_index_knn": _ivfpq_index_knn,
-        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
-        "planner_knn_route": _planner_knn_route,
-        "planner_sq8_route": _planner_sq8_route,
-        "planner_graph_route": _planner_graph_route,
-        "knn_exact_cosine": _knn_query("cosine"),
-        "knn_exact_l2": _knn_query("l2"),
-        "knn_exact_ip": _knn_query("ip"),
-        "lsh_knn_cosine": _lsh_knn,
-        "ivf_knn_cosine": _ivf_knn,
-        "simhash_buckets": _simhash_buckets,
+        # (b) r06 positions 51-76: fresh driver rows this round
         "ann_two_layer_recall": _ann_two_layer_recall,
         "frontier_knn": _frontier_knn,
         "corpus_filter_gate": _corpus_filter_gate,
@@ -1524,6 +1476,57 @@ def queries() -> dict[str, Query]:
         "text_token_stats": _text_token_stats,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
+        # (c) operator/oracle changed in r07
+        "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
+        "simhash_buckets": _simhash_buckets,
+        "events_value_histogram": _events_value_histogram,
+        "planner_filtered_route": _planner_filtered_route,
+        # (d) r06-green, unchanged — fills the rest of the ~50 window
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
+        "semantic_dedup": _semantic_dedup,
+        "ann_ladder_recall": _ann_ladder_recall,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
+        "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
+        "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
+        "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
+        "planner_graph_route": _planner_graph_route,
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_ip": _knn_query("ip"),
+        "lsh_knn_cosine": _lsh_knn,
+        "ivf_knn_cosine": _ivf_knn,
+        # tail: r06-green text/events/tpch block (driver row age: r06)
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition_stats": _text_repetition_stats,
+        "text_chunk_documents": _text_chunk_documents,
+        "text_lm_logprob": _char_trigram_logprob,
+        "embedding_pool_by_doc": _embedding_pool_by_doc,
+        "text_url_domains": _text_url_domains,
+        "text_line_dedup": _text_line_dedup,
+        "mix_quota_sample": _mix_quota_sample,
+        "doc_fingerprint": _doc_fingerprint,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q18_large_volume": _tpch_q18,
+        "events_attribution": _events_attribution,
+        "text_bpe_token_stats": _bpe_token_stats,
+        "benchmark_contamination": _benchmark_contamination,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "events_props_json": _events_props_json,
+        "events_hourly_stats": _events_hourly,
+        "events_sessionize": _events_sessionize,
     }
 
 
