@@ -1,0 +1,133 @@
+"""Single-node serving measurement harness (SCALE.md measured-serving log).
+
+Builds a two-layer graph index over a seeded synthetic corpus, then
+sweeps ef over the compact broadcast-serving route, reporting QPS and
+recall@k against the exact brute-force baseline — the protocol behind
+the SCALE.md "Measured single-node serving" tables (r06: 100k corpus;
+r07: 500k, matching the published FAISS-HNSW anchor's corpus size).
+
+Usage:
+    python scripts/measure_serving.py --n 500000 --dim 128 \
+        --n-queries 2000 --ef 64,128,256,512
+Prints one line per stage/ef point; safe to run in the background.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--n-queries", type=int, default=2_000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--modalities", type=int, default=2,
+                    help="cluster count: 2 = the distance-concentration "
+                         "worst case, 64 ≈ realistic embedding diversity")
+    ap.add_argument("--ef", type=str, default="64,128,256,512")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--heuristic", action="store_true")
+    ap.add_argument("--build-impl", type=str, default="auto",
+                    help="auto | blocked | bucketed | lsh")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .config("spark.driver.memory", "64g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectordbindexing_spark.io.synthetic import (
+        synthetic_queries,
+        synthetic_vectors,
+    )
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import (
+        compact_index,
+        graph_search,
+    )
+
+    t0 = time.perf_counter()
+    base = synthetic_vectors(
+        spark, args.n, args.dim, n_modalities=args.modalities
+    ).select("id", "vec").localCheckpoint(eager=True)
+    q = synthetic_queries(
+        spark, args.n_queries, args.dim, n_modalities=args.modalities
+    ).select("qid", "vec").localCheckpoint(eager=True)
+    log(f"generated corpus n={args.n} d={args.dim} nq={args.n_queries} "
+        f"in {time.perf_counter() - t0:.1f}s")
+
+    def to_arrays(df, col):
+        return df.groupBy("qid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("nbr_rank", "neighbor_id"))
+                ),
+                lambda s: s["neighbor_id"],
+            ).alias(col)
+        )
+
+    t0 = time.perf_counter()
+    gt = to_arrays(
+        exact_knn(q, base, args.k, "cosine"), "gt_ids"
+    ).localCheckpoint(eager=True)
+    exact_wall = time.perf_counter() - t0
+    log(f"exact baseline: {exact_wall:.1f}s "
+        f"({args.n_queries / exact_wall:.0f} QPS brute force)")
+
+    t0 = time.perf_counter()
+    edges = build_two_layer_index(
+        base, heuristic=args.heuristic, impl=args.build_impl
+    ).localCheckpoint(eager=True)
+    build_wall = time.perf_counter() - t0
+    log(f"two-layer build: {build_wall:.1f}s ({edges.count()} edges)")
+
+    t0 = time.perf_counter()
+    idx = compact_index(edges, base)
+    log(f"compact collect: {time.perf_counter() - t0:.1f}s")
+
+    for ef in [int(x) for x in args.ef.split(",")]:
+        t0 = time.perf_counter()
+        got = graph_search(q, idx, k=args.k, ef_search=ef).localCheckpoint(
+            eager=True
+        )
+        wall = time.perf_counter() - t0
+        pred = to_arrays(got, "pred_ids")
+        rec = (
+            pred.join(gt, "qid")
+            .select(
+                (
+                    F.size(F.array_intersect("pred_ids", "gt_ids"))
+                    / float(args.k)
+                ).alias("r")
+            )
+            .agg(F.avg("r"))
+            .first()[0]
+        )
+        log(
+            f"ef={ef}: {wall:.2f}s = {args.n_queries / wall:.0f} QPS "
+            f"({1000 * wall / args.n_queries:.2f} ms/q), "
+            f"recall@{args.k}={rec:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -314,3 +314,183 @@ def test_heuristic_build_recall_not_worse(spark, tables):
 
     r_plain, r_heur = rec(False), rec(True)
     assert r_heur >= r_plain - 1e-9, (r_plain, r_heur)
+
+
+def test_bucketed_build_recall_and_bounds(spark):
+    """r07 scale build: the salt-bounded in-kernel bucketed kNN graph.
+    On a corpus whose buckets fit one group it matches the exact blocked
+    edges almost everywhere; under a tiny forced group_cap it still
+    emits exactly k edges per node (bounded work, never a candidate-join
+    explosion) and the two-layer graph it feeds still serves."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.io.synthetic import (
+        synthetic_queries,
+        synthetic_vectors,
+    )
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import (
+        _knn_graph_bucketed,
+        build_two_layer_index,
+        knn_graph,
+    )
+    from vectordbindexing_spark.operators.search import (
+        compact_index,
+        graph_search,
+    )
+
+    b = synthetic_vectors(spark, 3000, 32).select("id", "vec")
+    b = b.localCheckpoint(eager=True)
+    exact = knn_graph(b, 8, impl="blocked")
+    bucketed = knn_graph(b, 8, impl="bucketed")
+    hit = exact.select("src", "dst").intersect(
+        bucketed.select("src", "dst")
+    ).count()
+    assert hit / exact.count() >= 0.95
+    # structural bound: k edges per node regardless of group_cap
+    tiny = _knn_graph_bucketed(
+        b, 8, "cosine", "id", "vec", layer=0, group_cap=256
+    )
+    per = tiny.groupBy("src").agg(F.count(F.lit(1)).alias("m"))
+    assert per.agg(F.max("m")).first()[0] == 8
+    assert per.count() == 3000
+
+    # end-to-end: bucketed two-layer build still navigates
+    edges = build_two_layer_index(b, M0=16, M1=8, impl="bucketed")
+    idx = compact_index(edges, b)
+    q = synthetic_queries(spark, 200, 32).select("qid", "vec")
+    got = graph_search(q, idx, k=10, ef_search=128)
+    ex = exact_knn(q, b, 10, "cosine")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    rec = (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(F.avg("r"))
+        .first()[0]
+    )
+    assert rec >= 0.9, rec
+
+
+def test_refine_knn_graph_improves_edges(spark):
+    """NN-descent rounds must (a) keep exactly k edges per node, (b)
+    never lose edge recall, and (c) strictly improve it from a
+    deliberately poor starting graph on a spread corpus."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.io.synthetic import synthetic_vectors
+    from vectordbindexing_spark.operators.graph import (
+        knn_graph,
+        refine_knn_graph,
+    )
+
+    b = synthetic_vectors(spark, 2000, 16, n_modalities=16).select(
+        "id", "vec"
+    ).localCheckpoint(eager=True)
+    exact = knn_graph(b, 6, impl="blocked").localCheckpoint(eager=True)
+    ex_n = exact.count()
+
+    # genuinely poor start: a deterministic RANDOM 6-regular graph
+    # (dist placeholder 0 — refine rescores every proposal exactly)
+    start = (
+        b.select(F.col("id").alias("src"))
+        .select(
+            "src",
+            F.explode(F.sequence(F.lit(1), F.lit(6))).alias("_j"),
+        )
+        .select(
+            F.lit(0).alias("layer"),
+            "src",
+            F.pmod(F.col("src") * 7919 + F.col("_j") * 104729, F.lit(2000))
+            .alias("dst"),
+            F.lit(0.0).alias("dist"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+    def rec(g):
+        return exact.select("src", "dst").intersect(
+            g.select("src", "dst")
+        ).count() / ex_n
+
+    r0 = rec(start)
+    refined = refine_knn_graph(start, b, 6, rounds=3)
+    r2 = rec(refined)
+    assert r0 < 0.2, r0
+    assert r2 > r0 + 0.1, (r0, r2)
+    per = refined.groupBy("src").agg(F.count(F.lit(1)).alias("m"))
+    assert per.agg(F.max("m")).first()[0] == 6
+    # every kept dist is the true distance up to the float32 broadcast
+    # matrix (same storage convention as CompactIndex serving)
+    j = refined.alias("a").join(
+        exact.alias("b"),
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") == F.col("b.dst")),
+    ).select(
+        (F.abs(F.col("a.dist") - F.col("b.dist")) < 1e-5).alias("ok")
+    )
+    assert j.filter(~F.col("ok")).count() == 0
+
+
+def test_clustered_corpus_stays_connected_and_serves(spark):
+    """r07 navigability cliff regression: on a many-cluster corpus a
+    pure kNN two-layer graph decomposes into one component per cluster
+    (serving recall = entry-covered clusters / clusters). The scale
+    builds must union random-matching long links on the top layer: the
+    candidate graph becomes ONE component and serving recall recovers."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.io.synthetic import (
+        synthetic_queries,
+        synthetic_vectors,
+    )
+    from vectordbindexing_spark.operators.components import (
+        connected_components,
+    )
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import (
+        build_two_layer_index,
+        random_matching_edges,
+    )
+    from vectordbindexing_spark.operators.search import (
+        compact_index,
+        graph_search,
+    )
+
+    b = synthetic_vectors(spark, 4000, 32, n_modalities=16).select(
+        "id", "vec"
+    ).localCheckpoint(eager=True)
+
+    # the long-link union makes the top layer one component
+    edges = build_two_layer_index(b, impl="bucketed").localCheckpoint(
+        eager=True
+    )
+    l1 = edges.filter(F.col("layer") == 1).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    comp = connected_components(l1)
+    n_comp = comp.select("component").distinct().count()
+    assert n_comp == 1, f"top layer split into {n_comp} components"
+
+    # and the index actually serves across clusters
+    idx = compact_index(edges, b)
+    q = synthetic_queries(spark, 200, 32, n_modalities=16).select(
+        "qid", "vec"
+    )
+    got = graph_search(q, idx, k=10, ef_search=128)
+    gt = exact_knn(q, b, 10, "cosine").groupBy("qid").agg(
+        F.collect_set("neighbor_id").alias("g")
+    )
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    rec = (
+        gp.join(gt, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(F.avg("r"))
+        .first()[0]
+    )
+    assert rec >= 0.9, rec
+
+    # matching-edge invariants: deterministic, exact dists, no loops
+    m1 = random_matching_edges(b, rounds=3)
+    m2 = random_matching_edges(b, rounds=3)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+    assert m1.filter(F.col("src") == F.col("dst")).count() == 0

@@ -149,3 +149,60 @@ def test_build_shard_blocked_matches_unblocked(monkeypatch):
         blocked = shmod._build_shard(ids, V, 8, 4, 16, metric, 3)
         monkeypatch.undo()
         assert full.equals(blocked), metric
+
+
+def test_compact_npy_sidecar_roundtrip_and_path_serving(spark, split, tmp_path):
+    """r07 mmap sidecar: save_compact_index also writes _compact_npy;
+    load prefers it (mmap) and must equal both the in-memory index and
+    the parquet rebuild; graph_search accepts the sidecar DIR and must
+    return exactly the in-memory results (only the path is broadcast)."""
+    import os
+
+    import numpy as np
+
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import (
+        compact_index,
+        graph_search,
+        load_compact_npy,
+    )
+    from vectordbindexing_spark.operators.shard import (
+        _index_from_rows,
+        compact_npy_dir,
+        load_compact_index,
+        save_compact_index,
+    )
+
+    q, b = split
+    edges = build_two_layer_index(b, M0=16, M1=8, metric="cosine",
+                                  id_col="vec_id", vec_col="embedding")
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    path = str(tmp_path / "artifact")
+    save_compact_index(idx, spark, path)
+    d = compact_npy_dir(path)
+    assert d is not None and os.path.exists(os.path.join(d, "meta.json"))
+
+    loaded = load_compact_index(spark, path)  # takes the npy branch
+    parquet = _index_from_rows(spark.read.parquet(path).toPandas(), "cosine")
+    for other in (loaded, parquet):
+        assert np.array_equal(idx.ids, other.ids)
+        assert np.array_equal(idx.vecs, np.asarray(other.vecs))
+        assert set(idx.indptr) == set(other.indptr)
+        for layer in idx.indptr:
+            assert np.array_equal(idx.indptr[layer], other.indptr[layer])
+            assert np.array_equal(
+                np.asarray(idx.indices[layer]),
+                np.asarray(other.indices[layer]),
+            )
+    # mmap really engaged on the big arrays
+    assert isinstance(load_compact_npy(d).vecs, np.memmap)
+
+    kw = dict(k=10, ef_search=64, q_id="vec_id", q_vec="embedding")
+    live = sorted(tuple(r) for r in graph_search(q, idx, **kw).collect())
+    via_path = sorted(tuple(r) for r in graph_search(q, d, **kw).collect())
+    assert live == via_path
+
+    # non-local schemes: no sidecar attempt
+    assert compact_npy_dir("s3a://bucket/idx") is None
+    assert compact_npy_dir("hdfs://nn/idx") is None

@@ -66,6 +66,132 @@ def assign_levels_sql(table: str, cols: str, id_col: str, M: int = 16) -> str:
     return ASSIGN_LEVELS_SQL_TEMPLATE.format(cols=cols, terms=terms, table=table)
 
 
+def _knn_graph_bucketed(
+    df: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    layer: int,
+    num_bits: int | str = "auto",
+    num_tables: int = 4,
+    group_cap: int = 4096,
+) -> DataFrame:
+    """Corpus-scale kNN-graph build with BOUNDED work per node: SimHash
+    bucket the nodes (occupancy-scaled bits), SALT any bucket past
+    ``group_cap`` into hash-assigned subgroups, and run the blocked
+    exact top-k kernel INSIDE each (table, bucket, salt) group — edges
+    exist only as kernel output (n·tables·k rows), never as a
+    candidate-pair join.
+
+    Why not the equi-join path (`lsh_knn` self-join): on a
+    distance-concentrated corpus the buckets collapse (measured r07: a
+    500k two-blob corpus put ~250k rows per bucket at 8 bits) and the
+    probes⨝buckets join materializes n_q × bucket_size candidate ROWS —
+    10^11 at 500k, a hang/OOM. Here a mega-bucket instead becomes
+    ceil(m/cap) independent ≤~cap-row kernels: per node per table the
+    candidate set is a deterministic hash-random ≈cap-subset of its
+    bucket — for graph NAVIGABILITY that is the NSW recipe (near edges
+    within the subset + long-range links from other tables' subsets),
+    and total work is ≤ n · tables · cap pairs whatever the skew.
+
+    Group membership is deterministic (md5 id salts, seeded planes), so
+    the build is reproducible across runs/partitionings.
+    """
+    from vectordbindexing_spark.operators.lsh import (
+        scaled_num_bits,
+        simhash_buckets,
+    )
+    from vectordbindexing_spark.operators.shard import _dist_matrix
+    from vectordbindexing_spark.operators.topk import batch_topk_by_dist_id
+
+    nodes = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_nid"), F.col(vec_col).alias("_nv")
+    )
+    if num_bits == "auto":
+        num_bits = scaled_num_bits(nodes.count(), target_bucket=group_cap // 2)
+    bk = simhash_buckets(
+        nodes, "_nid", "_nv", num_bits, num_tables, bucket_cap=None
+    ).withColumnRenamed("id", "_nid")
+    # salt factor per OVERFULL bucket only (≤ n/cap entries — small
+    # relative to n; broadcast join). Hash-salting needs no global sort
+    # and keeps groups ≈cap in expectation.
+    salts = (
+        bk.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > group_cap)
+        .select(
+            "bucket",
+            F.ceil(F.col("_m") / group_cap).cast("long").alias("_nsalt"),
+        )
+    )
+    salted = (
+        bk.join(F.broadcast(salts), "bucket", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(
+                    det_hash64(
+                        F.concat_ws(":", F.col("_nid"), F.col("bucket"))
+                    ),
+                    F.col("_nsalt"),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .select("bucket", "_salt", "_nid")
+        .join(nodes, "_nid")
+    )
+
+    kk = min(k + 1, 2 ** 31 - 1)
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"),
+                 "dst": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        ids = pdf["_nid"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_nv"]])
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        blk = max(1, min(m, (256 * 1024 * 1024) // max(1, 8 * m)))
+        src_out, dst_out, d_out = [], [], []
+        for s in range(0, m, blk):
+            D = _dist_matrix(V[s : s + blk], V, metric)
+            for r in range(D.shape[0]):
+                D[r, s + r] = np.inf  # self
+            nbr, dv = batch_topk_by_dist_id(D, ids, min(kk - 1, m - 1))
+            for r in range(D.shape[0]):
+                fin = np.isfinite(dv[r])
+                src_out.append(
+                    np.full(int(fin.sum()), ids[s + r], dtype=np.int64)
+                )
+                dst_out.append(nbr[r][fin].astype(np.int64))
+                d_out.append(dv[r][fin])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(src_out),
+                "dst": np.concatenate(dst_out),
+                "dist": np.concatenate(d_out),
+            }
+        )
+
+    per_table = salted.groupBy("bucket", "_salt").applyInPandas(
+        build_group, schema="src long, dst long, dist double"
+    )
+    # one neighbor = one slot: min-dist canonicalization across tables
+    # (group compositions differ, so BLAS low bits can differ) before the
+    # global per-node top-k
+    uniq = per_table.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+    edges = topk_per_group(
+        uniq, ["src"], "dist", k, tie_col="dst", rank_name="_rn"
+    ).drop("_rn")
+    return edges.select(F.lit(layer).alias("layer"), "src", "dst", "dist")
+
+
 def knn_graph(
     df: DataFrame,
     k: int,
@@ -74,19 +200,27 @@ def knn_graph(
     vec_col: str = "vec",
     impl: str = "blocked",
     layer: int = 0,
-    num_bits: int = 8,
+    num_bits: int | str = "auto",
     num_tables: int = 8,
 ) -> DataFrame:
     """Directed kNN graph: each node → its k nearest others (self excluded).
 
     ``impl='blocked'`` broadcasts the node set as the query side — exact,
-    right up to ~100k nodes. ``impl='lsh'`` is the corpus-scale build: the
-    self-join happens through SimHash bucket equi-joins (candidates ∝
-    collisions, both sides stay distributed — the reference's
-    candidate-pool insert, hnsw_cosine.py:111-153, as a dataflow);
-    approximate, tuned by (num_bits, num_tables). Recall parity, not
+    right up to ~100k nodes. ``impl='bucketed'`` is the corpus-scale
+    build (:func:`_knn_graph_bucketed`): in-kernel exact top-k inside
+    salt-bounded SimHash groups — work ≤ n·tables·cap pairs however
+    skewed the bucket occupancy. ``impl='lsh'`` is the equi-join
+    candidate retrieval (`lsh_knn` self-join; candidates ∝ collisions)
+    — fine on well-spread corpora, degenerates on concentrated ones
+    (see the bucketed docstring); kept for parity with the serving-path
+    LSH and tuned by (num_bits, num_tables). Recall parity, not
     edge-for-edge equality, is the graph-quality criterion (SURVEY §7).
     """
+    if impl == "bucketed":
+        return _knn_graph_bucketed(
+            df, k, metric, id_col, vec_col, layer,
+            num_bits=num_bits, num_tables=min(num_tables, 4),
+        )
     if impl == "lsh":
         from vectordbindexing_spark.operators.lsh import lsh_knn
 
@@ -116,6 +250,267 @@ def knn_graph(
             F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"), "dist"
         )
     return edges.select(F.lit(layer).alias("layer"), "src", "dst", "dist")
+
+
+def random_matching_edges(
+    nodes: DataFrame,
+    rounds: int = 3,
+    layer: int = 1,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Deterministic random long-range edges: ``rounds`` independent
+    hash-random matchings over the node set (union ≈ a random
+    2·rounds-regular graph — connected w.h.p. for rounds ≥ 2), with
+    exact distances. The NSW ingredient a pure kNN graph lacks: on a
+    clustered corpus every kNN edge is intra-cluster, so the two-layer
+    graph decomposes into one component per cluster and a beam from any
+    entry point can never reach the other clusters' nodes (measured
+    r07: 500k×128, 64 Gaussian clusters — serving recall 0.06, exactly
+    the ~3 entry-covered clusters out of 64). Long links let the
+    upper-layer beam hop clusters: visiting ~ef nodes samples
+    ~ef·rounds uniform nodes, so any cluster of mass 1/B is hit w.h.p.
+    once ef ≳ B, after which the local kNN edges take over.
+
+    Dataflow: per round, nodes get a hash key into ~n/2 groups; each
+    group (Poisson mean 2) emits a path over its hash-ordered members —
+    pure groupBy, no global sort, no driver state. Distances come from
+    one vector join + Arrow pair kernel over the O(n·rounds) edge rows.
+    Output (layer, src, dst, dist) like knn_graph."""
+    from collections.abc import Iterator
+
+    nv = nodes.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_nid"), F.col(vec_col).alias("_nv")
+    )
+    n = nv.count()
+    if n < 4:
+        return nv.sparkSession.createDataFrame(
+            [], "layer int, src long, dst long, dist double"
+        )
+    groups = max(2, n // 2)
+    pairs = None
+    for j in range(rounds):
+        key = F.pmod(
+            det_hash64(F.concat_ws(":", F.lit(j), F.col("_nid"))),
+            F.lit(groups),
+        )
+        hh = det_hash64(F.concat_ws("#", F.lit(j), F.col("_nid")))
+        members = nv.select(
+            "_nid", key.alias("_g"), hh.alias("_h")
+        )
+        # path over hash-ordered group members: lead() within the group
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_g").orderBy("_h", "_nid")
+        p = (
+            members.withColumn("_nxt", F.lead("_nid").over(w))
+            .filter(F.col("_nxt").isNotNull() & (F.col("_nid") != F.col("_nxt")))
+            .select(F.col("_nid").alias("src"), F.col("_nxt").alias("dst"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["src", "dst"])
+    paired = (
+        pairs.join(nv.select(F.col("_nid").alias("src"),
+                             F.col("_nv").alias("_qv")), "src")
+        .join(nv.select(F.col("_nid").alias("dst"),
+                        F.col("_nv").alias("_bv")), "dst")
+    )
+
+    def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_bv"]])
+            d = np.einsum("ij,ij->i", A, B)
+            if metric == "cosine":
+                d = 1.0 - d / (
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                )
+            elif metric == "l2":
+                diff = A - B
+                d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            else:  # ip
+                d = -d
+            yield pd.DataFrame(
+                {"src": pdf["src"].to_numpy(),
+                 "dst": pdf["dst"].to_numpy(), "dist": d}
+            )
+
+    scored = paired.mapInPandas(
+        score_pairs, schema="src long, dst long, dist double"
+    )
+    return scored.select(
+        F.lit(layer).alias("layer"), "src", "dst", "dist"
+    )
+
+
+REFINE_BROADCAST_LIMIT = 2_000_000  # vecs broadcast ≈ n·d·4B ≤ ~1 GB
+
+
+def refine_knn_graph(
+    edges: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    rounds: int = 1,
+    sample: int = 8,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """NN-descent refinement (Dong, Moses & Li, WWW'11) of an
+    approximate kNN edge table: each round proposes every node's
+    neighbors-of-neighbors (via the ``sample`` closest in-/out-edges per
+    node), re-scores proposals exactly, and keeps the per-node top-k of
+    current ∪ proposed. The local-closure principle — a neighbor of a
+    neighbor is likely a neighbor — moves approximate graphs toward the
+    exact kNN graph; use it when the EDGE TABLE is the product (kNN
+    graph export for clustering/dedup/downstream ML). For graph-ANN
+    *serving* it is usually unnecessary: measured r07, the bucketed
+    build's hash-random links navigate as well or better un-refined
+    (SCALE.md), and on distance-concentrated corpora the per-round gain
+    is bounded by proposals/|near-tie set| (measured 0.308→0.353 over
+    two rounds at 100k two-blob vs 0.836→0.882 at 64-blob).
+
+    Dataflow per round: the proposal join is narrow id triples
+    (n·sample² rows ≈ 32M at 500k, sample=8); scoring streams proposals
+    through a mapInPandas kernel against the BROADCAST (n×d float32)
+    vector matrix — no vector shuffle at all (guarded by
+    REFINE_BROADCAST_LIMIT; past it score via the pair-join kernel like
+    lsh_knn, shuffle ∝ proposals·d). Input/output schema
+    (layer, src, dst, dist); multi-layer tables refine per layer."""
+    from collections.abc import Iterator
+
+    nodes = base.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_nid"), F.col(vec_col).alias("_nv")
+    )
+    n = nodes.limit(REFINE_BROADCAST_LIMIT + 1).count()
+    use_broadcast = n <= REFINE_BROADCAST_LIMIT
+    bc = None
+    if use_broadcast:
+        pdf = nodes.toPandas()
+        ids = pdf["_nid"].to_numpy()
+        V = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in pdf["_nv"]]
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        pos = np.full(int(ids.max()) + 1 if len(ids) else 1, -1, np.int64)
+        pos[ids] = np.arange(len(ids))
+        bc = edges.sparkSession.sparkContext.broadcast((pos, V))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos_l, Vb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = Vb[pos_l[pdf["src"].to_numpy()]].astype(np.float64)
+            B = Vb[pos_l[pdf["dst"].to_numpy()]].astype(np.float64)
+            d = np.einsum("ij,ij->i", A, B)
+            if metric == "cosine":
+                d = 1.0 - d / (
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                )
+            elif metric == "l2":
+                diff = A - B
+                d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            else:  # ip
+                d = -d
+            yield pd.DataFrame(
+                {
+                    "layer": pdf["layer"].to_numpy(),
+                    "src": pdf["src"].to_numpy(),
+                    "dst": pdf["dst"].to_numpy(),
+                    "dist": d,
+                }
+            )
+
+    def score(cand: DataFrame) -> DataFrame:
+        if use_broadcast:
+            from vectordbindexing_spark.plans.partitioning import (
+                repartition_for_compute,
+            )
+
+            return repartition_for_compute(cand).mapInPandas(
+                score_batches,
+                schema="layer int, src long, dst long, dist double",
+            )
+        qv = nodes.select(F.col("_nid").alias("src"), F.col("_nv").alias("_qv"))
+        bv = nodes.select(F.col("_nid").alias("dst"), F.col("_nv").alias("_bv"))
+        paired = cand.join(qv, "src").join(bv, "dst")
+
+        def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_qv"]]
+                )
+                B = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_bv"]]
+                )
+                d = np.einsum("ij,ij->i", A, B)
+                if metric == "cosine":
+                    d = 1.0 - d / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                    )
+                elif metric == "l2":
+                    diff = A - B
+                    d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+                else:  # ip
+                    d = -d
+                yield pd.DataFrame(
+                    {
+                        "layer": pdf["layer"].to_numpy(),
+                        "src": pdf["src"].to_numpy(),
+                        "dst": pdf["dst"].to_numpy(),
+                        "dist": d,
+                    }
+                )
+
+        return paired.mapInPandas(
+            score_pairs, schema="layer int, src long, dst long, dist double"
+        )
+
+    for _ in range(max(0, rounds)):
+        rev = edges.select(
+            "layer", F.col("dst").alias("src"), F.col("src").alias("dst"),
+            "dist",
+        )
+        und = edges.unionByName(rev).groupBy("layer", "src", "dst").agg(
+            F.min("dist").alias("dist")
+        )
+        samp = topk_per_group(
+            und, ["layer", "src"], "dist", sample, tie_col="dst",
+            rank_name="_rn",
+        ).drop("_rn").localCheckpoint(eager=True)  # feeds both join sides
+        nn2 = (
+            samp.select("layer", "src", F.col("dst").alias("_mid"))
+            .join(
+                samp.select(
+                    "layer", F.col("src").alias("_mid"),
+                    F.col("dst").alias("_cand"),
+                ),
+                ["layer", "_mid"],
+            )
+            .filter(F.col("src") != F.col("_cand"))
+            .select("layer", "src", F.col("_cand").alias("dst"))
+        )
+        proposals = (
+            nn2.unionByName(und.select("layer", "src", "dst"))
+            .dropDuplicates(["layer", "src", "dst"])
+        )
+        scored = score(proposals)
+        edges = topk_per_group(
+            scored, ["layer", "src"], "dist", k, tie_col="dst",
+            rank_name="_rn",
+        ).drop("_rn").select("layer", "src", "dst", "dist")
+        # materialize per round: the next round's und/samp AND the
+        # caller's downstream consumers would otherwise re-execute the
+        # whole lineage once per reference (measured 10× build blowup)
+        edges = edges.localCheckpoint(eager=True)
+    return edges
 
 
 def mutualize(edges: DataFrame, max_degree: int) -> DataFrame:
@@ -272,15 +667,22 @@ def build_two_layer_index(
     heuristic: bool = False,
     alpha: float = 1.0,
     candidate_factor: int = 3,
+    refine_rounds: int | str = "auto",
 ) -> DataFrame:
     """Two-layer bulk build mirroring the C++ core's 3 passes
     (hnsw.cpp:52-118): deterministic level assignment → layer-1 kNN graph
     over level≥1 nodes → layer-0 kNN graph over all nodes; both mutualized.
 
     ``impl='auto'`` sizes the strategy: exact blocked kernel while the
-    node set broadcasts, SimHash-bucketed self-join beyond
-    BLOCKED_BUILD_LIMIT (the layer-1 subset is ~n/M_level and usually
+    node set broadcasts, the salt-bounded in-kernel bucketed build
+    (:func:`_knn_graph_bucketed`) beyond BLOCKED_BUILD_LIMIT (the
+    layer-1 subset is ~n/M_level and is probed separately — it usually
     stays exact far longer).
+
+    ``refine_rounds`` runs NN-descent rounds (:func:`refine_knn_graph`)
+    on each layer's raw kNN edges before mutualizing — for callers that
+    export the edge table itself; ``"auto"`` = 0 (measured
+    serving-recall-neutral, see refine_knn_graph / SCALE.md r07).
 
     ``heuristic=True`` applies the HNSW select-neighbors heuristic
     (:func:`diversify_edges`) to a ``candidate_factor``× oversampled
@@ -293,17 +695,61 @@ def build_two_layer_index(
         # bounded probe: limit(N+1).count() stops scanning at N+1 rows, so
         # strategy selection costs O(BLOCKED_BUILD_LIMIT) even on a
         # 100 TB corpus (a bare count() would be a full scan here — base
-        # is usually a filtered view, so footer row-counts don't apply)
+        # is usually a filtered view, so footer row-counts don't apply).
+        # Past the limit the BUCKETED build, not the lsh equi-join: its
+        # work is ≤ n·tables·cap pairs however skewed the bucket
+        # occupancy, where the equi-join materializes n×bucket_size
+        # candidate rows and hangs on concentrated corpora (r07, 500k)
         probe = base.limit(BLOCKED_BUILD_LIMIT + 1).count()
-        impl = "lsh" if probe > BLOCKED_BUILD_LIMIT else "blocked"
+        impl = "bucketed" if probe > BLOCKED_BUILD_LIMIT else "blocked"
     leveled = assign_levels(base, id_col=id_col, M=M_level)
     upper = leveled.filter(F.col("level") >= 1)
-    l1_impl = "blocked" if impl == "lsh" else impl  # upper layer is small
+    # upper layer is ~n/M_level — usually back under the blocked limit;
+    # probe rather than assume (at 10M nodes layer-1 is ~625k)
+    if impl in ("lsh", "bucketed"):
+        up_probe = upper.limit(BLOCKED_BUILD_LIMIT + 1).count()
+        l1_impl = impl if up_probe > BLOCKED_BUILD_LIMIT else "blocked"
+    else:
+        l1_impl = impl
     cf = max(1, candidate_factor) if heuristic else 1
     l1 = knn_graph(upper, M1 * cf, metric, id_col, vec_col,
                    impl=l1_impl, layer=1)
     l0 = knn_graph(base, M0 * cf, metric, id_col, vec_col,
                    impl=impl, layer=0)
+    # "auto" = 0: measured r07 (100k×128 two-blob, ef 256/512) — the
+    # bucketed build's hash-random long-range links already navigate
+    # BETTER than the exact blocked graph (0.950/0.986 vs the r06
+    # blocked 0.874/0.944), and two NN-descent rounds were
+    # serving-recall-neutral (0.946/0.985) at ~6× the build cost.
+    # refine_rounds is the knob for callers whose PRODUCT is the edge
+    # table itself (kNN-graph export), where edge recall is the metric.
+    if refine_rounds == "auto":
+        refine_rounds = 0
+    if refine_rounds:
+        if l1_impl in ("lsh", "bucketed"):
+            l1 = refine_knn_graph(
+                l1, upper, M1 * cf, metric, rounds=refine_rounds,
+                id_col=id_col, vec_col=vec_col,
+            )
+        if impl in ("lsh", "bucketed"):
+            l0 = refine_knn_graph(
+                l0, base, M0 * cf, metric, rounds=refine_rounds,
+                id_col=id_col, vec_col=vec_col,
+            )
+    if impl in ("lsh", "bucketed"):
+        # scale builds add hash-random long links on the top layer —
+        # without them a clustered corpus yields one component per
+        # cluster and serving recall collapses to the entry-covered
+        # clusters (random_matching_edges docstring; measured r07).
+        # The blocked build keeps its pinned-oracle edge set unchanged;
+        # at blocked scales multi-entry search already covers the
+        # contract corpora.
+        l1 = l1.unionByName(
+            random_matching_edges(
+                upper, rounds=3, layer=1, metric=metric,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
     cand = l1.unionByName(l0)
     if heuristic:
         div1 = diversify_edges(

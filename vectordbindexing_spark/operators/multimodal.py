@@ -147,32 +147,72 @@ def decode_image_features(
     )
 
 
+def load_projection_weights(
+    weights: "str | np.ndarray",
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Resolve ``embed_media`` weights: an ndarray passes through; a path
+    loads driver-side — ``.npy`` (the matrix alone) or ``.npz`` with key
+    ``W`` and optional bias ``b``. This is the deployment drop-in for a
+    real encoder head: export the trained projection (e.g. CLIP's
+    ``visual.proj``) with ``np.savez(path, W=W, b=b)`` and pass the
+    path; no torch needed at serving time for the matmul head."""
+    if isinstance(weights, str):
+        loaded = np.load(weights)
+        if hasattr(loaded, "files"):  # npz archive
+            W = np.asarray(loaded["W"], dtype=np.float64)
+            b = (
+                np.asarray(loaded["b"], dtype=np.float64)
+                if "b" in loaded.files
+                else None
+            )
+            return W, b
+        return np.asarray(loaded, dtype=np.float64), None
+    return np.asarray(weights, dtype=np.float64), None
+
+
 def embed_media(
     df: DataFrame,
     feature_col: str = "features",
     id_col: str = "media_id",
     out_dim: int = 16,
+    weights: "str | np.ndarray | None" = None,
 ) -> DataFrame:
     """Features → embedding via a broadcast projection matrix — the batch
     shape of CLIP encode_images (flickr30k_clip.ipynb cell 6): broadcast
-    model weights once per executor, Arrow batches through it. The 'model'
-    is a deterministic LCG projection (container has no torch); swap
-    ``W`` for real weights and the plumbing is unchanged."""
+    model weights once per executor, Arrow batches through it.
+
+    ``weights`` swaps in real model weights: an (out_dim × d_in) ndarray,
+    or a ``.npy``/``.npz`` file path (:func:`load_projection_weights` —
+    npz key ``W``, optional bias ``b``); ``out_dim`` is then taken from
+    the matrix. Default (None) is the deterministic LCG projection (the
+    container has no torch) — the dataflow is identical either way,
+    which is the point: deploying the real encoder head is a file drop,
+    not a code change (pinned by test_embed_media_file_weights)."""
     from vectordbindexing_spark.functions.hashing import lcg_planes_np
 
     spark = df.sparkSession
     first = df.select(F.size(feature_col).alias("d")).limit(1).collect()
     d_in = int(first[0]["d"]) if first else 0
-    W = lcg_planes_np(out_dim, max(d_in, 1))
-    bc = spark.sparkContext.broadcast(W)
+    if weights is None:
+        W, b = lcg_planes_np(out_dim, max(d_in, 1)), None
+    else:
+        W, b = load_projection_weights(weights)
+        if d_in and W.shape[1] != d_in:
+            raise ValueError(
+                f"weights are ({W.shape[0]}×{W.shape[1]}) but "
+                f"{feature_col!r} has {d_in} features"
+            )
+    bc = spark.sparkContext.broadcast((W, b))
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Wb = bc.value
+        Wb, bb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[feature_col]])
             E = X @ Wb.T
+            if bb is not None:
+                E = E + bb
             n = np.linalg.norm(E, axis=1, keepdims=True)
             E = E / np.maximum(n, 1e-12)
             yield pd.DataFrame(

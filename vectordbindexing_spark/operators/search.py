@@ -266,9 +266,61 @@ def _beam_search_layer_multi(
     return [(-d, p) for d, p in result]
 
 
+def load_compact_npy(artifact_dir: str, mmap: bool = True) -> CompactIndex:
+    """Load the raw-numpy fast artifact written by
+    :func:`operators.shard.save_compact_index` (the ``_compact_npy``
+    sidecar). With ``mmap=True`` the big arrays (vectors, CSR indices)
+    are memory-mapped read-only: every python worker PROCESS on a box
+    maps the same pages, so N workers share ONE physical copy through
+    the OS page cache and "loading" is O(metadata) instead of a
+    parquet→pandas→python-loop rebuild."""
+    import json
+    import os
+
+    with open(os.path.join(artifact_dir, "meta.json")) as f:
+        meta = json.load(f)
+    mm = "r" if mmap else None
+
+    def arr(name, m=mm):
+        return np.load(os.path.join(artifact_dir, name), mmap_mode=m)
+
+    indptr, indices = {}, {}
+    edge_cross: dict[int, np.ndarray] = {}
+    for layer in meta["layers"]:
+        indptr[layer] = arr(f"indptr_{layer}.npy", None)  # small
+        indices[layer] = arr(f"indices_{layer}.npy")
+        p = os.path.join(artifact_dir, f"edge_cross_{layer}.npy")
+        if os.path.exists(p):
+            edge_cross[layer] = np.load(p, mmap_mode=mm)
+    return CompactIndex(
+        arr("ids.npy", None),
+        arr("vecs.npy"),
+        indptr,
+        indices,
+        arr("entry_points.npy", None),
+        meta["metric"],
+        edge_cross or None,
+    )
+
+
+# per worker-process artifact singleton: tasks reusing the worker skip
+# even the mmap open; keyed by realpath so relative/absolute spellings
+# share the entry
+_ARTIFACT_CACHE: dict[str, CompactIndex] = {}
+
+
+def _artifact_cached(artifact_dir: str) -> CompactIndex:
+    import os
+
+    key = os.path.realpath(artifact_dir)
+    if key not in _ARTIFACT_CACHE:
+        _ARTIFACT_CACHE[key] = load_compact_npy(key)
+    return _ARTIFACT_CACHE[key]
+
+
 def graph_search(
     queries: DataFrame,
-    index: CompactIndex,
+    index: CompactIndex | str,
     k: int = 10,
     ef_search: int = 64,
     num_entry_points: int = 3,
@@ -294,14 +346,29 @@ def graph_search(
     ``with_stats`` appends per-query (visited_count, hops, latency_us,
     path_pops) — the reference batch_search output dict
     (hnsw_with_bridges_optimized.py:185-237).
+
+    ``index`` may be a ``_compact_npy`` artifact DIRECTORY instead of an
+    in-memory CompactIndex: then only the path string is broadcast and
+    each worker process memory-maps the artifact from shared storage
+    (:func:`load_compact_npy`, per-process cached) — no driver-side
+    load, no N-copies-per-box broadcast deserialization.
     """
     import time as _time
     spark = queries.sparkSession
+    if isinstance(index, str):
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(index, "meta.json")) as f:
+            layers_desc = sorted(_json.load(f)["layers"], reverse=True)
+    else:
+        layers_desc = sorted(index.indptr.keys(), reverse=True)
     bc = spark.sparkContext.broadcast(index)
-    layers_desc = sorted(index.indptr.keys(), reverse=True)
 
     def run(batches):
-        idx: CompactIndex = bc.value
+        idx = bc.value
+        if isinstance(idx, str):
+            idx = _artifact_cached(idx)
 
         def beam(q, layer, entries, ef, stats):
             if max_paths is None:

@@ -184,15 +184,83 @@ def load_sharded_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_npy_dir(path: str) -> str | None:
+    """Local filesystem location of the raw-numpy fast sidecar inside a
+    compact artifact, or None when ``path`` lives on a non-local scheme
+    (hdfs://, s3a:// … — the sidecar is written by driver-side np.save,
+    so it only exists where the artifact dir is a mounted filesystem;
+    parquet stays the canonical, scheme-agnostic layout). The underscore
+    prefix keeps Spark's parquet reader from touching the sidecar."""
+    import os
+
+    if "://" in path and not path.startswith("file:"):
+        return None
+    local = path[len("file:"):] if path.startswith("file:") else path
+    return os.path.join(local, "_compact_npy")
+
+
+def save_compact_npy(index: CompactIndex, artifact_dir: str) -> None:
+    """Write the CompactIndex arrays as raw .npy files + meta.json — the
+    mmap-able serving form :func:`operators.search.load_compact_npy`
+    opens in O(metadata). Layout: ids/vecs/entry_points.npy,
+    indptr_L/indices_L.npy per layer, edge_cross_L.npy when present."""
+    import json
+    import os
+
+    os.makedirs(artifact_dir, exist_ok=True)
+    np.save(os.path.join(artifact_dir, "ids.npy"), index.ids)
+    np.save(
+        os.path.join(artifact_dir, "vecs.npy"),
+        np.ascontiguousarray(index.vecs, dtype=np.float32),
+    )
+    np.save(
+        os.path.join(artifact_dir, "entry_points.npy"), index.entry_points
+    )
+    for layer in index.indptr:
+        np.save(
+            os.path.join(artifact_dir, f"indptr_{layer}.npy"),
+            index.indptr[layer],
+        )
+        np.save(
+            os.path.join(artifact_dir, f"indices_{layer}.npy"),
+            index.indices[layer],
+        )
+        if index.edge_cross and layer in index.edge_cross:
+            np.save(
+                os.path.join(artifact_dir, f"edge_cross_{layer}.npy"),
+                index.edge_cross[layer],
+            )
+    with open(os.path.join(artifact_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "metric": index.metric,
+                "layers": sorted(int(x) for x in index.indptr),
+                "n": int(len(index.ids)),
+                "dim": int(index.vecs.shape[1]) if index.vecs.size else 0,
+            },
+            f,
+        )
+
+
 def load_compact_index(
-    spark: SparkSession, path: str, metric: str = "cosine"
+    spark: SparkSession, path: str, metric: str = "cosine",
+    mmap: bool = True,
 ) -> CompactIndex:
     """Load a :func:`save_compact_index` artifact back into the
     in-memory CompactIndex the low-latency compact route serves from —
     the save → load → search round-trip production deployments run
-    instead of rebuilding the graph per session. The artifact is the
-    single-shard parquet layout, so it is equally servable through
-    :func:`search_sharded`."""
+    instead of rebuilding the graph per session. Prefers the raw-numpy
+    sidecar when present (memory-mapped open — measured r07 at 100k×128:
+    2 ms vs 6.6 s for the parquet→pandas rebuild; 360 ms eager); falls
+    back to the single-shard parquet layout, which is also what
+    :func:`search_sharded` serves."""
+    import os
+
+    from vectordbindexing_spark.operators.search import load_compact_npy
+
+    d = compact_npy_dir(path)
+    if d is not None and os.path.exists(os.path.join(d, "meta.json")):
+        return load_compact_npy(d, mmap=mmap)
     pdf = spark.read.parquet(path).toPandas()
     return _index_from_rows(pdf, metric)
 
@@ -332,3 +400,8 @@ def save_compact_index(
     spark.createDataFrame(rows, schema=SHARD_SCHEMA).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(path)
+    # raw-numpy mmap sidecar (AFTER the parquet write — overwrite mode
+    # clears the directory); local/mounted paths only, parquet canonical
+    d = compact_npy_dir(path)
+    if d is not None:
+        save_compact_npy(index, d)

@@ -427,9 +427,22 @@ def graph_knn(
             )
 
             save_compact_index(idx, queries.sparkSession, artifact_path)
-            idx = load_compact_index(
-                queries.sparkSession, artifact_path, metric=metric
-            )
+            import os
+
+            from vectordbindexing_spark.operators.shard import compact_npy_dir
+
+            d = compact_npy_dir(artifact_path)
+            if d is not None and os.path.exists(
+                os.path.join(d, "meta.json")
+            ):
+                # serve straight off the mmap sidecar: only the PATH is
+                # broadcast; each worker process maps the artifact from
+                # shared storage (one physical copy per box)
+                idx = d
+            else:
+                idx = load_compact_index(
+                    queries.sparkSession, artifact_path, metric=metric
+                )
         got = graph_search(
             queries, idx, k=kk, ef_search=ef, q_id=q_id, q_vec=q_vec
         )
