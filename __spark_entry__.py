@@ -313,6 +313,44 @@ def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r07 SCALE build pipeline, oracle-gated end-to-end: layer 0
+    via the salt-bounded bucketed in-kernel kNN build (work bounded by
+    n·tables·cap pairs at any bucket skew — the route impl='auto' takes
+    past the blocked limit), random-matching long links on the top
+    layer (clustered corpora stay one component), compact broadcast
+    serving; reports recall@10 vs the exact in-Spark oracle. The DuckDB
+    oracle replays the whole pipeline in numpy (double-derived serve
+    pin, oracles._bucketed_recall_pins). Mirrors the reference's bulk
+    build (hnsw.cpp:52-118) re-expressed for the 100 TB regime."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import compact_index, graph_search
+
+    q, b = _emb_split(spark, sf_dir)
+    edges = build_two_layer_index(
+        b, M0=16, M1=8, metric="cosine", id_col="vec_id",
+        vec_col="embedding", impl="bucketed",
+    )
+    idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
+                        metric="cosine")
+    got = graph_search(q, idx, k=10, ef_search=64,
+                       q_id="vec_id", q_vec="embedding")
+    ex = exact_knn(q, b, k=10, metric="cosine", impl="blocked",
+                   q_id="vec_id", q_vec="embedding",
+                   b_id="vec_id", b_vec="embedding")
+    gp = got.groupBy("qid").agg(F.collect_set("neighbor_id").alias("p"))
+    ep = ex.groupBy("qid").agg(F.collect_set("neighbor_id").alias("g"))
+    return (
+        gp.join(ep, "qid")
+        .select((F.size(F.array_intersect("p", "g")) / 10.0).alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("r"), 4).alias("recall_at_10"),
+        )
+    )
+
+
 def _ann_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded serving path END-TO-END THROUGH THE PERSISTED ARTIFACT:
     hash-sharded per-executor graph builds → parquet save → load →
@@ -1476,7 +1514,8 @@ def queries() -> dict[str, Query]:
         "text_token_stats": _text_token_stats,
         "text_quality_score": _text_quality,
         "text_lang_id": _text_lang_id,
-        # (c) operator/oracle changed in r07
+        # (c) operator/oracle changed or added in r07
+        "ann_bucketed_recall": _ann_bucketed_recall,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1576,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
             base_where="vec_id % 10 <> 0 AND vec_id % 100 = 3",
         ),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
+        "ann_bucketed_recall": oracles.ann_bucketed_recall_sql(),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),
         "frontier_knn": oracles.frontier_knn_sql(

@@ -927,6 +927,176 @@ def ann_sharded_recall_sql() -> str:
     """
 
 
+@functools.lru_cache(maxsize=None)
+def _bucketed_recall_pins(
+    k: int = 10, M0: int = 16, M1: int = 8, ef_search: int = 64
+) -> tuple:
+    """(disc_key, n_queries, recall_4dp_string) per dataset for the r07
+    SCALE build pipeline: salt-bounded bucketed kNN layer 0
+    (graph._knn_graph_bucketed — occupancy-scaled SimHash buckets,
+    hash-salted groups, in-group exact top-k, min-dist cross-table
+    merge), exact blocked layer 1 (the tiny upper layer stays under the
+    blocked probe) + 3 random-matching long links, mutualize, compact
+    serve. Group membership and every kernel expression are replicated
+    with the SAME shared functions the Spark kernels call
+    (simhash_bits_np, _dist_matrix, batch_topk_by_dist_id), so dists
+    are bit-identical; the serve twin is cross-checked against the
+    independent Algorithm-2 implementation like the two-layer pin."""
+    import math
+
+    import numpy as np
+
+    from vectordbindexing_spark.functions.hashing import (
+        det_hash64_py,
+        simhash_bits_np,
+    )
+    from vectordbindexing_spark.operators.lsh import scaled_num_bits
+    from vectordbindexing_spark.operators.shard import _dist_matrix
+    from vectordbindexing_spark.operators.topk import batch_topk_by_dist_id
+
+    GROUP_CAP, TABLES, MATCH_ROUNDS = 4096, 4, 3
+    out = []
+    for key, ids, V in _embedding_datasets():
+        qm = ids % 10 == 0
+        qids, Q = ids[qm], V[qm]
+        bids, B = ids[~qm], V[~qm]
+        n = len(bids)
+        # levels: assign_levels twin, M_level=16
+        h = np.array([det_hash64_py(str(int(i))) for i in bids], np.int64)
+        level = np.zeros(n, np.int64)
+        for lv in range(1, 8):
+            if 32 - 4 * lv > 0:
+                level += (h < 2 ** (32 - 4 * lv)).astype(np.int64)
+        um = level >= 1
+
+        # ---- layer 0: bucketed in-kernel build twin
+        nb = scaled_num_bits(n, target_bucket=GROUP_CAP // 2)
+        pair_min: dict = {}
+        for t in range(TABLES):
+            buckets = simhash_bits_np(B, nb, t) + t * (1 << nb)
+            uq, cnt = np.unique(buckets, return_counts=True)
+            nsalt = {
+                int(u): int(math.ceil(c / GROUP_CAP))
+                for u, c in zip(uq, cnt)
+                if c > GROUP_CAP
+            }
+            groups: dict = {}
+            for i in range(n):
+                bkt = int(buckets[i])
+                s = nsalt.get(bkt)
+                salt = (
+                    det_hash64_py(f"{int(bids[i])}:{bkt}") % s if s else 0
+                )
+                groups.setdefault((bkt, salt), []).append(i)
+            for mem in groups.values():
+                if len(mem) < 2:
+                    continue
+                mi = np.array(mem)
+                gids = bids[mi]
+                order = np.argsort(gids, kind="stable")
+                gids, GV = gids[order], B[mi][order]
+                m = len(gids)
+                D = _dist_matrix(GV, GV, "cosine")
+                np.fill_diagonal(D, np.inf)
+                nbr, dv = batch_topk_by_dist_id(D, gids, min(M0, m - 1))
+                for r in range(m):
+                    src = int(gids[r])
+                    fin = np.isfinite(dv[r])
+                    for nid, dd in zip(nbr[r][fin], dv[r][fin]):
+                        pk = (src, int(nid))
+                        if pk not in pair_min or dd < pair_min[pk]:
+                            pair_min[pk] = float(dd)
+        per_src: dict = {}
+        for (s, d2), dd in pair_min.items():
+            per_src.setdefault(s, []).append((dd, d2))
+        l0 = [
+            (s, d2, dd)
+            for s, lst in per_src.items()
+            for dd, d2 in sorted(lst)[:M0]
+        ]
+
+        # ---- layer 1: exact kNN (blocked twin) + random matchings
+        uids, UV = bids[um], B[um]
+        l1 = []
+        if len(uids) >= 2:
+            D1 = _np_cosine_matrix(UV, UV)
+            np.fill_diagonal(D1, np.inf)
+            for i in range(len(uids)):
+                for j in np.lexsort((uids, D1[i]))[:M1]:
+                    if np.isfinite(D1[i, j]):
+                        l1.append(
+                            (int(uids[i]), int(uids[j]), float(D1[i, j]))
+                        )
+        n1 = len(uids)
+        if n1 >= 4:
+            gcount = max(2, n1 // 2)
+            seen: set = set()
+            pair_rows = []
+            for j in range(MATCH_ROUNDS):
+                gk = np.array(
+                    [det_hash64_py(f"{j}:{int(i)}") % gcount for i in uids]
+                )
+                hh = np.array([det_hash64_py(f"{j}#{int(i)}") for i in uids])
+                gd: dict = {}
+                for p in range(n1):
+                    gd.setdefault(int(gk[p]), []).append(p)
+                for mem in gd.values():
+                    mem = sorted(mem, key=lambda p: (hh[p], uids[p]))
+                    for a, b2 in zip(mem, mem[1:]):
+                        sd = (int(uids[a]), int(uids[b2]))
+                        if sd[0] != sd[1] and sd not in seen:
+                            seen.add(sd)
+                            pair_rows.append((a, b2))
+            if pair_rows:
+                A = UV[[a for a, _ in pair_rows]]
+                Bm = UV[[b2 for _, b2 in pair_rows]]
+                d = np.einsum("ij,ij->i", A, Bm)
+                d = 1.0 - d / (
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(Bm, axis=1)
+                )
+                for (a, b2), dd in zip(pair_rows, d):
+                    l1.append((int(uids[a]), int(uids[b2]), float(dd)))
+
+        layers = {0: l0}
+        if l1:
+            layers[1] = l1
+        adj = _np_mutualize(layers, cap=2 * max(M0, M1))
+        kwargs = dict(
+            k=k, ef_search=ef_search, num_entry_points=3,
+            layer1_ef_multiplier=2,
+        )
+        served = _np_serve(adj, bids, B, Q, **kwargs)
+        alg2 = _np_serve_algo2(adj, bids, B, Q, **kwargs)
+        for qi, (a, b2) in enumerate(zip(served, alg2)):
+            if {nid for _, nid in a} != {nid for _, nid in b2}:
+                raise RuntimeError(
+                    f"bucketed pin cross-check diverged at query {qi}"
+                )
+        D_exact = _np_cosine_matrix(Q, B)
+        total_m = 0
+        for qi in range(len(qids)):
+            pred = {nid for _, nid in served[qi]}
+            exact = {
+                int(bids[j]) for j in np.lexsort((bids, D_exact[qi]))[:k]
+            }
+            total_m += len(pred & exact)
+        out.append((key, int(len(qids)), _recall_pin(total_m, len(qids), k)))
+    return tuple(out)
+
+
+def ann_bucketed_recall_sql() -> str:
+    """Pinned-literal oracle for ann_bucketed_recall (r07 scale-build
+    pipeline) — numpy replication selected by the embeddings
+    discriminator, like ann_two_layer_recall_sql."""
+    pins = _bucketed_recall_pins()
+    nq_arms = " ".join(f"WHEN {key} THEN {nq}" for key, nq, _ in pins)
+    rc_arms = " ".join(f"WHEN {key} THEN {rc}" for key, _, rc in pins)
+    return f"""
+    SELECT (CASE {EMB_DISCRIMINATOR_SQL} {nq_arms} END)::BIGINT AS n_queries,
+           (CASE {EMB_DISCRIMINATOR_SQL} {rc_arms} END)::DOUBLE AS recall_at_10
+    """
+
+
 def ann_two_layer_recall_sql() -> str:
     """Pinned-literal oracle for ann_two_layer_recall: the deterministic
     build+search is replicated in numpy (``_two_layer_recall_pins``) and
