@@ -891,6 +891,18 @@ def _text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            window=32, stride=24)
 
 
+def _text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span stats (Lee et al. 2022 substring dedup at
+    15-token window granularity): rolling span hashes → one shuffle on
+    the 60-bit hash → canonical-occurrence marking → per-doc interval
+    union. All-BIGINT output; the synthetic corpus's repeated sentences
+    give every column a non-trivial distribution."""
+    from vectordbindexing_spark.operators.spandedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, window=15, text_col="text", id_col="doc_id")
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.textops import doc_fingerprint
 
@@ -1516,6 +1528,7 @@ def queries() -> dict[str, Query]:
         "text_lang_id": _text_lang_id,
         # (c) operator/oracle changed or added in r07
         "ann_bucketed_recall": _ann_bucketed_recall,
+        "text_duplicated_spans": _text_duplicated_spans,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1616,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_bucketed_recall": oracles.ann_bucketed_recall_sql(),
+        "text_duplicated_spans": oracles.duplicated_spans_sql(window=15),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),
         "frontier_knn": oracles.frontier_knn_sql(

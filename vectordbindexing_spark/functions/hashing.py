@@ -31,6 +31,24 @@ def det_hash64(s: Column | str) -> Column:
 DET_HASH64_SQL = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
 
 
+def det_hash60(s: Column | str) -> Column:
+    """First 15 md5 hex chars → BIGINT in [0, 2^60) — the wide variant
+    for corpus-scale window hashing where 32-bit birthday collisions
+    (≈ n²/2³³) would mis-mark spans. DuckDB equivalent:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+DET_HASH60_SQL = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def det_hash60_py(s: str) -> int:
+    """Python twin of :func:`det_hash60`."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def gram_hashes(grams: Column) -> Column:
     """array<string> shingles → array<long> md5-based hashes (compute once
     per row; minhash_signature's per-i lambda would otherwise re-evaluate

@@ -2143,6 +2143,77 @@ def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
     """
 
 
+def _span_cover_sql(src: str, window: int, out_col: str) -> str:
+    """Interval-union token cover of [pos, pos+window) hits per doc —
+    the lag-island formulation `spandedup._interval_cover` uses, so both
+    engines merge overlapping windows identically."""
+    return f"""
+        (SELECT doc_id, sum(_len)::BIGINT AS {out_col}
+         FROM (SELECT doc_id, _isl,
+                      max(pos) - min(pos) + {window} AS _len
+               FROM (SELECT doc_id, pos,
+                            sum(_brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                            ROWS UNBOUNDED PRECEDING) AS _isl
+                     FROM (SELECT doc_id, pos,
+                                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                                           ORDER BY pos) IS NULL
+                                         OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                                 ORDER BY pos) >= {window}
+                                       THEN 1 ELSE 0 END AS _brk
+                           FROM {src}))
+               GROUP BY doc_id, _isl)
+         GROUP BY doc_id)"""
+
+
+def duplicated_spans_sql(window: int = 15) -> str:
+    """Mirrors spandedup.duplicated_spans: rolling window-token span
+    hashes (det_hash60 of the space-joined slice), corpus-wide occurrence
+    count, canonical = min packed (doc_id, pos) key, per-doc interval
+    union of duplicated / removable windows. All-BIGINT output."""
+    from vectordbindexing_spark.operators.spandedup import POS_LIMIT
+
+    w = window
+    toks = WORDS_SQL.format(t="coalesce(text, '')")
+    h = (
+        "(('0x' || substr(md5(array_to_string("
+        f"t[i : i + {w - 1}], ' ')), 1, 15))::BIGINT)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+         docs AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                         CASE WHEN len(t) >= {w}
+                              THEN list_transform(range(1, len(t) - {w} + 2),
+                                                  i -> {h})
+                              ELSE []::BIGINT[] END AS wh
+                  FROM d),
+         stats0 AS (SELECT doc_id, n_tokens, len(wh)::BIGINT AS n_windows
+                    FROM docs),
+         ck AS (SELECT doc_id,
+                       generate_subscripts(wh, 1) - 1 AS pos,
+                       unnest(wh) AS whash,
+                       doc_id * {POS_LIMIT}
+                         + generate_subscripts(wh, 1) - 1 AS ckey
+                FROM docs),
+         agg AS (SELECT whash, min(ckey) AS ckey_min
+                 FROM ck GROUP BY whash HAVING count(*) >= 2),
+         dup AS (SELECT ck.doc_id, ck.pos, ck.ckey, agg.ckey_min
+                 FROM ck JOIN agg USING (whash)),
+         rm AS (SELECT * FROM dup WHERE ckey <> ckey_min),
+         ndup AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+                  FROM dup GROUP BY doc_id),
+         dcov AS {_span_cover_sql("dup", w, "dup_cover")},
+         rcov AS {_span_cover_sql("rm", w, "removable_cover")}
+    SELECT s.doc_id, s.n_tokens, s.n_windows,
+           coalesce(n.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(dc.dup_cover, 0)::BIGINT AS dup_cover,
+           coalesce(rc.removable_cover, 0)::BIGINT AS removable_cover
+    FROM stats0 s
+    LEFT JOIN ndup n USING (doc_id)
+    LEFT JOIN dcov dc USING (doc_id)
+    LEFT JOIN rcov rc USING (doc_id)
+    """
+
+
 def benchmark_contamination_sql(
     n: int = 3, min_overlap: int = 5, bench_mod: int = 20
 ) -> str:
