@@ -903,6 +903,34 @@ def _text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, window=15, text_col="text", id_col="doc_id")
 
 
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): distributed word
+    counting (one map-side-combined groupBy + TakeOrdered top-V), then
+    the bounded driver merge loop — trained state like k-means
+    centroids. The oracle pins the merge table per dataset with the
+    SAME shared fit over Python-counted words, so count or tie-break
+    drift flips the gate."""
+    from vectordbindexing_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, text_col="text", top_v=10_000, min_count=2,
+                     num_merges=150)
+
+
+def _bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE encoding stats on the doc_id % 10 == 0 sample:
+    Arrow-batched encode kernel with per-word memo, token-stream hash
+    computed JVM-side (det_hash60). Oracle = shared-encode pins joined
+    to the table for row membership."""
+    from vectordbindexing_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, text_col="text", top_v=10_000, min_count=2,
+                       num_merges=150)
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    return bpe_encode_stats(sample, merges, text_col="text", id_col="doc_id")
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.textops import doc_fingerprint
 
@@ -1529,6 +1557,8 @@ def queries() -> dict[str, Query]:
         # (c) operator/oracle changed or added in r07
         "ann_bucketed_recall": _ann_bucketed_recall,
         "text_duplicated_spans": _text_duplicated_spans,
+        "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode_stats": _bpe_encode_stats,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1630,6 +1660,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
         "ann_bucketed_recall": oracles.ann_bucketed_recall_sql(),
         "text_duplicated_spans": oracles.duplicated_spans_sql(window=15),
+        "bpe_train_merges": oracles.bpe_train_merges_sql(
+            top_v=10_000, min_count=2, num_merges=150
+        ),
+        "bpe_encode_stats": oracles.bpe_encode_stats_sql(
+            top_v=10_000, min_count=2, num_merges=150, id_mod=10
+        ),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),
         "frontier_knn": oracles.frontier_knn_sql(

@@ -2143,6 +2143,137 @@ def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
     """
 
 
+# Documents-table twin of EMB_DISCRIMINATOR_SQL: row count + total text
+# length (exact integers on both engines; sf0.001/sf0.01 share the row
+# count, the length sum separates them).
+DOC_DISCRIMINATOR_SQL = (
+    "(SELECT count(*) * 1000000 + "
+    "sum(length(coalesce(text, ''))) % 1000000 FROM documents)"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _document_datasets() -> tuple:
+    """(disc_key, ids int64[n], texts list[str|None]) per testdata scale
+    factor — corpus-dependent trained-state pins (BPE merges) embed one
+    literal arm per dataset, selected by DOC_DISCRIMINATOR_SQL."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in sorted(glob.glob(_TESTDATA_GLOB)):
+        path = os.path.join(d, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        key = len(ids) * 1_000_000 + sum(
+            len(x or "") for x in texts
+        ) % 1_000_000
+        out.append((key, ids, texts))
+    keys = [k for k, _, _ in out]
+    if len(set(keys)) != len(keys):
+        raise RuntimeError(
+            f"documents dataset discriminator collision across {_TESTDATA_GLOB}: "
+            f"{keys} — extend DOC_DISCRIMINATOR_SQL with more dimensions"
+        )
+    return tuple(out)
+
+
+def _np_word_counts(texts, top_v: int, min_count: int):
+    """Python twin of bpe.corpus_word_counts: single-space split, drop
+    empties, (cnt desc, word asc) canonical order, min_count floor,
+    top-V cut. ASCII corpus ⇒ Python str order == Spark's UTF-8 binary
+    order, so the tie-break agrees."""
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(
+        ((w, c) for w, c in counts.items() if c >= min_count),
+        key=lambda wc: (-wc[1], wc[0]),
+    )
+    return ranked[:top_v]
+
+
+@functools.lru_cache(maxsize=None)
+def bpe_train_merges_sql(
+    top_v: int = 10_000, min_count: int = 2, num_merges: int = 150
+) -> str:
+    """Pinned trained-state oracle for bpe_train: the merge table is
+    recomputed per dataset with the SAME shared fit (`bpe_merge_loop`)
+    over Python-counted words, so the gate checks Spark's word counting
+    + top-V canonicalization end-to-end (a count or tie-break drift
+    changes the merge sequence)."""
+    from vectordbindexing_spark.operators.bpe import bpe_merge_loop
+
+    arms = []
+    for key, _ids, texts in _document_datasets():
+        for rank, lhs, rhs, freq in bpe_merge_loop(
+            _np_word_counts(texts, top_v, min_count), num_merges
+        ):
+            arms.append(f"({key}, {rank}, {lhs!r}, {rhs!r}, {freq})")
+    vals = ", ".join(arms)
+    return f"""
+    WITH expected(disc, merge_rank, lhs, rhs, freq) AS (VALUES {vals})
+    SELECT merge_rank::BIGINT AS merge_rank, lhs::VARCHAR AS lhs,
+           rhs::VARCHAR AS rhs, freq::BIGINT AS freq
+    FROM expected WHERE disc = {DOC_DISCRIMINATOR_SQL}
+    """
+
+
+@functools.lru_cache(maxsize=None)
+def bpe_encode_stats_sql(
+    top_v: int = 10_000,
+    min_count: int = 2,
+    num_merges: int = 150,
+    id_mod: int = 10,
+) -> str:
+    """Pinned oracle for bpe_encode_stats over the doc_id % id_mod == 0
+    sample: per-doc (n_words, n_bpe_tokens, tok_hash) computed by the
+    SAME shared encode (`bpe_encode_word`) + det_hash60_py; row
+    membership still comes from the documents table (media-pin
+    technique)."""
+    from vectordbindexing_spark.functions.hashing import det_hash60_py
+    from vectordbindexing_spark.operators.bpe import (
+        bpe_encode_word,
+        bpe_merge_loop,
+    )
+
+    arms = []
+    for key, ids, texts in _document_datasets():
+        merges = bpe_merge_loop(
+            _np_word_counts(texts, top_v, min_count), num_merges
+        )
+        ranks = {(l, r): k for k, l, r, _ in merges}
+        memo: dict[str, list[str]] = {}
+        for did, text in zip(ids, texts):
+            if did % id_mod != 0:
+                continue
+            toks = [t for t in (text or "").split(" ") if t]
+            enc: list[str] = []
+            for w in toks:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = bpe_encode_word(w, ranks)
+                enc.extend(got)
+            th = det_hash60_py(" ".join(enc))
+            arms.append(f"({key}, {did}, {len(toks)}, {len(enc)}, {th})")
+    vals = ", ".join(arms)
+    return f"""
+    WITH expected(disc, doc_id, n_words, n_bpe_tokens, tok_hash)
+         AS (VALUES {vals})
+    SELECT e.doc_id::BIGINT AS doc_id, e.n_words::BIGINT AS n_words,
+           e.n_bpe_tokens::BIGINT AS n_bpe_tokens,
+           e.tok_hash::BIGINT AS tok_hash
+    FROM expected e
+    JOIN (SELECT doc_id FROM documents WHERE doc_id % {id_mod} = 0) d
+      ON d.doc_id = e.doc_id
+    WHERE e.disc = {DOC_DISCRIMINATOR_SQL}
+    """
+
+
 def _span_cover_sql(src: str, window: int, out_col: str) -> str:
     """Interval-union token cover of [pos, pos+window) hits per doc —
     the lag-island formulation `spandedup._interval_cover` uses, so both
