@@ -903,6 +903,24 @@ def _text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, window=15, text_col="text", id_col="doc_id")
 
 
+def _zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered-layout envelope: Morton z-values over
+    (o_custkey, epoch-day(o_orderdate)) in exact integer arithmetic,
+    rows bucketed by the curve's top 6 bits (the files a zorder_write
+    would cut), per-bucket count + per-dimension min/max span — the
+    data-skipping envelope parquet pruning would see. The whole curve
+    replays in the DuckDB oracle with no pins."""
+    from vectordbindexing_spark.io.zorder import layout_span_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return layout_span_stats(
+        orders,
+        cols=["o_custkey", "datediff(o_orderdate, DATE '1970-01-01')"],
+        bits=16,
+        bucket_bits=6,
+    )
+
+
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): distributed word
     counting (one map-side-combined groupBy + TakeOrdered top-V), then
@@ -1559,6 +1577,7 @@ def queries() -> dict[str, Query]:
         "text_duplicated_spans": _text_duplicated_spans,
         "bpe_train_merges": _bpe_train_merges,
         "bpe_encode_stats": _bpe_encode_stats,
+        "zorder_layout_stats": _zorder_layout_stats,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1665,6 +1684,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_encode_stats": oracles.bpe_encode_stats_sql(
             top_v=10_000, min_count=2, num_merges=150, id_mod=10
+        ),
+        "zorder_layout_stats": oracles.zorder_layout_stats_sql(
+            bits=16, bucket_bits=6
         ),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

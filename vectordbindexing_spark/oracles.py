@@ -2274,6 +2274,46 @@ def bpe_encode_stats_sql(
     """
 
 
+def zorder_layout_stats_sql(bits: int = 16, bucket_bits: int = 6) -> str:
+    """Mirrors io.zorder.layout_span_stats over orders clustered on
+    (o_custkey, epoch-day(o_orderdate)): exact-integer min/max rescale
+    (``//`` == Spark ``div`` on the non-negative numerator), Morton
+    interleave as a bit-term sum, bucket = top bucket_bits of the
+    z-value, per-bucket row count + per-dimension span. No floats, no
+    pins — the whole curve replays in SQL."""
+    top = (1 << bits) - 1
+    shift = bits * 2 - bucket_bits
+    terms = (
+        f"((s0 >> i) & 1) * (1::BIGINT << (i * 2)) + "
+        f"((s1 >> i) & 1) * (1::BIGINT << (i * 2 + 1))"
+    )
+    return f"""
+    WITH src AS (SELECT o_custkey::BIGINT AS c0,
+                        date_diff('day', DATE '1970-01-01',
+                                  o_orderdate::DATE)::BIGINT AS c1
+                 FROM orders),
+         r AS (SELECT min(c0) mn0, max(c0) mx0,
+                      min(c1) mn1, max(c1) mx1 FROM src),
+         s AS (SELECT c0, c1,
+                      CASE WHEN mx0 > mn0
+                           THEN ((c0 - mn0) * {top}) // (mx0 - mn0)
+                           ELSE 0 END AS s0,
+                      CASE WHEN mx1 > mn1
+                           THEN ((c1 - mn1) * {top}) // (mx1 - mn1)
+                           ELSE 0 END AS s1
+               FROM src, r),
+         z AS (SELECT c0, c1,
+                      list_sum(list_transform(range(0, {bits}),
+                                              i -> {terms}))::BIGINT AS zval
+               FROM s)
+    SELECT (zval >> {shift})::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           (max(c0) - min(c0))::BIGINT AS span_0,
+           (max(c1) - min(c1))::BIGINT AS span_1
+    FROM z GROUP BY bucket
+    """
+
+
 def _span_cover_sql(src: str, window: int, out_col: str) -> str:
     """Interval-union token cover of [pos, pos+window) hits per doc —
     the lag-island formulation `spandedup._interval_cover` uses, so both
