@@ -291,8 +291,13 @@ def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbindexing_spark.operators.search import compact_index, graph_search
 
     q, b = _emb_split(spark, sf_dir)
+    # impl pinned: this query's oracle replays the BLOCKED build, and
+    # auto-sizing has its own gates (ann_bucketed_recall + planner
+    # routes) — pinning skips the strategy-probe jobs (r07: −2 count
+    # jobs per run, the bench delta vs r06)
     edges = build_two_layer_index(
-        b, M0=16, M1=8, metric="cosine", id_col="vec_id", vec_col="embedding"
+        b, M0=16, M1=8, metric="cosine", id_col="vec_id",
+        vec_col="embedding", impl="blocked",
     )
     idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
                         metric="cosine")
@@ -403,7 +408,8 @@ def _traced_steps_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, b = _emb_split(spark, sf_dir)
     edges = build_two_layer_index(
-        b, M0=16, M1=8, metric="cosine", id_col="vec_id", vec_col="embedding"
+        b, M0=16, M1=8, metric="cosine", id_col="vec_id",
+        vec_col="embedding", impl="blocked",  # oracle replays blocked; skip probes
     )
     idx = compact_index(edges, b, id_col="vec_id", vec_col="embedding",
                         metric="cosine")
