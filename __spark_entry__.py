@@ -909,6 +909,22 @@ def _text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, window=15, text_col="text", id_col="doc_id")
 
 
+def _nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the GPT-3 §A pipeline
+    stage), as a fully engine-replayable dataflow: multinomial NB
+    trained on deterministic length-seed labels, every doc scored with
+    position-ordered log folds. The oracle retrains + rescores in SQL
+    with zero pinned state (the trigram-LM contract)."""
+    from vectordbindexing_spark.operators.classify import (
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_scores(
+        docs, text_col="text", id_col="doc_id", min_tokens=50, k=0.5
+    )
+
+
 def _zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered-layout envelope: Morton z-values over
     (o_custkey, epoch-day(o_orderdate)) in exact integer arithmetic,
@@ -1584,6 +1600,7 @@ def queries() -> dict[str, Query]:
         "bpe_train_merges": _bpe_train_merges,
         "bpe_encode_stats": _bpe_encode_stats,
         "zorder_layout_stats": _zorder_layout_stats,
+        "nb_quality_scores": _nb_quality_scores,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1693,6 +1710,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_layout_stats": oracles.zorder_layout_stats_sql(
             bits=16, bucket_bits=6
+        ),
+        "nb_quality_scores": oracles.nb_quality_scores_sql(
+            min_tokens=50, k=0.5
         ),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

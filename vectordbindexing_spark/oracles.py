@@ -2274,6 +2274,52 @@ def bpe_encode_stats_sql(
     """
 
 
+def nb_quality_scores_sql(min_tokens: int = 50, k: float = 0.5) -> str:
+    """Mirrors classify.quality_classifier_scores with NO pinned model:
+    the SQL retrains the multinomial NB (word×class counts, add-k
+    smoothing) and rescores every doc, folding per-word log-ratios in
+    position order (`list_sum(list(... ORDER BY pos))` == Spark's
+    sorted-struct aggregate). pred thresholds the ROUNDED log-odds."""
+    toks = WORDS_SQL.format(t="coalesce(text, '')")
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+         lab AS (SELECT doc_id,
+                        CASE WHEN len(t) >= {min_tokens} THEN 1 ELSE 0 END
+                            AS label, t
+                 FROM d),
+         occ AS (SELECT doc_id, label,
+                        generate_subscripts(t, 1) AS pos, unnest(t) AS w
+                 FROM lab),
+         wc AS (SELECT w,
+                       sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                       sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+                FROM occ GROUP BY w),
+         tot AS (SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0,
+                        count(*)::BIGINT AS v
+                 FROM wc),
+         dc AS (SELECT sum(label)::BIGINT AS d1,
+                       sum(1 - label)::BIGINT AS d0
+                FROM lab),
+         lw AS (SELECT occ.doc_id, occ.pos,
+                       ln((wc.c1 + {k}) / (tot.t1 + {k} * tot.v))
+                     - ln((wc.c0 + {k}) / (tot.t0 + {k} * tot.v)) AS lw
+                FROM occ JOIN wc ON occ.w = wc.w CROSS JOIN tot),
+         s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                      list_sum(list(lw ORDER BY pos)) AS sm
+               FROM lw GROUP BY doc_id),
+         scored AS (SELECT lab.doc_id,
+                           coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                           round(coalesce(s.sm, 0.0)
+                                 + ln((dc.d1 + {k}) / (dc.d0 + {k})),
+                                 6) AS log_odds
+                    FROM lab LEFT JOIN s ON lab.doc_id = s.doc_id
+                    CROSS JOIN dc)
+    SELECT doc_id, n_tokens, log_odds,
+           (CASE WHEN log_odds >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+    FROM scored
+    """
+
+
 def zorder_layout_stats_sql(bits: int = 16, bucket_bits: int = 6) -> str:
     """Mirrors io.zorder.layout_span_stats over orders clustered on
     (o_custkey, epoch-day(o_orderdate)): exact-integer min/max rescale
