@@ -909,6 +909,18 @@ def _text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, window=15, text_col="text", id_col="doc_id")
 
 
+def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over events.event_id (p=10): the
+    COUNT(DISTINCT) answer at 100 TB — constant-size mergeable state,
+    one map-side-combined groupBy. Built on the repo's cross-engine
+    md5 hash with integer-only rho (length(bin(x)), never float log2),
+    so the sketch itself is bit-identical in the DuckDB oracle."""
+    from vectordbindexing_spark.operators.sketch import hll_registers
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_registers(events, "event_id", p=10)
+
+
 def _nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the GPT-3 §A pipeline
     stage), as a fully engine-replayable dataflow: multinomial NB
@@ -1601,6 +1613,7 @@ def queries() -> dict[str, Query]:
         "bpe_encode_stats": _bpe_encode_stats,
         "zorder_layout_stats": _zorder_layout_stats,
         "nb_quality_scores": _nb_quality_scores,
+        "hll_registers_events": _hll_registers_events,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1713,6 +1726,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nb_quality_scores": oracles.nb_quality_scores_sql(
             min_tokens=50, k=0.5
+        ),
+        "hll_registers_events": oracles.hll_registers_sql(
+            col="event_id", table="events", p=10
         ),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

@@ -1,0 +1,74 @@
+"""HyperLogLog sketch — python parity, accuracy bound, mergeability."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.hashing import det_hash60_py
+from vectordbindexing_spark.operators.sketch import (
+    HASH_BITS,
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
+
+
+def _py_registers(values, p):
+    regs = {}
+    rest_bits = HASH_BITS - p
+    for v in values:
+        h = det_hash60_py(str(v))
+        idx = h >> rest_bits
+        rest = h & ((1 << rest_bits) - 1)
+        rho = rest_bits + 1 if rest == 0 else rest_bits - rest.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def test_registers_match_python(spark):
+    vals = list(range(500)) + [7, 8, 9]  # duplicates must not matter
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["bucket"]: r["max_rho"] for r in hll_registers(df, "x", p=8).collect()}
+    assert got == _py_registers(vals, 8)
+
+
+def test_null_values_ignored(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "x long")
+    got = {r["bucket"]: r["max_rho"] for r in hll_registers(df, "x", p=8).collect()}
+    assert got == _py_registers([1, 2], 8)
+
+
+def test_estimate_within_error_bound(spark):
+    n = 50_000
+    df = spark.range(n).select((F.col("id") * 7 + 13).alias("x"))
+    est = hll_estimate(df, "x", p=10).collect()[0]["distinct_estimate"]
+    # 1.04/sqrt(1024) ~ 3.3% std error; allow 4 sigma
+    assert abs(est - n) / n < 0.13
+
+
+def test_small_range_linear_counting(spark):
+    df = spark.range(20).select(F.col("id").alias("x"))
+    row = hll_estimate(df, "x", p=10).collect()[0]
+    assert row["zero_registers"] >= 1004
+    # linear counting is near-exact at this occupancy
+    assert abs(row["distinct_estimate"] - 20) < 2
+
+
+def test_merge_equals_single_scan(spark):
+    a = spark.range(0, 30_000).select(F.col("id").alias("x"))
+    b = spark.range(20_000, 60_000).select(F.col("id").alias("x"))
+    both = spark.range(0, 60_000).select(F.col("id").alias("x"))
+    merged = merge_registers(
+        hll_registers(a, "x", p=10), hll_registers(b, "x", p=10)
+    )
+    single = {r["bucket"]: r["max_rho"] for r in hll_registers(both, "x", p=10).collect()}
+    got = {r["bucket"]: r["max_rho"] for r in merged.collect()}
+    assert got == single
+
+
+def test_p_bounds():
+    with pytest.raises(ValueError):
+        hll_registers(None, "x", p=3)

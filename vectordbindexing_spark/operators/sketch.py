@@ -1,0 +1,94 @@
+"""Deterministic cardinality sketches (HyperLogLog, Flajolet et al.
+2007) — the 100 TB answer to COUNT(DISTINCT).
+
+An exact distinct over a 100 TB column shuffles every distinct value;
+the HLL register table is 2^p integers built by one map-side-combined
+groupBy — constant-size state per executor, mergeable across
+partitions/days/tables (max of registers), and the error is a known
+1.04/√m. Unlike engine-native approx_count_distinct (whose hash and
+merge order are implementation details), this sketch is built on the
+repo's cross-engine md5 hash with pure integer arithmetic, so the
+REGISTER TABLE ITSELF is bit-identical in Spark and DuckDB and the
+oracle gate covers it exactly — determinism that also makes sketches
+stored as artifacts diffable across engines and versions.
+
+rho (leading-zero rank) uses length(bin(x)) — Spark and DuckDB agree
+on bin() including bin(0)='0' — never float log2, whose libm ulp could
+flip a register at a power-of-two boundary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.hashing import det_hash60
+
+HASH_BITS = 60
+
+
+def hll_registers(
+    df: DataFrame, col: str | Column, p: int = 10
+) -> DataFrame:
+    """HLL register table: (bucket, max_rho) over 2^p buckets — top p
+    hash bits index, the rank of the highest set bit in the remaining
+    60-p bits is rho. Only observed buckets are emitted (absent bucket
+    ⇔ register 0). Exact integers end-to-end; one groupBy."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p={p} outside [4, 18]")
+    rest_bits = HASH_BITS - p
+    c = F.col(col) if isinstance(col, str) else col
+    h = det_hash60(c.cast("string"))
+    idx = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(idx.cast("long").alias("bucket"), rho.cast("long").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def merge_registers(*tables: DataFrame) -> DataFrame:
+    """Union register tables from independent scans (days, shards,
+    engines) into one sketch — HLL's killer property at warehouse
+    scale: pre-aggregate once per partition, merge for any slice."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(df: DataFrame, col: str | Column, p: int = 10) -> DataFrame:
+    """Single-row distinct-count estimate from the register table, with
+    the standard small-range linear-counting correction. The float
+    harmonic sum folds in bucket order (deterministic summation); all
+    inputs to it are exact integers."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, col, p)
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "max_rho"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["max_rho"].cast("double")),
+        ).alias("_hsum"),
+    )
+    v = F.lit(m) - F.col("n_obs")  # zero registers
+    denom = F.col("_hsum") + v.cast("double")  # absent register adds 2^0
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        v.cast("long").alias("zero_registers"),
+        F.round(est, 6).alias("distinct_estimate"),
+    )

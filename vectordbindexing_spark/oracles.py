@@ -2274,6 +2274,27 @@ def bpe_encode_stats_sql(
     """
 
 
+def hll_registers_sql(
+    col: str = "event_id", table: str = "events", p: int = 10
+) -> str:
+    """Mirrors sketch.hll_registers: det_hash60 of the stringified
+    value, top-p-bit bucket, rho from length(bin(rest)) — pure integer
+    arithmetic, so the register table is bit-identical cross-engine."""
+    rest_bits = 60 - p
+    mask = (1 << rest_bits) - 1
+    h = f"(('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+    WITH h AS (SELECT {h} AS h FROM {table} WHERE {col} IS NOT NULL),
+         b AS (SELECT h >> {rest_bits} AS bucket,
+                      CASE WHEN (h & {mask}) = 0 THEN {rest_bits + 1}
+                           ELSE {rest_bits} - length(bin(h & {mask})) + 1
+                      END AS rho
+               FROM h)
+    SELECT bucket::BIGINT AS bucket, max(rho)::BIGINT AS max_rho
+    FROM b GROUP BY bucket
+    """
+
+
 def nb_quality_scores_sql(min_tokens: int = 50, k: float = 0.5) -> str:
     """Mirrors classify.quality_classifier_scores with NO pinned model:
     the SQL retrains the multinomial NB (word×class counts, add-k
