@@ -921,6 +921,18 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _kmv_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch of users per event_type (k=64): composable
+    under set ops, so cross-source overlap (corpus contamination /
+    audience intersection) is estimable from the sketches alone —
+    the question HLL registers cannot answer. Exact integers; the
+    oracle replays distinct-hash + per-group k-min in SQL."""
+    from vectordbindexing_spark.operators.sketch import kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_sketch(events, "user_id", k=64, group_col="event_type")
+
+
 def _nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the GPT-3 §A pipeline
     stage), as a fully engine-replayable dataflow: multinomial NB
@@ -1614,6 +1626,7 @@ def queries() -> dict[str, Query]:
         "zorder_layout_stats": _zorder_layout_stats,
         "nb_quality_scores": _nb_quality_scores,
         "hll_registers_events": _hll_registers_events,
+        "kmv_sketch_events": _kmv_sketch_events,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1729,6 +1742,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_registers_events": oracles.hll_registers_sql(
             col="event_id", table="events", p=10
+        ),
+        "kmv_sketch_events": oracles.kmv_sketch_sql(
+            col="user_id", group_col="event_type", table="events", k=64
         ),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

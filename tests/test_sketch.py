@@ -72,3 +72,64 @@ def test_merge_equals_single_scan(spark):
 def test_p_bounds():
     with pytest.raises(ValueError):
         hll_registers(None, "x", p=3)
+
+
+# ---------------- KMV ----------------
+
+
+def _py_kmv(values, k):
+    hs = sorted({det_hash60_py(str(v)) for v in values})
+    return hs[:k]
+
+
+def test_kmv_matches_python(spark):
+    vals = [v % 300 for v in range(1000)]  # 300 distinct
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    from vectordbindexing_spark.operators.sketch import kmv_sketch
+
+    got = [
+        r["hval"]
+        for r in kmv_sketch(df, "x", k=50).orderBy("rank").collect()
+    ]
+    assert got == _py_kmv(vals, 50)
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from vectordbindexing_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    n = 20_000
+    df = spark.range(n).select((F.col("id") * 11 + 3).alias("x"))
+    vals = [r["hval"] for r in kmv_sketch(df, "x", k=256).collect()]
+    est = kmv_distinct_estimate(vals, 256)
+    assert abs(est - n) / n < 0.25  # 1/sqrt(254) ~ 6.3%; 4 sigma
+    # unsaturated sketch is exact
+    small = spark.range(40).select(F.col("id").alias("x"))
+    svals = [r["hval"] for r in kmv_sketch(small, "x", k=256).collect()]
+    assert kmv_distinct_estimate(svals, 256) == 40.0
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    from vectordbindexing_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    a = spark.range(0, 10_000).select(F.col("id").alias("x"))
+    b = spark.range(5_000, 15_000).select(F.col("id").alias("x"))
+    ka = [r["hval"] for r in kmv_sketch(a, "x", k=256).collect()]
+    kb = [r["hval"] for r in kmv_sketch(b, "x", k=256).collect()]
+    j = kmv_overlap(ka, kb, 256)
+    # true Jaccard = 5000/15000 = 1/3
+    assert abs(j - 1 / 3) < 0.12
+
+
+def test_kmv_grouped(spark):
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(50, 150)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    from vectordbindexing_spark.operators.sketch import kmv_sketch
+
+    out = kmv_sketch(df, "x", k=30, group_col="g").collect()
+    ga = sorted(r["hval"] for r in out if r["g"] == "a")
+    gb = sorted(r["hval"] for r in out if r["g"] == "b")
+    assert ga == _py_kmv(range(100), 30)
+    assert gb == _py_kmv(range(50, 150), 30)

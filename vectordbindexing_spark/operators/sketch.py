@@ -64,6 +64,67 @@ def merge_registers(*tables: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
 
 
+def kmv_sketch(
+    df: DataFrame,
+    col: str | Column,
+    k: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct sketch:
+    the k smallest distinct 60-bit hash values — per group when
+    ``group_col`` is given. Output (group?, rank, hval), exact integers.
+
+    Why alongside HLL: KMV sketches COMPOSE under set operations — the
+    union of two sketches is the k smallest of the merged values, and
+    the Jaccard of two sources is estimable from the shared fraction of
+    the union sketch (:func:`kmv_overlap`) — the corpus-overlap /
+    cross-source-contamination question HLL registers cannot answer.
+    One shuffle of (group, hash) pairs; the per-group top-k is the
+    window-free sort-limit the engine partial-aggregates."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = det_hash60(c.cast("string")).alias("hval")
+    keys = [group_col] if group_col else []
+    base = df.filter(c.isNotNull()).select(*keys, h).distinct()
+    from pyspark.sql import Window
+
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy("hval")
+        return (
+            base.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(group_col, F.col("rank").cast("long"), "hval")
+        )
+    # ungrouped: orderBy+limit is TakeOrdered (per-partition top-k +
+    # driver merge, never a global sort); the rank window then runs
+    # over only k rows
+    top = base.orderBy("hval").limit(k)
+    w = Window.orderBy("hval")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long"), "hval"
+    )
+
+
+def kmv_distinct_estimate(sketch_rows: list[int], k: int) -> float:
+    """(k-1) * 2^60 / kth-min — the KMV estimator; exact count when the
+    sketch is unsaturated (fewer than k distinct values)."""
+    vals = sorted(sketch_rows)
+    if len(vals) < k:
+        return float(len(vals))
+    return (k - 1) * float(1 << HASH_BITS) / float(vals[k - 1])
+
+
+def kmv_overlap(a: list[int], b: list[int], k: int) -> float:
+    """Jaccard estimate from two KMV sketches: the shared fraction of
+    the k smallest values of their union (exact set algebra on exact
+    integers — engine-independent by construction)."""
+    sa, sb = set(a), set(b)
+    union_k = sorted(sa | sb)[:k]
+    if not union_k:
+        return 0.0
+    inter = sum(1 for v in union_k if v in sa and v in sb)
+    return inter / len(union_k)
+
+
 def hll_estimate(df: DataFrame, col: str | Column, p: int = 10) -> DataFrame:
     """Single-row distinct-count estimate from the register table, with
     the standard small-range linear-counting correction. The float

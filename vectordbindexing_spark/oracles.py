@@ -2295,6 +2295,28 @@ def hll_registers_sql(
     """
 
 
+def kmv_sketch_sql(
+    col: str = "user_id",
+    group_col: str = "event_type",
+    table: str = "events",
+    k: int = 64,
+) -> str:
+    """Mirrors sketch.kmv_sketch grouped: distinct (group, det_hash60)
+    pairs, per-group k smallest. hval is unique within a group post-
+    distinct, so the rank order is total — no tie-break needed."""
+    h = f"(('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+    WITH h AS (SELECT DISTINCT {group_col}, {h} AS hval
+               FROM {table} WHERE {col} IS NOT NULL),
+         r AS (SELECT {group_col}, hval,
+                      row_number() OVER (PARTITION BY {group_col}
+                                         ORDER BY hval) AS rank
+               FROM h)
+    SELECT {group_col}, rank::BIGINT AS rank, hval
+    FROM r WHERE rank <= {k}
+    """
+
+
 def nb_quality_scores_sql(min_tokens: int = 50, k: float = 0.5) -> str:
     """Mirrors classify.quality_classifier_scores with NO pinned model:
     the SQL retrains the multinomial NB (word×class counts, add-k
