@@ -921,6 +921,37 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch counter table over document token occurrences
+    (depth 4 × width 1024): vocabulary-frequency state that stays
+    depth×width per partition no matter how large the corpus — the
+    100 TB heavy-hitters primitive. Counter table is bit-identical in
+    the DuckDB oracle (integer md5 hashing, like the HLL registers)."""
+    from vectordbindexing_spark.functions.text import words
+    from vectordbindexing_spark.operators.sketch import cms_counters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(words(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    return cms_counters(toks, "tok", depth=4, width=1024)
+
+
+def _events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-histogram (DDSketch-style, γ=2 fixed-point) quantile
+    estimates over events.value: constant-size mergeable bucket
+    counts instead of a global sort — integer bit-length bucketing,
+    integer cumsum, midpoint estimate."""
+    from vectordbindexing_spark.operators.sketch import (
+        log_histogram_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return log_histogram_quantiles(
+        events, "value", [0.5, 0.9, 0.99], scale=1000
+    )
+
+
 def _kmv_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch of users per event_type (k=64): composable
     under set ops, so cross-source overlap (corpus contamination /
@@ -1627,6 +1658,8 @@ def queries() -> dict[str, Query]:
         "nb_quality_scores": _nb_quality_scores,
         "hll_registers_events": _hll_registers_events,
         "kmv_sketch_events": _kmv_sketch_events,
+        "cms_token_counts": _cms_token_counts,
+        "events_quantile_sketch": _events_quantile_sketch,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1745,6 +1778,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmv_sketch_events": oracles.kmv_sketch_sql(
             col="user_id", group_col="event_type", table="events", k=64
+        ),
+        "cms_token_counts": oracles.cms_counters_sql(depth=4, width=1024),
+        "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
+            qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),
         "ann_sharded_recall": oracles.ann_sharded_recall_sql(),
         "roargraph_recall": oracles.roargraph_recall_sql(),

@@ -123,6 +123,131 @@ def test_kmv_overlap_estimates_jaccard(spark):
     assert abs(j - 1 / 3) < 0.12
 
 
+# ---------------- count-min ----------------
+
+
+def _py_cms(values, depth, width):
+    from collections import Counter
+
+    c = Counter()
+    for v in values:
+        for j in range(depth):
+            c[(j, det_hash60_py(f"{j}|{v}") % width)] += 1
+    return dict(c)
+
+
+def test_cms_counters_match_python(spark):
+    vals = [str(v % 40) for v in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    from vectordbindexing_spark.operators.sketch import cms_counters
+
+    got = {
+        (r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in cms_counters(df, "x", depth=4, width=64).collect()
+    }
+    assert got == _py_cms(vals, 4, 64)
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from collections import Counter
+
+    from vectordbindexing_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # zipf-ish: key i appears ~ 2000//(i+1) times -> forced collisions
+    # at width 32 so the overestimate property actually gets exercised
+    vals = [str(i) for i in range(100) for _ in range(2000 // (i + 1))]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    sk = cms_counters(df, "x", depth=4, width=32)
+    items = spark.createDataFrame([(k,) for k in truth], "x string")
+    est = {
+        r["x"]: r["est_count"]
+        for r in cms_estimate(sk, items, "x", depth=4, width=32).collect()
+    }
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert est[k] >= t  # CMS never undercounts
+    # heavy hitters stay accurate despite collisions: the top key's
+    # overestimate is bounded by the expected collision mass e*N/width
+    n = len(vals)
+    assert est["0"] - truth["0"] <= 3 * n / 32
+
+
+def test_cms_merge_equals_single_scan(spark):
+    from vectordbindexing_spark.operators.sketch import cms_counters, cms_merge
+
+    a = spark.createDataFrame([(str(v % 20),) for v in range(300)], "x string")
+    b = spark.createDataFrame([(str(v % 30),) for v in range(200)], "x string")
+    both = a.unionByName(b)
+    merged = {
+        (r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_counters(a, "x", depth=4, width=64),
+            cms_counters(b, "x", depth=4, width=64),
+        ).collect()
+    }
+    single = {
+        (r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in cms_counters(both, "x", depth=4, width=64).collect()
+    }
+    assert merged == single
+
+
+# ---------------- log-histogram quantiles ----------------
+
+
+def test_log_histogram_buckets_match_python(spark):
+    vals = [0.0, 0.001, 0.5, 1.0, 3.7, 100.25, -0.25, -64.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from vectordbindexing_spark.operators.sketch import log_histogram
+
+    got = {r["bucket"]: r["n"] for r in log_histogram(df, "x", scale=1000).collect()}
+    exp = {}
+    for v in vals:
+        iv = int(round(v * 1000.0))  # python round-half-even vs spark
+        # half-away never differs here (no .5 cases in the fixture)
+        b = 0 if iv == 0 else (iv.bit_length() if iv > 0 else -((-iv).bit_length()))
+        exp[b] = exp.get(b, 0) + 1
+    assert got == exp
+
+
+def test_log_histogram_quantiles_relative_error(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.lognormvariate(2.0, 1.5) for _ in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from vectordbindexing_spark.operators.sketch import log_histogram_quantiles
+
+    out = {
+        r["q"]: r["est_value"]
+        for r in log_histogram_quantiles(df, "x", [0.5, 0.9, 0.99]).collect()
+    }
+    svals = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        true = svals[max(0, math.ceil(q * len(vals)) - 1)]
+        # gamma=2 buckets: estimate within one bucket => factor-of-2
+        assert true / 2 <= out[q] <= true * 2, (q, out[q], true)
+
+
+def test_log_histogram_merge(spark):
+    from pyspark.sql import functions as SF
+
+    from vectordbindexing_spark.operators.sketch import log_histogram
+
+    a = spark.range(1, 5000).select((SF.col("id") * 0.013).alias("x"))
+    b = spark.range(1, 3000).select((SF.col("id") * 0.031).alias("x"))
+    ha = {r["bucket"]: r["n"] for r in log_histogram(a, "x").collect()}
+    hb = {r["bucket"]: r["n"] for r in log_histogram(b, "x").collect()}
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    both = a.unionByName(b)
+    single = {r["bucket"]: r["n"] for r in log_histogram(both, "x").collect()}
+    assert merged == single
+
+
 def test_kmv_grouped(spark):
     rows = [("a", i) for i in range(100)] + [("b", i) for i in range(50, 150)]
     df = spark.createDataFrame(rows, "g string, x long")

@@ -125,6 +125,157 @@ def kmv_overlap(a: list[int], b: list[int], k: int) -> float:
     return inter / len(union_k)
 
 
+def cms_counters(
+    df: DataFrame, col: str | Column, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch counter table (Cormode & Muthukrishnan 2005):
+    (sketch_row, bucket, cnt) over ``depth`` independent hash rows of
+    ``width`` buckets — the mergeable answer to per-key frequency at
+    100 TB. Counting every token exactly shuffles one row per DISTINCT
+    key; the CMS shuffles at most depth×width counters per partition
+    after map-side combine, regardless of vocabulary size, and two
+    sketches merge by adding counters (:func:`cms_merge`).
+
+    Row j's hash is det_hash60 of ``"j|" || value`` — the row index is
+    a digit prefix, so rows are independent permutations of the same
+    md5 family and the counter table is bit-identical in DuckDB
+    (the oracle gate covers the sketch itself, like hll_registers).
+    Estimates (:func:`cms_estimate`) are min over rows — always ≥ the
+    true count, never under (the CMS guarantee)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"depth={depth}, width={width} out of range")
+    c = F.col(col) if isinstance(col, str) else col
+    rows = F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    e = df.filter(c.isNotNull()).select(
+        c.cast("string").alias("v"), rows.alias("sketch_row")
+    )
+    bucket = det_hash60(
+        F.concat_ws("|", F.col("sketch_row").cast("string"), F.col("v"))
+    ) % width
+    return (
+        e.select(
+            F.col("sketch_row").cast("long").alias("sketch_row"),
+            bucket.cast("long").alias("bucket"),
+        )
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Counters from independent scans add — the sketch of the union."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("sketch_row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, items: DataFrame, col: str, *,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: min over the
+    depth rows of the addressed counters (absent counter ⇔ 0). The
+    counter table is tiny (≤ depth×width) — broadcast it."""
+    from pyspark.sql.functions import broadcast
+
+    c = F.col(col)
+    probes = items.select(
+        c.alias(col),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("sketch_row"),
+    ).withColumn(
+        "bucket",
+        (det_hash60(
+            F.concat_ws("|", F.col("sketch_row").cast("string"),
+                        c.cast("string"))
+        ) % width).cast("long"),
+    )
+    joined = probes.join(
+        broadcast(counters), ["sketch_row", "bucket"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return joined.groupBy(col).agg(
+        F.min("cnt").cast("long").alias("est_count")
+    )
+
+
+def log_histogram(
+    df: DataFrame, col: str | Column, *, scale: int = 1000
+) -> DataFrame:
+    """DDSketch-flavoured quantile sketch with γ=2 on fixed-point
+    values: bucket = sign-aware bit-length of round(value·scale),
+    count per bucket. Constant-size mergeable state (≤ ~128 buckets
+    for doubles), relative error bounded by the bucket ratio — the
+    scale answer to percentile-over-100-TB, where an exact percentile
+    needs a global sort. Bucketing is PURE INTEGER (length(bin(n)),
+    the proven-cross-engine rho trick from hll_registers) — never
+    float log2, whose libm ulp flips buckets at power-of-two
+    boundaries. value·scale is one IEEE multiply and round-half-away,
+    both bit-identical in Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.round(c * F.lit(float(scale)), 0).cast("long")
+    bucket = (
+        F.when(v == 0, F.lit(0))
+        .when(v > 0, F.length(F.bin(v)))
+        .otherwise(-F.length(F.bin(-v)))
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def log_histogram_quantiles(
+    df: DataFrame, col: str | Column, qs: list[float], *, scale: int = 1000
+) -> DataFrame:
+    """Quantile estimates from the log-histogram: the q-th item's
+    bucket by integer cumulative count, estimate = the bucket's
+    midpoint value (exact binary integers divided once by scale).
+    The bucket table is ≤ ~128 rows, so the window cumsum is free;
+    everything upstream of it is one map-side-combined groupBy."""
+    from pyspark.sql import Window
+
+    hist = log_histogram(df, col, scale=scale)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # target rank = ceil(q * total); first bucket with cum >= target
+    pairs = qdf.crossJoin(cum).withColumn(
+        "target", F.ceil(F.col("q") * F.col("total")).cast("long")
+    ).filter(F.col("cum") >= F.col("target"))
+    pick = pairs.groupBy("q", "total").agg(F.min("bucket").alias("bucket"))
+    b = F.col("bucket")
+    # midpoint of [2^(b-1), 2^b - 1] (positive); mirrored for negative.
+    # F.shiftleft needs a literal shift count, so SQL exprs (1L base —
+    # an int base would wrap at shift >= 32)
+    mid_pos = F.expr(
+        "(shiftleft(1L, cast(bucket - 1 as int))"
+        " + shiftleft(1L, cast(bucket as int)) - 1) / 2.0"
+    )
+    mid_neg = F.expr(
+        "-((shiftleft(1L, cast(-bucket - 1 as int))"
+        " + shiftleft(1L, cast(-bucket as int)) - 1) / 2.0)"
+    )
+    est = (
+        F.when(b == 0, F.lit(0.0))
+        .when(b > 0, mid_pos)
+        .otherwise(mid_neg)
+    ) / F.lit(float(scale))
+    return pick.select(
+        F.col("q"),
+        b.cast("long").alias("bucket"),
+        F.round(est, 6).alias("est_value"),
+        F.col("total").cast("long").alias("n_total"),
+    )
+
+
 def hll_estimate(df: DataFrame, col: str | Column, p: int = 10) -> DataFrame:
     """Single-row distinct-count estimate from the register table, with
     the standard small-range linear-counting correction. The float

@@ -2317,6 +2317,65 @@ def kmv_sketch_sql(
     """
 
 
+def cms_counters_sql(depth: int = 4, width: int = 1024) -> str:
+    """Mirrors sketch.cms_counters over document token OCCURRENCES:
+    row j's bucket is det_hash60('j|' || token) % width — exact
+    integers end-to-end, so the counter table is bit-identical
+    cross-engine (same contract as hll_registers_sql)."""
+    toks = WORDS_SQL.format(t="coalesce(text, '')")
+    rows = ", ".join(str(j) for j in range(depth))
+    return f"""
+    WITH t AS (SELECT unnest({toks}) AS v FROM documents),
+         e AS (SELECT v, unnest([{rows}]) AS sketch_row FROM t),
+         b AS (SELECT sketch_row,
+                      (('0x' || substr(md5(sketch_row::VARCHAR || '|' || v),
+                                       1, 15))::BIGINT) % {width} AS bucket
+               FROM e)
+    SELECT sketch_row::BIGINT AS sketch_row, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM b GROUP BY sketch_row, bucket
+    """
+
+
+def log_histogram_quantiles_sql(
+    qs: tuple = (0.5, 0.9, 0.99), scale: int = 1000,
+    col: str = "value", table: str = "events",
+) -> str:
+    """Mirrors sketch.log_histogram_quantiles: integer bit-length
+    buckets of round(value·scale) (length(bin(n)) — the proven rho
+    trick, never float log2), integer cumsum, midpoint estimate with
+    the identical IEEE expression tree. q literals cast ::DOUBLE —
+    bare 0.9 is DECIMAL in DuckDB and would multiply differently."""
+    qlits = ", ".join(f"{q!r}::DOUBLE" for q in qs)
+    return f"""
+    WITH v AS (SELECT round({col} * {float(scale)!r}, 0)::BIGINT AS iv
+               FROM {table} WHERE {col} IS NOT NULL),
+         b AS (SELECT CASE WHEN iv = 0 THEN 0
+                           WHEN iv > 0 THEN length(bin(iv))
+                           ELSE -length(bin(-iv)) END AS bucket FROM v),
+         h AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket),
+         c AS (SELECT bucket, n,
+                      sum(n) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                      sum(n) OVER ()::BIGINT AS total
+               FROM h),
+         q AS (SELECT unnest([{qlits}]) AS q),
+         p AS (SELECT q.q, c.total, min(c.bucket) AS bucket
+               FROM q JOIN c ON c.cum >= ceil(q.q * c.total)
+               GROUP BY q.q, c.total)
+    SELECT q, bucket::BIGINT AS bucket,
+           round(CASE WHEN bucket = 0 THEN 0.0
+                      WHEN bucket > 0
+                      THEN ((1::BIGINT << (bucket - 1))
+                            + (1::BIGINT << bucket) - 1) / 2.0
+                      ELSE -(((1::BIGINT << (-bucket - 1))
+                              + (1::BIGINT << (-bucket)) - 1) / 2.0)
+                 END / {float(scale)!r}, 6) AS est_value,
+           total::BIGINT AS n_total
+    FROM p
+    """
+
+
 def nb_quality_scores_sql(min_tokens: int = 50, k: float = 0.5) -> str:
     """Mirrors classify.quality_classifier_scores with NO pinned model:
     the SQL retrains the multinomial NB (word×class counts, add-k
