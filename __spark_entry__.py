@@ -921,6 +921,34 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's latest click at or
+    before it (unbounded lookback — the interval-join attribution
+    query's point-in-time sibling). One union + one key-shuffle window,
+    never an inequality join."""
+    from vectordbindexing_spark.operators.events import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id", "user_id", "click_id",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', click_ts),"
+            " date_trunc('second', ts))"
+        ).cast("long").alias("secs_since"),
+    )
+
+
 def _cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch counter table over document token occurrences
     (depth 4 × width 1024): vocabulary-frequency state that stays
@@ -1660,6 +1688,7 @@ def queries() -> dict[str, Query]:
         "kmv_sketch_events": _kmv_sketch_events,
         "cms_token_counts": _cms_token_counts,
         "events_quantile_sketch": _events_quantile_sketch,
+        "events_asof_join": _events_asof_join,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1780,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
             col="user_id", group_col="event_type", table="events", k=64
         ),
         "cms_token_counts": oracles.cms_counters_sql(depth=4, width=1024),
+        "events_asof_join": oracles.asof_join_sql(),
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),

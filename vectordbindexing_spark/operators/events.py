@@ -98,3 +98,69 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.sum("sess_events").alias("n_events"),
         F.max("sess_events").alias("max_session_events"),
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    value_cols: list[str] | None = None,
+    allow_equal: bool = True,
+) -> DataFrame:
+    """Point-in-time (as-of) join: each probe row picks up the build
+    row with the greatest ``on`` ≤ (or < when ``allow_equal=False``)
+    its own ``on``, per ``by`` key — the kdb/QuestDB/Timescale ASOF
+    JOIN primitive, and the leakage-free way to attach "state as of
+    event time" (prices, feature snapshots, last touch) to a stream.
+
+    Plan: NOT a theta join — an inequality join at 100 TB degenerates
+    to broadcast-nested-loop or a range-bucketed explosion. Instead the
+    two sides union into one timeline, shuffle ONCE on the key, and a
+    running ``last(payload, ignorenulls=True)`` window carries the
+    latest build payload forward into each probe row — linear work per
+    partition, the merge-sorted-streams plan a native engine would run.
+
+    Ordering within a (key, on) tie is total and deterministic: build
+    rows sort before probe rows when ``allow_equal`` (after, when
+    strict), and build rows at the same instant order by their payload
+    struct (last = max payload wins).
+
+    Output: every probe row (left semantics) + ``value_cols`` from the
+    matched build row (NULL when no build row precedes).
+    """
+    if value_cols is None:
+        value_cols = [c for c in build.columns if c not in (on, by)]
+    dup = [c for c in value_cols if c in probe.columns]
+    if dup:
+        raise ValueError(f"value_cols collide with probe columns: {dup}")
+    payload = F.struct(*[F.col(c) for c in value_cols]).alias("_b")
+    b = build.select(
+        F.col(by), F.col(on), payload,
+        F.lit(0 if allow_equal else 1).alias("_side"),
+    )
+    p = probe.select(
+        F.col(by), F.col(on),
+        F.lit(None).cast(b.schema["_b"].dataType).alias("_b"),
+        F.lit(1 if allow_equal else 0).alias("_side"),
+        F.struct(*[F.col(c) for c in probe.columns]).alias("_p"),
+    )
+    b = b.withColumn("_p", F.lit(None).cast(p.schema["_p"].dataType))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side", "_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    probe_flag = F.col("_side") == (1 if allow_equal else 0)
+    out = (
+        b.unionByName(p)
+        .withColumn("_m", F.last("_b", ignorenulls=True).over(w))
+        .filter(probe_flag & F.col("_p").isNotNull())
+    )
+    return out.select(
+        *[F.col(f"_p.{c}").alias(c) for c in probe.columns
+          if c not in (by, on)],
+        F.col(by), F.col(on),
+        *[F.col(f"_m.{c}").alias(c) for c in value_cols],
+    )

@@ -2317,6 +2317,36 @@ def kmv_sketch_sql(
     """
 
 
+def asof_join_sql() -> str:
+    """Mirrors events.asof_join (purchases ← latest click at-or-before,
+    per user): the SAME union-timeline + running last_value(IGNORE
+    NULLS) construction, so tie semantics are replayed, not
+    re-derived. Build rows sort before probe rows at an equal ts
+    (side 0 < 1); same-instant clicks order by click_id (probe rows'
+    NULL click_id can sort anywhere among themselves — no build row
+    separates them, so the carried value is unaffected)."""
+    return """
+    WITH b AS (SELECT user_id, ts, event_id AS click_id, ts AS click_ts,
+                      0 AS side, NULL::BIGINT AS pe
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, NULL::BIGINT AS click_id,
+                      NULL::TIMESTAMP AS click_ts, 1 AS side,
+                      event_id AS pe
+               FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT * FROM b UNION ALL BY NAME SELECT * FROM p),
+         m AS (SELECT user_id, ts, side, pe,
+                      last_value(click_id IGNORE NULLS) OVER wnd AS click_id,
+                      last_value(click_ts IGNORE NULLS) OVER wnd AS click_ts
+               FROM u
+               WINDOW wnd AS (PARTITION BY user_id
+                              ORDER BY ts, side, click_id
+                              ROWS UNBOUNDED PRECEDING))
+    SELECT pe AS event_id, user_id, click_id::BIGINT AS click_id,
+           date_diff('second', click_ts, ts)::BIGINT AS secs_since
+    FROM m WHERE side = 1
+    """
+
+
 def cms_counters_sql(depth: int = 4, width: int = 1024) -> str:
     """Mirrors sketch.cms_counters over document token OCCURRENCES:
     row j's bucket is det_hash60('j|' || token) % width — exact
