@@ -921,6 +921,32 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _text_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level fuzzy dedup: pairs of 80-char doc keys within
+    Levenshtein distance 2, via lossless q-gram prefix filtering
+    (never all-pairs; the ORACLE is the brute-force definition, so
+    the gate proves the filter exact). The corpus is salted with
+    deterministic near-miss variants (drop-first-char, append ' q')
+    on both engines — the raw synthetic corpus has no typo pairs."""
+    from vectordbindexing_spark.operators.dedup import editdist_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    k0 = docs.select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80).alias("k"),
+    )
+    v1 = k0.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(k, 2)").alias("k"),
+    )
+    v2 = k0.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("k"), F.lit(" q")).alias("k"),
+    )
+    salted = k0.unionByName(v1).unionByName(v2)
+    return editdist_neardup_pairs(salted, d=2, q=3, key_col="k")
+
+
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks up the user's latest click at or
     before it (unbounded lookback — the interval-join attribution
@@ -1689,6 +1715,7 @@ def queries() -> dict[str, Query]:
         "cms_token_counts": _cms_token_counts,
         "events_quantile_sketch": _events_quantile_sketch,
         "events_asof_join": _events_asof_join,
+        "text_editdist_neardup": _text_editdist_neardup,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1810,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_token_counts": oracles.cms_counters_sql(depth=4, width=1024),
         "events_asof_join": oracles.asof_join_sql(),
+        "text_editdist_neardup": oracles.editdist_neardup_sql(
+            d=2, key_len=80
+        ),
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),

@@ -8,7 +8,7 @@ generate candidate pairs via equi-joins on bucket keys (never all-pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.text import word_ngrams
@@ -754,4 +754,122 @@ def embedding_neardup_pairs(
 
     return repartition_for_compute(src).mapInPandas(
         pairs, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
+def editdist_neardup_pairs(
+    df: DataFrame,
+    *,
+    d: int = 2,
+    q: int = 3,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    cell_cap: int | None = 10_000,
+) -> DataFrame:
+    """Fuzzy-key near-dup pairs within Levenshtein distance ``d`` via
+    LOSSLESS q-gram prefix filtering (Ed-Join, Xiao et al. VLDB'08) —
+    the edit-distance member of the dedup family (exact / MinHash /
+    SimHash / Jaccard / embedding), for title-or-key-level typo dedup.
+
+    Never all-pairs. Each edit destroys at most ``q`` positional
+    q-grams, so ed(a,b) <= d implies multiset overlap
+    >= max(n_a, n_b) - d*q; by the prefix-filtering principle the two
+    docs must then share a token among their first ``d*q + 1`` q-grams
+    under one global order. We sort each doc's grams by GLOBAL
+    FREQUENCY ascending (rarest first), so candidate buckets are the
+    rare-gram inverted-index cells — small by construction. Docs with
+    <= d*q grams (shorter than ~q(d+1) chars) get a sentinel token and
+    pair among themselves, which closes the only hole in the theorem
+    (max(n) <= d*q pairs can share zero grams). Final verification is
+    JVM levenshtein with the early-exit threshold (O(d·L) per pair,
+    not O(L^2)).
+
+    Plan at 100 TB: gram explode (scan-local) -> one groupBy for
+    global frequencies -> per-doc top-(dq+1) window (partitioned by
+    doc) -> equi-join on the prefix token -> threshold levenshtein on
+    the candidate pairs only. Output (id_a, id_b, dist), id_a < id_b,
+    exact — tests pin it equal to brute force.
+
+    ``cell_cap`` guards degenerate template corpora where even the
+    rarest grams collect huge inverted-index cells (which also means
+    the TRUE answer is quadratically large). Like the simhash cap
+    (r06 lesson), it is probe-gated: one cheap max-cell-count agg,
+    and the capping window only enters the plan when some cell
+    actually overflows — so the common exact path keeps its plan.
+    When the cap engages, recall on keys inside overflowing cells is
+    best-effort (documented approximation, never false positives).
+    """
+    prefix_len = d * q + 1
+    s = F.coalesce(F.col(key_col), F.lit(""))
+    n_grams = F.greatest(F.length(s) - F.lit(q - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),  # n_grams >= 1, never descending
+        lambda i: F.substring(s, i, q),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), s.alias("_key"),
+        F.length(s).alias("_len"), grams.alias("_grams"),
+    )
+    occ = base.select(
+        "_id", "_len", F.posexplode("_grams").alias("_pos", "_gram")
+    )
+    w_occ = Window.partitionBy("_id", "_gram").orderBy("_pos")
+    tokens = occ.withColumn("_k", F.row_number().over(w_occ))
+    freq = tokens.groupBy("_gram", "_k").agg(
+        F.count(F.lit(1)).alias("_freq")
+    )
+    w_doc = Window.partitionBy("_id").orderBy("_freq", "_gram", "_k")
+    prefix = (
+        tokens.join(freq, ["_gram", "_k"])
+        .withColumn("_r", F.row_number().over(w_doc))
+        .filter(F.col("_r") <= prefix_len)
+        .select("_id", "_len", "_gram", "_k")
+    )
+    short = base.filter(F.size("_grams") <= d * q).select(
+        "_id", "_len",
+        F.lit("\x00SHORT").alias("_gram"), F.lit(0).alias("_k"),
+    )
+    inv = prefix.unionByName(short)
+    if cell_cap is not None:
+        # cheap upper-bound probe: a prefix cell (gram, k) can never
+        # exceed the raw count of docs containing that positional gram,
+        # so one scan + agg (no windows/joins in its lineage) decides
+        # whether the capping window enters the plan at all
+        gram_bound = (
+            occ.groupBy("_gram").count()
+            .agg(F.max("count").alias("m")).collect()[0]["m"]
+        )
+        n_short = short.count()  # the sentinel cell's exact size
+        bound = max(gram_bound or 0, n_short)
+        if bound > cell_cap:
+            w_cell = Window.partitionBy("_gram", "_k").orderBy("_id")
+            inv = (
+                inv.withColumn("_cr", F.row_number().over(w_cell))
+                .filter(F.col("_cr") <= cell_cap)
+                .drop("_cr")
+            )
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), ["_gram", "_k"])
+        .filter(
+            (F.col("a._id") < F.col("b._id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= d)
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    keys = base.select("_id", "_key")
+    verified = (
+        cand.join(keys.withColumnRenamed("_id", "id_a")
+                      .withColumnRenamed("_key", "_ka"), "id_a")
+        .join(keys.withColumnRenamed("_id", "id_b")
+                  .withColumnRenamed("_key", "_kb"), "id_b")
+        .withColumn("dist", F.levenshtein("_ka", "_kb", d))
+        .filter(F.col("dist") >= 0)
+    )
+    return verified.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("dist").cast("long"),
     )

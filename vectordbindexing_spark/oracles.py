@@ -2317,6 +2317,34 @@ def kmv_sketch_sql(
     """
 
 
+def editdist_neardup_sql(d: int = 2, key_len: int = 80) -> str:
+    """BRUTE-FORCE oracle for dedup.editdist_neardup_pairs over the
+    same salted corpus — deliberately not a replay: the Spark side
+    prunes with q-gram prefix filtering, so a green gate PROVES the
+    filter lossless. DuckDB levenshtein is byte-based vs Spark's
+    char-based — equal here because every testdata corpus is pure
+    ASCII (asserted in tests); length-band prefilter keeps the cross
+    join cheap at the sf0.01 gate scale."""
+    return f"""
+    WITH k0 AS (SELECT doc_id, substr(coalesce(text, ''), 1, {key_len}) AS k
+                FROM documents),
+         s AS (SELECT doc_id, k FROM k0
+               UNION ALL
+               SELECT doc_id + 1000000, substr(k, 2)
+               FROM k0 WHERE doc_id % 7 = 0
+               UNION ALL
+               SELECT doc_id + 2000000, k || ' q'
+               FROM k0 WHERE doc_id % 11 = 0),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      levenshtein(a.k, b.k) AS dist
+               FROM s a JOIN s b
+                 ON a.doc_id < b.doc_id
+                AND abs(length(a.k) - length(b.k)) <= {d})
+    SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dist::BIGINT AS dist
+    FROM p WHERE dist <= {d}
+    """
+
+
 def asof_join_sql() -> str:
     """Mirrors events.asof_join (purchases ← latest click at-or-before,
     per user): the SAME union-timeline + running last_value(IGNORE
