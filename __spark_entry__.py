@@ -921,6 +921,56 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized Bloom filter as a join-pruning artifact: build the
+    bit table over high-balance customers, probe every orders custkey
+    through it, and report the pruning ledger (probe keys / passed /
+    true members / false positives). No false negatives by
+    construction — the gate checks the exact counts, including how
+    many false positives this m/k/n combination yields."""
+    from vectordbindexing_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    bits = bloom_bits(dim, "c_custkey", m_bits=4096, k_hashes=3)
+    probe = orders.select(F.col("o_custkey").alias("c_custkey"))
+    pass_keys = bloom_might_contain(
+        bits, probe, "c_custkey", m_bits=4096, k_hashes=3
+    )
+    probe_keys = probe.distinct()
+    stats = (
+        probe_keys
+        .join(pass_keys.withColumn("_pass", F.lit(1)), "c_custkey", "left")
+        .join(
+            dim.distinct().withColumn("_mem", F.lit(1)), "c_custkey", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+            F.count("_pass").cast("long").alias("n_pass"),
+            F.count("_mem").cast("long").alias("n_member"),
+        )
+    )
+    return stats.select(
+        "n_probe_keys", "n_pass", "n_member",
+        (F.col("n_pass") - F.col("n_member")).cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+def _events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day→week continuous-aggregate ladder: raw rows scanned
+    once, coarser grains re-aggregate the finer grain (ordered float
+    folds over rounded finer sums keep the ladder cross-engine
+    exact; the oracle replays the same hierarchy)."""
+    from vectordbindexing_spark.operators.events import multires_rollup
+
+    return multires_rollup(load_table(spark, sf_dir, "events"))
+
+
 def _text_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-level fuzzy dedup: pairs of 80-char doc keys within
     Levenshtein distance 2, via lossless q-gram prefix filtering
@@ -1716,6 +1766,8 @@ def queries() -> dict[str, Query]:
         "events_quantile_sketch": _events_quantile_sketch,
         "events_asof_join": _events_asof_join,
         "text_editdist_neardup": _text_editdist_neardup,
+        "events_multires_rollup": _events_multires_rollup,
+        "bloom_join_prune": _bloom_join_prune,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1839,6 +1891,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": oracles.asof_join_sql(),
         "text_editdist_neardup": oracles.editdist_neardup_sql(
             d=2, key_len=80
+        ),
+        "events_multires_rollup": oracles.MULTIRES_ROLLUP_SQL,
+        "bloom_join_prune": oracles.bloom_join_prune_sql(
+            m_bits=4096, k_hashes=3, acctbal=9000
         ),
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"

@@ -164,3 +164,60 @@ def asof_join(
         F.col(by), F.col(on),
         *[F.col(f"_m.{c}").alias(c) for c in value_cols],
     )
+
+
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Multi-resolution continuous aggregate (the Timescale hypertable
+    rollup shape): hour buckets from the raw rows, then day from hour
+    and week from day — the raw table is scanned ONCE, and each
+    coarser grain re-aggregates the (tiny) finer aggregate, exactly
+    how a warehouse maintains a rollup ladder at 100 TB. Union-tagged
+    output: (resolution, bucket, event_type, n_events, sum_value).
+
+    Floats: the hour grain rounds its sum to 4 decimals (absorbs
+    engine summation order); every coarser grain folds the FINER
+    grain's rounded sums in bucket order (array_sort struct fold ==
+    DuckDB list_sum(list(x ORDER BY b)) — the repo's deterministic-
+    summation pattern), so the whole ladder is cross-engine exact."""
+    hour = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    def _coarsen(df: DataFrame, grain: str) -> DataFrame:
+        return (
+            df.groupBy(
+                "event_type",
+                F.date_trunc(grain, F.col("bucket")).alias("_cb"),
+            )
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.round(
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(F.struct("bucket", "sum_value"))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["sum_value"],
+                    ),
+                    4,
+                ).alias("sum_value"),
+            )
+            .withColumnRenamed("_cb", "bucket")
+        )
+
+    day = _coarsen(hour, "day")
+    week = _coarsen(day, "week")
+    tag = lambda df, r: df.select(  # noqa: E731
+        F.lit(r).alias("resolution"), "bucket", "event_type",
+        "n_events", "sum_value",
+    )
+    return (
+        tag(hour, "hour").unionByName(tag(day, "day"))
+        .unionByName(tag(week, "week"))
+    )

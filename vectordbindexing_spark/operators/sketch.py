@@ -304,3 +304,60 @@ def hll_estimate(df: DataFrame, col: str | Column, p: int = 10) -> DataFrame:
         v.cast("long").alias("zero_registers"),
         F.round(est, 6).alias("distinct_estimate"),
     )
+
+
+def bloom_bits(
+    df: DataFrame, col: str | Column, *, m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Deterministic Bloom filter as a sorted DISTINCT bit-position
+    table — the persistable, mergeable (union = OR), cross-engine-
+    diffable form of the runtime join filter. Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does this transiently
+    inside one query; materializing the bits as a table is what lets
+    a 100 TB pipeline build the filter once (e.g. "customers active
+    this week") and prune many later fact scans with a broadcast
+    membership probe (:func:`bloom_might_contain`) — no false
+    negatives ever, false positives ≈ (1-e^{-kn/m})^k.
+
+    Hash j of value v is det_hash60('j|'||v) % m_bits — same row-salt
+    family as the count-min rows, integer end-to-end, so the bit table
+    itself is oracle-gateable."""
+    c = F.col(col) if isinstance(col, str) else col
+    e = df.filter(c.isNotNull()).select(
+        c.cast("string").alias("v"),
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    )
+    bit = det_hash60(
+        F.concat_ws("|", F.col("j").cast("string"), F.col("v"))
+    ) % m_bits
+    return e.select(bit.cast("long").alias("bit")).distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame, probe: DataFrame, col: str, *, m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Keys of ``probe`` that pass the filter (all k bits set). The
+    bit table is at most m_bits rows — broadcast it; the probe side
+    never shuffles. Guaranteed superset of the true member set."""
+    from pyspark.sql.functions import broadcast
+
+    c = F.col(col)
+    keys = probe.select(c.alias(col)).filter(c.isNotNull()).distinct()
+    e = keys.select(
+        col,
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    )
+    bit = det_hash60(
+        F.concat_ws("|", F.col("j").cast("string"), c.cast("string"))
+    ) % m_bits
+    hits = (
+        e.withColumn("bit", bit.cast("long"))
+        .join(broadcast(bits), "bit", "inner")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k_hashes)
+        .select(col)
+    )
+    return hits

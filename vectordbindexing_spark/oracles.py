@@ -2697,6 +2697,58 @@ GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
 """
 
 
+def bloom_join_prune_sql(
+    m_bits: int = 4096, k_hashes: int = 3, acctbal: int = 9000
+) -> str:
+    """Mirrors sketch.bloom_bits + bloom_might_contain end-to-end:
+    same row-salted md5 bit positions, all-k-bits membership, and the
+    four-count pruning ledger. Pure integers throughout."""
+    js = ", ".join(str(j) for j in range(k_hashes))
+    h = "(('0x' || substr(md5(j.j::VARCHAR || '|' || {v}::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+    WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+                 WHERE c_acctbal > {acctbal}),
+         j AS (SELECT unnest([{js}]) AS j),
+         bits AS (SELECT DISTINCT {h.format(v="dim.k")} % {m_bits} AS bit
+                  FROM dim, j),
+         probe AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_custkey IS NOT NULL),
+         ph AS (SELECT probe.k, {h.format(v="probe.k")} % {m_bits} AS bit
+                FROM probe, j),
+         hits AS (SELECT k, count(*) AS c FROM ph
+                  JOIN bits USING (bit) GROUP BY k),
+         pass AS (SELECT k FROM hits WHERE c = {k_hashes})
+    SELECT (SELECT count(*) FROM probe)::BIGINT AS n_probe_keys,
+           (SELECT count(*) FROM pass)::BIGINT AS n_pass,
+           (SELECT count(*) FROM probe JOIN dim USING (k))::BIGINT
+               AS n_member,
+           ((SELECT count(*) FROM pass)
+            - (SELECT count(*) FROM probe JOIN dim USING (k)))::BIGINT
+               AS n_false_pos
+    """
+
+
+MULTIRES_ROLLUP_SQL = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hb,
+                  count(*)::BIGINT AS n, round(sum(value), 4) AS sv
+           FROM events GROUP BY 1, 2),
+     d AS (SELECT event_type, date_trunc('day', hb) AS db,
+                  sum(n)::BIGINT AS n,
+                  round(list_sum(list(sv ORDER BY hb)), 4) AS sv
+           FROM h GROUP BY 1, 2),
+     w AS (SELECT event_type, date_trunc('week', db) AS wb,
+                  sum(n)::BIGINT AS n,
+                  round(list_sum(list(sv ORDER BY db)), 4) AS sv
+           FROM d GROUP BY 1, 2)
+SELECT 'hour' AS resolution, hb AS bucket, event_type,
+       n AS n_events, sv AS sum_value FROM h
+UNION ALL
+SELECT 'day', db, event_type, n, sv FROM d
+UNION ALL
+SELECT 'week', wb, event_type, n, sv FROM w
+"""
+
+
 def attribution_sql(max_delay_hours: int = 6) -> str:
     """Mirrors __spark_entry__._events_attribution: the interval join of
     streaming/attribution.attribution_pairs (batch twin) + last_touch.
