@@ -810,6 +810,9 @@ def editdist_neardup_pairs(
         F.col(id_col).alias("_id"), s.alias("_key"),
         F.length(s).alias("_len"), grams.alias("_grams"),
     )
+    # occurrence index via one row_number window — measured FASTER at
+    # 110k keys than the scan-local O(L²) array-domain alternative
+    # (per-element slice/filter allocation churn beats one shuffle)
     occ = base.select(
         "_id", "_len", F.posexplode("_grams").alias("_pos", "_gram")
     )
@@ -830,18 +833,20 @@ def editdist_neardup_pairs(
         F.lit("\x00SHORT").alias("_gram"), F.lit(0).alias("_k"),
     )
     inv = prefix.unionByName(short)
-    if cell_cap is not None:
-        # cheap upper-bound probe: a prefix cell (gram, k) can never
-        # exceed the raw count of docs containing that positional gram,
-        # so one scan + agg (no windows/joins in its lineage) decides
-        # whether the capping window enters the plan at all
-        gram_bound = (
-            occ.groupBy("_gram").count()
+    if cell_cap is not None and df.count() > cell_cap:
+        # n_rows <= cap already proves no cell can overflow (one cheap
+        # columnar count — the common exact path pays only that).
+        # Above it, ONE scan+agg probe (no windows/joins in its
+        # lineage) upper-bounds every cell: a prefix cell (gram, k)
+        # never exceeds the raw count of docs containing that gram,
+        # and the sentinel row injected per short doc makes the same
+        # groupBy bound the sentinel cell exactly.
+        bound = (
+            occ.select("_gram").unionByName(short.select("_gram"))
+            .groupBy("_gram").count()
             .agg(F.max("count").alias("m")).collect()[0]["m"]
         )
-        n_short = short.count()  # the sentinel cell's exact size
-        bound = max(gram_bound or 0, n_short)
-        if bound > cell_cap:
+        if bound is not None and bound > cell_cap:
             w_cell = Window.partitionBy("_gram", "_k").orderBy("_id")
             inv = (
                 inv.withColumn("_cr", F.row_number().over(w_cell))
