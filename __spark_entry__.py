@@ -921,6 +921,38 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel view→click→purchase: per user, the
+    earliest step-k event at or after the step-(k-1) touch; NULLs from
+    the drop-off step on. Sequential min-aggregates joined on the user
+    key — never a full-stream window."""
+    from vectordbindexing_spark.operators.events import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def _orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot compare (CDC/table-versioning primitive): classify
+    keys added / removed / changed between two deterministic synthetic
+    versions of orders (drop %89 keys from old, drop %97 from new,
+    double %31 totalprice in new). One full-outer key join; per-column
+    null-safe comparison — never a rendered-string hash."""
+    from vectordbindexing_spark.operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0)
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") * 2.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).select(
+        F.col("o_orderkey").cast("long"), "change"
+    )
+
+
 def _bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized Bloom filter as a join-pruning artifact: build the
     bit table over high-balance customers, probe every orders custkey
@@ -1768,6 +1800,8 @@ def queries() -> dict[str, Query]:
         "text_editdist_neardup": _text_editdist_neardup,
         "events_multires_rollup": _events_multires_rollup,
         "bloom_join_prune": _bloom_join_prune,
+        "events_funnel_steps": _events_funnel_steps,
+        "orders_snapshot_diff": _orders_snapshot_diff,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1896,6 +1930,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_prune": oracles.bloom_join_prune_sql(
             m_bits=4096, k_hashes=3, acctbal=9000
         ),
+        "events_funnel_steps": oracles.FUNNEL_STEPS_SQL,
+        "orders_snapshot_diff": oracles.SNAPSHOT_DIFF_SQL,
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),

@@ -221,3 +221,46 @@ def multires_rollup(events: DataFrame) -> DataFrame:
         tag(hour, "hour").unionByName(tag(day, "day"))
         .unionByName(tag(week, "week"))
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered first-touch funnel: per user, the earliest step-1 event,
+    then the earliest step-2 event AT OR AFTER it, and so on — the
+    product-analytics conversion primitive. Sequential by definition
+    (step i's window opens when step i-1 fires), so the plan is one
+    filtered min-aggregate per step joined back on the user key —
+    len(steps) small shuffles on the same key, which AQE coalesces;
+    never a window over the full event stream. Users keep NULL
+    timestamps from their drop-off step onward (left joins).
+
+    Deterministic: every per-step value is a min over timestamps —
+    no floats, no ties to break."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    out = (
+        events.filter(ty == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step_{i - 1}_ts"
+        nxt = (
+            events.filter(ty == step)
+            .join(out.select(user_col, prev), user_col)
+            .filter(t >= F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        out = out.join(nxt, user_col, "left")
+    done = F.col(f"step_{len(steps)}_ts").isNotNull()
+    return out.withColumn(
+        "completed", done.cast("long")
+    )

@@ -2697,6 +2697,53 @@ GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
 """
 
 
+FUNNEL_STEPS_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+     s2 AS (SELECT e.user_id, min(e.ts) AS step_2_ts
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= s1.step_1_ts
+            GROUP BY 1),
+     s3 AS (SELECT e.user_id, min(e.ts) AS step_3_ts
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.step_2_ts
+            GROUP BY 1)
+SELECT s1.user_id,
+       s1.step_1_ts::TIMESTAMP AS step_1_ts,
+       s2.step_2_ts::TIMESTAMP AS step_2_ts,
+       s3.step_3_ts::TIMESTAMP AS step_3_ts,
+       (s3.step_3_ts IS NOT NULL)::BIGINT AS completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 89 <> 0),
+     new AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    CASE WHEN o_orderkey % 31 = 0
+                         THEN o_totalprice * 2.0
+                         ELSE o_totalprice END AS o_totalprice,
+                    o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 97 <> 0),
+     j AS (SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                       WHEN new.o_orderkey IS NULL THEN 'removed'
+                       WHEN (old.o_custkey IS DISTINCT FROM new.o_custkey)
+                         OR (old.o_orderstatus
+                             IS DISTINCT FROM new.o_orderstatus)
+                         OR (old.o_totalprice
+                             IS DISTINCT FROM new.o_totalprice)
+                         OR (old.o_orderdate
+                             IS DISTINCT FROM new.o_orderdate)
+                         OR (old.o_orderpriority
+                             IS DISTINCT FROM new.o_orderpriority)
+                       THEN 'changed' ELSE 'unchanged' END AS change
+           FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT o_orderkey::BIGINT AS o_orderkey, change
+FROM j WHERE change <> 'unchanged'
+"""
+
+
 def bloom_join_prune_sql(
     m_bits: int = 4096, k_hashes: int = 3, acctbal: int = 9000
 ) -> str:
