@@ -921,6 +921,48 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _events_pivot_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity profile via pivot: one groupBy with an
+    explicit pivot value list (no extra distinct-values job — at
+    100 TB the value scan would be a full extra pass), zero-filled
+    counts. The relational crosstab primitive."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+def _events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-event trailing moving average of value per user (frame
+    ROWS 2 PRECEDING..CURRENT, total order (ts, event_id)): the
+    time-series smoothing window. sum/count written explicitly on
+    both engines so the 3-term float fold shares one expression tree
+    (engine-native avg() may use a different accumulation)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.col("value"), 6).alias("value"),
+        F.round(
+            F.sum("value").over(w) / F.count(F.lit(1)).over(w), 6
+        ).alias("mov_avg"),
+    )
+
+
 def _events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered first-touch funnel view→click→purchase: per user, the
     earliest step-k event at or after the step-(k-1) touch; NULLs from
@@ -1802,6 +1844,8 @@ def queries() -> dict[str, Query]:
         "bloom_join_prune": _bloom_join_prune,
         "events_funnel_steps": _events_funnel_steps,
         "orders_snapshot_diff": _orders_snapshot_diff,
+        "events_pivot_user_types": _events_pivot_user_types,
+        "events_moving_avg": _events_moving_avg,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1932,6 +1976,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_funnel_steps": oracles.FUNNEL_STEPS_SQL,
         "orders_snapshot_diff": oracles.SNAPSHOT_DIFF_SQL,
+        "events_pivot_user_types": oracles.PIVOT_USER_TYPES_SQL,
+        "events_moving_avg": oracles.MOVING_AVG_SQL,
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),

@@ -2697,6 +2697,27 @@ GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
 """
 
 
+PIVOT_USER_TYPES_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(value, 6) AS value,
+       round(sum(value) OVER w / count(*) OVER w, 6) AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 FUNNEL_STEPS_SQL = """
 WITH s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events
             WHERE event_type = 'view' GROUP BY 1),
