@@ -166,6 +166,34 @@ def asof_join(
     )
 
 
+def coarsen_rollup(df: DataFrame, grain: str) -> DataFrame:
+    """One rung of the rollup ladder: re-aggregate a finer grain's
+    (event_type, bucket, n_events, sum_value) table to ``grain``.
+    The float fold is ordered (array_sort struct fold over the finer
+    buckets) so re-aggregation is deterministic cross-engine — also
+    reused by streaming.rollup to coarsen a streamed hour sink."""
+    return (
+        df.groupBy(
+            "event_type",
+            F.date_trunc(grain, F.col("bucket")).alias("_cb"),
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "sum_value"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["sum_value"],
+                ),
+                4,
+            ).alias("sum_value"),
+        )
+        .withColumnRenamed("_cb", "bucket")
+    )
+
+
 def multires_rollup(events: DataFrame) -> DataFrame:
     """Multi-resolution continuous aggregate (the Timescale hypertable
     rollup shape): hour buckets from the raw rows, then day from hour
@@ -189,30 +217,8 @@ def multires_rollup(events: DataFrame) -> DataFrame:
         )
     )
 
-    def _coarsen(df: DataFrame, grain: str) -> DataFrame:
-        return (
-            df.groupBy(
-                "event_type",
-                F.date_trunc(grain, F.col("bucket")).alias("_cb"),
-            )
-            .agg(
-                F.sum("n_events").cast("long").alias("n_events"),
-                F.round(
-                    F.aggregate(
-                        F.array_sort(
-                            F.collect_list(F.struct("bucket", "sum_value"))
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["sum_value"],
-                    ),
-                    4,
-                ).alias("sum_value"),
-            )
-            .withColumnRenamed("_cb", "bucket")
-        )
-
-    day = _coarsen(hour, "day")
-    week = _coarsen(day, "week")
+    day = coarsen_rollup(hour, "day")
+    week = coarsen_rollup(day, "week")
     tag = lambda df, r: df.select(  # noqa: E731
         F.lit(r).alias("resolution"), "bucket", "event_type",
         "n_events", "sum_value",
