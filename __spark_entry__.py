@@ -921,6 +921,24 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: pairwise Jaccard estimates
+    between every pair of document sources from per-source KMV
+    sketches over word-5-gram shingles — the pairwise stage sees only
+    |sources|·k sketch rows, never the corpus."""
+    from vectordbindexing_spark.functions.text import word_ngrams
+    from vectordbindexing_spark.operators.sketch import kmv_pairwise_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(
+            word_ngrams(F.coalesce(F.col("text"), F.lit("")), 5)
+        ).alias("shingle"),
+    )
+    return kmv_pairwise_overlap(sh, "shingle", "source", k=64)
+
+
 def _events_pivot_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide per-user activity profile via pivot: one groupBy with an
     explicit pivot value list (no extra distinct-values job — at
@@ -1846,6 +1864,7 @@ def queries() -> dict[str, Query]:
         "orders_snapshot_diff": _orders_snapshot_diff,
         "events_pivot_user_types": _events_pivot_user_types,
         "events_moving_avg": _events_moving_avg,
+        "source_overlap_kmv": _source_overlap_kmv,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1978,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_diff": oracles.SNAPSHOT_DIFF_SQL,
         "events_pivot_user_types": oracles.PIVOT_USER_TYPES_SQL,
         "events_moving_avg": oracles.MOVING_AVG_SQL,
+        "source_overlap_kmv": oracles.kmv_pairwise_overlap_sql(k=64, n=5),
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),

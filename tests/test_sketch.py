@@ -248,6 +248,37 @@ def test_log_histogram_merge(spark):
     assert merged == single
 
 
+def test_kmv_pairwise_overlap_matches_python_twin(spark):
+    from vectordbindexing_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("a", i) for i in range(300)]
+        + [("b", i) for i in range(150, 450)]
+        + [("c", i) for i in range(1000, 1300)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_shared"], r["n_union"], r["jaccard"])
+        for r in kmv_pairwise_overlap(df, "x", "g", k=64).collect()
+    }
+    sk = kmv_sketch(df, "x", k=64, group_col="g").collect()
+    by_g = {}
+    for r in sk:
+        by_g.setdefault(r["g"], []).append(r["hval"])
+    import itertools
+
+    for ga, gb in itertools.combinations(sorted(by_g), 2):
+        jac = kmv_overlap(by_g[ga], by_g[gb], 64)
+        assert round(jac, 6) == got[(ga, gb)][2], (ga, gb)
+    # disjoint sources estimate 0; a/b truly overlap
+    assert got[("a", "c")][0] == 0
+    assert got[("a", "b")][0] > 0
+
+
 def test_kmv_grouped(spark):
     rows = [("a", i) for i in range(100)] + [("b", i) for i in range(50, 150)]
     df = spark.createDataFrame(rows, "g string, x long")

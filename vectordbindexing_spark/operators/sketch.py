@@ -361,3 +361,55 @@ def bloom_might_contain(
         .select(col)
     )
     return hits
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame, col: str | Column, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard estimates between ALL groups from their KMV
+    sketches — the cross-source contamination matrix. Each group
+    contributes only its k-minimum hash values, so the pairwise stage
+    works on |groups|·k rows no matter how big the corpus: per pair,
+    the k smallest of the merged sketch values estimate the union, and
+    the shared fraction estimates Jaccard (exact integer set algebra —
+    :func:`kmv_overlap` is the python twin). Output
+    (group_a, group_b, n_union, n_shared, jaccard), group_a < group_b.
+    """
+    sk = kmv_sketch(df, col, k=k, group_col=group_col)
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("hval"),
+        F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"),
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("hval"),
+        F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"),
+    )
+    groups = sk.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("group_a"))
+        .join(groups.select(F.col("g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    vals = (
+        pairs.join(a, "group_a")
+        .unionByName(pairs.join(b, "group_b"))
+        .groupBy("group_a", "group_b", "hval")
+        .agg(F.max("_in_a").alias("_in_a"), F.max("_in_b").alias("_in_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_a", "group_b").orderBy("hval")
+    topk = vals.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    return topk.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.count(F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1))
+        .cast("long").alias("n_shared"),
+        F.round(
+            F.count(
+                F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1)
+            ).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -2434,6 +2434,46 @@ def log_histogram_quantiles_sql(
     """
 
 
+def kmv_pairwise_overlap_sql(k: int = 64, n: int = 5) -> str:
+    """Mirrors sketch.kmv_pairwise_overlap over word-n-gram shingles
+    grouped by documents.source: per-source k-min sketches, per-pair
+    k-min of the union, shared fraction. Integer set algebra; the one
+    float (jaccard) is a ratio of the same two BIGINTs both sides."""
+    shingles = word_ngrams_sql("coalesce(text, '')", n)
+    return f"""
+    WITH sh AS (SELECT source, unnest({shingles}) AS v FROM documents),
+         h AS (SELECT DISTINCT source,
+                      (('0x' || substr(md5(v), 1, 15))::BIGINT) AS hval
+               FROM sh WHERE v IS NOT NULL),
+         r AS (SELECT source, hval,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY hval) AS rank
+               FROM h),
+         sk AS (SELECT source, hval FROM r WHERE rank <= {k}),
+         g AS (SELECT DISTINCT source FROM sk),
+         p AS (SELECT a.source AS group_a, b.source AS group_b
+               FROM g a, g b WHERE a.source < b.source),
+         vals AS (SELECT p.group_a, p.group_b, s.hval,
+                         max(CASE WHEN s.source = p.group_a
+                                  THEN 1 ELSE 0 END) AS in_a,
+                         max(CASE WHEN s.source = p.group_b
+                                  THEN 1 ELSE 0 END) AS in_b
+                  FROM p JOIN sk s
+                    ON s.source IN (p.group_a, p.group_b)
+                  GROUP BY 1, 2, 3),
+         t AS (SELECT *, row_number() OVER (PARTITION BY group_a, group_b
+                                            ORDER BY hval) AS r
+               FROM vals)
+    SELECT group_a, group_b,
+           count(*)::BIGINT AS n_union,
+           (count(*) FILTER (in_a = 1 AND in_b = 1))::BIGINT AS n_shared,
+           round((count(*) FILTER (in_a = 1 AND in_b = 1))::DOUBLE
+                 / count(*)::DOUBLE, 6) AS jaccard
+    FROM t WHERE r <= {k}
+    GROUP BY group_a, group_b
+    """
+
+
 def nb_quality_scores_sql(min_tokens: int = 50, k: float = 0.5) -> str:
     """Mirrors classify.quality_classifier_scores with NO pinned model:
     the SQL retrains the multinomial NB (word×class counts, add-k
