@@ -921,6 +921,16 @@ def _hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(events, "event_id", p=10)
 
 
+def _hll_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count ESTIMATE over events.user_id (p=10) — gates
+    the estimator (harmonic fold, linear-counting correction) on top
+    of the already-gated register table."""
+    from vectordbindexing_spark.operators.sketch import hll_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_estimate(events, "user_id", p=10)
+
+
 def _source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: pairwise Jaccard estimates
     between every pair of document sources from per-source KMV
@@ -1865,6 +1875,7 @@ def queries() -> dict[str, Query]:
         "events_pivot_user_types": _events_pivot_user_types,
         "events_moving_avg": _events_moving_avg,
         "source_overlap_kmv": _source_overlap_kmv,
+        "hll_estimate_users": _hll_estimate_users,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -1998,6 +2009,9 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_user_types": oracles.PIVOT_USER_TYPES_SQL,
         "events_moving_avg": oracles.MOVING_AVG_SQL,
         "source_overlap_kmv": oracles.kmv_pairwise_overlap_sql(k=64, n=5),
+        "hll_estimate_users": oracles.hll_estimate_sql(
+            col="user_id", table="events", p=10
+        ),
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"
         ),

@@ -2434,6 +2434,45 @@ def log_histogram_quantiles_sql(
     """
 
 
+def hll_estimate_sql(
+    col: str = "user_id", table: str = "events", p: int = 10
+) -> str:
+    """Mirrors sketch.hll_estimate on top of the register CTE: the
+    harmonic sum folds 2^-max_rho terms in bucket order (each term an
+    exact binary power, fold order identical to Spark's sorted-struct
+    aggregate), alpha is embedded as the repr of the SAME python
+    float, and the linear-counting branch uses ln whose final-ulp
+    drift is absorbed by round(·, 6)."""
+    rest_bits = 60 - p
+    mask = (1 << rest_bits) - 1
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = f"(('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+    WITH hh AS (SELECT {h} AS h FROM {table} WHERE {col} IS NOT NULL),
+         b AS (SELECT h >> {rest_bits} AS bucket,
+                      CASE WHEN (h & {mask}) = 0 THEN {rest_bits + 1}
+                           ELSE {rest_bits} - length(bin(h & {mask})) + 1
+                      END AS rho
+               FROM hh),
+         regs AS (SELECT bucket, max(rho) AS max_rho FROM b GROUP BY bucket),
+         agg AS (SELECT count(*)::BIGINT AS n_obs,
+                        list_sum(list(pow(2.0, -max_rho)
+                                      ORDER BY bucket)) AS hsum
+                 FROM regs),
+         est AS (SELECT n_obs, ({m} - n_obs) AS v,
+                        {alpha!r}::DOUBLE * {m} * {m}
+                            / (hsum + ({m} - n_obs)::DOUBLE) AS raw
+                 FROM agg)
+    SELECT {m}::BIGINT AS m, v::BIGINT AS zero_registers,
+           round(CASE WHEN raw <= {2.5 * m!r}::DOUBLE AND v > 0
+                      THEN {float(m)!r}::DOUBLE
+                           * ln({float(m)!r}::DOUBLE / v::DOUBLE)
+                      ELSE raw END, 6) AS distinct_estimate
+    FROM est
+    """
+
+
 def kmv_pairwise_overlap_sql(k: int = 64, n: int = 5) -> str:
     """Mirrors sketch.kmv_pairwise_overlap over word-n-gram shingles
     grouped by documents.source: per-source k-min sketches, per-pair
