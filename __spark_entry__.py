@@ -1143,6 +1143,37 @@ def _cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_counters(toks, "tok", depth=4, width=1024)
 
 
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter estimates through the count-min sketch: the top-20
+    true tokens (deterministic (count desc, tok) order) point-queried
+    against the sketch — gates the ESTIMATE path (min over rows,
+    absent counter ⇔ 0) on top of the gated counter table; the CMS
+    never-undercount guarantee is visible in the output itself."""
+    from vectordbindexing_spark.functions.text import words
+    from vectordbindexing_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(words(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = cms_estimate(
+        cms_counters(toks, "tok", depth=4, width=1024),
+        truth, "tok", depth=4, width=1024,
+    )
+    return truth.join(est, "tok").select(
+        "tok", "true_count", F.col("est_count").cast("long")
+    )
+
+
 def _events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-histogram (DDSketch-style, γ=2 fixed-point) quantile
     estimates over events.value: constant-size mergeable bucket
@@ -1876,6 +1907,7 @@ def queries() -> dict[str, Query]:
         "events_moving_avg": _events_moving_avg,
         "source_overlap_kmv": _source_overlap_kmv,
         "hll_estimate_users": _hll_estimate_users,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "simhash_text_neardup": _simhash_text_neardup,
         "dedup_groups": _dedup_groups,
         "simhash_buckets": _simhash_buckets,
@@ -2011,6 +2043,9 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_kmv": oracles.kmv_pairwise_overlap_sql(k=64, n=5),
         "hll_estimate_users": oracles.hll_estimate_sql(
             col="user_id", table="events", p=10
+        ),
+        "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(
+            depth=4, width=1024, top=20
         ),
         "events_quantile_sketch": oracles.log_histogram_quantiles_sql(
             qs=(0.5, 0.9, 0.99), scale=1000, col="value", table="events"

@@ -2395,6 +2395,41 @@ def cms_counters_sql(depth: int = 4, width: int = 1024) -> str:
     """
 
 
+def cms_heavy_hitters_sql(
+    depth: int = 4, width: int = 1024, top: int = 20
+) -> str:
+    """Mirrors _cms_heavy_hitters: top-N true tokens (count desc, tok)
+    point-queried against the replayed counter table — min over the
+    depth rows. LIMIT under a total order is deterministic."""
+    toks = WORDS_SQL.format(t="coalesce(text, '')")
+    rows = ", ".join(str(j) for j in range(depth))
+    return f"""
+    WITH t AS (SELECT unnest({toks}) AS v FROM documents),
+         truth AS (SELECT v AS tok, count(*)::BIGINT AS true_count
+                   FROM t GROUP BY v
+                   ORDER BY true_count DESC, tok LIMIT {top}),
+         e AS (SELECT v, unnest([{rows}]) AS sketch_row FROM t),
+         counters AS (SELECT sketch_row,
+                             (('0x' || substr(md5(sketch_row::VARCHAR
+                                                  || '|' || v), 1, 15))
+                              ::BIGINT) % {width} AS bucket,
+                             count(*)::BIGINT AS cnt
+                      FROM e GROUP BY 1, 2),
+         probes AS (SELECT truth.tok, j.j AS sketch_row,
+                           (('0x' || substr(md5(j.j::VARCHAR || '|'
+                                                || truth.tok), 1, 15))
+                            ::BIGINT) % {width} AS bucket
+                    FROM truth, (SELECT unnest([{rows}]) AS j) j),
+         est AS (SELECT p.tok,
+                        min(coalesce(c.cnt, 0))::BIGINT AS est_count
+                 FROM probes p LEFT JOIN counters c
+                   ON c.sketch_row = p.sketch_row AND c.bucket = p.bucket
+                 GROUP BY p.tok)
+    SELECT truth.tok, truth.true_count, est.est_count
+    FROM truth JOIN est ON truth.tok = est.tok
+    """
+
+
 def log_histogram_quantiles_sql(
     qs: tuple = (0.5, 0.9, 0.99), scale: int = 1000,
     col: str = "value", table: str = "events",
