@@ -1851,10 +1851,15 @@ def queries() -> dict[str, Query]:
     # (HUGEINT oracle sums cast ::BIGINT); (b) r06 positions 51-76 —
     # green in r05 and in every local replay but outside the r06 driver
     # window, so the union of r06+r07 driver rows covers all 76 queries;
-    # (c) queries whose operator or oracle changed in r07 (conditional
-    # simhash bucket cap, histogram DECIMAL->DOUBLE pin, planner
-    # fallback rescale); (d) r06-green unchanged queries fill the rest
-    # of the window, the r06-green text/media block brings up the tail.
+    # (c) queries ADDED or changed in r07 (bucketed build, spandedup,
+    # BPE, zorder, NB classify, HLL/KMV/CMS/log-histogram/Bloom
+    # sketches + their estimate gates, as-of join, editdist neardup,
+    # rollup ladder, snapshot diff, funnel, pivot, moving avg, source
+    # overlap) — every new query MUST sit inside the first-50 window;
+    # (d) r06-green unchanged queries fill the rest of the window, the
+    # r06-green text/events/tpch block brings up the tail.
+    # INVARIANT (checked each session): every entry past position 50
+    # was green in the PREVIOUS round's CORRECTNESS file.
     return {
         # (a) r06 red, re-fixed: windowed sums now ::BIGINT
         "text_pack_windows": _pack_token_windows,
