@@ -75,6 +75,32 @@ def test_value_col_collision_raises(spark):
         asof_join(probe, build, value_cols=["px"])
 
 
+def test_randomized_matches_python_reference(spark):
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        probe = [(i, rng.randint(0, 5), _ts(rng.randint(0, 50)))
+                 for i in range(80)]
+        build = [(rng.randint(0, 5), _ts(rng.randint(0, 50)), float(i))
+                 for i in range(60)]
+        pdf = _mk(spark, probe, "pid long, user_id long, ts timestamp")
+        bdf = _mk(spark, build, "user_id long, ts timestamp, px double")
+        got = {r["pid"]: r["px"] for r in
+               asof_join(pdf, bdf, value_cols=["px"]).collect()}
+
+        def ref(u, t):
+            cand = [(ts, px) for (bu, ts, px) in build
+                    if bu == u and ts <= t]
+            if not cand:
+                return None
+            # max ts; among equal ts the max payload wins
+            return max(cand)[1]
+
+        want = {pid: ref(u, t) for pid, u, t in probe}
+        assert got == want, f"seed {seed}"
+
+
 def test_plan_is_single_window_no_nested_loop(spark):
     probe = spark.range(100).select(
         F.col("id").alias("pid"), (F.col("id") % 5).alias("user_id"),
