@@ -375,7 +375,11 @@ def kmv_pairwise_overlap(
     :func:`kmv_overlap` is the python twin). Output
     (group_a, group_b, n_union, n_shared, jaccard), group_a < group_b.
     """
-    sk = kmv_sketch(df, col, k=k, group_col=group_col)
+    # the sketch is |groups|·k rows but its lineage scans the whole
+    # corpus; it feeds 5 sibling subplans below (a/b/groups/pairs×2),
+    # and Spark re-executes narrow lineages per sibling — checkpoint
+    # the tiny table so the corpus is scanned exactly once
+    sk = kmv_sketch(df, col, k=k, group_col=group_col).localCheckpoint()
     a = sk.select(
         F.col(group_col).alias("group_a"), F.col("hval"),
         F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"),
