@@ -123,6 +123,32 @@ def test_kmv_overlap_estimates_jaccard(spark):
     assert abs(j - 1 / 3) < 0.12
 
 
+def test_grouped_registers_match_per_group_python(spark):
+    rows = [("a", v) for v in range(200)] + [("b", v) for v in range(150, 400)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = hll_registers(df, "x", p=8, group_col="g").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], {})[r["bucket"]] = r["max_rho"]
+    assert got["a"] == _py_registers(range(200), 8)
+    assert got["b"] == _py_registers(range(150, 400), 8)
+
+
+def test_grouped_registers_merge_to_global(spark):
+    rows = [("a", v) for v in range(200)] + [("b", v) for v in range(150, 400)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    grouped = hll_registers(df, "x", p=8, group_col="g")
+    rolled = {
+        r["bucket"]: r["max_rho"]
+        for r in merge_registers(grouped.drop("g")).collect()
+    }
+    direct = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(df, "x", p=8).collect()
+    }
+    assert rolled == direct  # one sketch pass serves every rollup
+
+
 # ---------------- count-min ----------------
 
 

@@ -30,12 +30,17 @@ HASH_BITS = 60
 
 
 def hll_registers(
-    df: DataFrame, col: str | Column, p: int = 10
+    df: DataFrame, col: str | Column, p: int = 10,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """HLL register table: (bucket, max_rho) over 2^p buckets — top p
-    hash bits index, the rank of the highest set bit in the remaining
-    60-p bits is rho. Only observed buckets are emitted (absent bucket
-    ⇔ register 0). Exact integers end-to-end; one groupBy."""
+    """HLL register table: (group?, bucket, max_rho) over 2^p buckets —
+    top p hash bits index, the rank of the highest set bit in the
+    remaining 60-p bits is rho. Only observed buckets are emitted
+    (absent bucket ⇔ register 0). Exact integers end-to-end; one
+    groupBy. With ``group_col`` this is the per-slice COUNT(DISTINCT)
+    table (distinct users per source/day/cohort) at 2^p integers per
+    group — and slices merge upward (source→all) via
+    :func:`merge_registers`, so one sketch pass serves every rollup."""
     if not 4 <= p <= 18:
         raise ValueError(f"p={p} outside [4, 18]")
     rest_bits = HASH_BITS - p
@@ -46,18 +51,23 @@ def hll_registers(
     rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
         F.lit(rest_bits) - F.length(F.bin(rest)) + 1
     )
+    keys = [group_col] if group_col else []
     return (
         df.filter(c.isNotNull())
-        .select(idx.cast("long").alias("bucket"), rho.cast("long").alias("rho"))
-        .groupBy("bucket")
+        .select(
+            *keys,
+            idx.cast("long").alias("bucket"), rho.cast("long").alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
 def merge_registers(*tables: DataFrame) -> DataFrame:
     """Union register tables from independent scans (days, shards,
-    engines) into one sketch — HLL's killer property at warehouse
-    scale: pre-aggregate once per partition, merge for any slice."""
+    engines) — or from the groups of one grouped sketch — into one
+    sketch: HLL's killer property at warehouse scale: pre-aggregate
+    once per partition/slice, merge for any rollup."""
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t)
