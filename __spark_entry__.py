@@ -1099,6 +1099,38 @@ def _text_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_neardup_pairs(salted, d=2, q=3, key_col="k")
 
 
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keyed range join via time-bucket discretization: every
+    error event opens a 10-minute outage window; count the windows
+    covering each purchase. A naive BETWEEN join is a
+    nested-loop cliff — the bucketized plan is an EQUI-join on the
+    bucket id plus the exact filter."""
+    from vectordbindexing_spark.operators.ranges import (
+        point_in_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("outage_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 10 MINUTES").alias("end_ts"),
+    )
+    hits = point_in_interval_join(
+        points, intervals, bucket_seconds=600, how="inner"
+    )
+    counts = hits.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_outages")
+    )
+    return points.join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("n_outages"), F.lit(0)).cast("long")
+        .alias("n_outages"),
+    )
+
+
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks up the user's latest click at or
     before it (unbounded lookback — the interval-join attribution
@@ -1903,6 +1935,7 @@ def queries() -> dict[str, Query]:
         "cms_token_counts": _cms_token_counts,
         "events_quantile_sketch": _events_quantile_sketch,
         "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
         "text_editdist_neardup": _text_editdist_neardup,
         "events_multires_rollup": _events_multires_rollup,
         "bloom_join_prune": _bloom_join_prune,
@@ -2034,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_token_counts": oracles.cms_counters_sql(depth=4, width=1024),
         "events_asof_join": oracles.asof_join_sql(),
+        "events_range_join": oracles.RANGE_JOIN_SQL,
         "text_editdist_neardup": oracles.editdist_neardup_sql(
             d=2, key_len=80
         ),

@@ -2345,6 +2345,20 @@ def editdist_neardup_sql(d: int = 2, key_len: int = 80) -> str:
     """
 
 
+RANGE_JOIN_SQL = """
+WITH pts AS (SELECT event_id, ts FROM events
+             WHERE event_type = 'purchase'),
+     iv AS (SELECT ts AS start_ts, ts + INTERVAL 10 MINUTE AS end_ts
+            FROM events WHERE event_type = 'error'),
+     hits AS (SELECT p.event_id, count(*)::BIGINT AS n
+              FROM pts p JOIN iv
+                ON p.ts BETWEEN iv.start_ts AND iv.end_ts
+              GROUP BY p.event_id)
+SELECT pts.event_id, coalesce(hits.n, 0)::BIGINT AS n_outages
+FROM pts LEFT JOIN hits ON pts.event_id = hits.event_id
+"""
+
+
 def asof_join_sql() -> str:
     """Mirrors events.asof_join (purchases ← latest click at-or-before,
     per user): the SAME union-timeline + running last_value(IGNORE
