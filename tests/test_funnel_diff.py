@@ -97,3 +97,12 @@ def test_diff_restricted_compare_cols(spark):
     got = snapshot_diff(old, new, ["k"], compare_cols=["a"],
                         include_unchanged=True).collect()
     assert got[0]["change"] == "unchanged"  # b ignored
+
+
+def test_diff_null_keys_match_nullsafe(spark):
+    old = _tbl(spark, [(None, "x", 1.0), (1, "y", 2.0)])
+    new = _tbl(spark, [(None, "x", 1.0), (1, "y", 9.0)])
+    got = {r["k"]: r["change"] for r in
+           snapshot_diff(old, new, ["k"], include_unchanged=True).collect()}
+    # the NULL-keyed row matches itself (no phantom removed+added pair)
+    assert got == {None: "unchanged", 1: "changed"}

@@ -315,3 +315,17 @@ def test_kmv_grouped(spark):
     gb = sorted(r["hval"] for r in out if r["g"] == "b")
     assert ga == _py_kmv(range(100), 30)
     assert gb == _py_kmv(range(50, 150), 30)
+
+
+def test_cms_estimate_ignores_null_items(spark):
+    from vectordbindexing_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    vals = [str(v % 10) for v in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    sk = cms_counters(df, "x", depth=4, width=64)
+    items = spark.createDataFrame([("3",), (None,)], "x string")
+    out = cms_estimate(sk, items, "x", depth=4, width=64).collect()
+    assert {r["x"] for r in out} == {"3"}  # NULL probe produces no row

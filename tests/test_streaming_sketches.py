@@ -53,3 +53,16 @@ def test_incremental_merge_accumulates(spark, tmp_path):
     assert _regs(spark.read.parquet(art)) == _regs(
         hll_registers(both, "x", p=9)
     )
+
+
+def test_empty_batches_do_not_crash(spark, tmp_path):
+    art = str(tmp_path / "regs")
+    empty = spark.createDataFrame([], "x long")
+    merge_hll_batch(empty, art, "x", p=9)   # writes empty artifact
+    merge_hll_batch(empty, art, "x", p=9)   # read+overwrite same path
+    assert spark.read.parquet(art).count() == 0
+    data = spark.range(100).select(F.col("id").alias("x"))
+    merge_hll_batch(data, art, "x", p=9)    # recovers into real sketch
+    assert _regs(spark.read.parquet(art)) == _regs(
+        hll_registers(data, "x", p=9)
+    )

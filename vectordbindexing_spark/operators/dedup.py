@@ -838,11 +838,14 @@ def editdist_neardup_pairs(
         # columnar count — the common exact path pays only that).
         # Above it, ONE scan+agg probe (no windows/joins in its
         # lineage) upper-bounds every cell: a prefix cell (gram, k)
-        # never exceeds the raw count of docs containing that gram,
-        # and the sentinel row injected per short doc makes the same
-        # groupBy bound the sentinel cell exactly.
+        # never exceeds the count of DOCS containing that gram (the
+        # per-(_id, _gram) distinct — occurrence counts would
+        # overestimate and drag the cap window in needlessly), and the
+        # sentinel row injected per short doc makes the same groupBy
+        # bound the sentinel cell exactly.
         bound = (
-            occ.select("_gram").unionByName(short.select("_gram"))
+            occ.select("_id", "_gram").distinct()
+            .unionByName(short.select("_id", "_gram"))
             .groupBy("_gram").count()
             .agg(F.max("count").alias("m")).collect()[0]["m"]
         )

@@ -43,7 +43,9 @@ def snapshot_diff(
     )
     cond = None
     for k in keys:
-        eq = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        # null-safe: a NULL key present in both snapshots must MATCH
+        # (plain == would split it into a phantom removed+added pair)
+        eq = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
     differs = F.lit(False)

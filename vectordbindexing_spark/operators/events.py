@@ -194,6 +194,18 @@ def coarsen_rollup(df: DataFrame, grain: str) -> DataFrame:
     )
 
 
+def rollup_grain_aggs() -> list:
+    """The finest-grain rollup aggregate expressions, shared by the
+    batch ladder (date_trunc buckets) and streaming/rollup.py
+    (F.window buckets — streaming state eviction requires a window
+    key, so the two bucketings must differ, but the AGGREGATES must
+    never drift apart or the streamed and batch ladders diverge."""
+    return [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+
+
 def multires_rollup(events: DataFrame) -> DataFrame:
     """Multi-resolution continuous aggregate (the Timescale hypertable
     rollup shape): hour buckets from the raw rows, then day from hour
@@ -207,15 +219,9 @@ def multires_rollup(events: DataFrame) -> DataFrame:
     grain's rounded sums in bucket order (array_sort struct fold ==
     DuckDB list_sum(list(x ORDER BY b)) — the repo's deterministic-
     summation pattern), so the whole ladder is cross-engine exact."""
-    hour = (
-        events.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
+    hour = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(*rollup_grain_aggs())
 
     day = coarsen_rollup(hour, "day")
     week = coarsen_rollup(day, "week")
@@ -250,7 +256,7 @@ def funnel_steps(
     no floats, no ties to break."""
     if len(steps) < 2:
         raise ValueError("need at least 2 funnel steps")
-    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    t, ty = F.col(ts_col), F.col(type_col)
     out = (
         events.filter(ty == steps[0])
         .groupBy(user_col)

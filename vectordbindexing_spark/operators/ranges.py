@@ -62,16 +62,9 @@ def point_in_interval_join(
     cond = (F.col("_pb") == F.col("_ib")) & (
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
-    if how == "inner":
-        return p.join(iv, cond, "inner").drop("_pb", "_ib")
-    if how != "left":
+    if how not in ("inner", "left"):
         raise ValueError(f"how={how!r} not supported (inner|left)")
-    hit = p.join(iv, cond, "inner").drop("_pb", "_ib")
-    missed = p.join(
-        iv, cond, "left_anti"
-    ).drop("_pb")
-    for c in intervals.columns:
-        missed = missed.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c])
-        )
-    return hit.unionByName(missed)
+    # one join either way: a point has exactly ONE bucket, so left
+    # outer emits a single NULL-padded row per unmatched point — no
+    # second anti-join pass over both sides needed
+    return p.join(iv, cond, how).drop("_pb", "_ib")

@@ -192,7 +192,10 @@ def cms_estimate(
     from pyspark.sql.functions import broadcast
 
     c = F.col(col)
-    probes = items.select(
+    # NULLs never entered the sketch; without this filter concat_ws
+    # drops the NULL and the probe would hash the bare row salt,
+    # attributing an arbitrary bucket's count to a NULL key
+    probes = items.filter(c.isNotNull()).select(
         c.alias(col),
         F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("sketch_row"),
     ).withColumn(

@@ -30,15 +30,14 @@ def hourly_rollup_stream(
     batch twin — watermark is skipped on batch inputs, expressions
     identical): (event_type, bucket, n_events, sum_value), matching
     the hour rows of events.multires_rollup row-for-row."""
+    from vectordbindexing_spark.operators.events import rollup_grain_aggs
+
     e = events
     if e.isStreaming:
         e = e.withWatermark(ts_col, watermark)
     return (
         e.groupBy("event_type", F.window(ts_col, "1 hour"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
+        .agg(*rollup_grain_aggs())
         .select(
             "event_type",
             F.col("window.start").alias("bucket"),

@@ -38,9 +38,12 @@ def merge_hll_batch(
         prev = spark.read.parquet(artifact_path)
         regs = merge_registers(prev, regs)
     # the register table is <= 2^p rows: collect-and-rewrite is
-    # driver-bounded by the sketch size, never by the stream
+    # driver-bounded by the sketch size, never by the stream. The
+    # rewrite MUST be from collected rows, never from `regs` itself —
+    # its plan reads the artifact path being overwritten (an empty
+    # localized frame keeps the write legal when rows == [])
     rows = regs.collect()
-    out = spark.createDataFrame(rows, regs.schema) if rows else regs
+    out = spark.createDataFrame(rows, regs.schema)
     out.coalesce(1).write.mode("overwrite").parquet(artifact_path)
 
 
