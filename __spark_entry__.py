@@ -1892,6 +1892,14 @@ def queries() -> dict[str, Query]:
     # r06-green text/events/tpch block brings up the tail.
     # INVARIANT (checked each session): every entry past position 50
     # was green in the PREVIOUS round's CORRECTNESS file.
+    # STAGED FOR ROUND 8 (window slack was 0 this round): BM25 keyword
+    # top-k + RRF hybrid fusion (operators/retrieval.py) — oracle
+    # builders already shipped (oracles.bm25_topk_sql / rrf_fuse_sql)
+    # and tests/test_retrieval.py replays the full driver comparison on
+    # the real documents table, so registration is lead-window + rename
+    # only. Round-8 rotation: lead with bm25/rrf + any round-8 adds,
+    # then the r07-window queries that most need re-checking; tail =
+    # r07-green entries.
     return {
         # (a) r06 red, re-fixed: windowed sums now ::BIGINT
         "text_pack_windows": _pack_token_windows,

@@ -1,0 +1,208 @@
+"""Keyword relevance (BM25) and hybrid rank fusion (RRF) — the lexical
+half of a vector-search deployment.
+
+The reference engine serves dense ANN (`hnsw_cosine_norm.py`,
+`roargraph/`); every production deployment of such an engine pairs it
+with a keyword ranker and fuses the two lists (hybrid search). BM25
+(Robertson-Walker 1994) and reciprocal rank fusion (Cormack 2009,
+`1/(k+rank)` — the fusion Elasticsearch/Vespa/Qdrant all default to)
+are the standard pair, so they are first-class operators here.
+
+Spark-first shape:
+
+* **Query-term pre-filter.** Only tokens appearing in some query ever
+  leave the scan: the explode is filtered by a broadcast literal set
+  BEFORE the tf groupBy, so the shuffle is ∝ matched occurrences, not
+  corpus tokens. At 100 TB this is the difference between building a
+  full inverted index and scoring a handful of posting lists.
+* **df via a window, not a second branch.** Document frequency is
+  ``count() OVER (PARTITION BY term)`` on the tf rows (distinct
+  (doc, term) ⇒ the count IS df). A separate ``tf.groupBy(term)``
+  branch gets rewritten by Catalyst into a distinct-pushdown subplan
+  that no longer structurally matches the tf side, so ReuseExchange
+  can't kick in and the corpus explode runs twice — measured 35 s vs
+  6.9 s at 200k docs × 50 queries for the two shapes. The window
+  re-shuffles only the matched tf rows.
+* **Corpus stats stay distributed.** N and Σdl come from one scan-local
+  aggregate crossJoin-broadcast back (1 row) — no driver round-trip in
+  the dataflow.
+* **Pure JVM expressions** end-to-end: tokenize/explode/groupBy/window,
+  no Python in the hot path.
+
+Cross-engine determinism (the DuckDB oracle replays everything in SQL,
+no pinned state — `oracles.bm25_topk_sql` / `rrf_hybrid_sql`):
+
+* all counts (tf, df, dl, N, Σdl) are exact integers;
+* per-(query, doc) term contributions fold in TERM order on both
+  engines (`F.aggregate` over `array_sort(collect_list(struct))` ==
+  `list_sum(list(x ORDER BY term))`);
+* float constants embed as python-repr literals cast ``::DOUBLE`` on
+  the DuckDB side (bare literals there are DECIMAL);
+* the identical expression tree computes the length norm
+  (((b·dl)·N)/Σdl) so the doubles agree bit-for-bit; the single
+  ``ln`` in idf differs by ≤1 ulp, absorbed by round(·, 6);
+* ranks break ties by lowest doc id on the ROUNDED score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.functions.text import words
+
+
+def _query_terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """(query_id, term) pairs — lowercased, whitespace-split, deduped
+    per query (classic BM25 scores distinct query terms)."""
+    out = []
+    for qid, text in queries:
+        seen = set()
+        for t in (text or "").lower().split():
+            if t and t not in seen:
+                seen.add(t)
+                out.append((int(qid), t))
+    if not out:
+        raise ValueError("queries produced no terms")
+    return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query under BM25.
+
+    ``queries`` is a small driver-side list of (query_id, query_text) —
+    the ad-hoc search shape, not a joinable query table (that variant
+    is the same plan with the literal filter replaced by a broadcast
+    semi-join on a query-terms DataFrame).
+
+    Output: (query_id, rank, doc_id, score) with
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — non-negative for all df.
+    """
+    qterms = _query_terms(queries)
+    terms = sorted({t for _, t in qterms})
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("toks"),
+    )
+    # corpus stats: one scan-local aggregate, broadcast back as 1 row
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    # tf over query terms only — the isin filter runs inside the scan
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
+        )
+    )
+    qt = F.broadcast(
+        tf.sparkSession.createDataFrame(qterms, "query_id long, term string")
+    )
+    contrib = (
+        tf.join(qt, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(b)
+                    + F.lit(b)
+                    * F.col("dl").cast("double")
+                    * F.col("n_docs").cast("double")
+                    / F.col("sum_dl").cast("double")
+                )
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "n_terms")
+    )
+
+
+def rrf_fuse(
+    ranklists: DataFrame,
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal rank fusion over ``ranklists`` (query_id, src, rank,
+    doc_id) — one row per (query, source, candidate), ranks 1-based.
+
+    score(q, d) = Σ_sources 1/(k_rrf + rank_src(d)); a doc absent from
+    a source contributes nothing (the standard convention). Output:
+    (query_id, rank, doc_id, rrf_score, n_sources), fused rank breaking
+    ties on the rounded score by lowest doc id.
+
+    Scale: input is already top-k-per-source (|q|·|src|·k rows); one
+    (query, doc) shuffle + one per-query window. The float fold is
+    ordered by source name on both engines.
+    """
+    contrib = ranklists.withColumn(
+        "c", F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank").cast("double"))
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", "doc_id", "rrf_score", "n_sources")
+    )

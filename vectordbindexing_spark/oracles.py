@@ -3689,3 +3689,95 @@ def media_video_sql() -> str:
         "media_id",
         32,
     )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bm25_sql_ctes(
+    queries: list[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    docs_src: str = "documents",
+) -> str:
+    """CTE block computing per-(query, doc) BM25 scores — the exact
+    expression-tree twin of ``operators.retrieval.bm25_topk`` (same
+    left-associated double arithmetic, term-ordered float fold, float
+    constants as python-repr ``::DOUBLE`` literals). Emits CTE ``bm_sc``
+    (query_id, doc_id, score, n_terms)."""
+    from vectordbindexing_spark.operators.retrieval import _query_terms
+
+    qterms = _query_terms(queries)
+    terms = sorted({t for _, t in qterms})
+    term_in = ", ".join(_sql_str(t) for t in terms)
+    qt_vals = ", ".join(f"({qid}, {_sql_str(t)})" for qid, t in qterms)
+    toks = WORDS_SQL.format(t="lower(coalesce(text, ''))")
+    k1p1, k1r, br = repr(k1 + 1.0), repr(k1), repr(b)
+    return f"""
+    bm_d AS (SELECT doc_id, {toks} AS toks FROM {docs_src}),
+    bm_s AS (SELECT count(*)::BIGINT AS n_docs,
+                    sum(len(toks))::BIGINT AS sum_dl FROM bm_d),
+    bm_occ AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+                      unnest(toks) AS term FROM bm_d),
+    bm_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+              FROM bm_occ WHERE term IN ({term_in})
+              GROUP BY doc_id, term),
+    bm_df AS (SELECT term, count(*)::BIGINT AS df FROM bm_tf GROUP BY term),
+    bm_qt AS (SELECT * FROM (VALUES {qt_vals}) AS q(query_id, term)),
+    bm_c AS (SELECT bm_qt.query_id, bm_tf.doc_id, bm_tf.term,
+                    ln(1.0::DOUBLE + (bm_s.n_docs::DOUBLE - bm_df.df
+                                      + 0.5::DOUBLE)
+                                   / (bm_df.df::DOUBLE + 0.5::DOUBLE))
+                    * (bm_tf.tf::DOUBLE * {k1p1}::DOUBLE)
+                    / (bm_tf.tf::DOUBLE
+                       + {k1r}::DOUBLE
+                         * (1.0::DOUBLE - {br}::DOUBLE
+                            + {br}::DOUBLE * bm_tf.dl::DOUBLE
+                              * bm_s.n_docs::DOUBLE / bm_s.sum_dl::DOUBLE))
+                    AS cv
+             FROM bm_tf JOIN bm_df USING (term) JOIN bm_qt USING (term)
+             CROSS JOIN bm_s),
+    bm_sc AS (SELECT query_id, doc_id,
+                     round(list_sum(list(cv ORDER BY term)), 6) AS score,
+                     count(*)::BIGINT AS n_terms
+              FROM bm_c GROUP BY query_id, doc_id)"""
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Full-replay oracle for retrieval.bm25_topk on ``documents``."""
+    return f"""
+    WITH {bm25_sql_ctes(queries, k1, b)},
+    bm_r AS (SELECT query_id, doc_id, score, n_terms,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id)::BIGINT
+                      AS rank
+             FROM bm_sc)
+    SELECT query_id, rank, doc_id, score, n_terms
+    FROM bm_r WHERE rank <= {k}
+    """
+
+
+def rrf_fuse_sql(ranklists_cte: str, k_rrf: int = 60, topk: int = 10) -> str:
+    """Fusion tail over a CTE ``{ranklists_cte}`` (query_id, src, rank,
+    doc_id): score = Σ 1/(k_rrf + rank) folded in SOURCE order, exactly
+    like retrieval.rrf_fuse."""
+    return f"""
+    rrf_c AS (SELECT query_id, doc_id, src,
+                     1.0::DOUBLE / ({repr(float(k_rrf))}::DOUBLE
+                                    + rank::DOUBLE) AS cv
+              FROM {ranklists_cte}),
+    rrf_f AS (SELECT query_id, doc_id,
+                     round(list_sum(list(cv ORDER BY src)), 6) AS rrf_score,
+                     count(*)::BIGINT AS n_sources
+              FROM rrf_c GROUP BY query_id, doc_id),
+    rrf_r AS (SELECT query_id, doc_id, rrf_score, n_sources,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_score DESC,
+                                                 doc_id)::BIGINT AS rank
+              FROM rrf_f)"""
