@@ -69,44 +69,79 @@ def _query_terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
 
 def bm25_topk(
     docs: DataFrame,
-    queries: list[tuple[int, str]],
+    queries: "list[tuple[int, str]] | DataFrame",
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_fold: bool = True,
 ) -> DataFrame:
     """Top-k documents per query under BM25.
 
-    ``queries`` is a small driver-side list of (query_id, query_text) —
-    the ad-hoc search shape, not a joinable query table (that variant
-    is the same plan with the literal filter replaced by a broadcast
-    semi-join on a query-terms DataFrame).
+    ``queries`` is either a small driver-side list of
+    (query_id, query_text) — the ad-hoc search shape, filtered with an
+    INSET literal inside the scan — or a DataFrame
+    (query_id, text) for batch retrieval (thousands of queries, e.g.
+    mining hard negatives for embedding training), where the term
+    filter becomes a broadcast LEFT SEMI join instead: same plan shape,
+    no driver round-trip, query count bounded only by broadcast size.
+
+    ``exact_fold=True`` (default) sums each doc's term contributions in
+    TERM order via a collect_list fold — bit-identical to the DuckDB
+    oracle, required for the hash gate, cheap when queries are few.
+    ``exact_fold=False`` uses a plain ``sum()`` (partition-order float
+    accumulation, can drift in the last ulp): at 2000 queries × 200k
+    docs the query terms cover the vocabulary, the fold materializes
+    ~29M structs and costs 127 s vs 22 s for the sum — batch mining
+    should pass False.
 
     Output: (query_id, rank, doc_id, score) with
     score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — non-negative for all df.
     """
-    qterms = _query_terms(queries)
-    terms = sorted({t for _, t in qterms})
-
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         words(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("toks"),
     )
+    if isinstance(queries, DataFrame):
+        qt = queries.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    words(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+                )
+            ).alias("term"),
+        )
+
+        def term_filter(occ: DataFrame) -> DataFrame:
+            return occ.join(
+                F.broadcast(qt.select("term").distinct()), "term", "leftsemi"
+            )
+    else:
+        qterms = _query_terms(queries)
+        terms = sorted({t for _, t in qterms})
+        qt = docs.sparkSession.createDataFrame(
+            qterms, "query_id long, term string"
+        )
+
+        def term_filter(occ: DataFrame) -> DataFrame:
+            return occ.where(F.col("term").isin(terms))
+
     # corpus stats: one scan-local aggregate, broadcast back as 1 row
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("sum_dl"),
     )
-    # tf over query terms only — the isin filter runs inside the scan
+    # tf over query terms only — the filter runs before the groupBy
     tf = (
-        base.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("term"),
+        term_filter(
+            base.select(
+                "doc_id",
+                F.size("toks").cast("long").alias("dl"),
+                F.explode("toks").alias("term"),
+            )
         )
-        .where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
         .withColumn(
@@ -114,9 +149,7 @@ def bm25_topk(
             F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
         )
     )
-    qt = F.broadcast(
-        tf.sparkSession.createDataFrame(qterms, "query_id long, term string")
-    )
+    qt = F.broadcast(qt)
     contrib = (
         tf.join(qt, "term")
         .crossJoin(F.broadcast(stats))
@@ -146,15 +179,16 @@ def bm25_topk(
             ),
         )
     )
+    if exact_fold:
+        score = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        )
+    else:
+        score = F.sum("c")
     scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ),
-            6,
-        ).alias("score"),
+        F.round(score, 6).alias("score"),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -206,3 +240,43 @@ def rrf_fuse(
         .where(F.col("rank") <= topk)
         .select("query_id", "rank", "doc_id", "rrf_score", "n_sources")
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    queries: "list[tuple[int, str]] | DataFrame",
+    vec_ranks: DataFrame,
+    k: int = 10,
+    fetch_k: int = 20,
+    k_rrf: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 top-``fetch_k`` fused with a vector
+    ranklist via RRF — the deployment shape of every hybrid vector-DB
+    query path (keyword recall ⊕ semantic recall).
+
+    ``vec_ranks`` is the output of ANY dense route — ``exact_knn``,
+    ``lsh_knn``, ``ivfpq_knn`` or the planner — in their shared
+    (qid, nbr_rank, neighbor_id, …) contract, with qid matching the
+    BM25 query ids. Keeping the dense side an input (rather than
+    computing it here) lets the caller pick the index the corpus size
+    demands; fusion only ever sees |q|·2·fetch_k rank rows.
+    """
+    kw = bm25_topk(
+        docs, queries, k=fetch_k, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+    ranks = kw.select(
+        "query_id", F.lit("kw").alias("src"), "rank", "doc_id"
+    ).unionByName(
+        vec_ranks.select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.lit("vec").alias("src"),
+            F.col("nbr_rank").cast("long").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("doc_id"),
+        ).where(F.col("rank") <= fetch_k)
+    )
+    return rrf_fuse(ranks, k_rrf=k_rrf, topk=k)
