@@ -3781,3 +3781,48 @@ def rrf_fuse_sql(ranklists_cte: str, k_rrf: int = 60, topk: int = 10) -> str:
                                         ORDER BY rrf_score DESC,
                                                  doc_id)::BIGINT AS rank
               FROM rrf_f)"""
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """Full-replay oracle for ``operators.pagerank.pagerank``:
+    ``edges_sql`` is a SELECT producing (src, dst). Unrolls the same
+    fixed rounds with source-id-ordered contribution folds and the
+    identical repr-literal damping constants — per-node ranks are
+    bit-exact before the final round(·, 6)."""
+    base, d = repr(1.0 - damping), repr(damping)
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    pr_inc{k} AS (SELECT e.dst,
+                     list_sum(list(r.rank / r.out_deg::DOUBLE ORDER BY r.id))
+                       AS s
+              FROM pr_e e JOIN pr_r{k - 1} r ON e.src = r.id
+              GROUP BY e.dst),
+    pr_r{k} AS (SELECT r.id, r.out_deg, r.n,
+                   {base}::DOUBLE / r.n::DOUBLE
+                   + {d}::DOUBLE * coalesce(i.s, 0.0::DOUBLE) AS rank
+            FROM pr_r{k - 1} r LEFT JOIN pr_inc{k} i ON r.id = i.dst)""")
+    return f"""
+    WITH pr_e0 AS (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst
+                   FROM ({edges_sql})
+                   WHERE src IS NOT NULL AND dst IS NOT NULL),
+    pr_nodes AS (SELECT src AS id FROM pr_e0
+                 UNION SELECT dst FROM pr_e0),
+    pr_e AS (SELECT * FROM pr_e0
+             UNION ALL
+             SELECT id, id FROM pr_nodes
+             WHERE id NOT IN (SELECT src FROM pr_e0)),
+    pr_deg AS (SELECT src, count(*)::BIGINT AS out_deg
+               FROM pr_e GROUP BY src),
+    pr_n AS (SELECT count(*)::BIGINT AS n FROM pr_nodes),
+    pr_r0 AS (SELECT d.src AS id, d.out_deg, pr_n.n,
+                     1.0::DOUBLE / pr_n.n::DOUBLE AS rank
+              FROM pr_deg d CROSS JOIN pr_n),
+    {",".join(rounds)}
+    SELECT id, round(rank * n::DOUBLE, 6) AS rank_x_n, out_deg
+    FROM pr_r{iters}
+    """
