@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vectordbindexing_spark.functions.hashing import det_hash64
+from vectordbindexing_spark.functions.hashing import det_hash60, det_hash64
 
 
 def _hash_window(strata_col: str, id_col: str) -> Window:
@@ -90,3 +90,73 @@ def token_budget_sample(
         )
         .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Vieweg A-ES): the temperature-mixing stage of a
+    training-data recipe ("sample ∝ quality^(1/T)").
+
+    Each row draws the pseudo-uniform u = (md5₆₀(id)+1)/2⁶⁰ — the same
+    content-independent, engine-independent source the other samplers
+    use. A-ES ranks by u^(1/w') (w' = w^(1/T)) descending; this module
+    ranks by the DOUBLE-LOG equivalent
+    ``sample_key = ln(−ln u) − (1/T)·ln w`` ASCENDING — the same total
+    order, but the key stays O(±40) for ANY weight/temperature, so the
+    repo's round-to-6dp cross-engine guard keeps full discrimination.
+    (The single-log form ln(u)/w^(1/T) underflows the rounding at
+    extreme temperatures: at T = 0.05 every key rounds to −0.000000
+    and the id tie-break silently takes over — caught by the
+    temperature-limit test.) T → 0 degenerates to "take the
+    highest-weight documents", T = 1 is ∝ w, T → ∞ approaches uniform.
+    Rows with weight ≤ 0 or NULL are excluded (no sampling mass).
+
+    Keys round to 6 dp BEFORE ranking (lowest-id tie-break) —
+    `oracles.weighted_sample_sql` replays the identical expression.
+
+    Output: (id, [stratum,] weight, sample_key, sample_rank), rank
+    1-based per stratum (or global). Global top-n runs as
+    sort-and-limit (TakeOrdered — per-partition partial top-n, no
+    single-partition window); the stratified path is the usual
+    windowed top-k per stratum key.
+    """
+    if n < 1:
+        raise ValueError("need n >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    inv_t = 1.0 / temperature
+    u = (det_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(2.0**60)
+    key = F.round(
+        F.log(-F.log(u)) - F.lit(inv_t) * F.log(F.col(weight_col).cast("double")),
+        6,
+    )
+    cols = [F.col(id_col), F.col(weight_col).cast("double").alias("weight")]
+    if strata_col is not None:
+        cols.insert(1, F.col(strata_col))
+    scored = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(*cols, key.alias("sample_key"))
+    )
+    if strata_col is None:
+        top = scored.orderBy("sample_key", id_col).limit(n)
+        rank_w = Window.orderBy("sample_key", id_col)
+    else:
+        rank_w = Window.partitionBy(strata_col).orderBy(
+            "sample_key", id_col
+        )
+        top = scored
+    out = top.withColumn(
+        "sample_rank", F.row_number().over(rank_w).cast("long")
+    )
+    if strata_col is not None:
+        out = out.filter(F.col("sample_rank") <= n)
+    return out

@@ -13,6 +13,7 @@ import glob
 import os
 
 from vectordbindexing_spark.functions.hashing import (
+    DET_HASH60_SQL,
     minhash_signature_sql,
     simhash_bits_sql,
 )
@@ -3825,4 +3826,37 @@ def pagerank_sql(
     {",".join(rounds)}
     SELECT id, round(rank * n::DOUBLE, 6) AS rank_x_n, out_deg
     FROM pr_r{iters}
+    """
+
+
+def weighted_sample_sql(
+    n: int,
+    weight_sql: str,
+    id_sql: str = "doc_id",
+    temperature: float = 1.0,
+    strata_sql: str | None = None,
+    docs_src: str = "documents",
+) -> str:
+    """Full-replay oracle for ``sampling.weighted_sample``: identical
+    A-ES key expression (md5₆₀ pseudo-uniform, ln/pow through one
+    shared tree, repr ::DOUBLE literals, round-6 before ranking)."""
+    inv_t = repr(1.0 / temperature)
+    two60 = repr(2.0**60)
+    h = DET_HASH60_SQL.format(s=f"({id_sql})::VARCHAR")
+    key = (
+        f"round(ln(-ln(({h} + 1)::DOUBLE / {two60}::DOUBLE))"
+        f" - {inv_t}::DOUBLE * ln(({weight_sql})::DOUBLE), 6)"
+    )
+    strata_out = f", {strata_sql} AS stratum" if strata_sql else ""
+    part = f"PARTITION BY {strata_sql} " if strata_sql else ""
+    return f"""
+    WITH ws AS (SELECT {id_sql}{strata_out},
+                       ({weight_sql})::DOUBLE AS weight,
+                       {key} AS sample_key
+                FROM {docs_src}
+                WHERE {weight_sql} IS NOT NULL AND {weight_sql} > 0),
+    wr AS (SELECT *, row_number() OVER ({part}ORDER BY sample_key,
+                                        {id_sql})::BIGINT AS sample_rank
+           FROM ws)
+    SELECT * FROM wr WHERE sample_rank <= {n}
     """
