@@ -3725,7 +3725,8 @@ def bm25_sql_ctes(
               FROM bm_occ WHERE term IN ({term_in})
               GROUP BY doc_id, term),
     bm_df AS (SELECT term, count(*)::BIGINT AS df FROM bm_tf GROUP BY term),
-    bm_qt AS (SELECT * FROM (VALUES {qt_vals}) AS q(query_id, term)),
+    bm_qt AS (SELECT query_id::BIGINT AS query_id, term
+              FROM (VALUES {qt_vals}) AS q(query_id, term)),
     bm_c AS (SELECT bm_qt.query_id, bm_tf.doc_id, bm_tf.term,
                     ln(1.0::DOUBLE + (bm_s.n_docs::DOUBLE - bm_df.df
                                       + 0.5::DOUBLE)
