@@ -1779,6 +1779,89 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style order-priority check (STAGED for the r08 window):
+    orders with at least one lineitem shipped > 60 days after the
+    order date, counted by priority — the canonical EXISTS semi-join
+    (Catalyst plans a LeftSemi with the correlated predicate pushed
+    into the join condition; integer-only output)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    sem = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def _tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style customer order-count distribution (STAGED r08): LEFT
+    OUTER join with an ON-clause filter (customers with zero qualifying
+    orders must survive with c_count = 0), then the count-of-counts
+    histogram. Exercises outer-join + double aggregation; all-integer."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def _tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style dormant high-balance customers (STAGED r08): scalar
+    subquery threshold (mean positive balance, one explicit sum/count
+    division rounded BEFORE the comparison per the repo's cross-engine
+    threshold rule) + NOT EXISTS anti-join against the urgent-order
+    subset (every customer has SOME order in this data; "never placed
+    an urgent one" keeps the anti-join non-degenerate), grouped by
+    nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = F.broadcast(
+        cust.where(F.col("c_acctbal") > F.lit(0.0)).agg(
+            F.round(
+                F.sum("c_acctbal") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("t")
+        )
+    )
+    rich = cust.crossJoin(thr).where(F.col("c_acctbal") > F.col("t"))
+    idle = rich.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return idle.groupBy(
+        F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle, cohorted on each user's first
+    PURCHASE (STAGED r08; any-event cohorts are degenerate on this data
+    — every user is active from day 1) — see
+    operators.events.cohort_retention."""
+    from vectordbindexing_spark.operators.events import cohort_retention
+
+    return cohort_retention(
+        load_table(spark, sf_dir, "events"), cohort_event="purchase"
+    )
+
+
 def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function query: rank each customer's orders by price, keep
     top 3 (the engine's rank-window workhorse on a relational table)."""
@@ -1868,6 +1951,84 @@ def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_knn_edges(spark: SparkSession, sf_dir: str,
+                     k: int = 8, max_degree: int = 12,
+                     id_limit: int = 1200) -> DataFrame:
+    """Shared input graph of the STAGED r08 graph-analytics queries:
+    capped mutual-kNN edges over the vec_id < id_limit embeddings slice
+    (same construction as knn_graph_degree_stats; SQL twin
+    `oracles.knn_mutual_edges_cte`)."""
+    from vectordbindexing_spark.operators.graph import knn_graph, mutualize
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < id_limit
+    )
+    g = knn_graph(emb, k=k, metric="cosine", id_col="vec_id",
+                  vec_col="embedding")
+    return mutualize(g, max_degree=max_degree).select("src", "dst")
+
+
+def _graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + clustering coefficient of the mutual
+    kNN graph (STAGED r08) — see operators.triangles.triangle_counts."""
+    from vectordbindexing_spark.operators.triangles import triangle_counts
+
+    return triangle_counts(_graph_knn_edges(spark, sf_dir))
+
+
+def _graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the mutual kNN graph (STAGED r08) — see
+    operators.triangles.kcore."""
+    from vectordbindexing_spark.operators.triangles import kcore
+
+    return kcore(_graph_knn_edges(spark, sf_dir), k=4)
+
+
+def _maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim top-10 (STAGED r08): doc tokens = the
+    embeddings table grouped vec_id % 250; 4 queries × 4 tokens from
+    the vec_id < 16 slice — see operators.retrieval.maxsim_topk."""
+    from vectordbindexing_spark.operators.retrieval import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dt = emb.select(
+        (F.col("vec_id") % 250).alias("doc_id"),
+        F.col("embedding").alias("vec"),
+    )
+    qt = emb.where(F.col("vec_id") < 16).select(
+        (F.col("vec_id") % 4).alias("query_id"),
+        F.expr("vec_id div 4").alias("qpos"),
+        F.col("embedding").alias("vec"),
+    )
+    return maxsim_topk(dt, qt, k=10)
+
+
+def _mmr_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (λ=0.7, k=5) of the exact-kNN top-20
+    shortlist (STAGED r08): rel = 1 − rounded cosine distance — see
+    operators.mmr.mmr_rerank."""
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    from vectordbindexing_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    b = emb.where(F.col("vec_id") % 10 != 0)
+    knn = exact_knn(
+        q, b, k=20, metric="cosine",
+        q_id="vec_id", q_vec="embedding", b_id="vec_id", b_vec="embedding",
+    )
+    cand = knn.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        (F.lit(1.0) - F.round(F.col("dist"), 6)).alias("rel"),
+        F.col("embedding").alias("vec"),
+    )
+    return mmr_rerank(cand, k=5, lam=0.7)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1892,14 +2053,32 @@ def queries() -> dict[str, Query]:
     # r06-green text/events/tpch block brings up the tail.
     # INVARIANT (checked each session): every entry past position 50
     # was green in the PREVIOUS round's CORRECTNESS file.
-    # STAGED FOR ROUND 8 (window slack was 0 this round): BM25 keyword
-    # top-k + RRF hybrid fusion (operators/retrieval.py) — oracle
-    # builders already shipped (oracles.bm25_topk_sql / rrf_fuse_sql)
-    # and tests/test_retrieval.py replays the full driver comparison on
-    # the real documents table, so registration is lead-window + rename
-    # only. Round-8 rotation: lead with bm25/rrf + any round-8 adds,
-    # then the r07-window queries that most need re-checking; tail =
-    # r07-green entries.
+    # STAGED FOR ROUND 8 (window slack was 0 this round) — each has its
+    # operator, oracle builder, and a test replaying the full driver
+    # comparison on the real tables, so registration is lead-window +
+    # rename only:
+    #   bm25_topk / rrf_fuse            (retrieval.py; bm25_topk_sql /
+    #                                    rrf_fuse_sql; test_retrieval)
+    #   pagerank                        (pagerank.py; pagerank_sql;
+    #                                    test_pagerank)
+    #   weighted_sample                 (sampling.py; weighted_sample_sql;
+    #                                    test_weighted_sample)
+    #   _graph_triangle_stats/_graph_kcore (triangles.py;
+    #                                    triangle_counts_sql / kcore_sql
+    #                                    over knn_mutual_edges_cte;
+    #                                    test_triangles)
+    #   _maxsim_knn                     (retrieval.maxsim_topk;
+    #                                    maxsim_topk_sql; test_maxsim)
+    #   _mmr_rerank_knn                 (mmr.py; mmr_rerank_sql;
+    #                                    test_mmr)
+    #   _tpch_q4_late_orders/_tpch_q13_order_distribution/
+    #   _tpch_q22_idle_balances         (TPCH_Q4/Q13/Q22_SQL;
+    #                                    test_relational_staged)
+    #   _events_cohort_retention        (events.cohort_retention;
+    #                                    COHORT_RETENTION_SQL; same test)
+    # Round-8 rotation: lead with the staged queries + any round-8
+    # adds, then the r07-window queries that most need re-checking;
+    # tail = r07-green entries.
     return {
         # (a) r06 red, re-fixed: windowed sums now ::BIGINT
         "text_pack_windows": _pack_token_windows,

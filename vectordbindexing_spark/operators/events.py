@@ -276,3 +276,48 @@ def funnel_steps(
     return out.withColumn(
         "completed", done.cast("long")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cohort_event: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily cohort retention matrix: cohort = calendar day of each
+    user's FIRST event (or first ``cohort_event``-typed event, e.g.
+    their first purchase — the acquisition-cohort variant); one output
+    row per (cohort_day, offset_days) with the distinct-user count
+    active that day — the standard product-analytics triangle
+    (Amplitude/Mixpanel "retention" view). Activity BEFORE a user's
+    cohort day (possible when cohort_event filters) is not retention
+    and is excluded.
+
+    Two shuffles total: a per-user min (map-side combinable) and the
+    (cohort, offset) distinct-count; the events×first join
+    co-partitions on the user key. All-integer output (dates rendered
+    as strings so the cross-engine hash never sees a DATE), hash-exact
+    against `oracles.cohort_retention_sql`.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    src = events
+    if cohort_event is not None:
+        src = events.where(F.col(type_col) == cohort_event)
+    first = src.groupBy(u.alias("uid")).agg(
+        F.min(F.to_date(t)).alias("cohort_day")
+    )
+    joined = events.select(u.alias("uid"), F.to_date(t).alias("day")).join(
+        first, "uid"
+    )
+    return (
+        joined.groupBy("cohort_day", F.datediff("day", "cohort_day").alias(
+            "offset_days"))
+        .agg(F.countDistinct("uid").alias("n_users"))
+        .where(F.col("offset_days") >= 0)
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("offset_days").cast("long").alias("offset_days"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

@@ -280,3 +280,86 @@ def hybrid_search(
         ).where(F.col("rank") <= fetch_k)
     )
     return rrf_fuse(ranks, k_rrf=k_rrf, topk=k)
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    doc_vec_col: str = "vec",
+    q_id_col: str = "query_id",
+    q_pos_col: str = "qpos",
+    q_vec_col: str = "vec",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR'20): score(q, d) = Σ_{query tokens i} max_{doc tokens j}
+    ⟨qᵢ, dⱼ⟩ — the MaxSim operator a multi-vector index serves.
+
+    ``doc_tokens``: one row per document token (doc_id, vec);
+    ``query_tokens``: one row per query token (query_id, qpos, vec).
+    Returns (query_id, rank, doc_id, score), top-``k`` docs per query,
+    rank on the rounded score descending with lowest-doc-id ties.
+
+    Spark-first shape: the query-token table is broadcast (queries are
+    the small side by construction), the (doc token × query token) dot
+    stream is never materialized — it flows into a map-side-combinable
+    groupBy (query, qpos, doc) MAX, then the per-query-token maxima
+    fold in qpos order. At corpus scale pass ``candidates`` (query_id,
+    doc_id — e.g. an ANN shortlist from the planner) to restrict
+    scoring to a candidate set BEFORE any dot product is computed:
+    retrieve-then-rerank, the deployment shape of every late-
+    interaction system (PLAID, ColBERTv2).
+
+    Cross-engine exactness: each dot product is the sequential
+    position-ordered fold (`functions.vector.dot` ==
+    DuckDB `list_sum(list_transform(qv, (x,i) -> x*dv[i]))`), MAX is
+    order-free selection, the qpos fold is explicitly ordered, and
+    rounding happens once after the fold (`oracles.maxsim_topk_sql`).
+    """
+    from vectordbindexing_spark.functions.vector import dot as dot_seq
+
+    dt = doc_tokens.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(doc_vec_col).cast("array<double>").alias("dv"),
+    )
+    qt = F.broadcast(
+        query_tokens.select(
+            F.col(q_id_col).cast("long").alias("query_id"),
+            F.col(q_pos_col).cast("long").alias("qpos"),
+            F.col(q_vec_col).cast("array<double>").alias("qv"),
+        )
+    )
+    if candidates is not None:
+        cand = candidates.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        ).distinct()
+        dt = dt.join(cand, "doc_id")  # (doc token × its candidate queries)
+        pairs = dt.join(qt, "query_id")
+    else:
+        pairs = dt.crossJoin(qt)
+    dots = pairs.select(
+        "query_id", "qpos", "doc_id",
+        dot_seq(F.col("qv"), F.col("dv")).alias("dp"),
+    )
+    mx = dots.groupBy("query_id", "qpos", "doc_id").agg(
+        F.max("dp").alias("m")
+    )
+    score = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("qpos", "m"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["m"],
+    )
+    scored = mx.groupBy("query_id", "doc_id").agg(
+        F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

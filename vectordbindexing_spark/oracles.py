@@ -3861,3 +3861,268 @@ def weighted_sample_sql(
            FROM ws)
     SELECT * FROM wr WHERE sample_rank <= {n}
     """
+
+
+def knn_mutual_edges_cte(
+    k: int = 8, max_degree: int = 12, id_limit: int = 1200
+) -> str:
+    """CTE body producing the capped mutual-kNN edge set (src, dst) over
+    the ``vec_id < id_limit`` embeddings slice — the same construction
+    as :func:`knn_graph_degree_stats_sql` (knn_graph → mutualize),
+    reused as the deterministic input graph of the graph-analytics
+    oracles (triangles, k-core). Returned string is a parenthesized
+    SELECT usable as a subquery."""
+    return f"""(
+    WITH tg_e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < {id_limit}),
+         tg_d AS (SELECT q.id AS src, b.id AS dst,
+                         1.0 - list_inner_product(q.v, b.v) /
+                         (sqrt(list_inner_product(q.v,q.v)) *
+                          sqrt(list_inner_product(b.v,b.v))) AS dist
+                  FROM tg_e q JOIN tg_e b ON q.id <> b.id),
+         tg_knn AS (SELECT src, dst, dist,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY dist, dst) AS rnk
+                    FROM tg_d),
+         tg_g AS (SELECT src, dst, dist FROM tg_knn WHERE rnk <= {k}),
+         tg_sym AS (SELECT src, dst, min(dist) AS dist FROM
+                      (SELECT src, dst, dist FROM tg_g
+                       UNION ALL SELECT dst AS src, src AS dst, dist FROM tg_g)
+                    GROUP BY src, dst),
+         tg_cap AS (SELECT src, dst FROM
+                      (SELECT src, dst,
+                              row_number() OVER (PARTITION BY src
+                                                 ORDER BY dist, dst) AS rnk
+                       FROM tg_sym) WHERE rnk <= {max_degree})
+    SELECT src, dst FROM tg_cap
+    )"""
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """Full-replay oracle for ``operators.triangles.triangle_counts``:
+    identical canonicalization, (degree, id) orientation, wedge close,
+    and the single final IEEE division — all-integer until round(·,6)."""
+    return f"""
+    WITH tr_raw AS (SELECT src::BIGINT AS s, dst::BIGINT AS d
+                    FROM ({edges_sql})
+                    WHERE src IS NOT NULL AND dst IS NOT NULL
+                      AND src <> dst),
+    tr_und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+               FROM tr_raw),
+    tr_sym AS MATERIALIZED (SELECT a AS u, b AS v FROM tr_und
+               UNION ALL SELECT b, a FROM tr_und),
+    tr_deg AS MATERIALIZED (SELECT u AS id, count(*)::BIGINT AS degree
+               FROM tr_sym GROUP BY u),
+    tr_rank AS (SELECT t.a, t.b, da.degree AS dega, db.degree AS degb
+                FROM tr_und t
+                JOIN tr_deg da ON t.a = da.id
+                JOIN tr_deg db ON t.b = db.id),
+    tr_or AS MATERIALIZED (SELECT
+                CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+                     THEN a ELSE b END AS src,
+                CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+                     THEN b ELSE a END AS dst,
+                CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+                     THEN degb ELSE dega END AS ddeg
+              FROM tr_rank),
+    tr_wedge AS MATERIALIZED (SELECT e1.src AS tu, e1.dst AS tv, e2.dst AS tw
+                 FROM tr_or e1 JOIN tr_or e2 ON e1.src = e2.src
+                 WHERE (e1.ddeg < e2.ddeg)
+                    OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+    tr_tri AS MATERIALIZED (SELECT tu, tv, tw FROM tr_wedge w
+               WHERE EXISTS (SELECT 1 FROM tr_or e3
+                             WHERE e3.src = w.tv AND e3.dst = w.tw)),
+    tr_corner AS (SELECT tu AS id FROM tr_tri
+                  UNION ALL SELECT tv FROM tr_tri
+                  UNION ALL SELECT tw FROM tr_tri),
+    tr_cnt AS (SELECT id, count(*)::BIGINT AS triangles
+               FROM tr_corner GROUP BY id)
+    SELECT g.id, g.degree,
+           coalesce(c.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN g.degree >= 2
+                THEN round((2 * coalesce(c.triangles, 0))::DOUBLE
+                           / (g.degree * (g.degree - 1))::DOUBLE, 6)
+                ELSE 0.0::DOUBLE END AS clustering
+    FROM tr_deg g LEFT JOIN tr_cnt c ON g.id = c.id
+    """
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int = 16) -> str:
+    """Fixed-unroll oracle for ``operators.triangles.kcore``: ``rounds``
+    peel rounds (idempotent past the fixed point, so it equals Spark's
+    early-exit result whenever the peel converges within ``rounds``).
+    All-integer.
+
+    Every round CTE is ``AS MATERIALIZED``: each round references its
+    predecessor twice (degree probe + edge filter), so DuckDB's default
+    CTE inlining would expand the chain into 2^rounds copies of the
+    base scan — measured as a "too many open files" blowup at 16
+    rounds before materialization pinned each round to run once."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    kc_keep{r} AS MATERIALIZED (SELECT u AS id FROM kc_s{r - 1}
+                   GROUP BY u HAVING count(*) >= {k}),
+    kc_s{r} AS MATERIALIZED (SELECT s.u, s.v FROM kc_s{r - 1} s
+                WHERE s.u IN (SELECT id FROM kc_keep{r})
+                  AND s.v IN (SELECT id FROM kc_keep{r}))""")
+    return f"""
+    WITH kc_raw AS (SELECT src::BIGINT AS s, dst::BIGINT AS d
+                    FROM ({edges_sql})
+                    WHERE src IS NOT NULL AND dst IS NOT NULL
+                      AND src <> dst),
+    kc_und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+                                   greatest(s, d) AS b
+               FROM kc_raw),
+    kc_s0 AS MATERIALIZED (SELECT a AS u, b AS v FROM kc_und
+              UNION ALL SELECT b, a FROM kc_und),
+    {",".join(parts)}
+    SELECT u AS id, count(*)::BIGINT AS core_degree
+    FROM kc_s{rounds} GROUP BY u
+    """
+
+
+def maxsim_topk_sql(
+    k: int = 10,
+    n_queries: int = 4,
+    n_qtokens: int = 4,
+    n_docs: int = 250,
+    doc_sql: str | None = None,
+    query_sql: str | None = None,
+) -> str:
+    """Full-replay oracle for ``retrieval.maxsim_topk`` (late-interaction
+    MaxSim). Defaults mirror the contract harness: doc tokens are the
+    embeddings table grouped ``vec_id % n_docs``; query tokens are the
+    ``vec_id < n_queries·n_qtokens`` slice (query_id = vec_id %
+    n_queries, qpos = vec_id // n_queries). Each dot product is the
+    position-ordered sequential fold (`list_sum(list_transform(...))`
+    == Spark `aggregate(zip_with(·,·,*), 0.0, +)`), MAX is selection,
+    the qpos fold is ordered, one round(·, 6) after the fold."""
+    dsql = doc_sql or (
+        f"SELECT (vec_id % {n_docs})::BIGINT AS doc_id, "
+        f"embedding::DOUBLE[] AS v FROM embeddings"
+    )
+    qsql = query_sql or (
+        f"SELECT (vec_id % {n_queries})::BIGINT AS query_id, "
+        f"(vec_id // {n_queries})::BIGINT AS qpos, "
+        f"embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE vec_id < {n_queries * n_qtokens}"
+    )
+    return f"""
+    WITH ms_d AS ({dsql}),
+         ms_q AS ({qsql}),
+         ms_dot AS (SELECT q.query_id, q.qpos, d.doc_id,
+                           list_sum(list_transform(q.v,
+                             (x, i) -> x * d.v[i])) AS dp
+                    FROM ms_q q, ms_d d),
+         ms_max AS (SELECT query_id, qpos, doc_id, max(dp) AS m
+                    FROM ms_dot GROUP BY query_id, qpos, doc_id),
+         ms_sc AS (SELECT query_id, doc_id,
+                          round(list_sum(list(m ORDER BY qpos)), 6) AS score
+                   FROM ms_max GROUP BY query_id, doc_id),
+         ms_r AS (SELECT query_id, doc_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, doc_id)
+                           AS rank
+                  FROM ms_sc)
+    SELECT query_id, rank, doc_id, score FROM ms_r WHERE rank <= {k}
+    """
+
+
+COHORT_RETENTION_SQL = """
+WITH cr_f AS (SELECT user_id AS uid, min(ts::DATE) AS cohort_day
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+     cr_j AS (SELECT e.user_id AS uid, e.ts::DATE AS day, f.cohort_day
+              FROM events e JOIN cr_f f ON e.user_id = f.uid)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_day, day)::BIGINT AS offset_days,
+       count(DISTINCT uid)::BIGINT AS n_users
+FROM cr_j
+WHERE date_diff('day', cohort_day, day) >= 0
+GROUP BY cr_j.cohort_day, date_diff('day', cr_j.cohort_day, day)
+"""
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+TPCH_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+TPCH_Q22_SQL = """
+WITH thr AS (SELECT round(sum(c_acctbal) / count(*), 6) AS t
+             FROM customer WHERE c_acctbal > 0.0::DOUBLE)
+SELECT c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def mmr_rerank_sql(cand_sql: str, k: int = 5, lam: float = 0.5) -> str:
+    """Full-replay oracle for ``operators.mmr.mmr_rerank``: the k greedy
+    selections unroll as CTEs. ``cand_sql`` must produce (query_id,
+    doc_id, rel, v DOUBLE[]). Rank 1 = argmax rel; each later step
+    scores λ·rel − (1−λ)·max-cosine-to-selected through the identical
+    expression tree as the Spark kernel (sequential list_sum folds,
+    repr ::DOUBLE literals, raw-double ordering, doc-id ties),
+    round(·, 6) only at output."""
+    lam_r = repr(float(lam))
+    sim = (
+        "list_sum(list_transform(r.v, (x, i) -> x * s.v[i])) / "
+        "(sqrt(list_sum(list_transform(r.v, (x, i) -> x * x))) * "
+        "sqrt(list_sum(list_transform(s.v, (x, i) -> x * x))))"
+    )
+    score = f"{lam_r}::DOUBLE * rel - (1.0::DOUBLE - {lam_r}::DOUBLE) * msim"
+    parts = [f"""
+    mmr_c AS ({cand_sql}),
+    mmr_sel1 AS (SELECT query_id, doc_id, rel, v, rel AS score,
+                        1::BIGINT AS rank
+                 FROM (SELECT c.*, row_number() OVER (
+                         PARTITION BY query_id ORDER BY rel DESC, doc_id)
+                         AS rn FROM mmr_c c) WHERE rn = 1),
+    mmr_u1 AS (SELECT * FROM mmr_sel1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+    mmr_ms{t} AS (SELECT r.query_id, r.doc_id, r.rel, r.v,
+                    (SELECT max({sim}) FROM mmr_u{t - 1} s
+                     WHERE s.query_id = r.query_id) AS msim
+                  FROM mmr_c r
+                  WHERE NOT EXISTS (SELECT 1 FROM mmr_u{t - 1} u
+                                    WHERE u.query_id = r.query_id
+                                      AND u.doc_id = r.doc_id)),
+    mmr_sel{t} AS (SELECT query_id, doc_id, rel, v, {score} AS score,
+                          {t}::BIGINT AS rank
+                   FROM (SELECT m.*, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY {score} DESC, doc_id) AS rn
+                         FROM mmr_ms{t} m) WHERE rn = 1),
+    mmr_u{t} AS (SELECT * FROM mmr_u{t - 1}
+                 UNION ALL SELECT * FROM mmr_sel{t})""")
+    return (
+        "\n    WITH " + "".join(parts)
+        + f"""
+    SELECT query_id, rank, doc_id, round(score, 6) AS mmr_score
+    FROM mmr_u{k}
+    """
+    )
