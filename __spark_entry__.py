@@ -1984,6 +1984,19 @@ def _graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_graph_knn_edges(spark, sf_dir), k=4)
 
 
+def _graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped label propagation (3 rounds) of the embeddings label
+    column from the vec_id % 5 == 0 seed subset over the mutual kNN
+    graph (STAGED r08) — see operators.labelprop.label_propagation."""
+    from vectordbindexing_spark.operators.labelprop import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    return label_propagation(_graph_knn_edges(spark, sf_dir), seeds, iters=3)
+
+
 def _maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction MaxSim top-10 (STAGED r08): doc tokens = the
     embeddings table grouped vec_id % 250; 4 queries × 4 tokens from
@@ -2067,6 +2080,9 @@ def queries() -> dict[str, Query]:
     #                                    triangle_counts_sql / kcore_sql
     #                                    over knn_mutual_edges_cte;
     #                                    test_triangles)
+    #   _graph_label_prop               (labelprop.py;
+    #                                    label_propagation_sql;
+    #                                    test_labelprop)
     #   _maxsim_knn                     (retrieval.maxsim_topk;
     #                                    maxsim_topk_sql; test_maxsim)
     #   _mmr_rerank_knn                 (mmr.py; mmr_rerank_sql;

@@ -4126,3 +4126,53 @@ def mmr_rerank_sql(cand_sql: str, k: int = 5, lam: float = 0.5) -> str:
     FROM mmr_u{k}
     """
     )
+
+
+def label_propagation_sql(
+    edges_sql: str, seeds_sql: str, iters: int = 3
+) -> str:
+    """Fixed-unroll oracle for ``operators.labelprop.label_propagation``:
+    ``seeds_sql`` produces (id, label). Same canonicalization, clamped
+    seeds, neighbor-mode update with (count DESC, label ASC) ties —
+    all-integer. Round CTEs are MATERIALIZED (each is referenced by
+    the count join AND the carry-forward of the next round)."""
+    parts = []
+    for r in range(1, iters + 1):
+        parts.append(f""",
+    lp_cnt{r} AS (SELECT e.u AS nid, c.label AS nlabel,
+                         count(*)::BIGINT AS c
+                  FROM lp_sym e JOIN lp_c{r - 1} c ON e.v = c.id
+                  WHERE c.label >= 0
+                  GROUP BY e.u, c.label),
+    lp_mode{r} AS (SELECT nid AS id, nlabel AS mode_l FROM (
+                     SELECT nid, nlabel,
+                            row_number() OVER (PARTITION BY nid
+                                               ORDER BY c DESC, nlabel) AS rn
+                     FROM lp_cnt{r}) WHERE rn = 1),
+    lp_c{r} AS MATERIALIZED (
+        SELECT c.id, c.seed_label,
+               coalesce(c.seed_label, m.mode_l, c.label) AS label
+        FROM lp_c{r - 1} c LEFT JOIN lp_mode{r} m USING (id))""")
+    return f"""
+    WITH lp_raw AS (SELECT src::BIGINT AS s, dst::BIGINT AS d
+                    FROM ({edges_sql})
+                    WHERE src IS NOT NULL AND dst IS NOT NULL
+                      AND src <> dst),
+    lp_und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+                                   greatest(s, d) AS b FROM lp_raw),
+    lp_sym AS MATERIALIZED (SELECT a AS u, b AS v FROM lp_und
+                            UNION ALL SELECT b, a FROM lp_und),
+    lp_seed AS MATERIALIZED (SELECT id::BIGINT AS id,
+                                    label::BIGINT AS seed_label
+                             FROM ({seeds_sql}) WHERE label IS NOT NULL),
+    lp_c0 AS MATERIALIZED (
+        SELECT n.id, s.seed_label,
+               coalesce(s.seed_label, (-1)::BIGINT) AS label
+        FROM (SELECT DISTINCT u AS id FROM lp_sym) n
+        LEFT JOIN lp_seed s USING (id))
+    {"".join(parts)}
+    SELECT id, label,
+           (CASE WHEN seed_label IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS is_seed
+    FROM lp_c{iters}
+    """
