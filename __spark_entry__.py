@@ -2016,6 +2016,19 @@ def _maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(dt, qt, k=10)
 
 
+def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining over the labeled embeddings table (STAGED r08):
+    nearest same-label positive + top-5 different-label negatives +
+    margins — see operators.mining.mine_triplets."""
+    from vectordbindexing_spark.operators.mining import mine_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mine_triplets(
+        emb, k_neg=5, metric="cosine",
+        id_col="vec_id", vec_col="embedding", label_col="label",
+    )
+
+
 def _mmr_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (λ=0.7, k=5) of the exact-kNN top-20
     shortlist (STAGED r08): rel = 1 − rounded cosine distance — see
@@ -2087,6 +2100,8 @@ def queries() -> dict[str, Query]:
     #                                    maxsim_topk_sql; test_maxsim)
     #   _mmr_rerank_knn                 (mmr.py; mmr_rerank_sql;
     #                                    test_mmr)
+    #   _mine_triplets                  (mining.py; mine_triplets_sql;
+    #                                    test_mining)
     #   _tpch_q4_late_orders/_tpch_q13_order_distribution/
     #   _tpch_q22_idle_balances         (TPCH_Q4/Q13/Q22_SQL;
     #                                    test_relational_staged)

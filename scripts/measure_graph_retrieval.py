@@ -96,3 +96,16 @@ if step in ("all", "cohort"):
     print("events sf0.1:", ev.count(), flush=True)
     timed("cohort_retention sf0.1 (purchase cohorts)",
           cohort_retention(ev, cohort_event="purchase"))
+
+if step in ("all", "mining"):
+    from vectordbindexing_spark.io.synthetic import synthetic_vectors
+    from vectordbindexing_spark.operators.mining import mine_triplets
+
+    emb = (
+        synthetic_vectors(spark, 100_000, 64, n_modalities=10,
+                          id_col="id", vec_col="vec")
+        .select("id", "vec", (F.col("id") % 10).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    timed("mine_triplets 100k x 10 labels, k_neg=5",
+          mine_triplets(emb, k_neg=5))

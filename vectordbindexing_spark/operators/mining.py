@@ -1,0 +1,110 @@
+"""Triplet / hard-negative mining over a labeled embedding table — the
+data-curation step of contrastive embedding training (FaceNet
+semi-hard mining, Schroff 2015; SBERT/SimCSE hard negatives): for each
+anchor, the nearest SAME-label point is the positive and the nearest
+DIFFERENT-label points are the hard negatives; margin = d(a, neg) −
+d(a, pos) measures triplet hardness (negative margin = the triplet the
+loss actually learns from).
+
+Spark-first shape: the label-mismatch constraint cannot be pushed into
+the blocked top-k kernel as a post-filter (a wave of same-label
+neighbors would silently evict true hard negatives from the top-k), so
+the mining runs as per-label split passes over the SAME
+`operators.exact_knn` kernel the serving path uses: for each of the L
+distinct labels, queries = anchors with that label, base = the
+complement (negatives) or the same-label split minus self (positives).
+L is bounded and collected once (the repo's trained-state pattern —
+centroids, codebooks, vocab literals); each pass is the broadcast
+blocked kernel, so the total work is exactly one full kNN sweep split
+into L disjoint slices — no extra pairs, no lost exactness. At corpus
+scale swap exact_knn for the planner route per slice.
+
+Cross-engine: distances rank raw and round once at output like every
+kNN query; margin is computed from the RAW dists then rounded through
+one shared expression tree (`oracles.mine_triplets_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+MAX_LABELS = 64
+
+
+def mine_triplets(
+    emb: DataFrame,
+    k_neg: int = 5,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per anchor: nearest same-label positive + top-``k_neg``
+    different-label negatives + triplet margins.
+
+    Returns ``(anchor_id, anchor_label, pos_id, pos_dist, neg_rank,
+    neg_id, neg_dist, margin)`` — one row per (anchor, negative), the
+    positive columns repeated; anchors with no same-label peer or no
+    negative are dropped (no triplet exists). ``margin =
+    round(neg_dist − pos_dist, 6)`` on the raw distances.
+    """
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).cast("long").alias("label"),
+    ).where(F.col("label").isNotNull() & F.col("vec").isNotNull())
+    labels = sorted(
+        r["label"] for r in base.select("label").distinct().collect()
+    )
+    if len(labels) > MAX_LABELS:
+        raise ValueError(
+            f"{len(labels)} labels > MAX_LABELS={MAX_LABELS}: per-label "
+            "split passes assume a bounded label set"
+        )
+    pos_parts, neg_parts = [], []
+    for lab in labels:
+        q = base.where(F.col("label") == lab)
+        same = q
+        other = base.where(F.col("label") != lab)
+        pos_parts.append(
+            exact_knn(
+                q, same, k=1, metric=metric,
+                q_id="id", q_vec="vec", b_id="id", b_vec="vec",
+                exclude_self=True,
+            ).select(
+                F.col("qid").alias("anchor_id"),
+                F.lit(lab).cast("long").alias("anchor_label"),
+                F.col("neighbor_id").alias("pos_id"),
+                F.col("dist").alias("_pos_raw"),
+            )
+        )
+        neg_parts.append(
+            exact_knn(
+                q, other, k=k_neg, metric=metric,
+                q_id="id", q_vec="vec", b_id="id", b_vec="vec",
+            ).select(
+                F.col("qid").alias("anchor_id"),
+                F.col("nbr_rank").alias("neg_rank"),
+                F.col("neighbor_id").alias("neg_id"),
+                F.col("dist").alias("_neg_raw"),
+            )
+        )
+    pos = pos_parts[0]
+    for p in pos_parts[1:]:
+        pos = pos.unionByName(p)
+    neg = neg_parts[0]
+    for p in neg_parts[1:]:
+        neg = neg.unionByName(p)
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "pos_id",
+        F.round("_pos_raw", 6).alias("pos_dist"),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "neg_id",
+        F.round("_neg_raw", 6).alias("neg_dist"),
+        F.round(F.col("_neg_raw") - F.col("_pos_raw"), 6).alias("margin"),
+    )

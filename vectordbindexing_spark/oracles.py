@@ -4176,3 +4176,38 @@ def label_propagation_sql(
              AS is_seed
     FROM lp_c{iters}
     """
+
+
+def mine_triplets_sql(k_neg: int = 5, metric: str = "cosine") -> str:
+    """Full-replay oracle for ``operators.mining.mine_triplets`` on the
+    embeddings table: same-label nearest positive (self excluded),
+    different-label top-k negatives, margin from RAW dists through one
+    shared tree, round(·, 6) at output only."""
+    d = KNN_DIST_SQL[metric]
+    return f"""
+    WITH mt_e AS MATERIALIZED (
+           SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  label::BIGINT AS label
+           FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+    mt_p AS (SELECT q.id AS anchor_id, q.label AS anchor_label,
+                    b.id AS pos_id, {d.replace('q.v', 'q.v')} AS dist,
+                    row_number() OVER (PARTITION BY q.id
+                                       ORDER BY {d}, b.id) AS rn
+             FROM mt_e q JOIN mt_e b
+               ON q.label = b.label AND q.id <> b.id),
+    mt_pos AS (SELECT anchor_id, anchor_label, pos_id, dist
+               FROM mt_p WHERE rn = 1),
+    mt_n AS (SELECT q.id AS anchor_id, b.id AS neg_id, {d} AS dist,
+                    row_number() OVER (PARTITION BY q.id
+                                       ORDER BY {d}, b.id) AS rn
+             FROM mt_e q JOIN mt_e b ON q.label <> b.label),
+    mt_neg AS (SELECT anchor_id, neg_id, dist, rn
+               FROM mt_n WHERE rn <= {k_neg})
+    SELECT p.anchor_id, p.anchor_label, p.pos_id,
+           round(p.dist, 6) AS pos_dist,
+           n.rn AS neg_rank, n.neg_id,
+           round(n.dist, 6) AS neg_dist,
+           round(n.dist - p.dist, 6) AS margin
+    FROM mt_pos p JOIN mt_neg n USING (anchor_id)
+    """
