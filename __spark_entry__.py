@@ -2016,6 +2016,22 @@ def _maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(dt, qt, k=10)
 
 
+def _graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 6-step random-walk corpus over the mutual kNN
+    graph (STAGED r08) — see operators.walks.random_walks."""
+    from vectordbindexing_spark.operators.walks import random_walks
+
+    return random_walks(_graph_knn_edges(spark, sf_dir), walk_len=6)
+
+
+def _text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (STAGED r08) — see
+    operators.retrieval.tfidf_top_terms."""
+    from vectordbindexing_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining over the labeled embeddings table (STAGED r08):
     nearest same-label positive + top-5 different-label negatives +
@@ -2102,6 +2118,10 @@ def queries() -> dict[str, Query]:
     #                                    test_mmr)
     #   _mine_triplets                  (mining.py; mine_triplets_sql;
     #                                    test_mining)
+    #   _graph_random_walks             (walks.py; random_walks_sql;
+    #                                    test_walks)
+    #   _text_tfidf_terms               (retrieval.tfidf_top_terms;
+    #                                    tfidf_top_terms_sql; test_tfidf)
     #   _tpch_q4_late_orders/_tpch_q13_order_distribution/
     #   _tpch_q22_idle_balances         (TPCH_Q4/Q13/Q22_SQL;
     #                                    test_relational_staged)

@@ -363,3 +363,60 @@ def maxsim_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyphrase /
+    topic-signature extraction (the per-document twin of BM25's
+    corpus-level ranking; used in pipelines for doc tagging and
+    centroid labeling). Returns (doc_id, rank, term, score, tf, df),
+    rank on the rounded score descending, ties to the lexicographically
+    smallest term.
+
+    One corpus scan: tf is the (doc, term) count; df is
+    ``count() OVER (PARTITION BY term)`` on the tf rows — distinct
+    (doc, term) rows make that count exactly df, and keeping it a
+    window on the SAME lineage (not a second groupBy branch) preserves
+    exchange reuse (the measured 5× BM25 lesson, SCALE.md). N
+    broadcast; score = tf · ln(1 + N/df) — integers everywhere until
+    the one ln, absorbed by round(·, 6) on both engines
+    (`oracles.tfidf_top_terms_sql`).
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        words(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("toks"),
+    )
+    n_b = F.broadcast(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    occ = toks.select("doc_id", F.explode("toks").alias("term"))
+    tf = occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    )
+    scored = tfdf.crossJoin(n_b).select(
+        "doc_id", "term", "tf", "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(
+                F.lit(1.0)
+                + F.col("n_docs").cast("double") / F.col("df").cast("double")
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score", "tf", "df")
+    )

@@ -4211,3 +4211,76 @@ def mine_triplets_sql(k_neg: int = 5, metric: str = "cosine") -> str:
            round(n.dist - p.dist, 6) AS margin
     FROM mt_pos p JOIN mt_neg n USING (anchor_id)
     """
+
+
+def random_walks_sql(
+    edges_sql: str, walk_len: int = 8, walks_per_node: int = 1
+) -> str:
+    """Full-replay oracle for ``operators.walks.random_walks``: identical
+    canonicalization, dst-ordered neighbor ranking, and per-step
+    md5(walk_id:step:node) mod degree choice. Step CTEs MATERIALIZED
+    (each feeds both the output union and the next step)."""
+    from vectordbindexing_spark.functions.hashing import DET_HASH64_SQL
+
+    parts, outs = [], ["SELECT walk_id, 0::BIGINT AS step, node FROM wk_c0"]
+    for t in range(1, walk_len + 1):
+        h = DET_HASH64_SQL.format(
+            s=f"c.walk_id::VARCHAR || ':{t}:' || c.node::VARCHAR"
+        )
+        parts.append(f""",
+    wk_c{t} AS MATERIALIZED (
+        SELECT c.walk_id, n.v AS node
+        FROM wk_c{t - 1} c JOIN wk_nbr n
+          ON n.u = c.node AND n.rnk = 1 + ({h} % n.deg))""")
+        outs.append(
+            f"SELECT walk_id, {t}::BIGINT AS step, node FROM wk_c{t}"
+        )
+    return f"""
+    WITH wk_raw AS (SELECT src::BIGINT AS s, dst::BIGINT AS d
+                    FROM ({edges_sql})
+                    WHERE src IS NOT NULL AND dst IS NOT NULL
+                      AND src <> dst),
+    wk_und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+               FROM wk_raw),
+    wk_sym AS (SELECT a AS u, b AS v FROM wk_und
+               UNION ALL SELECT b, a FROM wk_und),
+    wk_nbr AS MATERIALIZED (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v)::BIGINT AS rnk,
+               count(*) OVER (PARTITION BY u)::BIGINT AS deg
+        FROM wk_sym),
+    wk_c0 AS MATERIALIZED (
+        SELECT (u * {walks_per_node} + w.w)::BIGINT AS walk_id, u AS node
+        FROM (SELECT DISTINCT u FROM wk_nbr) n,
+             unnest(range(0, {walks_per_node})) AS w(w))
+    {"".join(parts)}
+    {" UNION ALL ".join(outs)}
+    """
+
+
+def tfidf_top_terms_sql(k: int = 5, docs_src: str = "documents") -> str:
+    """Full-replay oracle for ``retrieval.tfidf_top_terms``: same
+    tokenizer (WORDS_SQL), df as a window over the distinct (doc, term)
+    tf rows, identical score tree, round(·, 6), (score DESC, term)
+    ranking."""
+    toks = WORDS_SQL.format(t="lower(coalesce(text, ''))")
+    return f"""
+    WITH ti_d AS (SELECT doc_id, {toks} AS toks FROM {docs_src}),
+    ti_n AS (SELECT count(*)::BIGINT AS n_docs FROM ti_d),
+    ti_occ AS (SELECT doc_id, unnest(toks) AS term FROM ti_d),
+    ti_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM ti_occ GROUP BY doc_id, term),
+    ti_w AS (SELECT doc_id, term, tf,
+                    count(*) OVER (PARTITION BY term)::BIGINT AS df
+             FROM ti_tf),
+    ti_sc AS (SELECT doc_id, term, tf, df,
+                     round(tf::DOUBLE * ln(1.0::DOUBLE
+                           + n.n_docs::DOUBLE / df::DOUBLE), 6) AS score
+              FROM ti_w, ti_n n),
+    ti_r AS (SELECT doc_id, term, tf, df, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term)::BIGINT
+                      AS rank
+             FROM ti_sc)
+    SELECT doc_id, rank, term, score, tf, df FROM ti_r WHERE rank <= {k}
+    """
