@@ -51,6 +51,46 @@ from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.text import words
 
+# lexical-stats table reserved keys (tokens from the whitespace
+# tokenizer cannot start with NUL unless the raw text contains it —
+# lexical_stats drops such tokens defensively)
+RESERVED_PREFIX = "\x00"
+TERM_CORPUS = "\x00corpus"
+
+
+def lexical_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical index statistics of a document set: one row per term
+    (term, df, tf) plus the ``TERM_CORPUS`` row carrying
+    (n_docs → df, sum_dl → tf). This is the additive summary a
+    streaming maintainer can merge batch-by-batch
+    (``streaming.lexical``): df/tf/N/Σdl all sum across disjoint
+    document batches, so stats(∪ batches) = Σ stats(batch) as long as
+    each document arrives exactly once (the append-only corpus
+    contract; put ``streaming.filter_gate`` upstream for at-least-once
+    sources). ``bm25_topk(..., stats=...)`` serves from it."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("toks"),
+    )
+    per_term = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(~F.col("term").startswith(RESERVED_PREFIX))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
+    )
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("tf"),
+    ).select(F.lit(TERM_CORPUS).alias("term"), "df", "tf")
+    return per_term.unionByName(corpus)
+
 
 def _query_terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     """(query_id, term) pairs — lowercased, whitespace-split, deduped
@@ -76,8 +116,18 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact_fold: bool = True,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25.
+
+    ``stats`` (optional): a lexical-stats table in the
+    :func:`lexical_stats` layout — per-term (term, df, tf) plus the
+    ``TERM_CORPUS`` row carrying (n_docs, sum_dl). When given, df/N/Σdl
+    come from it instead of being recomputed from ``docs``: the
+    incremental-index serving shape (score a batch, a slice, or the
+    full corpus against stats a stream maintains —
+    ``streaming.lexical``). Terms absent from ``stats`` are skipped
+    (the stats table is authoritative for the corpus).
 
     ``queries`` is either a small driver-side list of
     (query_id, query_text) — the ad-hoc search shape, filtered with an
@@ -128,11 +178,16 @@ def bm25_topk(
         def term_filter(occ: DataFrame) -> DataFrame:
             return occ.where(F.col("term").isin(terms))
 
-    # corpus stats: one scan-local aggregate, broadcast back as 1 row
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
-    )
+    if stats is None:
+        # corpus stats: one scan-local aggregate, broadcast back as 1 row
+        corpus = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+        )
+    else:
+        corpus = stats.where(F.col("term") == TERM_CORPUS).select(
+            F.col("df").alias("n_docs"), F.col("tf").alias("sum_dl")
+        )
     # tf over query terms only — the filter runs before the groupBy
     tf = (
         term_filter(
@@ -144,15 +199,22 @@ def bm25_topk(
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
-        .withColumn(
+    )
+    if stats is None:
+        tf = tf.withColumn(
             "df",
             F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
         )
-    )
+    else:
+        term_df = stats.where(
+            (F.col("term") != TERM_CORPUS)
+            & ~F.col("term").startswith(RESERVED_PREFIX)
+        ).select("term", F.col("df").cast("long").alias("df"))
+        tf = tf.join(F.broadcast(term_df), "term")
     qt = F.broadcast(qt)
     contrib = (
         tf.join(qt, "term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf",
             F.log(
