@@ -2016,6 +2016,21 @@ def _maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(dt, qt, k=10)
 
 
+def _graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the label-0 seed vectors over the
+    mutual kNN graph (STAGED r08) — see
+    operators.pagerank.personalized_pagerank."""
+    from vectordbindexing_spark.operators.pagerank import personalized_pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    return personalized_pagerank(
+        _graph_knn_edges(spark, sf_dir), seeds, iters=3
+    )
+
+
 def _graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 6-step random-walk corpus over the mutual kNN
     graph (STAGED r08) — see operators.walks.random_walks."""
@@ -2120,6 +2135,9 @@ def queries() -> dict[str, Query]:
     #                                    test_mining)
     #   _graph_random_walks             (walks.py; random_walks_sql;
     #                                    test_walks)
+    #   _graph_ppr                      (pagerank.personalized_pagerank;
+    #                                    personalized_pagerank_sql;
+    #                                    test_ppr)
     #   _text_tfidf_terms               (retrieval.tfidf_top_terms;
     #                                    tfidf_top_terms_sql; test_tfidf)
     #   _tpch_q4_late_orders/_tpch_q13_order_distribution/

@@ -131,3 +131,109 @@ def pagerank(
         F.round(F.col("rank") * F.col("n").cast("double"), 6).alias("rank_x_n"),
         "out_deg",
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_id_col: str = "id",
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002 topic-sensitive PR; the
+    related-item / seed-expansion ranker every graph-serving stack
+    offers): identical fixed-round Pregel-by-DataFrame as
+    :func:`pagerank` but the teleport mass lands ONLY on ``seeds`` —
+    r₀ = uniform over S, rₖ(v) = (1−d)·1[v∈S]/|S| + d·Σ rₖ₋₁(u)/out(u).
+
+    Returns (id, rank_x_s, out_deg, is_seed) with rank scaled by |S|
+    (O(1) values like pagerank's rank_x_n). Self-loop dangling repair,
+    source-ordered contribution folds, round(·, 6) at output — same
+    cross-engine contract, oracle `oracles.personalized_pagerank_sql`.
+    Nodes unreachable from S keep rank 0 exactly."""
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    dangling = nodes.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    )
+    e = e.unionByName(
+        dangling.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    seed = (
+        seeds.select(F.col(seed_id_col).cast("long").alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")  # seeds outside the graph: ignored
+    )
+    s_b = F.broadcast(seed.agg(F.count(F.lit(1)).cast("long").alias("ns")))
+    ranks = (
+        deg.select(F.col("src").alias("id"), "out_deg")
+        .join(seed.withColumn("_s", F.lit(1)), "id", "left")
+        .crossJoin(s_b)
+        .select(
+            "id",
+            "out_deg",
+            "ns",
+            F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("is_seed"),
+            F.when(
+                F.col("_s").isNotNull(),
+                F.lit(1.0) / F.col("ns").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = F.lit(1.0 - damping)
+    d_lit = F.lit(damping)
+    for _ in range(iters):
+        contrib = e.join(ranks, e["src"] == ranks["id"]).select(
+            "dst",
+            ranks["id"].alias("u"),
+            (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
+        )
+        s_agg = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("u", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        )
+        incoming = contrib.groupBy("dst").agg(s_agg.alias("s"))
+        ranks = (
+            ranks.join(incoming, ranks["id"] == incoming["dst"], "left")
+            .select(
+                "id",
+                "out_deg",
+                "ns",
+                "is_seed",
+                (
+                    base
+                    * F.when(
+                        F.col("is_seed") == 1,
+                        F.lit(1.0) / F.col("ns").cast("double"),
+                    ).otherwise(F.lit(0.0))
+                    + d_lit * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "id",
+        F.round(F.col("rank") * F.col("ns").cast("double"), 6).alias(
+            "rank_x_s"
+        ),
+        "out_deg",
+        "is_seed",
+    )

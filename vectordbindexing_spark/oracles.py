@@ -4284,3 +4284,62 @@ def tfidf_top_terms_sql(k: int = 5, docs_src: str = "documents") -> str:
              FROM ti_sc)
     SELECT doc_id, rank, term, score, tf, df FROM ti_r WHERE rank <= {k}
     """
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """Full-replay oracle for ``pagerank.personalized_pagerank``:
+    ``seeds_sql`` produces (id). Same fixed rounds, seed-only teleport,
+    source-ordered folds, repr damping literals; MATERIALIZED round
+    CTEs (each feeds the contribution join and the carry)."""
+    base, d = repr(1.0 - damping), repr(damping)
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    ppr_inc{k} AS (SELECT e.dst,
+                      list_sum(list(r.rank / r.out_deg::DOUBLE ORDER BY r.id))
+                        AS s
+               FROM ppr_e e JOIN ppr_r{k - 1} r ON e.src = r.id
+               GROUP BY e.dst),
+    ppr_r{k} AS MATERIALIZED (
+        SELECT r.id, r.out_deg, r.ns, r.is_seed,
+               {base}::DOUBLE * (CASE WHEN r.is_seed = 1
+                                 THEN 1.0::DOUBLE / r.ns::DOUBLE
+                                 ELSE 0.0::DOUBLE END)
+               + {d}::DOUBLE * coalesce(i.s, 0.0::DOUBLE) AS rank
+        FROM ppr_r{k - 1} r LEFT JOIN ppr_inc{k} i ON r.id = i.dst)""")
+    return f"""
+    WITH ppr_e0 AS (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst
+                    FROM ({edges_sql})
+                    WHERE src IS NOT NULL AND dst IS NOT NULL),
+    ppr_nodes AS MATERIALIZED (SELECT src AS id FROM ppr_e0
+                               UNION SELECT dst FROM ppr_e0),
+    ppr_e AS MATERIALIZED (
+        SELECT * FROM ppr_e0
+        UNION ALL
+        SELECT id, id FROM ppr_nodes
+        WHERE id NOT IN (SELECT src FROM ppr_e0)),
+    ppr_seed AS MATERIALIZED (
+        SELECT DISTINCT s.id::BIGINT AS id FROM ({seeds_sql}) s
+        JOIN ppr_nodes n ON n.id = s.id),
+    ppr_ns AS (SELECT count(*)::BIGINT AS ns FROM ppr_seed),
+    ppr_deg AS (SELECT src, count(*)::BIGINT AS out_deg
+                FROM ppr_e GROUP BY src),
+    ppr_r0 AS MATERIALIZED (
+        SELECT d.src AS id, d.out_deg, ppr_ns.ns,
+               (CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS is_seed,
+               CASE WHEN s.id IS NOT NULL
+                    THEN 1.0::DOUBLE / ppr_ns.ns::DOUBLE
+                    ELSE 0.0::DOUBLE END AS rank
+        FROM ppr_deg d
+        LEFT JOIN ppr_seed s ON d.src = s.id
+        CROSS JOIN ppr_ns),
+    {",".join(rounds)}
+    SELECT id, round(rank * ns::DOUBLE, 6) AS rank_x_s, out_deg, is_seed
+    FROM ppr_r{iters}
+    """
