@@ -1850,6 +1850,45 @@ def _tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ROLLUP over the region→nation hierarchy (STAGED r08):
+    one pass produces per-nation, per-region subtotal, and grand-total
+    rows — the OLAP cube operator class (Spark ``rollup()`` ≡ DuckDB
+    ``GROUP BY ROLLUP``; Catalyst expands to a single Expand+Aggregate,
+    no per-level rescan). Group keys coalesce to 'ALL' on subtotal
+    rows and an integer level column disambiguates, so the cross-engine
+    hash never depends on NULL-group conventions."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "n_lineitems",
+            "lvl",
+        )
+    )
+
+
 def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention triangle, cohorted on each user's first
     PURCHASE (STAGED r08; any-event cohorts are degenerate on this data
@@ -2143,6 +2182,8 @@ def queries() -> dict[str, Query]:
     #   _tpch_q4_late_orders/_tpch_q13_order_distribution/
     #   _tpch_q22_idle_balances         (TPCH_Q4/Q13/Q22_SQL;
     #                                    test_relational_staged)
+    #   _tpch_rollup_revenue            (rollup/grouping-sets class;
+    #                                    TPCH_ROLLUP_SQL; same test)
     #   _events_cohort_retention        (events.cohort_retention;
     #                                    COHORT_RETENTION_SQL; same test)
     # Round-8 rotation math (decide at registration time): the registry

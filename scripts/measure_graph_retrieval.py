@@ -109,3 +109,31 @@ if step in ("all", "mining"):
     )
     timed("mine_triplets 100k x 10 labels, k_neg=5",
           mine_triplets(emb, k_neg=5))
+
+if step in ("all", "graph2"):
+    # labelprop + personalized pagerank on the 1.6M-edge hub graph
+    from vectordbindexing_spark.operators.labelprop import label_propagation
+    from vectordbindexing_spark.operators.pagerank import personalized_pagerank
+
+    N = 500_000
+    base = spark.range(N).select(F.col("id").alias("i"))
+    e = (
+        base.select(F.col("i").alias("src"),
+                    ((F.col("i") * F.col("i") + 3 * F.col("i") + 1) % N
+                     ).alias("dst"))
+        .unionAll(base.select(F.col("i").alias("src"),
+                              ((F.col("i") + 7) % N).alias("dst")))
+        .unionAll(base.select(F.col("i").alias("src"),
+                              ((2 * F.col("i") + 11) % N).alias("dst")))
+        .unionAll(
+            base.where(F.col("i") % 5 == 0)
+            .select(F.col("i").alias("src"), (F.col("i") % 97).alias("dst"))
+        )
+    ).localCheckpoint(eager=True)
+    seeds = spark.range(0, N, 100).select(
+        F.col("id").alias("id"), (F.col("id") % 7).alias("label")
+    )
+    timed("label_propagation 1.6M edges, 5k seeds, 3 rounds",
+          label_propagation(e, seeds, iters=3))
+    timed("personalized_pagerank 1.6M edges, 5k seeds, 3 iters",
+          personalized_pagerank(e, seeds.select("id"), iters=3))

@@ -122,3 +122,30 @@ def test_cohort_day_zero_counts_every_user(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_rollup_revenue_matches_oracle(spark, sf_dir):
+    sdf = entrymod._tpch_rollup_revenue(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.sql(oracles.TPCH_ROLLUP_SQL)
+    drows = res.fetchall()
+    assert sorted(scols) == sorted([c.lower() for c in res.columns])
+    assert sorted(map(str, srows)) == sorted(map(str, drows))
+    # structure: 1 grand total + one subtotal per region + leaf rows
+    lvls = [r[scols.index("lvl")] for r in srows]
+    assert lvls.count(3) == 1 and lvls.count(1) == 5
+    # subtotal consistency: region subtotal == sum of its nation leaves
+    leaves = {}
+    subs = {}
+    for r in srows:
+        d = dict(zip(scols, r))
+        if d["lvl"] == 0:
+            leaves.setdefault(d["r_name"], 0)
+            leaves[d["r_name"]] += d["n_lineitems"]
+        elif d["lvl"] == 1:
+            subs[d["r_name"]] = d["n_lineitems"]
+    assert leaves == subs

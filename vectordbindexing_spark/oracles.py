@@ -4343,3 +4343,19 @@ def personalized_pagerank_sql(
     SELECT id, round(rank * ns::DOUBLE, 6) AS rank_x_s, out_deg, is_seed
     FROM ppr_r{iters}
     """
+
+
+TPCH_ROLLUP_SQL = """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(n_name, 'ALL') AS n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lineitems,
+       (GROUPING(r_name) * 2 + GROUPING(n_name))::BIGINT AS lvl
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY ROLLUP (r_name, n_name)
+"""
