@@ -133,7 +133,12 @@ if step in ("all", "graph2"):
     seeds = spark.range(0, N, 100).select(
         F.col("id").alias("id"), (F.col("id") % 7).alias("label")
     )
-    timed("label_propagation 1.6M edges, 5k seeds, 3 rounds",
-          label_propagation(e, seeds, iters=3))
-    timed("personalized_pagerank 1.6M edges, 5k seeds, 3 iters",
-          personalized_pagerank(e, seeds.select("id"), iters=3))
+    # eager localCheckpoints run at CONSTRUCTION time - time it all
+    t0 = time.time()
+    n = label_propagation(e, seeds, iters=3).count()
+    print(f"label_propagation 1.6M edges, 5k seeds, 3 rounds: "
+          f"rows={n} wall={time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    n = personalized_pagerank(e, seeds.select("id"), iters=3).count()
+    print(f"personalized_pagerank 1.6M edges, 5k seeds, 3 iters: "
+          f"rows={n} wall={time.time() - t0:.1f}s", flush=True)
