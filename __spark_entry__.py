@@ -2125,6 +2125,65 @@ def _mmr_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, k=5, lam=0.7)
 
 
+def staged_queries() -> "dict[str, Query]":
+    """NOT part of the driver contract: the r08-staged queries, kept in
+    one manifest so registration (move into queries()/oracle_sql()),
+    the oracle type gate (tests/test_oracle_types.py) and the replay
+    tests share a single source of truth."""
+    return {
+        "graph_triangle_stats": _graph_triangle_stats,
+        "graph_kcore": _graph_kcore,
+        "graph_label_prop": _graph_label_prop,
+        "graph_ppr": _graph_ppr,
+        "graph_random_walks": _graph_random_walks,
+        "maxsim_knn": _maxsim_knn,
+        "mmr_rerank_knn": _mmr_rerank_knn,
+        "mine_triplets": _mine_triplets,
+        "text_tfidf_terms": _text_tfidf_terms,
+        "events_cohort_retention": _events_cohort_retention,
+        "tpch_q4_late_orders": _tpch_q4_late_orders,
+        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
+        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
+        "tpch_rollup_revenue": _tpch_rollup_revenue,
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    """Oracle twins of staged_queries() (same-key contract as
+    oracle_sql())."""
+    mmr_cand = (
+        "SELECT t.qid AS query_id, t.neighbor_id AS doc_id, "
+        "1.0::DOUBLE - t.dist AS rel, e.embedding::DOUBLE[] AS v "
+        f"FROM ({oracles.knn_exact_sql('cosine', k=20)}) t "
+        "JOIN embeddings e ON e.vec_id = t.neighbor_id"
+    )
+    edges = oracles.knn_mutual_edges_cte()
+    return {
+        "graph_triangle_stats": oracles.triangle_counts_sql(edges),
+        "graph_kcore": oracles.kcore_sql(edges, k=4),
+        "graph_label_prop": oracles.label_propagation_sql(
+            edges,
+            "SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 5 = 0",
+            iters=3,
+        ),
+        "graph_ppr": oracles.personalized_pagerank_sql(
+            edges,
+            "SELECT vec_id AS id FROM embeddings WHERE label = 0",
+            iters=3,
+        ),
+        "graph_random_walks": oracles.random_walks_sql(edges, walk_len=6),
+        "maxsim_knn": oracles.maxsim_topk_sql(),
+        "mmr_rerank_knn": oracles.mmr_rerank_sql(mmr_cand, k=5, lam=0.7),
+        "mine_triplets": oracles.mine_triplets_sql(k_neg=5),
+        "text_tfidf_terms": oracles.tfidf_top_terms_sql(k=5),
+        "events_cohort_retention": oracles.COHORT_RETENTION_SQL,
+        "tpch_q4_late_orders": oracles.TPCH_Q4_SQL,
+        "tpch_q13_order_distribution": oracles.TPCH_Q13_SQL,
+        "tpch_q22_idle_balances": oracles.TPCH_Q22_SQL,
+        "tpch_rollup_revenue": oracles.TPCH_ROLLUP_SQL,
+    }
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:

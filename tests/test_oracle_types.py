@@ -56,3 +56,25 @@ def test_oracle_output_types_driver_safe(sf_dir, name):
         "cast integer sums ::BIGINT and decimal arithmetic ::DOUBLE "
         "(DuckDB promotes sum(BIGINT)->HUGEINT, int*decimal->DECIMAL)"
     )
+
+
+STAGED = entrymod.staged_oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_output_types_driver_safe(sf_dir, name):
+    """Same gate for the r08-staged oracles — they skip the registered
+    gate until registration, which is exactly when a HUGEINT would
+    surface at the driver."""
+    con = _duck(sf_dir)
+    rel = con.sql(STAGED[name])
+    bad = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, [str(t) for t in rel.types])
+        if str(t).upper() not in SAFE_TYPES
+    ]
+    assert not bad, f"{name}: staged oracle emits driver-unsafe types {bad}"
+
+
+def test_staged_queries_and_oracles_share_keys():
+    assert set(entrymod.staged_queries()) == set(STAGED)
