@@ -2086,6 +2086,21 @@ def _text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def _cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point silhouette of the label clustering on the vec_id < 300
+    embeddings sample (STAGED r08; silhouette is O(n²) by definition —
+    the sample-then-score contract) — see
+    operators.silhouette.silhouette."""
+    from vectordbindexing_spark.operators.silhouette import silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    return silhouette(
+        emb, id_col="vec_id", vec_col="embedding", cluster_col="label"
+    )
+
+
 def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining over the labeled embeddings table (STAGED r08):
     nearest same-label positive + top-5 different-label negatives +
@@ -2139,6 +2154,7 @@ def staged_queries() -> "dict[str, Query]":
         "maxsim_knn": _maxsim_knn,
         "mmr_rerank_knn": _mmr_rerank_knn,
         "mine_triplets": _mine_triplets,
+        "cluster_silhouette": _cluster_silhouette,
         "text_tfidf_terms": _text_tfidf_terms,
         "events_cohort_retention": _events_cohort_retention,
         "tpch_q4_late_orders": _tpch_q4_late_orders,
@@ -2175,6 +2191,10 @@ def staged_oracle_sql() -> dict[str, str]:
         "maxsim_knn": oracles.maxsim_topk_sql(),
         "mmr_rerank_knn": oracles.mmr_rerank_sql(mmr_cand, k=5, lam=0.7),
         "mine_triplets": oracles.mine_triplets_sql(k_neg=5),
+        "cluster_silhouette": oracles.silhouette_sql(
+            "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+            "label AS cluster FROM embeddings WHERE vec_id < 300"
+        ),
         "text_tfidf_terms": oracles.tfidf_top_terms_sql(k=5),
         "events_cohort_retention": oracles.COHORT_RETENTION_SQL,
         "tpch_q4_late_orders": oracles.TPCH_Q4_SQL,

@@ -4359,3 +4359,53 @@ JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY ROLLUP (r_name, n_name)
 """
+
+
+def silhouette_sql(points_sql: str) -> str:
+    """Full-replay oracle for ``operators.silhouette.silhouette``:
+    ``points_sql`` produces (id, v DOUBLE[], cluster). Identical pair
+    distances (list_inner_product cosine), id-ordered mean folds,
+    (m, ocluster) argmin-b ties, singleton-zero convention."""
+    # sequential position-ordered folds == Spark functions.vector.dot
+    # (aggregate over zip_with), NOT list_inner_product — the pair
+    # distance feeds an ordered mean fold, so both engines must build
+    # it from the identical expression tree
+    cos = (
+        "1.0 - list_sum(list_transform(pa.v, (x, i) -> x * pb.v[i])) / "
+        "(sqrt(list_sum(list_transform(pa.v, (x, i) -> x * x))) * "
+        "sqrt(list_sum(list_transform(pb.v, (x, i) -> x * x))))"
+    )
+    return f"""
+    WITH sl_p AS MATERIALIZED (
+           SELECT id::BIGINT AS id, v, cluster::BIGINT AS cluster
+           FROM ({points_sql})
+           WHERE v IS NOT NULL AND cluster IS NOT NULL),
+    sl_pairs AS (SELECT pa.id, pa.cluster, pb.id AS oid,
+                        pb.cluster AS ocluster, {cos} AS d
+                 FROM sl_p pa JOIN sl_p pb ON pa.id <> pb.id),
+    sl_means AS MATERIALIZED (
+        SELECT id, cluster, ocluster,
+               list_sum(list(d ORDER BY oid)) / count(*)::DOUBLE AS m
+        FROM sl_pairs GROUP BY id, cluster, ocluster),
+    sl_a AS (SELECT id, m AS a_raw FROM sl_means WHERE cluster = ocluster),
+    sl_b AS (SELECT id, m AS b_raw FROM (
+               SELECT id, m, row_number() OVER (PARTITION BY id
+                                                ORDER BY m, ocluster) AS rn
+               FROM sl_means WHERE cluster <> ocluster) WHERE rn = 1),
+    sl_sz AS (SELECT cluster, count(*)::BIGINT AS csz
+              FROM sl_p GROUP BY cluster),
+    sl_out AS (SELECT p.id, p.cluster, z.csz,
+                      coalesce(a.a_raw, 0.0::DOUBLE) AS a_raw, b.b_raw
+               FROM sl_p p
+               JOIN sl_sz z ON p.cluster = z.cluster
+               LEFT JOIN sl_a a ON p.id = a.id
+               LEFT JOIN sl_b b ON p.id = b.id)
+    SELECT id, cluster,
+           round(a_raw, 6) AS a_intra,
+           round(coalesce(b_raw, 0.0::DOUBLE), 6) AS b_inter,
+           round(CASE WHEN csz > 1 AND b_raw IS NOT NULL
+                       AND greatest(a_raw, b_raw) > 0.0::DOUBLE
+                      THEN (b_raw - a_raw) / greatest(a_raw, b_raw)
+                      ELSE 0.0::DOUBLE END, 6) AS silhouette
+    FROM sl_out
+    """
