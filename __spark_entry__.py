@@ -1850,6 +1850,43 @@ def _tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (STAGED r08): per-user
+    ts-ordered lag pairs → (prev_type, next_type) counts + row-
+    normalized probability — the Markov-chain data prep of behavioral
+    modeling / next-event prediction. One window (user, ts, event_id
+    tiebreak) + one groupBy; probability is the single explicit
+    count/total division rounded at output."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.withColumn(
+        "row_total",
+        F.sum("n").over(Window.partitionBy("prev_type")).cast("long"),
+    )
+    return tot.select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        F.round(
+            F.col("n").cast("double") / F.col("row_total").cast("double"), 6
+        ).alias("p"),
+    )
+
+
 def _tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue ROLLUP over the region→nation hierarchy (STAGED r08):
     one pass produces per-nation, per-region subtotal, and grand-total
@@ -2157,6 +2194,7 @@ def staged_queries() -> "dict[str, Query]":
         "cluster_silhouette": _cluster_silhouette,
         "text_tfidf_terms": _text_tfidf_terms,
         "events_cohort_retention": _events_cohort_retention,
+        "events_transition_counts": _events_transition_counts,
         "tpch_q4_late_orders": _tpch_q4_late_orders,
         "tpch_q13_order_distribution": _tpch_q13_order_distribution,
         "tpch_q22_idle_balances": _tpch_q22_idle_balances,
@@ -2197,6 +2235,7 @@ def staged_oracle_sql() -> dict[str, str]:
         ),
         "text_tfidf_terms": oracles.tfidf_top_terms_sql(k=5),
         "events_cohort_retention": oracles.COHORT_RETENTION_SQL,
+        "events_transition_counts": oracles.EVENTS_TRANSITION_SQL,
         "tpch_q4_late_orders": oracles.TPCH_Q4_SQL,
         "tpch_q13_order_distribution": oracles.TPCH_Q13_SQL,
         "tpch_q22_idle_balances": oracles.TPCH_Q22_SQL,

@@ -149,3 +149,21 @@ def test_rollup_revenue_matches_oracle(spark, sf_dir):
         elif d["lvl"] == 1:
             subs[d["r_name"]] = d["n_lineitems"]
     assert leaves == subs
+
+
+def test_transition_counts_rows_sum_and_probs(spark, sf_dir):
+    """Per-prev-type probabilities sum to exactly 1 (integer counts,
+    one division) and pair counts sum to n_events − n_users (one lag
+    pair per event after each user's first)."""
+    df = entrymod._events_transition_counts(spark, sf_dir)
+    rows = df.collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        assert abs(sum(r["p"] for r in grp) - 1.0) < 1e-4, prev
+        assert all(r["row_total"] == sum(g["n"] for g in grp) for r in grp)

@@ -4409,3 +4409,21 @@ def silhouette_sql(points_sql: str) -> str:
                       ELSE 0.0::DOUBLE END, 6) AS silhouette
     FROM sl_out
     """
+
+
+EVENTS_TRANSITION_SQL = """
+WITH tr_pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+tr_cnt AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+           FROM tr_pairs WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n,
+       sum(n) OVER (PARTITION BY prev_type)::BIGINT AS row_total,
+       round(n::DOUBLE
+             / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
+FROM tr_cnt
+"""
