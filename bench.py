@@ -39,15 +39,29 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _warm_tables(spark, sf_dir: str) -> None:
-    # touch every table once: file listing + footer/schema caches, so the
-    # first query over each table measures the query, not cold metadata IO
+    # touch every table once — and actually READ every column: count()
+    # alone only lists files and reads footers (column pruning makes a
+    # count scan column-free), so the first query to touch a heavy
+    # column (documents.text, embeddings.embedding) still paid the
+    # cold page-cache + decode path. Measured as a 2-4x first-query
+    # penalty that moved between queries whenever the registry rotation
+    # changed chunk boundaries (r07: text_lm_logprob 9.6 s cold-first
+    # vs 4.6 s warm isolated). The max() aggregate forces a full
+    # vectorized scan of each column; warm-up time is outside every
+    # query measurement.
+    from pyspark.sql import functions as F
+
     from vectordbindexing_spark.io.tables import TABLE_NAMES, load_table
 
     for t in TABLE_NAMES:
         try:
-            load_table(spark, sf_dir, t).count()
+            df = load_table(spark, sf_dir, t)
+            df.agg(*[F.max(c).alias(c) for c in df.columns]).collect()
         except Exception:
-            pass
+            try:
+                load_table(spark, sf_dir, t).count()
+            except Exception:
+                pass
 
 
 def _run_suite(
