@@ -2092,6 +2092,70 @@ def _maxsim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(dt, qt, k=10)
 
 
+BM25_QUERIES = [(1, "the model data"), (2, "training set results"),
+                (3, "zzz-unmatched-term data")]
+
+
+def _bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-10 over documents for three fixed queries
+    (STAGED r08) — see operators.retrieval.bm25_topk."""
+    from vectordbindexing_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"),
+                     BM25_QUERIES, k=10)
+
+
+def _hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion (STAGED r08): BM25 top-10 ⊕ a deterministic
+    popularity prior (n_chars DESC), RRF-fused — see
+    operators.retrieval.rrf_fuse."""
+    from pyspark.sql import Window
+
+    from vectordbindexing_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = bm25_topk(docs, BM25_QUERIES, k=10).select(
+        "query_id", F.lit("kw").alias("src"), "rank", "doc_id"
+    )
+    # TakeOrdered (distributed partial top-n) first, window only over
+    # the 10 surviving rows — never a global single-partition window
+    top10 = docs.select("doc_id", "n_chars").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    ).limit(10)
+    pop0 = top10.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+    pop = (
+        kw.select("query_id").distinct()
+        .crossJoin(F.broadcast(pop0))
+        .select("query_id", F.lit("pop").alias("src"), "rank", "doc_id")
+    )
+    return rrf_fuse(kw.unionByName(pop), k_rrf=60, topk=10)
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed capped mutual-kNN edges (STAGED r08)
+    — see operators.pagerank.pagerank."""
+    from vectordbindexing_spark.operators.pagerank import pagerank
+
+    return pagerank(_graph_knn_edges(spark, sf_dir), iters=3)
+
+
+def _mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted A-ES sample of documents by n_chars
+    (STAGED r08) — see operators.sampling.weighted_sample."""
+    from vectordbindexing_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, 25, "n_chars", temperature=2.0).select(
+        "doc_id", "weight", "sample_key", "sample_rank"
+    )
+
+
 def _graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the label-0 seed vectors over the
     mutual kNN graph (STAGED r08) — see
@@ -2183,6 +2247,10 @@ def staged_queries() -> "dict[str, Query]":
     the oracle type gate (tests/test_oracle_types.py) and the replay
     tests share a single source of truth."""
     return {
+        "bm25_keyword_topk": _bm25_keyword_topk,
+        "hybrid_rrf_search": _hybrid_rrf_search,
+        "graph_pagerank": _graph_pagerank,
+        "mix_weighted_sample": _mix_weighted_sample,
         "graph_triangle_stats": _graph_triangle_stats,
         "graph_kcore": _graph_kcore,
         "graph_label_prop": _graph_label_prop,
@@ -2213,6 +2281,14 @@ def staged_oracle_sql() -> dict[str, str]:
     )
     edges = oracles.knn_mutual_edges_cte()
     return {
+        "bm25_keyword_topk": oracles.bm25_topk_sql(BM25_QUERIES, k=10),
+        "hybrid_rrf_search": oracles.bm25_pop_rrf_sql(
+            BM25_QUERIES, fetch_k=10, topk=10
+        ),
+        "graph_pagerank": oracles.pagerank_sql(edges, iters=3),
+        "mix_weighted_sample": oracles.weighted_sample_sql(
+            25, "n_chars", temperature=2.0
+        ),
         "graph_triangle_stats": oracles.triangle_counts_sql(edges),
         "graph_kcore": oracles.kcore_sql(edges, k=4),
         "graph_label_prop": oracles.label_propagation_sql(

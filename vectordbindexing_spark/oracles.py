@@ -3804,17 +3804,17 @@ def pagerank_sql(
                        AS s
               FROM pr_e e JOIN pr_r{k - 1} r ON e.src = r.id
               GROUP BY e.dst),
-    pr_r{k} AS (SELECT r.id, r.out_deg, r.n,
+    pr_r{k} AS MATERIALIZED (SELECT r.id, r.out_deg, r.n,
                    {base}::DOUBLE / r.n::DOUBLE
                    + {d}::DOUBLE * coalesce(i.s, 0.0::DOUBLE) AS rank
             FROM pr_r{k - 1} r LEFT JOIN pr_inc{k} i ON r.id = i.dst)""")
     return f"""
-    WITH pr_e0 AS (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst
+    WITH pr_e0 AS MATERIALIZED (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst
                    FROM ({edges_sql})
                    WHERE src IS NOT NULL AND dst IS NOT NULL),
     pr_nodes AS (SELECT src AS id FROM pr_e0
                  UNION SELECT dst FROM pr_e0),
-    pr_e AS (SELECT * FROM pr_e0
+    pr_e AS MATERIALIZED (SELECT * FROM pr_e0
              UNION ALL
              SELECT id, id FROM pr_nodes
              WHERE id NOT IN (SELECT src FROM pr_e0)),
@@ -4427,3 +4427,36 @@ SELECT prev_type, next_type, n,
              / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
 FROM tr_cnt
 """
+
+
+def bm25_pop_rrf_sql(
+    queries: list[tuple[int, str]],
+    fetch_k: int = 10,
+    topk: int = 10,
+    k_rrf: int = 60,
+) -> str:
+    """Hybrid-fusion oracle for the staged rrf contract query: BM25
+    top-``fetch_k`` fused (RRF) with a deterministic popularity prior
+    (documents ranked by n_chars DESC, doc_id) — two genuinely
+    different rankers over the real corpus, fully SQL-replayable."""
+    return f"""
+    WITH {bm25_sql_ctes(queries)},
+    hy_kw0 AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC,
+                                                  doc_id)::BIGINT AS rank
+               FROM bm_sc),
+    hy_kw AS (SELECT query_id, 'kw' AS src, rank, doc_id
+              FROM hy_kw0 WHERE rank <= {fetch_k}),
+    hy_pop0 AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY n_chars DESC,
+                                                   doc_id)::BIGINT AS rank
+                FROM documents),
+    hy_q AS (SELECT DISTINCT query_id FROM hy_kw),
+    hy_pop AS (SELECT q.query_id, 'pop' AS src, p.rank, p.doc_id
+               FROM hy_q q, hy_pop0 p WHERE p.rank <= {fetch_k}),
+    hy_rl AS (SELECT * FROM hy_kw UNION ALL SELECT * FROM hy_pop),
+    {rrf_fuse_sql('hy_rl', k_rrf=k_rrf, topk=topk)}
+    SELECT query_id, rank, doc_id, rrf_score, n_sources
+    FROM rrf_r WHERE rank <= {topk}
+    """
