@@ -2343,43 +2343,13 @@ def queries() -> dict[str, Query]:
     # r06-green text/events/tpch block brings up the tail.
     # INVARIANT (checked each session): every entry past position 50
     # was green in the PREVIOUS round's CORRECTNESS file.
-    # STAGED FOR ROUND 8 (window slack was 0 this round) — each has its
-    # operator, oracle builder, and a test replaying the full driver
-    # comparison on the real tables, so registration is lead-window +
-    # rename only:
-    #   bm25_topk / rrf_fuse            (retrieval.py; bm25_topk_sql /
-    #                                    rrf_fuse_sql; test_retrieval)
-    #   pagerank                        (pagerank.py; pagerank_sql;
-    #                                    test_pagerank)
-    #   weighted_sample                 (sampling.py; weighted_sample_sql;
-    #                                    test_weighted_sample)
-    #   _graph_triangle_stats/_graph_kcore (triangles.py;
-    #                                    triangle_counts_sql / kcore_sql
-    #                                    over knn_mutual_edges_cte;
-    #                                    test_triangles)
-    #   _graph_label_prop               (labelprop.py;
-    #                                    label_propagation_sql;
-    #                                    test_labelprop)
-    #   _maxsim_knn                     (retrieval.maxsim_topk;
-    #                                    maxsim_topk_sql; test_maxsim)
-    #   _mmr_rerank_knn                 (mmr.py; mmr_rerank_sql;
-    #                                    test_mmr)
-    #   _mine_triplets                  (mining.py; mine_triplets_sql;
-    #                                    test_mining)
-    #   _graph_random_walks             (walks.py; random_walks_sql;
-    #                                    test_walks)
-    #   _graph_ppr                      (pagerank.personalized_pagerank;
-    #                                    personalized_pagerank_sql;
-    #                                    test_ppr)
-    #   _text_tfidf_terms               (retrieval.tfidf_top_terms;
-    #                                    tfidf_top_terms_sql; test_tfidf)
-    #   _tpch_q4_late_orders/_tpch_q13_order_distribution/
-    #   _tpch_q22_idle_balances         (TPCH_Q4/Q13/Q22_SQL;
-    #                                    test_relational_staged)
-    #   _tpch_rollup_revenue            (rollup/grouping-sets class;
-    #                                    TPCH_ROLLUP_SQL; same test)
-    #   _events_cohort_retention        (events.cohort_retention;
-    #                                    COHORT_RETENTION_SQL; same test)
+    # STAGED FOR ROUND 8 (window slack was 0 this round): the COMPLETE
+    # manifest lives in staged_queries()/staged_oracle_sql() below —
+    # 20 queries, each with operator + oracle + per-file tests, ALL
+    # gated by tests/test_staged_contract.py (driver-identical hash
+    # comparison) and tests/test_oracle_types.py (HUGEINT/DECIMAL ban),
+    # green at sf0.001 AND sf0.01. Registration = move each manifest
+    # entry into queries()/oracle_sql() inside the r08 window.
     # Round-8 rotation math (decide at registration time): the registry
     # is SATURATED — 98 entries, ~50-slot driver window, so queries get
     # fresh driver rows every 2 rounds, and registering all 19 staged
