@@ -2242,11 +2242,58 @@ def _mmr_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_queries() -> "dict[str, Query]":
-    """NOT part of the driver contract: the r08-staged queries, kept in
-    one manifest so registration (move into queries()/oracle_sql()),
-    the oracle type gate (tests/test_oracle_types.py) and the replay
-    tests share a single source of truth."""
+    """NOT part of the driver contract: queries staged for the NEXT
+    round's registration, kept in one manifest so registration (move
+    into queries()/oracle_sql()), the oracle type gate
+    (tests/test_oracle_types.py) and the replay tests share a single
+    source of truth. The 20 r08-staged entries (bm25 … tpch_rollup)
+    were registered into queries() at the top of the r08 window;
+    empty until the next staging batch."""
+    return {}
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    """Oracle twins of staged_queries() (same-key contract as
+    oracle_sql())."""
+    return {}
+
+
+# ---------------------------------------------------------------- contract
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: exact cosine top-10 ANN join on sf0.001 embeddings."""
+    return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Query]:
+    # Registry ORDER is a contract with the driver: its per-round
+    # CORRECTNESS file covers roughly the FIRST 50 entries, so each
+    # round leads with the queries that most need a fresh driver-side
+    # oracle row. At 118 entries the window cycles every ⌈118/50⌉ = 3
+    # rounds; the freshness invariant (enforced by
+    # scripts/check_registry.py) is "every registered query has a green
+    # row in the union of the last 3 CORRECTNESS files, and the current
+    # window leads with the entries whose last row is oldest". Every
+    # session's local full replay (tests/test_entry_contract.py) still
+    # exercises ALL queries at sf0.001.
+    # Round-8 rotation:
+    # (a) positions 1-20 — the 20 r07-staged queries (BM25, hybrid RRF,
+    #     PageRank + personalized, triangles, k-core, label prop,
+    #     random walks, MaxSim, MMR, triplet mining, silhouette,
+    #     TF-IDF, cohort retention, transitions, TPC-H q4/q13/q22,
+    #     ROLLUP), registered this round: they have never had a driver
+    #     row, only the staged-contract gate (hash-green at
+    #     sf0.001/0.01/0.1 in r07 + this session's replay).
+    # (b) positions 21-50 — 30 of the 48 entries whose last driver row
+    #     is r06 (the r07 tail): ANN compression ladder, planner
+    #     routes, exact/lsh/ivf knn, media decode, dedup windows.
+    # (c) positions 51-68 — the 18 remaining r06-rowed entries
+    #     (deferred: stable pure-SQL relational/text queries with the
+    #     lowest drift risk). They MUST lead the r09 window — their
+    #     rows turn 3 rounds old there; check_registry emits this list.
+    # (d) positions 69-118 — the 50 entries with fresh r07 rows.
     return {
+        # (a) r08 registrations — no driver row yet, window-leading
         "bm25_keyword_topk": _bm25_keyword_topk,
         "hybrid_rrf_search": _hybrid_rrf_search,
         "graph_pagerank": _graph_pagerank,
@@ -2267,12 +2314,118 @@ def staged_queries() -> "dict[str, Query]":
         "tpch_q13_order_distribution": _tpch_q13_order_distribution,
         "tpch_q22_idle_balances": _tpch_q22_idle_balances,
         "tpch_rollup_revenue": _tpch_rollup_revenue,
+        # (b) last driver row r06 — refreshed this round
+        "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
+        "simhash_buckets": _simhash_buckets,
+        "events_value_histogram": _events_value_histogram,
+        "planner_filtered_route": _planner_filtered_route,
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
+        "semantic_dedup": _semantic_dedup,
+        "ann_ladder_recall": _ann_ladder_recall,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
+        "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
+        "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
+        "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
+        "planner_graph_route": _planner_graph_route,
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_ip": _knn_query("ip"),
+        "lsh_knn_cosine": _lsh_knn,
+        "ivf_knn_cosine": _ivf_knn,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition_stats": _text_repetition_stats,
+        "text_chunk_documents": _text_chunk_documents,
+        "text_lm_logprob": _char_trigram_logprob,
+        # (c) last driver row r06, deferred — MUST lead the r09 window
+        "embedding_pool_by_doc": _embedding_pool_by_doc,
+        "text_url_domains": _text_url_domains,
+        "text_line_dedup": _text_line_dedup,
+        "mix_quota_sample": _mix_quota_sample,
+        "doc_fingerprint": _doc_fingerprint,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q18_large_volume": _tpch_q18,
+        "events_attribution": _events_attribution,
+        "text_bpe_token_stats": _bpe_token_stats,
+        "benchmark_contamination": _benchmark_contamination,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "events_props_json": _events_props_json,
+        "events_hourly_stats": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        # (d) fresh r07 driver rows — tail
+        "text_pack_windows": _pack_token_windows,
+        "mix_token_budget_sample": _mix_token_budget_sample,
+        "ann_two_layer_recall": _ann_two_layer_recall,
+        "frontier_knn": _frontier_knn,
+        "corpus_filter_gate": _corpus_filter_gate,
+        "ann_sharded_recall": _ann_sharded_recall,
+        "roargraph_recall": _roargraph_recall,
+        "khop_reachability": _khop_reachability,
+        "augment_star_edges": _augment_star_edges,
+        "traced_steps_summary": _traced_steps_summary,
+        "hnsw_level_assignment": _hnsw_levels,
+        "knn_graph_degree_stats": _knn_graph_degree_stats,
+        "whitening_pca_norms": _whitening_pca,
+        "dedup_exact": _dedup_exact,
+        "minhash_neardup": _minhash_neardup,
+        "jaccard_neardup_pairs": _jaccard_pairs,
+        "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "weighted_l2_knn": _weighted_l2_knn,
+        "gt_clean_arrays": _gt_clean,
+        "simhash_text_fingerprints": _simhash_text_fp,
+        "modality_stats": _modality_stats,
+        "train_test_split": _train_test_split,
+        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
+        "events_value_percentiles": _events_value_percentiles,
+        "text_token_stats": _text_token_stats,
+        "text_quality_score": _text_quality,
+        "text_lang_id": _text_lang_id,
+        "ann_bucketed_recall": _ann_bucketed_recall,
+        "text_duplicated_spans": _text_duplicated_spans,
+        "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode_stats": _bpe_encode_stats,
+        "zorder_layout_stats": _zorder_layout_stats,
+        "nb_quality_scores": _nb_quality_scores,
+        "hll_registers_events": _hll_registers_events,
+        "kmv_sketch_events": _kmv_sketch_events,
+        "cms_token_counts": _cms_token_counts,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
+        "text_editdist_neardup": _text_editdist_neardup,
+        "events_multires_rollup": _events_multires_rollup,
+        "bloom_join_prune": _bloom_join_prune,
+        "events_funnel_steps": _events_funnel_steps,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "events_pivot_user_types": _events_pivot_user_types,
+        "events_moving_avg": _events_moving_avg,
+        "source_overlap_kmv": _source_overlap_kmv,
+        "hll_estimate_users": _hll_estimate_users,
+        "cms_heavy_hitters": _cms_heavy_hitters,
     }
 
 
-def staged_oracle_sql() -> dict[str, str]:
-    """Oracle twins of staged_queries() (same-key contract as
-    oracle_sql())."""
+def oracle_sql() -> dict[str, str]:
+    from vectordbindexing_spark.operators.textops import (
+        BPE_ISH_PATTERN,
+        LANG_MARKERS,
+        LANG_MARKERS_FULL,
+        STOPWORDS,
+    )
+
     mmr_cand = (
         "SELECT t.qid AS query_id, t.neighbor_id AS doc_id, "
         "1.0::DOUBLE - t.dist AS rel, e.embedding::DOUBLE[] AS v "
@@ -2281,6 +2434,7 @@ def staged_oracle_sql() -> dict[str, str]:
     )
     edges = oracles.knn_mutual_edges_cte()
     return {
+        # r08 registrations (previously staged_oracle_sql)
         "bm25_keyword_topk": oracles.bm25_topk_sql(BM25_QUERIES, k=10),
         "hybrid_rrf_search": oracles.bm25_pop_rrf_sql(
             BM25_QUERIES, fetch_k=10, topk=10
@@ -2316,170 +2470,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "tpch_q13_order_distribution": oracles.TPCH_Q13_SQL,
         "tpch_q22_idle_balances": oracles.TPCH_Q22_SQL,
         "tpch_rollup_revenue": oracles.TPCH_ROLLUP_SQL,
-    }
-
-
-# ---------------------------------------------------------------- contract
-
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: exact cosine top-10 ANN join on sf0.001 embeddings."""
-    return _knn_query("cosine")(spark, "/root/testdata/sf0.001")
-
-
-def queries() -> dict[str, Query]:
-    # Registry ORDER is a contract with the driver: its per-round
-    # CORRECTNESS file covers roughly the first 50 entries, so each round
-    # leads with the queries that most need a fresh driver-side oracle
-    # row. Round-7 rotation: (a) the two r06 reds, re-fixed this round
-    # (HUGEINT oracle sums cast ::BIGINT); (b) r06 positions 51-76 —
-    # green in r05 and in every local replay but outside the r06 driver
-    # window, so the union of r06+r07 driver rows covers all 76 queries;
-    # (c) queries ADDED or changed in r07 (bucketed build, spandedup,
-    # BPE, zorder, NB classify, HLL/KMV/CMS/log-histogram/Bloom
-    # sketches + their estimate gates, as-of join, editdist neardup,
-    # rollup ladder, snapshot diff, funnel, pivot, moving avg, source
-    # overlap) — every new query MUST sit inside the first-50 window;
-    # (d) r06-green unchanged queries fill the rest of the window, the
-    # r06-green text/events/tpch block brings up the tail.
-    # INVARIANT (checked each session): every entry past position 50
-    # was green in the PREVIOUS round's CORRECTNESS file.
-    # STAGED FOR ROUND 8 (window slack was 0 this round): the COMPLETE
-    # manifest lives in staged_queries()/staged_oracle_sql() below —
-    # 20 queries, each with operator + oracle + per-file tests, ALL
-    # gated by tests/test_staged_contract.py (driver-identical hash
-    # comparison) and tests/test_oracle_types.py (HUGEINT/DECIMAL ban),
-    # green at sf0.001 AND sf0.01. Registration = move each manifest
-    # entry into queries()/oracle_sql() inside the r08 window.
-    # Round-8 rotation math (decide at registration time): the registry
-    # is SATURATED — 98 entries, ~50-slot driver window, so queries get
-    # fresh driver rows every 2 rounds, and registering all 19 staged
-    # queries pushes the cycle to 3 rounds. The strict tail invariant
-    # (every tail entry green in the PREVIOUS round's file) cannot hold
-    # past 100 entries; the honest generalization is "every tail entry
-    # is green in its MOST RECENT driver window AND in every session's
-    # local full replay (test_entry_contract runs all queries at
-    # sf0.001 each session; run it at sf0.01 before registering)".
-    # Suggested r08 window: the 19 staged queries (they have no driver
-    # row at all yet) + the ~31 current-tail entries whose last driver
-    # row is oldest (r06); r08 tail = the r07-window entries (fresh
-    # r07 rows) + the rest. Update scripts/check_registry.py to accept
-    # union(r{N-1}, r{N-2}) green sets when the registry exceeds 100.
-    return {
-        # (a) r06 red, re-fixed: windowed sums now ::BIGINT
-        "text_pack_windows": _pack_token_windows,
-        "mix_token_budget_sample": _mix_token_budget_sample,
-        # (b) r06 positions 51-76: fresh driver rows this round
-        "ann_two_layer_recall": _ann_two_layer_recall,
-        "frontier_knn": _frontier_knn,
-        "corpus_filter_gate": _corpus_filter_gate,
-        "ann_sharded_recall": _ann_sharded_recall,
-        "roargraph_recall": _roargraph_recall,
-        "khop_reachability": _khop_reachability,
-        "augment_star_edges": _augment_star_edges,
-        "traced_steps_summary": _traced_steps_summary,
-        "hnsw_level_assignment": _hnsw_levels,
-        "knn_graph_degree_stats": _knn_graph_degree_stats,
-        "whitening_pca_norms": _whitening_pca,
-        "dedup_exact": _dedup_exact,
-        "minhash_neardup": _minhash_neardup,
-        "jaccard_neardup_pairs": _jaccard_pairs,
-        "embedding_neardup": _embedding_neardup,
-        "embedding_neardup_lsh": _embedding_neardup_lsh,
-        "weighted_l2_knn": _weighted_l2_knn,
-        "gt_clean_arrays": _gt_clean,
-        "simhash_text_fingerprints": _simhash_text_fp,
-        "modality_stats": _modality_stats,
-        "train_test_split": _train_test_split,
-        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
-        "events_value_percentiles": _events_value_percentiles,
-        "text_token_stats": _text_token_stats,
-        "text_quality_score": _text_quality,
-        "text_lang_id": _text_lang_id,
-        # (c) operator/oracle changed or added in r07
-        "ann_bucketed_recall": _ann_bucketed_recall,
-        "text_duplicated_spans": _text_duplicated_spans,
-        "bpe_train_merges": _bpe_train_merges,
-        "bpe_encode_stats": _bpe_encode_stats,
-        "zorder_layout_stats": _zorder_layout_stats,
-        "nb_quality_scores": _nb_quality_scores,
-        "hll_registers_events": _hll_registers_events,
-        "kmv_sketch_events": _kmv_sketch_events,
-        "cms_token_counts": _cms_token_counts,
-        "events_quantile_sketch": _events_quantile_sketch,
-        "events_asof_join": _events_asof_join,
-        "events_range_join": _events_range_join,
-        "text_editdist_neardup": _text_editdist_neardup,
-        "events_multires_rollup": _events_multires_rollup,
-        "bloom_join_prune": _bloom_join_prune,
-        "events_funnel_steps": _events_funnel_steps,
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "events_pivot_user_types": _events_pivot_user_types,
-        "events_moving_avg": _events_moving_avg,
-        "source_overlap_kmv": _source_overlap_kmv,
-        "hll_estimate_users": _hll_estimate_users,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "simhash_text_neardup": _simhash_text_neardup,
-        "dedup_groups": _dedup_groups,
-        "simhash_buckets": _simhash_buckets,
-        "events_value_histogram": _events_value_histogram,
-        "planner_filtered_route": _planner_filtered_route,
-        # (d) r06-green, unchanged — fills the rest of the ~50 window
-        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
-        "media_wav_features": _media_wav_features,
-        "media_video_stats": _media_video_stats,
-        "semantic_dedup": _semantic_dedup,
-        "ann_ladder_recall": _ann_ladder_recall,
-        "text_lang_id_lexicon": _text_lang_id_lexicon,
-        "sq8_knn": _sq8_knn,
-        "bq_hamming_knn": _bq_knn,
-        "pq_adc_knn": _pq_adc_knn,
-        "opq_knn": _opq_knn,
-        "ivfpq_knn": _ivfpq_knn,
-        "ivfpq_index_knn": _ivfpq_index_knn,
-        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
-        "planner_knn_route": _planner_knn_route,
-        "planner_sq8_route": _planner_sq8_route,
-        "planner_graph_route": _planner_graph_route,
-        "knn_exact_cosine": _knn_query("cosine"),
-        "knn_exact_l2": _knn_query("l2"),
-        "knn_exact_ip": _knn_query("ip"),
-        "lsh_knn_cosine": _lsh_knn,
-        "ivf_knn_cosine": _ivf_knn,
-        # tail: r06-green text/events/tpch block (driver row age: r06)
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition_stats": _text_repetition_stats,
-        "text_chunk_documents": _text_chunk_documents,
-        "text_lm_logprob": _char_trigram_logprob,
-        "embedding_pool_by_doc": _embedding_pool_by_doc,
-        "text_url_domains": _text_url_domains,
-        "text_line_dedup": _text_line_dedup,
-        "mix_quota_sample": _mix_quota_sample,
-        "doc_fingerprint": _doc_fingerprint,
-        "tpch_q10_returned_items": _tpch_q10,
-        "tpch_q18_large_volume": _tpch_q18,
-        "events_attribution": _events_attribution,
-        "text_bpe_token_stats": _bpe_token_stats,
-        "benchmark_contamination": _benchmark_contamination,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "top_orders_per_customer": _top_orders_per_customer,
-        "events_props_json": _events_props_json,
-        "events_hourly_stats": _events_hourly,
-        "events_sessionize": _events_sessionize,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    from vectordbindexing_spark.operators.textops import (
-        BPE_ISH_PATTERN,
-        LANG_MARKERS,
-        LANG_MARKERS_FULL,
-        STOPWORDS,
-    )
-
-    return {
+        # pre-r08 registrations
         "knn_exact_cosine": oracles.knn_exact_sql("cosine"),
         "knn_exact_l2": oracles.knn_exact_sql("l2"),
         "knn_exact_ip": oracles.knn_exact_sql("ip"),

@@ -116,3 +116,74 @@ def test_triplets_duckdb_replay_real_embeddings(spark, sf_dir):
     # triplets exist in clustered data)
     margins = [r[7] for r in srows]
     assert min(margins) < 0.5
+
+
+def test_triplets_auto_route_matches_exact_at_small_scale(spark):
+    """impl='auto' below every planner threshold routes each slice to
+    exact-blocked — the output must equal impl='exact' bit-for-bit
+    (including the k=2-drop-self positive equivalence)."""
+    exact = sorted(
+        tuple(r) for r in mine_triplets(_df(spark), k_neg=2).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in mine_triplets(_df(spark), k_neg=2, impl="auto").collect()
+    )
+    assert auto == exact
+
+
+def test_triplets_auto_pos_handles_duplicate_vectors(spark):
+    """Duplicate vectors (dist-0 ties with self) must resolve to the
+    same lowest-id positive under both impls."""
+    emb = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),   # exact duplicate of 0
+        (2, [1.0, 0.0], 0),   # another duplicate
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(emb, "id long, vec array<double>, label long")
+    for impl in ("exact", "auto"):
+        pos = {
+            r["anchor_id"]: r["pos_id"]
+            for r in mine_triplets(df, k_neg=1, impl=impl).collect()
+        }
+        assert pos[0] == 1 and pos[1] == 0 and pos[2] == 0, impl
+
+
+def test_triplets_auto_forced_approximate_route(spark):
+    """Force the IVF route with a tiny exact_base_limit: schema and
+    label semantics must hold and recall vs the exact mining must be
+    high on clustered data — the corpus-scale path, exercised
+    end-to-end."""
+    import random
+
+    rng = random.Random(7)
+    emb = []
+    for i in range(400):
+        lab = i % 4
+        center = [[4, 0], [0, 4], [-4, 0], [0, -4]][lab]
+        emb.append(
+            (i, [center[0] + rng.gauss(0, 1), center[1] + rng.gauss(0, 1)],
+             lab)
+        )
+    df = spark.createDataFrame(emb, "id long, vec array<double>, label long")
+    auto = mine_triplets(
+        df, k_neg=3, metric="l2", impl="auto",
+        planner_kwargs={"exact_base_limit": 10},
+    )
+    rows = auto.collect()
+    assert auto.columns == [
+        "anchor_id", "anchor_label", "pos_id", "pos_dist", "neg_rank",
+        "neg_id", "neg_dist", "margin",
+    ]
+    lab_of = {i: e[2] for i, e in enumerate(emb)}
+    assert all(lab_of[r["neg_id"]] != r["anchor_label"] for r in rows)
+    assert all(lab_of[r["pos_id"]] == r["anchor_label"] for r in rows)
+    exact_pairs = {
+        (r["anchor_id"], r["neg_id"])
+        for r in mine_triplets(df, k_neg=3, metric="l2").collect()
+    }
+    auto_pairs = {(r["anchor_id"], r["neg_id"]) for r in rows}
+    recall = len(auto_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"approximate-route negative recall {recall}"

@@ -16,8 +16,20 @@ complement (negatives) or the same-label split minus self (positives).
 L is bounded and collected once (the repo's trained-state pattern —
 centroids, codebooks, vocab literals); each pass is the broadcast
 blocked kernel, so the total work is exactly one full kNN sweep split
-into L disjoint slices — no extra pairs, no lost exactness. At corpus
-scale swap exact_knn for the planner route per slice.
+into L disjoint slices — no extra pairs, no lost exactness.
+
+At corpus scale the exact sweep is O(n²/L) per slice — ``impl="auto"``
+routes every slice through plans.knn_planner.knn instead (same output
+schema), which sizes each slice with bounded probes and picks
+exact-blocked / exact-expr / IVF / IVF-PQ / SQ8 per the measured
+thresholds: total work drops to L index builds (O(n) scans each) plus
+pruned probes, the difference between n² and L·n at 10⁸ rows. The
+positive pass under the planner asks k=2 and drops the self match
+(equivalent to the exact kernel's exclude_self — self sits at dist 0
+and the post-filter takes the min over (dist, id), so duplicate
+vectors resolve to the same lowest-id positive either way). The
+default stays ``impl="exact"`` because approximate routes trade recall
+for scan bytes — the oracle-pinned contract path must stay bit-stable.
 
 Cross-engine: distances rank raw and round once at output like every
 kNN query; margin is computed from the RAW dists then rounded through
@@ -34,6 +46,29 @@ from vectordbindexing_spark.operators.exact_knn import exact_knn
 MAX_LABELS = 64
 
 
+def _planner_pos_knn(q: DataFrame, same: DataFrame, metric: str,
+                     planner_kwargs: dict) -> DataFrame:
+    """Planner-routed nearest same-label positive: ask k=2 (self rides
+    along at dist 0), drop self, keep the min over (dist, neighbor_id)
+    — equivalent to the exact kernel's exclude_self for every
+    duplicate-vector layout (see module docstring)."""
+    from pyspark.sql import Window
+
+    from vectordbindexing_spark.plans.knn_planner import knn as planner_knn
+
+    raw = planner_knn(
+        q, same, k=2, metric=metric,
+        q_id="id", q_vec="vec", b_id="id", b_vec="vec",
+        **planner_kwargs,
+    ).where(F.col("neighbor_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "nbr_rank")
+    )
+
+
 def mine_triplets(
     emb: DataFrame,
     k_neg: int = 5,
@@ -41,6 +76,8 @@ def mine_triplets(
     id_col: str = "id",
     vec_col: str = "vec",
     label_col: str = "label",
+    impl: str = "exact",
+    planner_kwargs: dict | None = None,
 ) -> DataFrame:
     """Per anchor: nearest same-label positive + top-``k_neg``
     different-label negatives + triplet margins.
@@ -50,7 +87,18 @@ def mine_triplets(
     positive columns repeated; anchors with no same-label peer or no
     negative are dropped (no triplet exists). ``margin =
     round(neg_dist − pos_dist, 6)`` on the raw distances.
+
+    ``impl``: ``"exact"`` (default — oracle-pinned brute-force slices)
+    or ``"auto"`` — every slice dispatches through
+    plans.knn_planner.knn, which picks exact/IVF/IVF-PQ/SQ8 from the
+    slice sizes, the corpus-scale route (module docstring).
+    ``planner_kwargs`` forwards planner options (approximate_ok,
+    memory_tight, recall_target, threshold overrides for tests).
     """
+    if impl not in ("exact", "auto"):
+        raise ValueError(f"impl must be 'exact' or 'auto', got {impl!r}")
+    pk = {"approximate_ok": True, "repeated_queries": True}
+    pk.update(planner_kwargs or {})
     base = emb.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
@@ -64,17 +112,31 @@ def mine_triplets(
             f"{len(labels)} labels > MAX_LABELS={MAX_LABELS}: per-label "
             "split passes assume a bounded label set"
         )
+    if impl == "auto":
+        from vectordbindexing_spark.plans.knn_planner import knn as planner_knn
     pos_parts, neg_parts = [], []
     for lab in labels:
         q = base.where(F.col("label") == lab)
         same = q
         other = base.where(F.col("label") != lab)
-        pos_parts.append(
-            exact_knn(
+        if impl == "auto":
+            pos_knn = _planner_pos_knn(q, same, metric, pk)
+            neg_knn = planner_knn(
+                q, other, k=k_neg, metric=metric,
+                q_id="id", q_vec="vec", b_id="id", b_vec="vec", **pk,
+            )
+        else:
+            pos_knn = exact_knn(
                 q, same, k=1, metric=metric,
                 q_id="id", q_vec="vec", b_id="id", b_vec="vec",
                 exclude_self=True,
-            ).select(
+            )
+            neg_knn = exact_knn(
+                q, other, k=k_neg, metric=metric,
+                q_id="id", q_vec="vec", b_id="id", b_vec="vec",
+            )
+        pos_parts.append(
+            pos_knn.select(
                 F.col("qid").alias("anchor_id"),
                 F.lit(lab).cast("long").alias("anchor_label"),
                 F.col("neighbor_id").alias("pos_id"),
@@ -82,10 +144,7 @@ def mine_triplets(
             )
         )
         neg_parts.append(
-            exact_knn(
-                q, other, k=k_neg, metric=metric,
-                q_id="id", q_vec="vec", b_id="id", b_vec="vec",
-            ).select(
+            neg_knn.select(
                 F.col("qid").alias("anchor_id"),
                 F.col("nbr_rank").alias("neg_rank"),
                 F.col("neighbor_id").alias("neg_id"),
