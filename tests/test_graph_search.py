@@ -494,3 +494,44 @@ def test_clustered_corpus_stays_connected_and_serves(spark):
     m2 = random_matching_edges(b, rounds=3)
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
     assert m1.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_refine_knn_graph_sparse_64bit_ids(spark):
+    """Sparse/hashed huge ids must not allocate a dense max(id)+1
+    lookup table (2^40 ids would OOM instantly): the broadcast path
+    maps ids via searchsorted. Same tiny graph, ids shifted by 2^40."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.io.synthetic import synthetic_vectors
+    from vectordbindexing_spark.operators.graph import (
+        knn_graph,
+        refine_knn_graph,
+    )
+
+    OFF = 1 << 40
+    b = synthetic_vectors(spark, 300, 8, n_modalities=4).select(
+        (F.col("id") + OFF).alias("id"), "vec"
+    ).localCheckpoint(eager=True)
+    exact = knn_graph(b, 4, impl="blocked")
+    start = (
+        b.select(F.col("id").alias("src"))
+        .select("src", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("_j"))
+        .select(
+            F.lit(0).alias("layer"),
+            "src",
+            (F.pmod((F.col("src") - OFF) * 7919 + F.col("_j") * 104729,
+                    F.lit(300)) + OFF).alias("dst"),
+            F.lit(0.0).alias("dist"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    refined = refine_knn_graph(start, b, 4, rounds=2)
+    assert refined.count() > 0
+    assert refined.agg(F.min("src")).first()[0] >= OFF
+    ex = exact.select("src", "dst")
+
+    def rec(g):
+        return ex.intersect(g.select("src", "dst")).count() / ex.count()
+
+    r0, r2 = rec(start), rec(refined)
+    assert r2 > r0, (r0, r2)  # refinement worked on the shifted ids

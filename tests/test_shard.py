@@ -206,3 +206,45 @@ def test_compact_npy_sidecar_roundtrip_and_path_serving(spark, split, tmp_path):
     # non-local schemes: no sidecar attempt
     assert compact_npy_dir("s3a://bucket/idx") is None
     assert compact_npy_dir("hdfs://nn/idx") is None
+
+
+def test_artifact_cache_invalidates_on_rebuild(spark, split, tmp_path):
+    """_artifact_cached must not serve a stale CompactIndex after
+    save_compact_index rewrites the same path (iterative
+    build-then-rebuild sessions keep long-lived Python workers)."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.operators.search import (
+        _ARTIFACT_CACHE,
+        _artifact_cached,
+        compact_index,
+    )
+    from vectordbindexing_spark.operators.shard import (
+        compact_npy_dir,
+        save_compact_index,
+    )
+
+    q, b = split
+    path = str(tmp_path / "artifact")
+    half = b.limit(300)
+    edges = build_two_layer_index(half, M0=8, M1=4, metric="cosine",
+                                  id_col="vec_id", vec_col="embedding")
+    idx1 = compact_index(edges, half, id_col="vec_id",
+                         vec_col="embedding", metric="cosine")
+    save_compact_index(idx1, spark, path)
+    d = compact_npy_dir(path)
+    first = _artifact_cached(d)
+    assert _artifact_cached(d) is first  # same build: cached
+    n_first = len(first.ids)
+
+    edges2 = build_two_layer_index(b, M0=8, M1=4, metric="cosine",
+                                   id_col="vec_id", vec_col="embedding")
+    idx2 = compact_index(edges2, b, id_col="vec_id",
+                         vec_col="embedding", metric="cosine")
+    save_compact_index(idx2, spark, path)
+    second = _artifact_cached(d)
+    assert len(second.ids) == len(idx2.ids) != n_first
+    # superseded generation evicted, not accumulated
+    assert len([k for k in _ARTIFACT_CACHE if k[0].endswith("_compact_npy")
+                and k[0] == __import__("os").path.realpath(d)]) == 1

@@ -86,3 +86,86 @@ def test_estimates_from_streamed_artifact(spark, tmp_path):
     est = {r["tok"]: r["est_count"] for r in rows}
     assert est["hot"] >= 100  # never undercounts
     assert est["t1"] >= 1
+
+
+def test_crash_mid_write_preserves_artifact(spark, tmp_path, monkeypatch):
+    """A crash during the (long) temp-dir parquet write must leave the
+    previous counters + ledger fully intact — in-place overwrite would
+    have deleted them first and lost all accumulated state."""
+    import vectordbindexing_spark.streaming.atomic as atomic
+
+    art = str(tmp_path / "cms_art")
+    b1 = spark.range(100).select(
+        F.concat(F.lit("t"), (F.col("id") % 10).cast("string")).alias("tok")
+    )
+    assert merge_cms_batch(b1, 0, art, "tok", depth=2, width=64)
+    before = sorted(map(tuple, spark.read.parquet(art).collect()))
+
+    def boom(out, path, **kw):
+        raise OSError("simulated crash mid temp-dir write")
+
+    monkeypatch.setattr(
+        "vectordbindexing_spark.streaming.cms.swap_in", boom
+    )
+    b2 = spark.range(50).select(F.lit("t3").alias("tok"))
+    try:
+        merge_cms_batch(b2, 1, art, "tok", depth=2, width=64)
+    except OSError:
+        pass
+    after = sorted(map(tuple, spark.read.parquet(art).collect()))
+    assert after == before  # accumulated state survived the crash
+    monkeypatch.undo()
+    assert merge_cms_batch(b2, 1, art, "tok", depth=2, width=64)
+    _, ledger = split_artifact(spark.read.parquet(art))
+    assert {r["bucket"] for r in ledger.collect()} == {0, 1}
+
+
+def test_crash_between_rmtree_and_rename_recovers(spark, tmp_path,
+                                                  monkeypatch):
+    """The worst swap window: the old artifact dir is already removed
+    and the complete replacement still sits at the temp path. The next
+    merge's recover() must promote it — including the crashed batch's
+    ledger entry, so the checkpoint replay of that batch no-ops
+    (exactly-once holds across the crash)."""
+    import os
+
+    import vectordbindexing_spark.streaming.atomic as atomic
+
+    art = str(tmp_path / "cms_art")
+    b1 = spark.range(100).select(
+        F.concat(F.lit("t"), (F.col("id") % 10).cast("string")).alias("tok")
+    )
+    assert merge_cms_batch(b1, 0, art, "tok", depth=2, width=64)
+
+    real_rename = os.rename
+
+    def boom(src, dst):
+        if src.endswith(atomic.TMP_SUFFIX):
+            raise OSError("simulated crash between rmtree and rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(atomic.os, "rename", boom)
+    b2 = spark.range(50).select(F.lit("t3").alias("tok"))
+    try:
+        merge_cms_batch(b2, 1, art, "tok", depth=2, width=64)
+    except OSError:
+        pass
+    assert not os.path.exists(art) and os.path.isdir(art + ".tmp")
+    monkeypatch.undo()
+    # stream restart replays batch 1: recover() promotes the orphaned
+    # temp dir (which already merged batch 1), the ledger says so, and
+    # the replay is a no-op — counters were added exactly once
+    assert merge_cms_batch(b2, 1, art, "tok", depth=2, width=64) is False
+    merged = spark.read.parquet(art)
+    counters, ledger = split_artifact(merged)
+    assert {r["bucket"] for r in ledger.collect()} == {0, 1}
+    expected = _counters(
+        cms_counters(
+            spark.range(100).select(
+                F.concat(F.lit("t"), (F.col("id") % 10).cast("string"))
+                .alias("tok")
+            ).unionByName(b2),
+            "tok", depth=2, width=64,
+        )
+    )
+    assert _counters(merged) == expected

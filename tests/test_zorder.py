@@ -83,3 +83,34 @@ def test_layout_span_stats_partitions_rows(spark):
     assert sum(r["n_rows"] for r in rows) == 1000
     assert all(0 <= r["bucket"] < 16 for r in rows)
     assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint"] * 4
+
+
+def test_scaled_range_overflow_raises(spark):
+    """(mx-mn)*(2^bits-1) past BIGINT must refuse, not wrap (Spark
+    ANSI-off integer overflow is silent)."""
+    import pytest
+
+    df = spark.range(1).select(
+        F.lit(0).cast("long").alias("a"),
+        F.lit(2**50).cast("long").alias("b"),
+    )
+    big = df.union(
+        spark.range(1).select(
+            F.lit(2**50).cast("long"), F.lit(0).cast("long")
+        )
+    )
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        zorder_values(big, ["a", "b"], bits=16)
+    # same data fits at lower bits: 2^50 * (2^12-1) < 2^63
+    zdf, _ = zorder_values(big, ["a", "b"], bits=12)
+    assert zdf.count() == 2
+
+
+def test_interleave_width_overflow_raises(spark):
+    import pytest
+
+    df = spark.range(1).select(
+        *[F.lit(1).alias(f"c{i}") for i in range(4)]
+    )
+    with pytest.raises(ValueError, match="> 63"):
+        interleave_bits([F.col(f"c{i}") for i in range(4)], bits=16)

@@ -35,6 +35,16 @@ def _scaled(col_sql: str, mn: int, mx: int, bits: int) -> Column:
     top = (1 << bits) - 1
     if mx <= mn:
         return F.lit(0).cast("long")
+    # (col - mn) ≤ (mx - mn); the numerator (col-mn)·top wraps silently
+    # past 2^63-1 under default ANSI-off Spark arithmetic, producing
+    # wrong z-values with no error — refuse instead of corrupting the
+    # layout (callers can lower `bits` to fit the range)
+    if (mx - mn) > (2**63 - 1) // top:
+        raise ValueError(
+            f"column range {mx - mn} * (2^{bits}-1) overflows BIGINT; "
+            f"reduce bits (max safe range at bits={bits} is "
+            f"{(2**63 - 1) // top})"
+        )
     return F.expr(
         f"(((CAST(({col_sql}) AS BIGINT) - ({mn})) * {top}) div {mx - mn})"
     )
@@ -45,6 +55,13 @@ def interleave_bits(cols: list[Column], bits: int) -> Column:
     i * len(cols) + c. Unrolled shift/or expression tree (bits *
     n_cols terms), whole-stage-codegen friendly."""
     n = len(cols)
+    if bits * n > 63:
+        # bit i*n+c of the top term would shift into (or past) the sign
+        # bit of the BIGINT zval — wrong interleave, silently
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} > 63 overflows the BIGINT "
+            "z-value; reduce bits or cluster fewer columns"
+        )
     terms = []
     for i in range(bits):
         for c_idx, c in enumerate(cols):

@@ -396,17 +396,31 @@ def refine_knn_graph(
         )
         order = np.argsort(ids, kind="stable")
         ids, V = ids[order], V[order]
-        pos = np.full(int(ids.max()) + 1 if len(ids) else 1, -1, np.int64)
-        pos[ids] = np.arange(len(ids))
-        bc = edges.sparkSession.sparkContext.broadcast((pos, V))
+        # id -> row position via searchsorted on the SORTED ids array: a
+        # dense max(id)+1 lookup table would allocate ~2^60 entries for
+        # sparse/hashed 64-bit ids (OOM at tiny node counts) and index
+        # from the tail for negative ids silently
+        bc = edges.sparkSession.sparkContext.broadcast((ids, V))
+
+    def _positions(ids_sorted: np.ndarray, want: np.ndarray) -> np.ndarray:
+        p = np.searchsorted(ids_sorted, want)
+        if np.any(p >= len(ids_sorted)) or np.any(ids_sorted[p] != want):
+            missing = want[
+                (p >= len(ids_sorted))
+                | (ids_sorted[np.minimum(p, len(ids_sorted) - 1)] != want)
+            ]
+            raise KeyError(
+                f"edge endpoints not in the vector table: {missing[:5]}"
+            )
+        return p
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos_l, Vb = bc.value
+        ids_l, Vb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = Vb[pos_l[pdf["src"].to_numpy()]].astype(np.float64)
-            B = Vb[pos_l[pdf["dst"].to_numpy()]].astype(np.float64)
+            A = Vb[_positions(ids_l, pdf["src"].to_numpy())].astype(np.float64)
+            B = Vb[_positions(ids_l, pdf["dst"].to_numpy())].astype(np.float64)
             d = np.einsum("ij,ij->i", A, B)
             if metric == "cosine":
                 d = 1.0 - d / (

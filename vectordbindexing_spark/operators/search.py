@@ -305,16 +305,25 @@ def load_compact_npy(artifact_dir: str, mmap: bool = True) -> CompactIndex:
 
 # per worker-process artifact singleton: tasks reusing the worker skip
 # even the mmap open; keyed by realpath so relative/absolute spellings
-# share the entry
-_ARTIFACT_CACHE: dict[str, CompactIndex] = {}
+# share the entry, PLUS meta.json (mtime_ns, size) so a rebuild over
+# the same path invalidates the entry — long-lived Python workers must
+# not keep serving a stale CompactIndex after save_compact_index
+# rewrites the artifact in place (build-then-rebuild sessions)
+_ARTIFACT_CACHE: dict[tuple[str, int, int], CompactIndex] = {}
 
 
 def _artifact_cached(artifact_dir: str) -> CompactIndex:
     import os
 
-    key = os.path.realpath(artifact_dir)
+    path = os.path.realpath(artifact_dir)
+    st = os.stat(os.path.join(path, "meta.json"))
+    key = (path, st.st_mtime_ns, st.st_size)
     if key not in _ARTIFACT_CACHE:
-        _ARTIFACT_CACHE[key] = load_compact_npy(key)
+        # drop superseded builds of the same path before loading the new
+        # one — the worker would otherwise hold every generation's mmaps
+        for old in [k for k in _ARTIFACT_CACHE if k[0] == path]:
+            del _ARTIFACT_CACHE[old]
+        _ARTIFACT_CACHE[key] = load_compact_npy(path)
     return _ARTIFACT_CACHE[key]
 
 

@@ -182,7 +182,17 @@ def remove_duplicated_spans(
     docs = df.select(F.col(id_col), toks.alias("_toks"))
     ex = (
         df.select(F.col(id_col), F.posexplode(window_hash_col(toks, window)).alias("pos", "whash"))
-        .withColumn("_ckey", F.col(id_col) * POS_LIMIT + F.col("pos"))
+        # same guarded canonical key as duplicated_spans: a doc with
+        # >= 2^22 windows would silently collide keys and delete the
+        # wrong (or the only) occurrence of a span
+        .withColumn(
+            "_ckey",
+            F.when(
+                F.col("pos") < POS_LIMIT, F.col(id_col) * POS_LIMIT + F.col("pos")
+            ).otherwise(
+                F.raise_error(F.lit("remove_duplicated_spans: pos >= 2^22; chunk the doc first"))
+            ),
+        )
         .repartition("whash")  # hash once; agg + join probe reuse the exchange
     )
     agg = (

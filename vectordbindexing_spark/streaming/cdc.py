@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.operators.diff import snapshot_diff
+from vectordbindexing_spark.streaming.atomic import recover, swap_in
 
 
 def latest_per_key(
@@ -56,6 +57,7 @@ def merge_cdc_batch(
     split out tombstones, diff against the stored snapshot, append
     the change log, rewrite the snapshot."""
     spark = batch.sparkSession
+    recover(snapshot_path)  # promote a crash-orphaned complete temp dir
     latest = latest_per_key(batch, keys, version_col)
     dels = latest.filter(F.col(tombstone_col)).select(*keys)
     ups = latest.filter(~F.col(tombstone_col)).drop(tombstone_col)
@@ -73,18 +75,13 @@ def merge_cdc_batch(
     # the change log only READS the old snapshot — append directly
     changes.write.mode("append").parquet(changelog_path)
     # the snapshot must not overwrite the path its own plan reads:
-    # write the next state to a sibling temp dir and swap. (With a
-    # real table format this whole function is MERGE INTO + CDF; the
-    # directory swap is the format-agnostic stand-in, and the swap
-    # window is the documented non-atomicity — the streaming
-    # checkpoint replays the batch after a crash, and latest-per-key
-    # dedupe makes that replay idempotent.)
-    import shutil
-
-    tmp = snapshot_path + ".tmp"
-    new.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(snapshot_path, ignore_errors=True)
-    os.rename(tmp, snapshot_path)
+    # write the next state to a sibling temp dir and swap
+    # (streaming/atomic.py — recover() at entry promotes a complete
+    # temp dir orphaned by a crash between the swap's two metadata
+    # ops; the streaming checkpoint replays the batch after a crash,
+    # and latest-per-key dedupe makes that replay idempotent. With a
+    # real table format this whole function is MERGE INTO + CDF.)
+    swap_in(new, snapshot_path, coalesce=None)
 
 
 def run_cdc_ingest(

@@ -15,9 +15,12 @@ inside the artifact itself:
 * ``merge_cms_batch`` first checks the ledger — if this ``batch_id``
   is already recorded, the merge is a NO-OP (the previous attempt
   completed its write; only the checkpoint commit was lost);
-* artifact + ledger are written in ONE atomic parquet replace
-  (temp-dir swap semantics of ``mode("overwrite")``), so they cannot
-  diverge from each other.
+* artifact + ledger are written TOGETHER via the crash-safe
+  temp-dir swap + orphan recovery of :mod:`streaming.atomic`, so they
+  cannot diverge from each other and a crash at ANY point never
+  destroys the accumulated state — Spark's ``mode("overwrite")`` alone
+  is delete-then-write, which would lose both counters and ledger if
+  the writer died between the two.
 
 The artifact stays ≤ depth·width + n_batches rows; like the HLL
 maintainer, each micro-batch runs the BATCH operator so a streamed
@@ -33,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.operators.sketch import cms_counters, cms_merge
+from vectordbindexing_spark.streaming.atomic import recover, swap_in
 
 LEDGER_ROW = -1  # sketch_row value reserved for batch-id bookkeeping
 
@@ -57,6 +61,7 @@ def merge_cms_batch(
     """One foreachBatch step. Returns False when the batch was already
     merged (crash-replay) and the artifact is left untouched."""
     spark = batch.sparkSession
+    recover(artifact_path)  # promote a crash-orphaned complete temp dir
     prev_rows = []
     if os.path.exists(artifact_path):
         prev = spark.read.parquet(artifact_path)
@@ -81,8 +86,11 @@ def merge_cms_batch(
     out = merged.unionByName(entry)
     if ledger is not None:
         out = out.unionByName(ledger)
-    # one atomic replace carries counters AND ledger together
-    out.coalesce(1).write.mode("overwrite").parquet(artifact_path)
+    # counters AND ledger swap in together; the old artifact survives
+    # until the replacement is fully on disk (mode('overwrite') on the
+    # live path would delete-then-write and a mid-write crash would
+    # lose ALL accumulated counters plus the ledger protecting them)
+    swap_in(out, artifact_path)
     return True
 
 

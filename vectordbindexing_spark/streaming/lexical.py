@@ -29,11 +29,11 @@ Correctness mechanics (the CMS maintainer's contract, streaming/cms.py):
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectordbindexing_spark.streaming.atomic import recover, swap_in
 from vectordbindexing_spark.operators.retrieval import (
     RESERVED_PREFIX,
     lexical_stats,
@@ -53,6 +53,7 @@ def merge_lexical_batch(
     already in the artifact's ledger (crash replay) — artifact
     untouched."""
     spark = batch.sparkSession
+    recover(artifact_path)  # promote a crash-orphaned complete temp dir
     stats = lexical_stats(batch, text_col=text_col, id_col=id_col)
     entry_term = f"{LEDGER_PREFIX}{batch_id}"
     entry = spark.createDataFrame(
@@ -74,10 +75,9 @@ def merge_lexical_batch(
         out = merged.unionByName(ledger).unionByName(entry)
     else:
         out = stats.unionByName(entry)
-    tmp = artifact_path + ".tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(artifact_path, ignore_errors=True)
-    os.rename(tmp, artifact_path)
+    # crash-safe swap (streaming/atomic.py); counters + ledger move
+    # together, recover() above closes the rmtree→rename window
+    swap_in(out, artifact_path, coalesce=None)
     return True
 
 

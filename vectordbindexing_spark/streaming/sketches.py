@@ -24,6 +24,7 @@ from vectordbindexing_spark.operators.sketch import (
     hll_registers,
     merge_registers,
 )
+from vectordbindexing_spark.streaming.atomic import recover, swap_in
 
 
 def merge_hll_batch(
@@ -33,6 +34,7 @@ def merge_hll_batch(
     operator, max-merge into the stored register table, replace the
     artifact. Idempotent under replay (max-merge)."""
     spark = batch.sparkSession
+    recover(artifact_path)  # promote a crash-orphaned complete temp dir
     regs = hll_registers(batch, col, p)
     if os.path.exists(artifact_path):
         prev = spark.read.parquet(artifact_path)
@@ -44,7 +46,11 @@ def merge_hll_batch(
     # localized frame keeps the write legal when rows == [])
     rows = regs.collect()
     out = spark.createDataFrame(rows, regs.schema)
-    out.coalesce(1).write.mode("overwrite").parquet(artifact_path)
+    # crash-safe swap (streaming/atomic.py): max-merge makes REPLAY
+    # idempotent, but an in-place mode('overwrite') is delete-then-
+    # write — a crash mid-write would still lose the whole accumulated
+    # register history
+    swap_in(out, artifact_path)
 
 
 def run_hll_ingest(
