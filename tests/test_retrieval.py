@@ -220,3 +220,52 @@ def test_bm25_plain_sum_matches_fold_after_rounding(spark):
         for r in bm25_topk(df, queries, k=10, exact_fold=False).collect()
     )
     assert a == c
+
+
+def test_bm25_auto_fold_switch(spark):
+    """exact_fold=None folds at contract scale (few query terms; must
+    stay hash-identical to exact_fold=True) and switches to plain sum
+    for vocabulary-scale batch queries (the 29M-struct degenerate
+    case)."""
+    from vectordbindexing_spark.operators.retrieval import (
+        FOLD_QT_LIMIT,
+        lexical_stats,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma tok"), (F.col("id") % 40).cast("string")
+        ).alias("text"),
+    )
+    small_q = [(1, "alpha tok3"), (2, "beta tok7")]
+    auto = sorted(map(tuple, bm25_topk(docs, small_q, k=5).collect()))
+    fold = sorted(
+        map(tuple, bm25_topk(docs, small_q, k=5, exact_fold=True).collect())
+    )
+    assert auto == fold  # small auto == deterministic fold, bit-exact
+
+    # vocabulary-scale batch queries: > FOLD_QT_LIMIT (query,term) pairs
+    # must resolve to the plain-sum path without error
+    big_q = spark.range(FOLD_QT_LIMIT // 2 + 100).select(
+        F.col("id").alias("query_id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 40).cast("string"),
+            F.lit(" tok"), ((F.col("id") + 1) % 40).cast("string"),
+            F.lit(" alpha"),
+        ).alias("text"),
+    )
+    out = bm25_topk(docs, big_q, k=1)
+    assert out.count() == FOLD_QT_LIMIT // 2 + 100
+
+    # stats-based estimate: few pairs + small df sum -> folds and
+    # matches the served fold exactly
+    st = lexical_stats(docs)
+    auto_s = sorted(
+        map(tuple, bm25_topk(docs, small_q, k=5, stats=st).collect())
+    )
+    fold_s = sorted(
+        map(tuple, bm25_topk(docs, small_q, k=5, stats=st,
+                             exact_fold=True).collect())
+    )
+    assert auto_s == fold_s
