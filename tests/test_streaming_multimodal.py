@@ -240,3 +240,48 @@ def test_embed_media_file_weights(spark, tmp_path):
     np.save(bad, rng.normal(size=(d_out, d_in + 2)))
     with pytest.raises(ValueError, match="features"):
         embed_media(df, weights=bad)
+
+
+def test_register_external_decoder_routes_through_pipeline(spark):
+    """The deployment contract for codecs this container lacks
+    (arithmetic JPEG, MP3, H.264): register_decoder(name, fn) and the
+    SAME mapInPandas dataflow serves it — schema, Arrow batching and
+    partitioning untouched. Demonstrated with a stand-in 'deployed'
+    arithmetic-JPEG decoder (deterministic sample grid derived from
+    the payload, the shape a native lib would return), mirroring the
+    r07 file-based .npz-weights proof for embed_media."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.multimodal import (
+        decode_image_features,
+        register_decoder,
+    )
+
+    # fixture: an arithmetic-coded JPEG is SOI + SOF13-ish marker junk
+    # the vendored baseline decoder cannot parse
+    payload = b"\xff\xd8\xff\xcd" + bytes(range(64)) * 4
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception):
+        decode_image_features(df, decoder="jpeg").collect()  # pre-registry
+    with pytest.raises(ValueError, match="unknown decoder"):
+        decode_image_features(df, decoder="arith-jpeg").collect()
+
+    def deployed_arith_jpeg(buf: bytes) -> np.ndarray:
+        # stand-in for the native lib: deterministic 16x16 grid from
+        # the entropy-coded segment
+        arr = np.frombuffer(buf[4:], dtype=np.uint8)[:256].astype(np.float64)
+        return arr.reshape(16, 16)
+
+    register_decoder("arith-jpeg", deployed_arith_jpeg)
+    row = decode_image_features(df, decoder="arith-jpeg").collect()[0]
+    assert (row["width"], row["height"]) == (16, 16)
+    expect = deployed_arith_jpeg(payload)
+    assert row["mean_intensity"] == pytest.approx(float(expect.mean()))
+    assert len(row["features"]) == 8  # same schema as every decoder
+
+    with pytest.raises(TypeError):
+        register_decoder("bad", "not-a-callable")

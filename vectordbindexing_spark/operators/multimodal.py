@@ -93,6 +93,21 @@ def _decode_jpeg_luma(buf: bytes) -> np.ndarray:
 _DECODERS = {"fake": _fake_decode, "ppm": _decode_ppm, "jpeg": _decode_jpeg_luma}
 
 
+def register_decoder(name: str, fn) -> None:
+    """Deployment hook for codecs the container lacks (arithmetic/12-bit
+    JPEG, PNG/WebP via PIL, MP3/AAC via ffmpeg): ``fn(buf: bytes) ->
+    np.ndarray`` (2-D luma/sample grid). The registered decoder rides
+    the same mapInPandas dataflow — schema, Arrow batching,
+    partitioning are decoder-agnostic, and the function is
+    cloudpickled to executors with the kernel closure, so a plain
+    module-level or locally-defined callable works. Overwriting an
+    existing name is allowed (deployments shadow the vendored
+    pure-python decoders with native ones)."""
+    if not callable(fn):
+        raise TypeError(f"decoder {name!r} must be callable")
+    _DECODERS[name] = fn
+
+
 def decode_image_features(
     df: DataFrame,
     content_col: str = "content",
