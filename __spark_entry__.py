@@ -2276,76 +2276,23 @@ def queries() -> dict[str, Query]:
     # window leads with the entries whose last row is oldest". Every
     # session's local full replay (tests/test_entry_contract.py) still
     # exercises ALL queries at sf0.001.
-    # Round-8 rotation:
-    # (a) positions 1-20 — the 20 r07-staged queries (BM25, hybrid RRF,
-    #     PageRank + personalized, triangles, k-core, label prop,
-    #     random walks, MaxSim, MMR, triplet mining, silhouette,
-    #     TF-IDF, cohort retention, transitions, TPC-H q4/q13/q22,
-    #     ROLLUP), registered this round: they have never had a driver
-    #     row, only the staged-contract gate (hash-green at
-    #     sf0.001/0.01/0.1 in r07 + this session's replay).
-    # (b) positions 21-50 — 30 of the 48 entries whose last driver row
-    #     is r06 (the r07 tail): ANN compression ladder, planner
-    #     routes, exact/lsh/ivf knn, media decode, dedup windows.
-    # (c) positions 51-68 — the 18 remaining r06-rowed entries
-    #     (deferred: stable pure-SQL relational/text queries with the
-    #     lowest drift risk). They MUST lead the r09 window — their
-    #     rows turn 3 rounds old there; check_registry emits this list.
-    # (d) positions 69-118 — the 50 entries with fresh r07 rows.
+    # Round-9 rotation:
+    # (a) positions 1-18 — the 18 entries whose last driver row is r06
+    #     (the r08 tail; check_registry's priority list): relational
+    #     TPC-H q1/q3/q5/q6/q10/q18, events attribution/sessionize/
+    #     hourly/props, text line-dedup/url/bpe/fingerprint/
+    #     contamination, pooling, quota mixing, top-orders. Their rows
+    #     turn 3 rounds old this round — they MUST refresh now.
+    # (b) positions 19-50 — 32 of the 50 entries whose last driver row
+    #     is r07 (oldest-first by registry order): ANN builds, frontier,
+    #     roargraph, dedup stack, text quality, BPE, sketches head.
+    # (c) positions 51-68 — the 18 remaining r07-rowed entries
+    #     (deferred: sketch/relational queries with the lowest drift
+    #     risk). They MUST lead the r10 window; check_registry emits
+    #     this list mechanically.
+    # (d) positions 69-118 — the 50 entries with fresh r08 rows.
     return {
-        # (a) r08 registrations — no driver row yet, window-leading
-        "bm25_keyword_topk": _bm25_keyword_topk,
-        "hybrid_rrf_search": _hybrid_rrf_search,
-        "graph_pagerank": _graph_pagerank,
-        "mix_weighted_sample": _mix_weighted_sample,
-        "graph_triangle_stats": _graph_triangle_stats,
-        "graph_kcore": _graph_kcore,
-        "graph_label_prop": _graph_label_prop,
-        "graph_ppr": _graph_ppr,
-        "graph_random_walks": _graph_random_walks,
-        "maxsim_knn": _maxsim_knn,
-        "mmr_rerank_knn": _mmr_rerank_knn,
-        "mine_triplets": _mine_triplets,
-        "cluster_silhouette": _cluster_silhouette,
-        "text_tfidf_terms": _text_tfidf_terms,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_transition_counts": _events_transition_counts,
-        "tpch_q4_late_orders": _tpch_q4_late_orders,
-        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
-        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
-        "tpch_rollup_revenue": _tpch_rollup_revenue,
-        # (b) last driver row r06 — refreshed this round
-        "simhash_text_neardup": _simhash_text_neardup,
-        "dedup_groups": _dedup_groups,
-        "simhash_buckets": _simhash_buckets,
-        "events_value_histogram": _events_value_histogram,
-        "planner_filtered_route": _planner_filtered_route,
-        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
-        "media_wav_features": _media_wav_features,
-        "media_video_stats": _media_video_stats,
-        "semantic_dedup": _semantic_dedup,
-        "ann_ladder_recall": _ann_ladder_recall,
-        "text_lang_id_lexicon": _text_lang_id_lexicon,
-        "sq8_knn": _sq8_knn,
-        "bq_hamming_knn": _bq_knn,
-        "pq_adc_knn": _pq_adc_knn,
-        "opq_knn": _opq_knn,
-        "ivfpq_knn": _ivfpq_knn,
-        "ivfpq_index_knn": _ivfpq_index_knn,
-        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
-        "planner_knn_route": _planner_knn_route,
-        "planner_sq8_route": _planner_sq8_route,
-        "planner_graph_route": _planner_graph_route,
-        "knn_exact_cosine": _knn_query("cosine"),
-        "knn_exact_l2": _knn_query("l2"),
-        "knn_exact_ip": _knn_query("ip"),
-        "lsh_knn_cosine": _lsh_knn,
-        "ivf_knn_cosine": _ivf_knn,
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition_stats": _text_repetition_stats,
-        "text_chunk_documents": _text_chunk_documents,
-        "text_lm_logprob": _char_trigram_logprob,
-        # (c) last driver row r06, deferred — MUST lead the r09 window
+        # (a) last driver row r06 — window-leading, refreshed this round
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
         "text_line_dedup": _text_line_dedup,
@@ -2364,7 +2311,7 @@ def queries() -> dict[str, Query]:
         "events_props_json": _events_props_json,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
-        # (d) fresh r07 driver rows — tail
+        # (b) last driver row r07 — refreshed this round
         "text_pack_windows": _pack_token_windows,
         "mix_token_budget_sample": _mix_token_budget_sample,
         "ann_two_layer_recall": _ann_two_layer_recall,
@@ -2397,6 +2344,7 @@ def queries() -> dict[str, Query]:
         "text_duplicated_spans": _text_duplicated_spans,
         "bpe_train_merges": _bpe_train_merges,
         "bpe_encode_stats": _bpe_encode_stats,
+        # (c) last driver row r07, deferred — MUST lead the r10 window
         "zorder_layout_stats": _zorder_layout_stats,
         "nb_quality_scores": _nb_quality_scores,
         "hll_registers_events": _hll_registers_events,
@@ -2415,6 +2363,57 @@ def queries() -> dict[str, Query]:
         "source_overlap_kmv": _source_overlap_kmv,
         "hll_estimate_users": _hll_estimate_users,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        # (d) fresh r08 driver rows — tail
+        "bm25_keyword_topk": _bm25_keyword_topk,
+        "hybrid_rrf_search": _hybrid_rrf_search,
+        "graph_pagerank": _graph_pagerank,
+        "mix_weighted_sample": _mix_weighted_sample,
+        "graph_triangle_stats": _graph_triangle_stats,
+        "graph_kcore": _graph_kcore,
+        "graph_label_prop": _graph_label_prop,
+        "graph_ppr": _graph_ppr,
+        "graph_random_walks": _graph_random_walks,
+        "maxsim_knn": _maxsim_knn,
+        "mmr_rerank_knn": _mmr_rerank_knn,
+        "mine_triplets": _mine_triplets,
+        "cluster_silhouette": _cluster_silhouette,
+        "text_tfidf_terms": _text_tfidf_terms,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_transition_counts": _events_transition_counts,
+        "tpch_q4_late_orders": _tpch_q4_late_orders,
+        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
+        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
+        "tpch_rollup_revenue": _tpch_rollup_revenue,
+        "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
+        "simhash_buckets": _simhash_buckets,
+        "events_value_histogram": _events_value_histogram,
+        "planner_filtered_route": _planner_filtered_route,
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
+        "semantic_dedup": _semantic_dedup,
+        "ann_ladder_recall": _ann_ladder_recall,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
+        "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
+        "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
+        "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
+        "planner_graph_route": _planner_graph_route,
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_ip": _knn_query("ip"),
+        "lsh_knn_cosine": _lsh_knn,
+        "ivf_knn_cosine": _ivf_knn,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition_stats": _text_repetition_stats,
+        "text_chunk_documents": _text_chunk_documents,
+        "text_lm_logprob": _char_trigram_logprob,
     }
 
 
