@@ -95,3 +95,39 @@ def test_pagerank_plain_sum_matches_fold_after_rounding(spark):
         tuple(r) for r in pagerank(df, iters=3, exact_fold=False).collect()
     )
     assert a == b
+
+
+def test_pagerank_auto_fold_switch(spark, monkeypatch):
+    """Default exact_fold=None folds below PR_FOLD_EDGE_LIMIT (bit-equal
+    to exact_fold=True) and plain-sums past it (equal after round-6);
+    personalized_pagerank mirrors the same switch."""
+    import vectordbindexing_spark.operators.pagerank as pr
+
+    df = spark.createDataFrame(EDGES + [(9, 1)], "src long, dst long")
+    auto = sorted(tuple(r) for r in pr.pagerank(df, iters=3).collect())
+    fold = sorted(
+        tuple(r) for r in pr.pagerank(df, iters=3, exact_fold=True).collect()
+    )
+    assert auto == fold  # small graph -> auto picked the fold
+
+    # force the limit below the edge count: auto must take the sum path
+    monkeypatch.setattr(pr, "PR_FOLD_EDGE_LIMIT", 1)
+    low = sorted(tuple(r) for r in pr.pagerank(df, iters=3).collect())
+    summed = sorted(
+        tuple(r) for r in pr.pagerank(df, iters=3, exact_fold=False).collect()
+    )
+    assert low == summed == fold  # round-6 output equal on this graph
+
+    seeds = spark.createDataFrame([(1,)], "id long")
+    p_auto = sorted(
+        tuple(r)
+        for r in pr.personalized_pagerank(df, seeds, iters=3).collect()
+    )
+    monkeypatch.setattr(pr, "PR_FOLD_EDGE_LIMIT", 10_000)
+    p_fold = sorted(
+        tuple(r)
+        for r in pr.personalized_pagerank(
+            df, seeds, iters=3, exact_fold=True
+        ).collect()
+    )
+    assert p_auto == p_fold

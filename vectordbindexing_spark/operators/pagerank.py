@@ -36,6 +36,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: auto exact_fold: past this many edges (== folded structs built PER
+#: ITERATION) the source-ordered collect_list fold switches to a plain
+#: ``sum()`` — the same trap/fix as retrieval.FOLD_CONTRIB_LIMIT. The
+#: edge table is already eagerly checkpointed when counted, so the
+#: probe is free. Contract-scale graphs (thousands of edges) stay on
+#: the bit-deterministic fold; library-scale graphs get the cheap sum.
+#: 1M (not BM25's 2M): the fold materializes its structs once PER
+#: ITERATION, so the break-even edge count is ~iters x lower.
+PR_FOLD_EDGE_LIMIT = 1_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -43,7 +53,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    exact_fold: bool = True,
+    exact_fold: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank. ``edges``: directed (src, dst), duplicates
     allowed (deduped — PageRank is over the simple graph). Returns
@@ -57,7 +67,11 @@ def pagerank(
     instead of the source-ordered collect_list fold — last-ulp drift
     per round, no oracle bit-parity, but skips materializing one
     struct per in-edge (the fold dominates the 31 s / 3-iteration cost
-    at 2M edges). Use it for library-scale runs, keep True for gates.
+    at 2M edges). The default (``None``) picks automatically: fold
+    while the deduped+repaired edge count stays under
+    PR_FOLD_EDGE_LIMIT (the count is free — the edge table is already
+    eagerly checkpointed), plain sum past it. Gates that need
+    bit-parity regardless of scale pass True explicitly.
     """
     if iters < 1:
         raise ValueError("need iters >= 1")
@@ -81,6 +95,8 @@ def pagerank(
     e = e.unionByName(
         dangling.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     ).localCheckpoint(eager=True)
+    if exact_fold is None:
+        exact_fold = e.count() <= PR_FOLD_EDGE_LIMIT
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
     n_b = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("n")))
     ranks = (
@@ -141,6 +157,7 @@ def personalized_pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_id_col: str = "id",
+    exact_fold: bool | None = None,
 ) -> DataFrame:
     """Personalized PageRank (Haveliwala 2002 topic-sensitive PR; the
     related-item / seed-expansion ranker every graph-serving stack
@@ -152,7 +169,11 @@ def personalized_pagerank(
     (O(1) values like pagerank's rank_x_n). Self-loop dangling repair,
     source-ordered contribution folds, round(·, 6) at output — same
     cross-engine contract, oracle `oracles.personalized_pagerank_sql`.
-    Nodes unreachable from S keep rank 0 exactly."""
+    Nodes unreachable from S keep rank 0 exactly.
+
+    ``exact_fold`` as in :func:`pagerank`: None (default) folds below
+    PR_FOLD_EDGE_LIMIT edges and plain-sums past it; True forces the
+    bit-deterministic fold, False forces the cheap sum."""
     if iters < 1:
         raise ValueError("need iters >= 1")
     e = (
@@ -174,6 +195,8 @@ def personalized_pagerank(
     e = e.unionByName(
         dangling.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     ).localCheckpoint(eager=True)
+    if exact_fold is None:
+        exact_fold = e.count() <= PR_FOLD_EDGE_LIMIT
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
     seed = (
         seeds.select(F.col(seed_id_col).cast("long").alias("id"))
@@ -205,11 +228,14 @@ def personalized_pagerank(
             ranks["id"].alias("u"),
             (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
         )
-        s_agg = F.aggregate(
-            F.array_sort(F.collect_list(F.struct("u", "c"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["c"],
-        )
+        if exact_fold:
+            s_agg = F.aggregate(
+                F.array_sort(F.collect_list(F.struct("u", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            )
+        else:
+            s_agg = F.sum("c")
         incoming = contrib.groupBy("dst").agg(s_agg.alias("s"))
         ranks = (
             ranks.join(incoming, ranks["id"] == incoming["dst"], "left")
