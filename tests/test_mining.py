@@ -97,6 +97,19 @@ def test_triplets_label_guardrail(spark):
         mine_triplets(df)
 
 
+def test_triplets_label_guardrail_bounded_probe(spark):
+    """A HIGH-cardinality label column must raise via the
+    limit(MAX_LABELS+1) probe, never a full distinct collect — 200k
+    distinct labels through the guard without pulling them down."""
+    big = spark.range(200_000).select(
+        F.col("id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("vec"),
+        F.col("id").alias("label"),
+    )
+    with pytest.raises(ValueError, match="MAX_LABELS"):
+        mine_triplets(big)
+
+
 def test_triplets_duckdb_replay_real_embeddings(spark, sf_dir):
     """The exact comparison the r08 contract query will run."""
     import __spark_entry__ as e

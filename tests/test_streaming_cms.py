@@ -150,7 +150,7 @@ def test_crash_between_rmtree_and_rename_recovers(spark, tmp_path,
         merge_cms_batch(b2, 1, art, "tok", depth=2, width=64)
     except OSError:
         pass
-    assert not os.path.exists(art) and os.path.isdir(art + ".tmp")
+    assert not os.path.exists(art) and os.path.isdir(atomic.tmp_path(art))
     monkeypatch.undo()
     # stream restart replays batch 1: recover() promotes the orphaned
     # temp dir (which already merged batch 1), the ledger says so, and

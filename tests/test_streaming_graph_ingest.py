@@ -91,9 +91,9 @@ def test_upsert_keeps_new_nodes_servable_and_refresh_equals_rebuild(
     ).count()
     assert incoming > 0
 
-    # replay of the SAME batch is a no-op on the state
+    # replay of the SAME batch is DETECTED and no-ops on the state
     before = sorted(map(tuple, edges.collect()))
-    assert upsert_graph_artifact(b1, art, refresh_factor=2.0) == "upsert"
+    assert upsert_graph_artifact(b1, art, refresh_factor=2.0) == "noop"
     _, edges_replay, _ = load_graph_artifact(spark, art)
     assert sorted(map(tuple, edges_replay.collect())) == before
 
@@ -130,3 +130,126 @@ def test_graph_upsert_stream_end_to_end(spark, corpus, tmp_path):
     assert vecs.count() == N0 + NB
     gt1 = _gt(q, base.unionByName(b1))
     assert _recall(spark, q, vecs, edges, gt1) >= 0.8
+
+
+def test_update_same_id_new_vector_batch_wins_and_stale_edges_drop(
+    spark, corpus, tmp_path
+):
+    """Re-ingesting a stored id with a DIFFERENT vector: the batch side
+    wins deterministically, the id's old edges (stale dists) are gone,
+    and every surviving edge incident to it matches the new geometry."""
+    import numpy as np
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "upd_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+
+    upd_id = 7
+    newvec = [float(i % 3) + 0.25 for i in range(D)]
+    upd = spark.createDataFrame([(upd_id, newvec)], "id long, vec array<double>")
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    got = vecs.where(F.col("id") == upd_id).collect()
+    assert len(got) == 1 and list(got[0]["vec"]) == newvec  # batch won
+
+    # every edge touching upd_id must price the NEW vector: recompute
+    # cosine dists from the stored vectors and compare
+    vmap = {r["id"]: np.array(r["vec"]) for r in vecs.collect()}
+
+    def cos(a, b):
+        return 1.0 - float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    touching = edges.where(
+        (F.col("src") == upd_id) | (F.col("dst") == upd_id)
+    ).collect()
+    assert touching, "updated node must stay wired into the graph"
+    for r in touching:
+        want = cos(vmap[r["src"]], vmap[r["dst"]])
+        assert abs(r["dist"] - want) < 1e-9, (r, want)
+
+    # replay of the update is detected as already applied
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "noop"
+
+
+def test_in_batch_duplicate_ids_resolve_deterministically(spark, tmp_path):
+    """One batch carrying conflicting payloads for the same id resolves
+    to the greatest vec by array ordering — never partition-order."""
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "id long, vec array<double>"
+    )
+    art = str(tmp_path / "dup_art")
+    init_graph_artifact(base, art, M0=4, M1=2)
+    dup = spark.createDataFrame(
+        [(50, [1.0, 2.0]), (50, [3.0, 4.0]), (50, [2.0, 9.0])],
+        "id long, vec array<double>",
+    ).repartition(3)
+    assert upsert_graph_artifact(dup, art, refresh_factor=10.0) == "upsert"
+    vecs, _, _ = load_graph_artifact(spark, art)
+    got = vecs.where(F.col("id") == 50).collect()
+    assert len(got) == 1 and list(got[0]["vec"]) == [3.0, 4.0]
+
+
+def test_crash_between_vector_and_edge_swap_heals_on_replay(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Vectors swapped, edges not (the cross-artifact crash window):
+    the replayed batch must land on the needs_edges path and complete
+    the graph instead of no-op'ing on the half-applied state."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "crash_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+
+    calls = {"n": 0}
+    real = gi.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the edges swap of the first attempt
+            raise OSError("simulated crash before the edges swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(gi, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_graph_artifact(b1, art, refresh_factor=10.0)
+    monkeypatch.undo()
+
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    assert vecs.count() == N0 + NB  # vectors landed
+    assert edges.where(F.col("src") >= N0).count() == 0  # edges did not
+
+    # stream replay: detected as incomplete, completes the upsert
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    gt1 = _gt(q, base.unionByName(b1))
+    assert _recall(spark, q, vecs, edges, gt1) >= 0.8
+    # and only now is the batch a pure replay
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "noop"
+
+
+def test_upsert_planner_route_past_exact_limit(spark, corpus, tmp_path):
+    """Forcing exact_base_limit below the corpus size sends the
+    batch-vs-union kNN through plans.knn_planner.knn (the 100 TB
+    route); inserted nodes must still come back servable."""
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "planner_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+    assert (
+        upsert_graph_artifact(
+            b1, art, refresh_factor=10.0,
+            exact_base_limit=50,
+            planner_kwargs={"memory_tight": False},
+        )
+        == "upsert"
+    )
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    assert vecs.count() == N0 + NB
+    # inserted nodes are wired in both directions
+    assert edges.where((F.col("layer") == 0) & (F.col("src") >= N0)).count() > 0
+    assert edges.where((F.col("layer") == 0) & (F.col("dst") >= N0)).count() > 0
+    gt1 = _gt(q, base.unionByName(b1))
+    r = _recall(spark, q, vecs, edges, gt1)
+    assert r >= 0.7, r

@@ -104,12 +104,16 @@ def mine_triplets(
         F.col(vec_col).alias("vec"),
         F.col(label_col).cast("long").alias("label"),
     ).where(F.col("label").isNotNull() & F.col("vec").isNotNull())
+    # bounded probe: limit(MAX_LABELS+1) caps the driver collect even
+    # when the label column is high-cardinality — the overflow raises
+    # without ever pulling the full distinct set to the driver
     labels = sorted(
-        r["label"] for r in base.select("label").distinct().collect()
+        r["label"]
+        for r in base.select("label").distinct().limit(MAX_LABELS + 1).collect()
     )
     if len(labels) > MAX_LABELS:
         raise ValueError(
-            f"{len(labels)} labels > MAX_LABELS={MAX_LABELS}: per-label "
+            f"more than MAX_LABELS={MAX_LABELS} distinct labels: per-label "
             "split passes assume a bounded label set"
         )
     if impl == "auto":

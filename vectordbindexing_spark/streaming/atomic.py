@@ -3,52 +3,186 @@ compact-index dir) for foreachBatch maintainers.
 
 ``mode("overwrite")`` on the live path is delete-then-write: a crash
 mid-write destroys the accumulated state AND whatever ledger protected
-it. The swap here is write-sibling-temp → rmtree(live) → rename(tmp,
-live); the long, failure-prone parquet write happens while the old
-artifact is fully intact, shrinking the loss window to the two
-metadata ops. :func:`recover` then closes even that window: if a crash
-lands between the rmtree and the rename, the live path is missing but
-the temp dir holds a COMPLETE replacement (parquet ``_SUCCESS`` marker
-present) — every maintainer calls recover() before reading, which
-promotes the orphaned temp dir and resumes exactly where the crashed
-attempt finished (CMS's in-artifact batch-id ledger rides along, so
-the replayed micro-batch still no-ops). An INCOMPLETE temp dir (crash
-mid-write) is simply left for the next attempt's overwrite.
+it. The swap here is write-sibling-temp → rename(live, aside) →
+rename(tmp, live) → rmtree(aside): the long, failure-prone parquet
+write happens while the old artifact is fully intact, and the live
+path transitions between COMPLETE states via two atomic renames — at
+no point does a partially-deleted live dir exist (the r08 scheme's
+``rmtree(live)`` had exactly that window). The only destructive op,
+``rmtree(aside)``, runs after the new live dir is fully in place.
+
+:func:`recover` closes the remaining windows: a live dir that is
+missing or INCOMPLETE (no parquet ``_SUCCESS`` marker — e.g. a legacy
+partial state or external damage) is replaced by the newest COMPLETE
+sibling — the temp dir if the crash hit between the two renames, else
+the aside if the crash hit after the live dir was moved away. Every
+maintainer calls recover() before reading, so it resumes exactly where
+the crashed attempt finished (CMS's in-artifact batch-id ledger rides
+along, so the replayed micro-batch still no-ops). An INCOMPLETE temp
+dir (crash mid-write) is simply left for the next attempt's overwrite.
+
+Temp/aside siblings are named ``.<name>.tmp`` / ``.<name>.old`` — the
+leading dot hides them from Spark's partition discovery, which
+lets :func:`swap_in_buckets` maintain a ``bucket=K``-partitioned
+artifact by swapping ONLY the dirty bucket subdirs (the incremental
+maintainers' escape from O(corpus) rewrites per micro-batch; each
+bucket dir gets its own ``_SUCCESS`` marker before its swap so
+recover() can judge it). JSON sidecars (meta.json) go through
+:func:`write_json_atomic` (write-temp + ``os.replace``) so a crash
+mid-dump can never truncate them.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame
 
 TMP_SUFFIX = ".tmp"
+OLD_SUFFIX = ".old"
 
 
-def swap_in(out: DataFrame, artifact_path: str, *, coalesce: int | None = 1
-            ) -> None:
-    """Replace ``artifact_path`` with ``out``'s rows via a sibling temp
-    dir; the previous artifact survives until the replacement is fully
-    on disk."""
-    tmp = artifact_path + TMP_SUFFIX
+def tmp_path(artifact_path: str) -> str:
+    """Hidden temp sibling (leading ``.`` keeps Spark readers away)."""
+    head, tail = os.path.split(artifact_path.rstrip("/"))
+    return os.path.join(head, "." + tail + TMP_SUFFIX)
+
+
+def old_path(artifact_path: str) -> str:
+    """Hidden aside sibling holding the previous live dir mid-swap."""
+    head, tail = os.path.split(artifact_path.rstrip("/"))
+    return os.path.join(head, "." + tail + OLD_SUFFIX)
+
+
+def _complete(d: str) -> bool:
+    return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def _swap_dir(src: str, live: str) -> None:
+    """Atomically make ``src`` the new ``live``: rename-aside, never
+    rmtree-then-rename (no partially-deleted-live window)."""
+    aside = old_path(live)
+    shutil.rmtree(aside, ignore_errors=True)  # leftover from a prior crash
+    if os.path.exists(live):
+        os.rename(live, aside)
+    os.rename(src, live)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def swap_in(
+    out: DataFrame,
+    artifact_path: str,
+    *,
+    coalesce: int | None = 1,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Replace ``artifact_path`` with ``out``'s rows via a hidden
+    sibling temp dir; the previous artifact stays complete and live
+    until the replacement is fully on disk, then swaps in two atomic
+    renames."""
+    tmp = tmp_path(artifact_path)
     w = out.coalesce(coalesce) if coalesce else out
-    w.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(artifact_path, ignore_errors=True)
-    os.rename(tmp, artifact_path)
+    writer = w.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    _swap_dir(tmp, artifact_path)
+
+
+def swap_in_buckets(
+    out: DataFrame,
+    artifact_path: str,
+    partition_col: str = "bucket",
+) -> int:
+    """Swap ONLY the partitions present in ``out`` into the live
+    ``partition_col=K``-partitioned artifact — the dirty-bucket write
+    path: one partitioned write to a hidden temp dir, then one atomic
+    rename per dirty bucket. Untouched buckets are never rewritten, so
+    the per-batch write cost scales with the dirty fraction instead of
+    the corpus. Returns the number of buckets swapped.
+
+    Crash mid-loop leaves a mix of old and new buckets plus the temp
+    dir; that state is servable (every bucket is a complete parquet
+    dir) and the uncommitted micro-batch replays on restart,
+    recomputing every dirty bucket deterministically — the same
+    replay-idempotence contract the full-swap maintainers rely on.
+    """
+    tmp = tmp_path(artifact_path)
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    names = sorted(
+        n for n in os.listdir(tmp) if n.startswith(partition_col + "=")
+    )
+    for name in names:
+        # mark each bucket dir complete BEFORE its swap: recover() and
+        # future swaps judge bucket dirs by their own _SUCCESS marker
+        with open(os.path.join(tmp, name, "_SUCCESS"), "w"):
+            pass
+    for name in names:
+        _swap_dir(os.path.join(tmp, name), os.path.join(artifact_path, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(names)
 
 
 def recover(artifact_path: str) -> bool:
-    """Promote an orphaned-but-complete temp dir left by a crash
-    between the rmtree and the rename. Returns True when a recovery
-    happened. No-op when the artifact exists (a stale temp dir from a
-    crash mid-write is left for the next swap's overwrite to clear)."""
-    tmp = artifact_path + TMP_SUFFIX
-    if (
-        not os.path.exists(artifact_path)
-        and os.path.isdir(tmp)
-        and os.path.exists(os.path.join(tmp, "_SUCCESS"))
-    ):
-        os.rename(tmp, artifact_path)
-        return True
-    return False
+    """Restore a COMPLETE live dir after a crash. Returns True when a
+    recovery happened.
+
+    * live complete → no-op (a stale aside, if any, is swept; a stale
+      temp dir from a crash mid-write is left for the next swap's
+      overwrite to clear).
+    * live missing or INCOMPLETE (no ``_SUCCESS``) → promote the
+      newest complete sibling: the temp dir (crash between the two
+      swap renames — it holds the finished replacement) if complete,
+      else the aside (previous live, moved out mid-swap)."""
+    tmp, aside = tmp_path(artifact_path), old_path(artifact_path)
+    recovered = False
+    if not _complete(artifact_path):
+        src = tmp if _complete(tmp) else aside if _complete(aside) else None
+        if src is not None:
+            if os.path.exists(artifact_path):
+                # partial live dir (legacy rmtree window / external
+                # damage): never read it — replace with the complete one
+                shutil.rmtree(artifact_path)
+            os.rename(src, artifact_path)
+            recovered = True
+    if _complete(artifact_path):
+        shutil.rmtree(aside, ignore_errors=True)
+    return recovered
+
+
+def recover_tree(artifact_path: str, partition_col: str = "bucket") -> int:
+    """recover() for a bucket-partitioned artifact: the top-level dir
+    (init/rebuild write it whole) plus every ``partition_col=K`` child
+    (incremental swaps replace children individually). Returns how many
+    recoveries happened."""
+    n = int(recover(artifact_path))
+    if os.path.isdir(artifact_path):
+        seen = set()
+        for name in sorted(os.listdir(artifact_path)):
+            if name.startswith(partition_col + "="):
+                seen.add(name)
+                n += int(recover(os.path.join(artifact_path, name)))
+        # orphaned aside of a bucket whose live child vanished entirely
+        # (crash between the two renames with no complete temp): the
+        # aside is named _<child>.old inside the artifact dir
+        for name in sorted(os.listdir(artifact_path)):
+            if name.startswith("." + partition_col + "=") and name.endswith(
+                OLD_SUFFIX
+            ):
+                child = name[1 : -len(OLD_SUFFIX)]
+                if child not in seen:
+                    n += int(recover(os.path.join(artifact_path, child)))
+    return n
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    """Dump JSON so a crash mid-write can never truncate the live file:
+    write a temp sibling, fsync, then ``os.replace`` (atomic on POSIX)."""
+    tmp = path + TMP_SUFFIX
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

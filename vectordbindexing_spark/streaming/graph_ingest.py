@@ -2,32 +2,56 @@
 the graph analog of streaming/ivfpq_ingest.py (reference study:
 `hnsw_insert.ipynb`, +1%…+10% incremental inserts).
 
-State layout under ``index_dir`` (both swapped crash-safely via
-streaming/atomic.py, so a crash at any point leaves a servable
+State layout under ``index_dir`` (each bucket dir swapped crash-safely
+via streaming/atomic.py, so a crash at any point leaves a servable
 artifact):
 
-* ``vectors``  — parquet (id, vec), the full current corpus
-* ``edges``    — parquet (layer, src, dst, dist), the serving graph
-* ``meta.json``— {n_at_rebuild} for the refresh trigger
+* ``vectors``  — parquet partitioned by ``bucket = pmod(xxhash64(id),
+  B)``: (id, vec), the full current corpus
+* ``edges``    — parquet partitioned by ``bucket = pmod(xxhash64(src),
+  B)``: (layer, src, dst, dist), the serving graph
+* ``meta.json``— {n_at_rebuild, build params, buckets}; written
+  atomically (write-temp + os.replace) so a crash mid-dump can never
+  brick the artifact.
 
 Per micro-batch (:func:`upsert_graph_artifact`):
 
-1. kNN edges of the NEW nodes against (stored ∪ batch) — one blocked
-   exact pass, O(n·|B|) work, the per-insert cost of the reference's
-   `add_items_batch` amortized over the batch (hnsw_cosine_norm.py:
-   480-580). Layer-1 edges likewise over the level≥1 subset (level
-   assignment is a deterministic function of the id, graph.py:26, so
-   stored nodes keep their levels without re-reading anything).
-2. ``mutualize(old_edges ∪ new_edges)`` — the SAME bidirection +
-   degree-cap pass the bulk build ends with (graph.py:530), so new
-   nodes get back-links from their neighbors (without which they would
-   be unreachable) and affected old nodes re-cap by distance exactly
-   like a rebuild would. Everything else is untouched rows flowing
-   through one groupBy.
-3. Crash-safe swap of both parquet dirs. The whole step is
-   replay-idempotent: the batch's kNN edges are a deterministic
-   function of (vectors ∪ batch), vectors dedupe by id, and mutualize
-   canonicalizes duplicates — so foreachBatch needs no ledger.
+1. kNN edges of the NEW nodes against (stored ∪ batch) — below
+   ``exact_base_limit`` one blocked exact pass (O(n·|B|), the
+   per-insert cost of the reference's `add_items_batch` amortized over
+   the batch, hnsw_cosine_norm.py:480-580); past it the pass dispatches
+   through ``plans.knn_planner.knn`` (the mine_triplets treatment), so
+   a 100 TB corpus pays an IVF/IVF-PQ probe, not a full scan. Layer-1
+   edges likewise over the level≥1 subset (level assignment is a
+   deterministic function of the id, graph.py:26, so stored nodes keep
+   their levels without re-reading anything).
+2. DIRTY-SCOPED ``mutualize``: only nodes whose adjacency can change —
+   the batch ids, the new edges' endpoints, and nodes that lose an
+   edge to a replaced id — are re-capped (same bidirection +
+   degree-cap pass the bulk build ends with, graph.py:530, restricted
+   to the dirty set; equal to the full pass on those nodes because the
+   stored graph is already a mutualize fixed point and untouched nodes
+   gain no candidates). Everything else keeps its stored rows
+   verbatim.
+3. Crash-safe swap of ONLY the dirty buckets of both artifacts
+   (atomic.swap_in_buckets): per-batch write I/O scales with
+   |batch|·degree, not with the corpus — the O(corpus)-rewrite flaw of
+   the first version. The whole step is replay-idempotent by
+   DETECTION: a redelivered batch (every id stored with a
+   bit-identical vector and layer-0 adjacency present) returns
+   ``"noop"`` without touching state — recomputation could drift in
+   the last distance ulp (BLAS batch shape), so exact replay is
+   guaranteed by not recomputing. A crash between the vectors swap
+   and the edges swap is caught by the adjacency check
+   (``needs_edges``) and completed on replay.
+
+UPDATE semantics (same id, different vector): the BATCH side wins
+deterministically — stored rows with a redelivered id are anti-joined
+away, and within one batch duplicate ids resolve to the greatest vec
+(array ordering), never ``F.first``'s partition-order roulette. Edges
+incident to a replaced id are dropped before the merge (their dists
+describe the old vector) and rebuilt from the fresh kNN pass, so an
+update leaves no stale geometry behind.
 
 Drift + refresh: upserted nodes never enter OLD nodes' own kNN lists
 except via back-links (classic incremental-HNSW semantics), so search
@@ -38,12 +62,6 @@ rebuild, the upsert runs :func:`operators.graph.build_two_layer_index`
 on the full union instead: after a refresh the artifact is EXACTLY the
 bulk build of the union corpus (same function, same params — pinned by
 test), which is the "upserted serving ≡ full rebuild" anchor.
-
-100 TB note: the per-batch cost is one batch-vs-corpus scan plus an
-O(E) groupBy and an O(n) artifact rewrite. Size batches so the rewrite
-amortizes (or store edges bucketed by src and rewrite only dirty
-buckets); past EXACT_BASE_LIMIT route step 1 through
-plans.knn_planner.knn like mine_triplets does.
 """
 
 from __future__ import annotations
@@ -55,9 +73,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from vectordbindexing_spark.streaming.atomic import recover, swap_in
+from vectordbindexing_spark.streaming.atomic import (
+    recover_tree,
+    swap_in,
+    swap_in_buckets,
+    write_json_atomic,
+)
 
 EDGE_SCHEMA = "layer int, src long, dst long, dist double"
+
+#: default bucket count for the partitioned artifact dirs. Per-batch
+#: write cost ≈ (dirty buckets / buckets) × artifact size, so more
+#: buckets = finer rewrites; each bucket should still hold enough rows
+#: for healthy parquet files (≥ a few MB at the target corpus size).
+DEFAULT_BUCKETS = 64
 
 
 def _paths(index_dir: str) -> tuple[str, str, str]:
@@ -66,6 +95,10 @@ def _paths(index_dir: str) -> tuple[str, str, str]:
         os.path.join(index_dir, "edges"),
         os.path.join(index_dir, "meta.json"),
     )
+
+
+def _bucket_of(col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
 def _build_params(M0: int, M1: int, M_level: int, metric: str) -> dict:
@@ -81,6 +114,7 @@ def init_graph_artifact(
     M_level: int = 16,
     id_col: str = "id",
     vec_col: str = "vec",
+    buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """Bulk-build the artifact from an initial corpus (the backfill)."""
     from vectordbindexing_spark.operators.graph import build_two_layer_index
@@ -93,11 +127,62 @@ def init_graph_artifact(
     edges = build_two_layer_index(
         vecs, M0=M0, M1=M1, metric=metric, M_level=M_level
     )
-    swap_in(vecs, vec_path, coalesce=None)
-    swap_in(edges, edge_path, coalesce=None)
+    swap_in(
+        vecs.withColumn("bucket", _bucket_of("id", buckets)),
+        vec_path, coalesce=None, partition_by=["bucket"],
+    )
+    swap_in(
+        edges.withColumn("bucket", _bucket_of("src", buckets)),
+        edge_path, coalesce=None, partition_by=["bucket"],
+    )
     n = base.sparkSession.read.parquet(vec_path).count()
-    with open(meta_path, "w") as f:
-        json.dump({"n_at_rebuild": n, **_build_params(M0, M1, M_level, metric)}, f)
+    write_json_atomic(
+        meta_path,
+        {
+            "n_at_rebuild": n,
+            "buckets": buckets,
+            **_build_params(M0, M1, M_level, metric),
+        },
+    )
+
+
+def _knn_edges(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str,
+    layer: int,
+    exact_base_limit: int,
+    planner_kwargs: dict,
+) -> DataFrame:
+    """Batch-vs-corpus kNN for one layer: blocked exact below the
+    limit (bit-stable, what the parity pins replay), planner-dispatched
+    (IVF/IVF-PQ/SQ8 by scale) past it."""
+    n_b = base.limit(exact_base_limit + 1).count()
+    if n_b <= exact_base_limit:
+        from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+        raw = exact_knn(
+            queries, base, k=k, metric=metric,
+            q_id="id", q_vec="vec", b_id="id", b_vec="vec",
+            exclude_self=True,
+        )
+    else:
+        from vectordbindexing_spark.plans.knn_planner import knn as planner_knn
+
+        pk = {"approximate_ok": True, "repeated_queries": True}
+        pk.update(planner_kwargs)
+        raw = planner_knn(
+            queries, base, k=k + 1, metric=metric,
+            q_id="id", q_vec="vec", b_id="id", b_vec="vec", **pk,
+        ).where(F.col("neighbor_id") != F.col("qid"))  # planner lacks
+        # exclude_self; overfetch one and drop the self-hit
+    return raw.select(
+        F.lit(layer).alias("layer"),
+        F.col("qid").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "dist",
+    )
 
 
 def upsert_graph_artifact(
@@ -106,42 +191,98 @@ def upsert_graph_artifact(
     id_col: str = "id",
     vec_col: str = "vec",
     refresh_factor: float = 1.5,
+    exact_base_limit: int | None = None,
+    planner_kwargs: dict | None = None,
 ) -> str:
     """One foreachBatch step. Returns ``"noop"`` (empty batch),
-    ``"upsert"`` (incremental edges merged) or ``"rebuild"`` (growth
-    crossed ``refresh_factor`` × the corpus size at the last rebuild —
-    full bulk build on the union, the compaction)."""
-    from vectordbindexing_spark.operators.exact_knn import exact_knn
+    ``"upsert"`` (incremental edges merged into the dirty buckets) or
+    ``"rebuild"`` (growth crossed ``refresh_factor`` × the corpus size
+    at the last rebuild — full bulk build on the union, the
+    compaction).
+
+    ``exact_base_limit``/``planner_kwargs``: the scale route — the
+    batch-vs-corpus kNN pass dispatches through plans.knn_planner.knn
+    when the corpus exceeds the limit (default
+    plans.knn_planner.EXACT_BASE_LIMIT); kwargs forward planner options
+    (recall_target, memory_tight, threshold overrides for tests)."""
     from vectordbindexing_spark.operators.graph import (
         assign_levels,
         build_two_layer_index,
         mutualize,
     )
+    from vectordbindexing_spark.plans.knn_planner import EXACT_BASE_LIMIT
 
+    ebl = EXACT_BASE_LIMIT if exact_base_limit is None else exact_base_limit
+    pk = planner_kwargs or {}
     spark = batch.sparkSession
     vec_path, edge_path, meta_path = _paths(index_dir)
-    recover(vec_path)
-    recover(edge_path)
+    recover_tree(vec_path)
+    recover_tree(edge_path)
     meta = json.load(open(meta_path))
     M0, M1 = meta["M0"], meta["M1"]
     M_level, metric = meta["M_level"], meta["metric"]
+    buckets = meta["buckets"]
 
+    # deterministic in-batch winner for duplicate ids: greatest vec by
+    # array ordering (replays are identical rows, so this only matters
+    # when one batch really carries conflicting payloads)
     new = (
         batch.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).alias("vec"),
         )
         .where(F.col("vec").isNotNull())
+        .groupBy("id")
+        .agg(F.max("vec").alias("vec"))
         .localCheckpoint(eager=True)
     )
     if new.isEmpty():
         return "noop"
-    stored = spark.read.parquet(vec_path)
-    # replay-idempotent union: a redelivered batch dedupes away by id
+    stored = spark.read.parquet(vec_path).drop("bucket")
+    old_edges = spark.read.parquet(edge_path).drop("bucket")
+
+    # classify the batch against the store. REPLAY DETECTION: a
+    # redelivered batch (every id stored with a bit-identical vector
+    # and already wired into the graph) is a no-op on the state — the
+    # only way replay can be exact, since recomputing kNN dists is
+    # deterministic only up to BLAS batch shape (low-bit drift).
+    fresh = new.join(stored.select("id"), "id", "left_anti")
+    same_t = stored.select("id", F.col("vec").alias("_sv"))
+    matched = new.join(same_t, "id")
+    changed = (
+        matched.where(F.col("vec") != F.col("_sv"))
+        .select("id", "vec")
+        .localCheckpoint(eager=True)
+    )
+    # redelivered-unchanged ids missing their layer-0 adjacency: the
+    # crash window between the vectors swap and the edges swap — they
+    # need edges even though their vector is already stored
+    needs_edges = (
+        matched.where(F.col("vec") == F.col("_sv"))
+        .select("id", "vec")
+        .join(
+            old_edges.where(F.col("layer") == 0)
+            .select(F.col("src").alias("id")),
+            "id", "left_anti",
+        )
+    )
+    # the rows that need NEW edges (and whose ids' buckets get dirty)
+    ins = (
+        fresh.unionByName(changed)
+        .unionByName(needs_edges)
+        .localCheckpoint(eager=True)
+    )
+    if ins.isEmpty():
+        return "noop"
+    ins_ids = ins.select("id")
+    # ids being UPDATED: their old edges describe the old vector
+    replaced = changed.select("id")
+    # batch wins deterministically for updates; unchanged redelivered
+    # ids keep their stored row (bit-identical anyway)
     union = (
-        stored.unionByName(new)
-        .groupBy("id")
-        .agg(F.first("vec").alias("vec"))
+        stored.join(F.broadcast(replaced), "id", "left_anti")
+        .unionByName(changed)
+        .unionByName(fresh)
         .localCheckpoint(eager=True)
     )
     n_union = union.count()
@@ -149,50 +290,108 @@ def upsert_graph_artifact(
     if n_union >= refresh_factor * meta["n_at_rebuild"]:
         edges = build_two_layer_index(
             union, M0=M0, M1=M1, metric=metric, M_level=M_level
-        ).localCheckpoint(eager=True)
-        edges.count()
-        swap_in(union, vec_path, coalesce=None)
-        swap_in(edges, edge_path, coalesce=None)
+        )
+        swap_in(
+            union.withColumn("bucket", _bucket_of("id", buckets)),
+            vec_path, coalesce=None, partition_by=["bucket"],
+        )
+        swap_in(
+            edges.withColumn("bucket", _bucket_of("src", buckets)),
+            edge_path, coalesce=None, partition_by=["bucket"],
+        )
         meta["n_at_rebuild"] = n_union
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        write_json_atomic(meta_path, meta)
         return "rebuild"
 
-    # incremental edges: batch nodes vs the union (blocked exact pass —
-    # the batch side broadcasts; past EXACT_BASE_LIMIT swap in the
-    # planner route), + layer-1 over the deterministic level>=1 subset
-    l0 = exact_knn(
-        new, union, k=M0, metric=metric,
-        q_id="id", q_vec="vec", b_id="id", b_vec="vec", exclude_self=True,
-    ).select(
-        F.lit(0).alias("layer"),
-        F.col("qid").alias("src"),
-        F.col("neighbor_id").alias("dst"),
-        "dist",
-    )
-    up_new = assign_levels(new, M=M_level).filter(F.col("level") >= 1)
+    # incremental edges: inserted/updated nodes vs the union — exact
+    # below the limit, planner-routed past it — + layer-1 over the
+    # deterministic level>=1 subset
+    l0 = _knn_edges(ins, union, M0, metric, 0, ebl, pk)
+    up_ins = assign_levels(ins, M=M_level).filter(F.col("level") >= 1)
     up_union = assign_levels(union, M=M_level).filter(F.col("level") >= 1)
-    l1 = exact_knn(
-        up_new.select("id", "vec"), up_union.select("id", "vec"),
-        k=M1, metric=metric,
-        q_id="id", q_vec="vec", b_id="id", b_vec="vec", exclude_self=True,
-    ).select(
-        F.lit(1).alias("layer"),
-        F.col("qid").alias("src"),
-        F.col("neighbor_id").alias("dst"),
-        "dist",
+    l1 = _knn_edges(
+        up_ins.select("id", "vec"), up_union.select("id", "vec"),
+        M1, metric, 1, ebl, pk,
     )
-    old_edges = spark.read.parquet(edge_path)
-    # one mutualize merges everything: new nodes gain back-links (the
-    # reverse direction), touched old nodes re-cap by distance, and a
-    # replayed batch's identical edges dedupe in the groupBy
-    merged = mutualize(
-        old_edges.unionByName(l0).unionByName(l1),
-        max_degree=2 * max(M0, M1),
+    new_edges = l0.unionByName(l1).localCheckpoint(eager=True)
+
+    repl = F.broadcast(replaced.withColumnRenamed("id", "_rid"))
+    # DIRTY set: nodes whose adjacency can change — batch ids, new
+    # edges' endpoints, and nodes losing a stale edge to a replaced id
+    losers = (
+        old_edges.join(repl, old_edges["dst"] == F.col("_rid"), "left_semi")
+        .select(F.col("src").alias("id"))
+    )
+    dirty = (
+        ins_ids.unionByName(new_edges.select(F.col("dst").alias("id")))
+        .unionByName(losers)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dirty_b = F.broadcast(dirty)
+    # candidate rows for the dirty re-cap: stored edges touching a
+    # dirty node, minus stale rows (either endpoint replaced — their
+    # dists describe the old vector)
+    clean = (
+        old_edges.join(repl, old_edges["src"] == F.col("_rid"), "left_anti")
+        .join(repl, old_edges["dst"] == F.col("_rid"), "left_anti")
+    )
+    flagged = (
+        clean.join(
+            dirty_b.select(F.col("id").alias("src"), F.lit(1).alias("_ds")),
+            "src", "left",
+        )
+        .join(
+            dirty_b.select(F.col("id").alias("dst"), F.lit(1).alias("_dd")),
+            "dst", "left",
+        )
+    )
+    old_rel = flagged.where(
+        F.col("_ds").isNotNull() | F.col("_dd").isNotNull()
+    ).select("layer", "src", "dst", "dist")
+    # dirty-scoped mutualize == the full pass restricted to dirty srcs:
+    # a dirty node's full-pass candidates are its own stored rows, the
+    # reverses of stored rows pointing AT it, and the new edges — all
+    # present in (old_rel ∪ new_edges); non-dirty rows are a mutualize
+    # fixed point and gain no candidates, so they stay verbatim.
+    merged_dirty = mutualize(
+        old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1)
+    ).join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
+
+    # rewrite ONLY dirty buckets: each keeps its untouched srcs' rows
+    dirty_bkts = dirty.select(
+        _bucket_of("id", buckets).alias("bucket")
+    ).distinct()
+    keep = (
+        old_edges.withColumn("bucket", _bucket_of("src", buckets))
+        .join(F.broadcast(dirty_bkts), "bucket", "left_semi")
+        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
+    )
+    edges_out = keep.unionByName(
+        merged_dirty.withColumn("bucket", _bucket_of("src", buckets))
     ).localCheckpoint(eager=True)
-    merged.count()
-    swap_in(union, vec_path, coalesce=None)
-    swap_in(merged, edge_path, coalesce=None)
+
+    # vector rows actually change only for inserts and updates
+    vec_dirty = fresh.select("id").unionByName(replaced)
+    vecs_out = (
+        union.withColumn("bucket", _bucket_of("id", buckets))
+        .join(
+            F.broadcast(
+                vec_dirty.select(_bucket_of("id", buckets).alias("bucket"))
+                .distinct()
+            ),
+            "bucket", "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # vectors first: a crash between the two swaps leaves vectors a
+    # SUPERSET of the edges' endpoints (unreachable rows, servable);
+    # the replayed batch then lands on the needs_edges path above and
+    # completes the graph. The reverse order could serve edges whose
+    # endpoints have no vector.
+    if not vecs_out.isEmpty():
+        swap_in_buckets(vecs_out, vec_path)
+    swap_in_buckets(edges_out, edge_path)
     return "upsert"
 
 
@@ -200,11 +399,11 @@ def load_graph_artifact(spark: SparkSession, index_dir: str):
     """(vectors_df, edges_df, meta) — feed to
     operators.search.compact_index / graph_search for serving."""
     vec_path, edge_path, meta_path = _paths(index_dir)
-    recover(vec_path)
-    recover(edge_path)
+    recover_tree(vec_path)
+    recover_tree(edge_path)
     return (
-        spark.read.parquet(vec_path),
-        spark.read.parquet(edge_path),
+        spark.read.parquet(vec_path).drop("bucket"),
+        spark.read.parquet(edge_path).drop("bucket"),
         json.load(open(meta_path)),
     )
 
@@ -216,6 +415,8 @@ def graph_upsert_stream(
     id_col: str = "id",
     vec_col: str = "vec",
     refresh_factor: float = 1.5,
+    exact_base_limit: int | None = None,
+    planner_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Attach the artifact maintainer to a vector stream; returns the
     StreamingQuery (caller awaits/stops). The artifact must exist
@@ -225,6 +426,8 @@ def graph_upsert_stream(
             lambda b, _id: upsert_graph_artifact(
                 b, index_dir, id_col=id_col, vec_col=vec_col,
                 refresh_factor=refresh_factor,
+                exact_base_limit=exact_base_limit,
+                planner_kwargs=planner_kwargs,
             )
         )
         .option("checkpointLocation", checkpoint)
