@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--heuristic", action="store_true")
     ap.add_argument("--build-impl", type=str, default="auto",
                     help="auto | blocked | bucketed | lsh")
+    ap.add_argument("--tie-audit", action="store_true",
+                    help="adjudicate an id-recall plateau: also report "
+                         "epsilon-DISTANCE recall (a returned id counts "
+                         "when its exact dist is within eps of the GT "
+                         "k-th dist) and the near-tie-class id-recall "
+                         "ceiling computed from the exact top-100")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,12 +92,67 @@ def main() -> None:
         )
 
     t0 = time.perf_counter()
+    k_gt = 100 if args.tie_audit else args.k
+    gt_full = exact_knn(q, base, k_gt, "cosine").localCheckpoint(eager=True)
     gt = to_arrays(
-        exact_knn(q, base, args.k, "cosine"), "gt_ids"
+        gt_full.where(F.col("nbr_rank") <= args.k), "gt_ids"
     ).localCheckpoint(eager=True)
     exact_wall = time.perf_counter() - t0
     log(f"exact baseline: {exact_wall:.1f}s "
         f"({args.n_queries / exact_wall:.0f} QPS brute force)")
+
+    tie_stats = None
+    if args.tie_audit:
+        # per-query k-th GT distance and the near-tie class around it:
+        # T = #(top-100 dists within eps of d_k), m = #(GT top-k inside
+        # the class). A searcher that reaches the class but picks any m
+        # of its T members uniformly has id-recall ceiling
+        # (k - m + m^2/T) / k — if the measured plateau matches this,
+        # the plateau is corpus-intrinsic, not a traversal defect.
+        dk = gt_full.where(F.col("nbr_rank") == args.k).select(
+            "qid", F.col("dist").alias("_dk")
+        )
+        eps = F.col("_dk") * 1e-6 + F.lit(1e-12)
+        j = gt_full.join(dk, "qid")
+        tie_stats = (
+            j.groupBy("qid", "_dk")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("dist") - F.col("_dk")) <= eps, 1
+                    ).otherwise(0)
+                ).alias("T_near"),
+                F.sum(
+                    F.when(
+                        (F.col("nbr_rank") <= args.k)
+                        & (F.abs(F.col("dist") - F.col("_dk")) <= eps),
+                        1,
+                    ).otherwise(0)
+                ).alias("m_in_gt"),
+            )
+            .select(
+                "qid", "_dk", "T_near", "m_in_gt",
+                (
+                    (
+                        F.lit(args.k) - F.col("m_in_gt")
+                        + F.col("m_in_gt") * F.col("m_in_gt")
+                        / F.col("T_near")
+                    )
+                    / F.lit(float(args.k))
+                ).alias("ceiling"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = tie_stats.agg(
+            F.avg("T_near"), F.expr("percentile(T_near, 0.5)"),
+            F.max("T_near"), F.avg("m_in_gt"), F.avg("ceiling"),
+        ).first()
+        log(
+            f"tie audit (eps=1e-6 rel): tie-class size mean={s[0]:.1f} "
+            f"median={s[1]:.0f} max={s[2]} (top-100-capped); GT members "
+            f"in class mean={s[3]:.1f}; uniform-pick id-recall ceiling "
+            f"mean={s[4]:.3f}"
+        )
 
     t0 = time.perf_counter()
     edges = build_two_layer_index(
@@ -122,11 +183,35 @@ def main() -> None:
             .agg(F.avg("r"))
             .first()[0]
         )
-        log(
+        msg = (
             f"ef={ef}: {wall:.2f}s = {args.n_queries / wall:.0f} QPS "
             f"({1000 * wall / args.n_queries:.2f} ms/q), "
             f"recall@{args.k}={rec:.3f}"
         )
+        if tie_stats is not None:
+            # epsilon-DISTANCE recall: a returned id counts when its
+            # exact distance is within eps of the GT k-th distance —
+            # near-tie substitutes are correct answers geometrically
+            eps_rec = (
+                got.join(tie_stats.select("qid", "_dk"), "qid")
+                .groupBy("qid")
+                .agg(
+                    (
+                        F.sum(
+                            F.when(
+                                F.col("dist")
+                                <= F.col("_dk") * (1 + 1e-6) + 1e-12,
+                                1,
+                            ).otherwise(0)
+                        )
+                        / F.lit(float(args.k))
+                    ).alias("er")
+                )
+                .agg(F.avg("er"))
+                .first()[0]
+            )
+            msg += f", eps-dist-recall={eps_rec:.3f}"
+        log(msg)
 
 
 if __name__ == "__main__":
