@@ -275,3 +275,34 @@ def test_graph_knn_low_selectivity_falls_back(spark, tables):
     check(kp.graph_knn(q, b, k=k, q_id="qid", q_vec="vec",
                        b_id="id", b_vec="vec", allowed=allowed,
                        filtered_exact_limit=0))
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25 over the documents table: corpus stats come back as a
+    broadcast (never a sort-merge shuffle of the scored side), and the
+    docs relation is scanned a bounded number of times — a regression
+    that re-derives stats per term would multiply the scans."""
+    p = _plan(entrymod.queries()["bm25_keyword_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") <= 4, p.count("Scan parquet")
+
+
+def test_exact_knn_blocked_plan_shape(spark, sf_dir):
+    """The blocked exact-kNN route must stay a single Arrow kernel pass
+    over the base (broadcast queries inside the kernel): MapInPandas in
+    the plan, never a join materializing the q x base pairs."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.io.tables import load_table
+    from vectordbindexing_spark.operators.exact_knn import exact_knn
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    q = emb.limit(20).select(F.col("id").alias("qid"), "vec")
+    p = _plan(exact_knn(q, emb, 5, "cosine"))
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
