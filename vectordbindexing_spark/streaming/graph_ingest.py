@@ -82,11 +82,14 @@ from vectordbindexing_spark.streaming.atomic import (
 
 EDGE_SCHEMA = "layer int, src long, dst long, dist double"
 
-#: default bucket count for the partitioned artifact dirs. Per-batch
-#: write cost ≈ (dirty buckets / buckets) × artifact size, so more
-#: buckets = finer rewrites; each bucket should still hold enough rows
-#: for healthy parquet files (≥ a few MB at the target corpus size).
-DEFAULT_BUCKETS = 64
+#: default bucket count for the partitioned artifact dirs. A batch
+#: dirties ≈ |batch|·(M0+1) edge srcs, and the rewritten fraction is
+#: ≈ 1 − exp(−dirty/buckets) — so buckets must sit well ABOVE the
+#: expected dirty-src count for the bucket swap to beat a full
+#: rewrite (measured at 500k/M0=16: 256 buckets → a 100-row batch
+#: dirties 254/256; 4096 → ~1/3). Size upward with the corpus so each
+#: bucket still holds healthy parquet files (≥ a few MB).
+DEFAULT_BUCKETS = 1024
 
 
 def _paths(index_dir: str) -> tuple[str, str, str]:
@@ -278,19 +281,25 @@ def upsert_graph_artifact(
     # ids being UPDATED: their old edges describe the old vector
     replaced = changed.select("id")
     # batch wins deterministically for updates; unchanged redelivered
-    # ids keep their stored row (bit-identical anyway)
+    # ids keep their stored row (bit-identical anyway). Deliberately
+    # NOT checkpointed: the lineage (parquet scan + broadcast anti +
+    # tiny unions) is cheap to recompute and reconstruction-stable
+    # even after the vectors swap below — checkpointing it would
+    # materialize the whole corpus per micro-batch.
     union = (
         stored.join(F.broadcast(replaced), "id", "left_anti")
         .unionByName(changed)
         .unionByName(fresh)
-        .localCheckpoint(eager=True)
     )
     n_union = union.count()
 
     if n_union >= refresh_factor * meta["n_at_rebuild"]:
+        # materialize BEFORE the vectors swap: the build's lineage
+        # reads the pre-swap vec_path file listing, which the rename
+        # below invalidates (a rebuild is O(corpus) compaction anyway)
         edges = build_two_layer_index(
             union, M0=M0, M1=M1, metric=metric, M_level=M_level
-        )
+        ).localCheckpoint(eager=True)
         swap_in(
             union.withColumn("bucket", _bucket_of("id", buckets)),
             vec_path, coalesce=None, partition_by=["bucket"],
@@ -367,9 +376,16 @@ def upsert_graph_artifact(
         .join(F.broadcast(dirty_bkts), "bucket", "left_semi")
         .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
     )
+    # no eager checkpoints on the big outputs: swap_in_buckets fully
+    # materializes each into its temp dir BEFORE any rename, so a
+    # second materialization would only double the I/O. Lineage safety:
+    # vecs_out (reads vec_path) swaps first, while vec_path is
+    # untouched; edges_out reads ONLY edge_path (old_edges) and the
+    # checkpointed new_edges/dirty — never vec_path — so the vectors
+    # swap cannot invalidate its file listing.
     edges_out = keep.unionByName(
         merged_dirty.withColumn("bucket", _bucket_of("src", buckets))
-    ).localCheckpoint(eager=True)
+    )
 
     # vector rows actually change only for inserts and updates
     vec_dirty = fresh.select("id").unionByName(replaced)
@@ -382,7 +398,6 @@ def upsert_graph_artifact(
             ),
             "bucket", "left_semi",
         )
-        .localCheckpoint(eager=True)
     )
     # vectors first: a crash between the two swaps leaves vectors a
     # SUPERSET of the edges' endpoints (unreachable rows, servable);
