@@ -86,6 +86,10 @@ def swap_in(
     w = out.coalesce(coalesce) if coalesce else out
     writer = w.write.mode("overwrite")
     if partition_by:
+        # cluster rows by the partition key first: otherwise EVERY task
+        # opens a file in EVERY partition dir it sees rows for — up to
+        # tasks × partitions small files instead of one per partition
+        writer = w.repartition(*partition_by).write.mode("overwrite")
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     _swap_dir(tmp, artifact_path)
@@ -110,7 +114,12 @@ def swap_in_buckets(
     replay-idempotence contract the full-swap maintainers rely on.
     """
     tmp = tmp_path(artifact_path)
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    (
+        out.repartition(partition_col)  # one file per bucket, not per task
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
     names = sorted(
         n for n in os.listdir(tmp) if n.startswith(partition_col + "=")
     )
