@@ -211,6 +211,33 @@ def main() -> None:
                 .first()[0]
             )
             msg += f", eps-dist-recall={eps_rec:.3f}"
+            # how far above the GT k-th distance do the returned ids
+            # sit? The relative-excess distribution adjudicates any
+            # plateau at any tolerance: excess ~1e-6 = float-noise
+            # ties, ~1e-3 = geometric near-ties (answers as good for
+            # any downstream use), >>1e-2 = genuine traversal misses.
+            exc = (
+                got.join(tie_stats.select("qid", "_dk"), "qid")
+                .select(
+                    (
+                        (F.col("dist") - F.col("_dk"))
+                        / F.greatest(F.col("_dk"), F.lit(1e-300))
+                    ).alias("x")
+                )
+                .where(F.col("x") > 0)
+                .agg(
+                    F.expr("percentile(x, array(0.5, 0.9, 0.99))"),
+                    F.max("x"), F.count("*"),
+                )
+                .first()
+            )
+            if exc[2]:
+                p50, p90, p99 = exc[0]
+                log(
+                    f"  excess over GT d_k (returned ids above it, "
+                    f"n={exc[2]}): p50={p50:.2e} p90={p90:.2e} "
+                    f"p99={p99:.2e} max={exc[1]:.2e}"
+                )
         log(msg)
 
 
