@@ -113,3 +113,88 @@ def test_silhouette_duckdb_replay_real_embeddings(spark, sf_dir):
     # and that scores are non-constant
     assert all(-1.0 <= r[4] <= 1.0 for r in srows)
     assert len({r[4] for r in srows}) > 10
+
+
+def _py_simplified(pts):
+    from collections import defaultdict
+
+    sums, cnt = defaultdict(lambda: None), defaultdict(int)
+    for _, v, c in pts:
+        cnt[c] += 1
+        if sums[c] is None:
+            sums[c] = list(v)
+        else:
+            sums[c] = [a + b for a, b in zip(sums[c], v)]
+    cents = {c: [x / cnt[c] for x in s] for c, s in sums.items()}
+    out = {}
+    for i, v, c in pts:
+        a = _cosd(v, cents[c])
+        others = sorted(
+            (_cosd(v, cents[o]), o) for o in cents if o != c
+        )
+        b = others[0][0] if others else None
+        if cnt[c] <= 1 or b is None or max(a, b) <= 0:
+            s = 0.0
+        else:
+            s = (b - a) / max(a, b)
+        out[i] = (c, round(a, 6), round(b or 0.0, 6), round(s, 6))
+    return out
+
+
+def test_simplified_silhouette_python_parity(spark):
+    from vectordbindexing_spark.operators.silhouette import (
+        simplified_silhouette,
+    )
+
+    got = {
+        r["id"]: (
+            r["cluster"], r["a_intra"], r["b_inter"], r["silhouette"]
+        )
+        for r in simplified_silhouette(_df(spark)).collect()
+    }
+    want = _py_simplified(PTS)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        for g, w in zip(got[i][1:], want[i][1:]):
+            assert abs(g - w) < 1e-6, (i, got[i], want[i])
+
+
+def test_simplified_silhouette_agrees_with_exact_on_tight_clusters(spark):
+    """On well-separated tight clusters the centroid variant must agree
+    with the exact operator on the SIGN and rough magnitude — tight
+    members near 1, the singleton exactly 0."""
+    from vectordbindexing_spark.operators.silhouette import (
+        silhouette,
+        simplified_silhouette,
+    )
+
+    df = _df(spark)
+    ex = {r["id"]: r["silhouette"] for r in silhouette(df).collect()}
+    si = {r["id"]: r["silhouette"] for r in simplified_silhouette(df).collect()}
+    assert si[5] == 0.0  # singleton convention shared
+    for i in (0, 1, 2, 3):
+        assert si[i] > 0.5 and ex[i] > 0.5, (i, si[i], ex[i])
+    # the boundary point scores low in both
+    assert si[4] < 0.5 and ex[4] < 0.5
+
+
+def test_simplified_silhouette_plan_has_no_pair_join(spark):
+    """The scale contract: k·d centroid rows broadcast back, ONE scan
+    of the points, and no O(n²) join anywhere in the plan."""
+    import contextlib
+    import io
+
+    from vectordbindexing_spark.operators.silhouette import (
+        simplified_silhouette,
+    )
+
+    df = _df(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        simplified_silhouette(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the centroid side arrives broadcast
+    assert "Broadcast" in plan

@@ -109,3 +109,86 @@ def silhouette(
         F.round(F.coalesce(F.col("b_raw"), F.lit(0.0)), 6).alias("b_inter"),
         F.round(s, 6).alias("silhouette"),
     )
+
+
+def simplified_silhouette(
+    points: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Simplified silhouette (Hruschka et al. 2004; sklearn's
+    davies-bouldin-adjacent centroid variant): a(i) and b(i) are
+    cosine distances to cluster CENTROIDS instead of mean pairwise
+    distances — O(n·k) instead of the exact operator's O(n²), the
+    100 TB route. One aggregation builds the k centroids (k·d rows,
+    broadcast back), one scan of the points scores them; no pair
+    generator exists at any scale.
+
+    Same output schema and conventions as :func:`silhouette`
+    (``(id, cluster, a_intra, b_inter, silhouette)`` rounded 6;
+    singleton clusters score exactly 0; b ties break on cluster id).
+    Values differ from the exact operator by construction (centroid
+    distance ≠ mean pairwise distance) — use it as the scale-path
+    score, not as a drop-in for the oracle-pinned exact query."""
+    pts = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(cluster_col).cast("long").alias("cluster"),
+    ).where(F.col("v").isNotNull() & F.col("cluster").isNotNull())
+    # centroids: per-dimension mean via posexplode — k·d narrow rows,
+    # map-side combinable, then re-assembled in dimension order
+    cents = (
+        pts.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s["mx"],
+            ).alias("cv")
+        )
+    )
+    csize = pts.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("_csz")
+    )
+    cent_b = F.broadcast(
+        cents.join(F.broadcast(csize), "cluster").select(
+            F.col("cluster").alias("ocluster"), "cv", "_csz"
+        )
+    )
+    cos = (
+        F.lit(1.0)
+        - dot(F.col("v"), F.col("cv"))
+        / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
+    )
+    scored = pts.crossJoin(cent_b).select(
+        "id", "cluster", "ocluster", "_csz", cos.alias("d")
+    )
+    same = F.col("cluster") == F.col("ocluster")
+    # one map-side-combinable aggregate extracts a (the single own-
+    # centroid row), the own cluster size, and b with its (d, cluster)
+    # lexicographic tie-break — no self-join, no window, no shuffle
+    # beyond this groupBy
+    out = scored.groupBy("id", "cluster").agg(
+        F.min(F.when(same, F.col("d"))).alias("a_raw"),
+        F.min(F.when(same, F.col("_csz"))).alias("_ocsz"),
+        F.min(
+            F.when(~same, F.struct(F.col("d"), F.col("ocluster")))
+        ).alias("_b"),
+    )
+    b_raw = F.col("_b")["d"]
+    s = F.when(
+        (F.col("_ocsz") > 1)
+        & b_raw.isNotNull()
+        & (F.greatest(F.col("a_raw"), b_raw) > 0),
+        (b_raw - F.col("a_raw")) / F.greatest(F.col("a_raw"), b_raw),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        "cluster",
+        F.round("a_raw", 6).alias("a_intra"),
+        F.round(F.coalesce(b_raw, F.lit(0.0)), 6).alias("b_inter"),
+        F.round(s, 6).alias("silhouette"),
+    )
