@@ -241,8 +241,16 @@ def upsert_graph_artifact(
     )
     if new.isEmpty():
         return "noop"
-    stored = spark.read.parquet(vec_path).drop("bucket")
-    old_edges = spark.read.parquet(edge_path).drop("bucket")
+    vecs_raw = spark.read.parquet(vec_path)
+    edges_raw = spark.read.parquet(edge_path)
+    stored = vecs_raw.drop("bucket")
+    old_edges = edges_raw.drop("bucket")
+    # the batch's bucket footprint — bounded by |batch|, collected once
+    # and reused for partition pruning on the artifact scans below
+    batch_bkts = [
+        r[0]
+        for r in new.select(_bucket_of("id", buckets)).distinct().collect()
+    ]
 
     # classify the batch against the store. REPLAY DETECTION: a
     # redelivered batch (every id stored with a bit-identical vector
@@ -259,12 +267,14 @@ def upsert_graph_artifact(
     )
     # redelivered-unchanged ids missing their layer-0 adjacency: the
     # crash window between the vectors swap and the edges swap — they
-    # need edges even though their vector is already stored
+    # need edges even though their vector is already stored. The probe
+    # only needs srcs in the batch's own buckets — partition-pruned.
     needs_edges = (
         matched.where(F.col("vec") == F.col("_sv"))
         .select("id", "vec")
         .join(
-            old_edges.where(F.col("layer") == 0)
+            edges_raw.where(F.col("bucket").isin(batch_bkts))
+            .where(F.col("layer") == 0)
             .select(F.col("src").alias("id")),
             "id", "left_anti",
         )
@@ -367,13 +377,18 @@ def upsert_graph_artifact(
         old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1)
     ).join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
 
-    # rewrite ONLY dirty buckets: each keeps its untouched srcs' rows
-    dirty_bkts = dirty.select(
-        _bucket_of("id", buckets).alias("bucket")
-    ).distinct()
+    # rewrite ONLY dirty buckets: each keeps its untouched srcs' rows.
+    # The dirty bucket list is collected (bounded by `buckets`) so the
+    # keep-scan partition-prunes to the dirty subdirs instead of
+    # re-reading the whole edge artifact.
+    dirty_bkts = sorted(
+        r[0]
+        for r in dirty.select(_bucket_of("id", buckets))
+        .distinct()
+        .collect()
+    )
     keep = (
-        old_edges.withColumn("bucket", _bucket_of("src", buckets))
-        .join(F.broadcast(dirty_bkts), "bucket", "left_semi")
+        edges_raw.where(F.col("bucket").isin(dirty_bkts))
         .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
     )
     # no eager checkpoints on the big outputs: swap_in_buckets fully
@@ -387,17 +402,24 @@ def upsert_graph_artifact(
         merged_dirty.withColumn("bucket", _bucket_of("src", buckets))
     )
 
-    # vector rows actually change only for inserts and updates
-    vec_dirty = fresh.select("id").unionByName(replaced)
+    # vector rows actually change only for inserts and updates; their
+    # bucket list (⊆ batch_bkts, bounded by |batch|) partition-prunes
+    # the stored-vector scan to the buckets being rewritten
+    vb_list = sorted(
+        r[0]
+        for r in fresh.select("id")
+        .unionByName(replaced)
+        .select(_bucket_of("id", buckets))
+        .distinct()
+        .collect()
+    )
     vecs_out = (
-        union.withColumn("bucket", _bucket_of("id", buckets))
-        .join(
-            F.broadcast(
-                vec_dirty.select(_bucket_of("id", buckets).alias("bucket"))
-                .distinct()
-            ),
-            "bucket", "left_semi",
-        )
+        vecs_raw.where(F.col("bucket").isin(vb_list))
+        .drop("bucket")
+        .join(F.broadcast(replaced), "id", "left_anti")
+        .unionByName(changed)
+        .unionByName(fresh)
+        .withColumn("bucket", _bucket_of("id", buckets))
     )
     # vectors first: a crash between the two swaps leaves vectors a
     # SUPERSET of the edges' endpoints (unreachable rows, servable);
