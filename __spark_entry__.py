@@ -2220,6 +2220,24 @@ def _cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid (simplified) silhouette of the label clustering on the
+    vec_id < 300 embeddings sample (NEW r09) — the O(n·k) corpus-scale
+    variant of cluster_silhouette; id-ordered centroid-mean folds for
+    the oracle hash gate — see
+    operators.silhouette.simplified_silhouette."""
+    from vectordbindexing_spark.operators.silhouette import (
+        simplified_silhouette,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    return simplified_silhouette(
+        emb, id_col="vec_id", vec_col="embedding", cluster_col="label"
+    )
+
+
 def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining over the labeled embeddings table (STAGED r08):
     nearest same-label positive + top-5 different-label negatives +
@@ -2295,7 +2313,9 @@ def queries() -> dict[str, Query]:
     # session's local full replay (tests/test_entry_contract.py) still
     # exercises ALL queries at sf0.001.
     # Round-9 rotation:
-    # (a) positions 1-18 — the 18 entries whose last driver row is r06
+    # (0) position 1 — cluster_silhouette_simplified, registered r09
+    #     (no driver row yet): new entries lead everything.
+    # (a) positions 2-19 — the 18 entries whose last driver row is r06
     #     (the r08 tail; check_registry's priority list): relational
     #     TPC-H q1/q3/q5/q6/q10/q18, events attribution/sessionize/
     #     hourly/props, text line-dedup/url/bpe/fingerprint/
@@ -2310,6 +2330,8 @@ def queries() -> dict[str, Query]:
     #     this list mechanically.
     # (d) positions 69-118 — the 50 entries with fresh r08 rows.
     return {
+        # (0) NEW r09 registration — no driver row yet, leads everything
+        "cluster_silhouette_simplified": _cluster_silhouette_simplified,
         # (a) last driver row r06 — window-leading, refreshed this round
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
@@ -2477,6 +2499,10 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank_knn": oracles.mmr_rerank_sql(mmr_cand, k=5, lam=0.7),
         "mine_triplets": oracles.mine_triplets_sql(k_neg=5),
         "cluster_silhouette": oracles.silhouette_sql(
+            "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+            "label AS cluster FROM embeddings WHERE vec_id < 300"
+        ),
+        "cluster_silhouette_simplified": oracles.simplified_silhouette_sql(
             "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
             "label AS cluster FROM embeddings WHERE vec_id < 300"
         ),

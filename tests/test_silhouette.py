@@ -198,3 +198,65 @@ def test_simplified_silhouette_plan_has_no_pair_join(spark):
     assert "CartesianProduct" not in plan
     # the centroid side arrives broadcast
     assert "Broadcast" in plan
+
+
+def test_simplified_silhouette_exact_mean_auto_switch(spark, monkeypatch):
+    """Default exact_mean=None folds below SIMPLIFIED_FOLD_CELL_LIMIT
+    (bit-equal to exact_mean=True) and avg()s past it (equal after
+    round-6 on this data)."""
+    import vectordbindexing_spark.operators.silhouette as sil
+
+    df = _df(spark)
+    auto = sorted(
+        tuple(r) for r in sil.simplified_silhouette(df).collect()
+    )
+    fold = sorted(
+        tuple(r)
+        for r in sil.simplified_silhouette(df, exact_mean=True).collect()
+    )
+    assert auto == fold  # small input -> auto picked the fold
+
+    monkeypatch.setattr(sil, "SIMPLIFIED_FOLD_CELL_LIMIT", 1)
+    low = sorted(
+        tuple(r) for r in sil.simplified_silhouette(df).collect()
+    )
+    avg = sorted(
+        tuple(r)
+        for r in sil.simplified_silhouette(df, exact_mean=False).collect()
+    )
+    assert low == avg == fold  # round-6 output equal on this data
+
+
+def test_simplified_silhouette_duckdb_replay_real_embeddings(spark, sf_dir):
+    """Driver-identical hash compare of the r09 contract query against
+    oracles.simplified_silhouette_sql on the real embeddings table."""
+    from vectordbindexing_spark.operators.silhouette import (
+        simplified_silhouette,
+    )
+    from vectordbindexing_spark.io.tables import load_table
+    import pyspark.sql.functions as SF
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        SF.col("vec_id") < 300
+    )
+    got = sorted(
+        tuple(r)
+        for r in simplified_silhouette(
+            emb, id_col="vec_id", vec_col="embedding", cluster_col="label"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            oracles.simplified_silhouette_sql(
+                "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+                "label AS cluster FROM embeddings WHERE vec_id < 300"
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 300

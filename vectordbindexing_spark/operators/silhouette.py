@@ -111,11 +111,19 @@ def silhouette(
     )
 
 
+#: auto exact_mean: past this many exploded (point, dimension) values
+#: the id-ordered centroid-mean fold switches to plain avg() — the
+#: same fold-cost trap/fix as retrieval.FOLD_CONTRIB_LIMIT and
+#: pagerank.PR_FOLD_EDGE_LIMIT; the probe is a bounded limit().count()
+SIMPLIFIED_FOLD_CELL_LIMIT = 2_000_000
+
+
 def simplified_silhouette(
     points: DataFrame,
     id_col: str = "id",
     vec_col: str = "vec",
     cluster_col: str = "cluster",
+    exact_mean: bool | None = None,
 ) -> DataFrame:
     """Simplified silhouette (Hruschka et al. 2004; sklearn's
     davies-bouldin-adjacent centroid variant): a(i) and b(i) are
@@ -130,18 +138,38 @@ def simplified_silhouette(
     singleton clusters score exactly 0; b ties break on cluster id).
     Values differ from the exact operator by construction (centroid
     distance ≠ mean pairwise distance) — use it as the scale-path
-    score, not as a drop-in for the oracle-pinned exact query."""
+    score, not as a drop-in for the oracle-pinned exact query.
+
+    ``exact_mean=True`` folds each centroid dimension in point-id
+    order — bit-identical to the DuckDB oracle
+    (`oracles.simplified_silhouette_sql`), required for the hash gate.
+    ``False`` uses plain ``avg()`` (partition-order float sum, last-ulp
+    drift). The default (``None``) picks automatically: fold while the
+    exploded (point, dimension) cell count stays under
+    SIMPLIFIED_FOLD_CELL_LIMIT (bounded probe), avg past it."""
     pts = points.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col(cluster_col).cast("long").alias("cluster"),
     ).where(F.col("v").isNotNull() & F.col("cluster").isNotNull())
+    if exact_mean is None:
+        dim = len(pts.select("v").first()["v"]) if not pts.isEmpty() else 1
+        probe = max(1, SIMPLIFIED_FOLD_CELL_LIMIT // max(1, dim))
+        exact_mean = pts.limit(probe + 1).count() <= probe
+    if exact_mean:
+        mean_agg = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("id", "x"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ) / F.count(F.lit(1)).cast("double")
+    else:
+        mean_agg = F.avg("x")
     # centroids: per-dimension mean via posexplode — k·d narrow rows,
-    # map-side combinable, then re-assembled in dimension order
+    # map-side combinable (avg path), re-assembled in dimension order
     cents = (
-        pts.select("cluster", F.posexplode("v").alias("pos", "x"))
+        pts.select("id", "cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.avg("x").alias("mx"))
+        .agg(mean_agg.alias("mx"))
         .groupBy("cluster")
         .agg(
             F.transform(

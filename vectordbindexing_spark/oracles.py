@@ -4460,3 +4460,54 @@ def bm25_pop_rrf_sql(
     SELECT query_id, rank, doc_id, rrf_score, n_sources
     FROM rrf_r WHERE rank <= {topk}
     """
+
+
+def simplified_silhouette_sql(points_sql: str) -> str:
+    """Full-replay oracle for
+    ``operators.silhouette.simplified_silhouette`` (exact_mean fold
+    path): centroids are id-ORDERED per-dimension mean folds
+    (`list_sum(list(x ORDER BY id)) / count` == the Spark
+    array_sort+aggregate fold), the point→centroid cosine reuses the
+    sequential expression tree of :func:`silhouette_sql`, b ties break
+    on cluster id, and singleton clusters score exactly 0."""
+    cos = (
+        "1.0 - list_sum(list_transform(p.v, (x, i) -> x * c.cv[i])) / "
+        "(sqrt(list_sum(list_transform(p.v, (x, i) -> x * x))) * "
+        "sqrt(list_sum(list_transform(c.cv, (x, i) -> x * x))))"
+    )
+    return f"""
+    WITH ss_p AS MATERIALIZED (
+           SELECT id::BIGINT AS id, v, cluster::BIGINT AS cluster
+           FROM ({points_sql})
+           WHERE v IS NOT NULL AND cluster IS NOT NULL),
+    ss_cells AS (SELECT id, cluster, unnest(v) AS x,
+                        generate_subscripts(v, 1) AS pos
+                 FROM ss_p),
+    ss_dim AS MATERIALIZED (
+        SELECT cluster, pos,
+               list_sum(list(x ORDER BY id)) / count(*)::DOUBLE AS mx
+        FROM ss_cells GROUP BY cluster, pos),
+    ss_cent AS MATERIALIZED (
+        SELECT cluster, list(mx ORDER BY pos) AS cv
+        FROM ss_dim GROUP BY cluster),
+    ss_sz AS (SELECT cluster, count(*)::BIGINT AS csz
+              FROM ss_p GROUP BY cluster),
+    ss_scored AS MATERIALIZED (
+        SELECT p.id, p.cluster, c.cluster AS ocluster, z.csz, {cos} AS d
+        FROM ss_p p CROSS JOIN ss_cent c
+        JOIN ss_sz z ON c.cluster = z.cluster),
+    ss_a AS (SELECT id, cluster, d AS a_raw, csz
+             FROM ss_scored WHERE cluster = ocluster),
+    ss_b AS (SELECT id, d AS b_raw FROM (
+               SELECT id, d, row_number() OVER (PARTITION BY id
+                                                ORDER BY d, ocluster) AS rn
+               FROM ss_scored WHERE cluster <> ocluster) WHERE rn = 1)
+    SELECT a.id, a.cluster,
+           round(a.a_raw, 6) AS a_intra,
+           round(coalesce(b.b_raw, 0.0::DOUBLE), 6) AS b_inter,
+           round(CASE WHEN a.csz > 1 AND b.b_raw IS NOT NULL
+                       AND greatest(a.a_raw, b.b_raw) > 0.0::DOUBLE
+                      THEN (b.b_raw - a.a_raw) / greatest(a.a_raw, b.b_raw)
+                      ELSE 0.0::DOUBLE END, 6) AS silhouette
+    FROM ss_a a LEFT JOIN ss_b b ON a.id = b.id
+    """
