@@ -39,7 +39,9 @@ def silhouette(
     ``(id, cluster, a_intra, b_inter, silhouette)`` (rounded 6).
     Points in singleton clusters get a = 0 and s = 0 by the standard
     convention; a valid score needs ≥ 2 clusters (rows keep b = NULL
-    and s = 0 when no other cluster exists)."""
+    and s = 0 when no other cluster exists). EXACT and O(n²) — score a
+    sample; :func:`simplified_silhouette` is the O(n·k) corpus-scale
+    variant."""
     pts = points.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
