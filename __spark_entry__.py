@@ -2220,6 +2220,19 @@ def _cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Lloyd's k-means (k=8, 3 rounds, squared L2) over the
+    vec_id < 400 embeddings sample (NEW r09) — deterministic md5-seed
+    init, id-ordered centroid-mean folds for the oracle hash gate —
+    see operators.kmeans.kmeans."""
+    from vectordbindexing_spark.operators.kmeans import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 400
+    )
+    return kmeans(emb, k=8, iters=3, id_col="vec_id", vec_col="embedding")
+
+
 def _cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid (simplified) silhouette of the label clustering on the
     vec_id < 300 embeddings sample (NEW r09) — the O(n·k) corpus-scale
@@ -2313,9 +2326,10 @@ def queries() -> dict[str, Query]:
     # session's local full replay (tests/test_entry_contract.py) still
     # exercises ALL queries at sf0.001.
     # Round-9 rotation:
-    # (0) position 1 — cluster_silhouette_simplified, registered r09
-    #     (no driver row yet): new entries lead everything.
-    # (a) positions 2-19 — the 18 entries whose last driver row is r06
+    # (0) positions 1-2 — kmeans_clusters and
+    #     cluster_silhouette_simplified, registered r09 (no driver row
+    #     yet): new entries lead everything.
+    # (a) positions 3-20 — the 18 entries whose last driver row is r06
     #     (the r08 tail; check_registry's priority list): relational
     #     TPC-H q1/q3/q5/q6/q10/q18, events attribution/sessionize/
     #     hourly/props, text line-dedup/url/bpe/fingerprint/
@@ -2330,7 +2344,8 @@ def queries() -> dict[str, Query]:
     #     this list mechanically.
     # (d) positions 69-118 — the 50 entries with fresh r08 rows.
     return {
-        # (0) NEW r09 registration — no driver row yet, leads everything
+        # (0) NEW r09 registrations — no driver row yet, lead everything
+        "kmeans_clusters": _kmeans_clusters,
         "cluster_silhouette_simplified": _cluster_silhouette_simplified,
         # (a) last driver row r06 — window-leading, refreshed this round
         "embedding_pool_by_doc": _embedding_pool_by_doc,
@@ -2505,6 +2520,11 @@ def oracle_sql() -> dict[str, str]:
         "cluster_silhouette_simplified": oracles.simplified_silhouette_sql(
             "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
             "label AS cluster FROM embeddings WHERE vec_id < 300"
+        ),
+        "kmeans_clusters": oracles.kmeans_sql(
+            "SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id < 400",
+            k=8, iters=3,
         ),
         "text_tfidf_terms": oracles.tfidf_top_terms_sql(k=5),
         "events_cohort_retention": oracles.COHORT_RETENTION_SQL,

@@ -4511,3 +4511,66 @@ def simplified_silhouette_sql(points_sql: str) -> str:
                       ELSE 0.0::DOUBLE END, 6) AS silhouette
     FROM ss_a a LEFT JOIN ss_b b ON a.id = b.id
     """
+
+
+def kmeans_sql(points_sql: str, k: int = 8, iters: int = 3) -> str:
+    """Full-replay oracle for ``operators.kmeans.kmeans`` (exact_mean
+    fold path): deterministic (md5-hash, id) seed order with 0-based
+    ordinal labels, squared-L2 assignment from the shared sequential
+    expression tree with (d, cluster) argmin ties, id-ORDERED
+    per-dimension centroid-mean folds, empty clusters carrying their
+    previous centroid — the fixed rounds unrolled as materialized CTEs
+    (the pagerank oracle convention)."""
+    h = "(('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT)"
+    sq = (
+        "list_sum(list_transform(p.v, (x, i) -> "
+        "(x - c.cv[i]) * (x - c.cv[i])))"
+    )
+
+    def assign(cent, name):
+        return f"""
+    {name}_sc AS (SELECT p.id, p.v, c.cluster, {sq} AS d
+                  FROM km_p p CROSS JOIN {cent} c),
+    {name} AS MATERIALIZED (
+        SELECT id, v, cluster, d FROM (
+          SELECT id, v, cluster, d,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY d, cluster) AS rn
+          FROM {name}_sc) WHERE rn = 1)"""
+
+    def update(asg, prev, name):
+        return f"""
+    {name}_cells AS (SELECT cluster, id, unnest(v) AS x,
+                            generate_subscripts(v, 1) AS pos
+                     FROM {asg}),
+    {name}_dim AS (SELECT cluster, pos,
+                          list_sum(list(x ORDER BY id))
+                          / count(*)::DOUBLE AS mx
+                   FROM {name}_cells GROUP BY cluster, pos),
+    {name}_new AS (SELECT cluster, list(mx ORDER BY pos) AS nv
+                   FROM {name}_dim GROUP BY cluster),
+    {name} AS MATERIALIZED (
+        SELECT pc.cluster, coalesce(n.nv, pc.cv) AS cv
+        FROM {prev} pc LEFT JOIN {name}_new n ON pc.cluster = n.cluster)"""
+
+    parts = [
+        f"""km_p AS MATERIALIZED (
+           SELECT id::BIGINT AS id, v
+           FROM ({points_sql}) WHERE v IS NOT NULL),
+    km_c0 AS MATERIALIZED (
+        SELECT (rn - 1)::BIGINT AS cluster, v AS cv FROM (
+          SELECT id, v,
+                 row_number() OVER (ORDER BY {h}, id) AS rn
+          FROM km_p) WHERE rn <= {k})"""
+    ]
+    prev = "km_c0"
+    for r in range(1, iters + 1):
+        parts.append(assign(prev, f"km_a{r}"))
+        parts.append(update(f"km_a{r}", prev, f"km_c{r}"))
+        prev = f"km_c{r}"
+    parts.append(assign(prev, "km_final"))
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT id, cluster, round(d, 6) AS dist FROM km_final
+    """
