@@ -164,3 +164,24 @@ def test_spark_read_ignores_hidden_siblings(spark, tmp_path):
     leftover = atomic.tmp_path(os.path.join(art, "bucket=1"))
     shutil.copytree(os.path.join(art, "bucket=1"), leftover)
     assert spark.read.parquet(art).count() == 10  # not 15
+
+
+def test_swap_in_buckets_expected_empties_a_dirty_bucket(spark, tmp_path):
+    """A dirty bucket whose slice of the update came out EMPTY must
+    lose its old rows, not silently keep them: pass the expected
+    dirty-bucket list and the absent bucket swaps to a marker-only
+    dir that reads as zero rows."""
+    art = str(tmp_path / "bkt_empty")
+    base = spark.range(40).select(
+        (F.col("id") % 2).alias("bucket"), F.col("id").alias("v")
+    )
+    atomic.swap_in(base, art, coalesce=None, partition_by=["bucket"])
+    out = spark.createDataFrame([(0, 999)], "bucket int, v long")
+    # bucket 1 is dirty but contributes no output rows
+    assert atomic.swap_in_buckets(out, art, expected=[0, 1]) == 2
+    live = spark.read.parquet(art)
+    assert live.where(F.col("bucket") == 0).count() == 1
+    assert live.where(F.col("bucket") == 1).count() == 0  # stale rows gone
+    # the emptied bucket is still a complete dir for recover()
+    assert os.path.exists(os.path.join(art, "bucket=1", "_SUCCESS"))
+    assert not os.path.exists(atomic.tmp_path(art))

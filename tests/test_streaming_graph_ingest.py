@@ -253,3 +253,184 @@ def test_upsert_planner_route_past_exact_limit(spark, corpus, tmp_path):
     gt1 = _gt(q, base.unionByName(b1))
     r = _recall(spark, q, vecs, edges, gt1)
     assert r >= 0.7, r
+
+
+def test_crash_between_vec_and_edge_swap_on_UPDATE_heals_on_replay(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """The update-crash hole: vectors swapped (vec == stored on
+    replay, so ``changed`` is empty) while the updated id's OLD
+    adjacency is still live (so ``needs_edges`` misses it too). The
+    pending ledger must re-queue the id, drop its stale-geometry
+    edges, and rebuild them against the new vector."""
+    import numpy as np
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "upd_crash_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+
+    upd_id = 11
+    newvec = [float((i * 7) % 5) + 0.5 for i in range(D)]
+    upd = spark.createDataFrame(
+        [(upd_id, newvec)], "id long, vec array<double>"
+    )
+
+    calls = {"n": 0}
+    real = gi.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the forward-edges swap of the first attempt
+            raise OSError("simulated crash before the edges swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(gi, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_graph_artifact(upd, art, refresh_factor=10.0)
+    monkeypatch.undo()
+
+    vecs, edges, meta = load_graph_artifact(spark, art)
+    got = vecs.where(F.col("id") == upd_id).collect()
+    assert len(got) == 1 and list(got[0]["vec"]) == newvec  # vector landed
+    assert meta["pending"]["ids"] == [upd_id]  # ledger survived the crash
+    assert meta["pending"]["replaced"] == [upd_id]
+
+    # replay must NOT no-op on the half-applied update
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
+    vecs, edges, meta = load_graph_artifact(spark, art)
+    assert "pending" not in meta  # ledger cleared on commit
+    vmap = {r["id"]: np.array(r["vec"]) for r in vecs.collect()}
+
+    def cos(a, b):
+        return 1.0 - float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    touching = edges.where(
+        (F.col("src") == upd_id) | (F.col("dst") == upd_id)
+    ).collect()
+    assert touching, "updated node must stay wired into the graph"
+    for r in touching:
+        want = cos(vmap[r["src"]], vmap[r["dst"]])
+        assert abs(r["dist"] - want) < 1e-9, (r, want)
+
+    # only now is the batch a detected pure replay
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "noop"
+
+
+def test_rev_edges_mirror_forward_and_n_live_tracks(spark, corpus, tmp_path):
+    """The inverted (dst-bucketed) artifact must stay an exact row
+    mirror of the forward one across init, upsert and update; n_live
+    is maintained incrementally and matches the real corpus size."""
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "mirror_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+
+    def rows(path):
+        return sorted(
+            (r["layer"], r["src"], r["dst"], r["dist"])
+            for r in spark.read.parquet(path).drop("bucket").collect()
+        )
+
+    assert rows(art + "/edges") == rows(art + "/rev_edges")
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+    assert rows(art + "/edges") == rows(art + "/rev_edges")
+    upd = spark.createDataFrame(
+        [(3, [0.75] * D)], "id long, vec array<double>"
+    )
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
+    assert rows(art + "/edges") == rows(art + "/rev_edges")
+    vecs, _, meta = load_graph_artifact(spark, art)
+    assert meta["n_live"] == vecs.count() == N0 + NB
+
+
+def test_migration_from_unbucketed_artifact_rebuilds(spark, tmp_path):
+    """An r08-era artifact (no bucket partitioning, meta without
+    "buckets"/"rev"/"n_live") must survive the first post-upgrade
+    batch via the rebuild path instead of KeyError'ing."""
+    import json as _json
+
+    from vectordbindexing_spark.operators.graph import build_two_layer_index
+    from vectordbindexing_spark.streaming import atomic
+
+    base = spark.createDataFrame(
+        [(i, [float((i * 3) % 7), float(i % 5), 1.0]) for i in range(60)],
+        "id long, vec array<double>",
+    )
+    art = str(tmp_path / "legacy_art")
+    import os
+
+    os.makedirs(art)
+    edges = build_two_layer_index(base, M0=4, M1=2, metric="cosine", M_level=16)
+    atomic.swap_in(base, art + "/vectors", coalesce=None)
+    atomic.swap_in(edges, art + "/edges", coalesce=None)
+    atomic.write_json_atomic(
+        art + "/meta.json",
+        {"n_at_rebuild": 60, "M0": 4, "M1": 2, "M_level": 16,
+         "metric": "cosine"},
+    )
+
+    batch = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0]), (101, [2.0, 1.0, 0.5])],
+        "id long, vec array<double>",
+    )
+    assert upsert_graph_artifact(batch, art, refresh_factor=10.0) == "rebuild"
+    vecs, edges2, meta = load_graph_artifact(spark, art)
+    assert vecs.count() == 62
+    assert meta["buckets"] > 0 and meta["rev"] is True
+    assert meta["n_live"] == meta["n_at_rebuild"] == 62
+    # post-migration batches take the incremental path with the mirror
+    b2 = spark.createDataFrame(
+        [(102, [0.1, 0.2, 0.9])], "id long, vec array<double>"
+    )
+    assert upsert_graph_artifact(b2, art, refresh_factor=10.0) == "upsert"
+    got = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/rev_edges").collect()
+    )
+    want = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/edges").collect()
+    )
+    assert got == want
+
+
+def test_migration_bucketed_but_no_rev_materializes_inverse(
+    spark, tmp_path
+):
+    """An r09-era artifact (bucketed, meta without "rev") gets the
+    inverted adjacency materialized once — no rebuild — and proceeds
+    incrementally."""
+    import json as _json
+    import shutil
+
+    base = spark.createDataFrame(
+        [(i, [float((i * 3) % 7), float(i % 5), 1.0]) for i in range(60)],
+        "id long, vec array<double>",
+    )
+    art = str(tmp_path / "norev_art")
+    init_graph_artifact(base, art, M0=4, M1=2, buckets=8)
+    shutil.rmtree(art + "/rev_edges")
+    meta = _json.load(open(art + "/meta.json"))
+    del meta["rev"]
+    del meta["n_live"]  # r09 meta had neither
+    _json.dump(meta, open(art + "/meta.json", "w"))
+
+    batch = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0])], "id long, vec array<double>"
+    )
+    assert upsert_graph_artifact(batch, art, refresh_factor=10.0) == "upsert"
+    vecs, edges, meta = load_graph_artifact(spark, art)
+    assert vecs.count() == 61 and meta["rev"] is True
+    assert meta["n_live"] == 61
+    got = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/rev_edges").collect()
+    )
+    want = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/edges").collect()
+    )
+    assert got == want

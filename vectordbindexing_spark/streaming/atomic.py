@@ -99,6 +99,7 @@ def swap_in_buckets(
     out: DataFrame,
     artifact_path: str,
     partition_col: str = "bucket",
+    expected: list | None = None,
 ) -> int:
     """Swap ONLY the partitions present in ``out`` into the live
     ``partition_col=K``-partitioned artifact — the dirty-bucket write
@@ -106,6 +107,15 @@ def swap_in_buckets(
     rename per dirty bucket. Untouched buckets are never rewritten, so
     the per-batch write cost scales with the dirty fraction instead of
     the corpus. Returns the number of buckets swapped.
+
+    ``expected`` — the caller's dirty-bucket values. A dirty bucket
+    whose slice of ``out`` came out EMPTY writes no partition dir, and
+    without this list it would silently keep its old rows (e.g. a
+    bucket whose only srcs are dirty losers that end with zero edges
+    after the stale-drop). Every expected bucket absent from the temp
+    output is swapped in as an empty marker-only dir (``_SUCCESS``, no
+    data files — Spark reads it as zero rows), so the stale rows are
+    really gone.
 
     Crash mid-loop leaves a mix of old and new buckets plus the temp
     dir; that state is servable (every bucket is a complete parquet
@@ -120,9 +130,15 @@ def swap_in_buckets(
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    names = sorted(
+    names = {
         n for n in os.listdir(tmp) if n.startswith(partition_col + "=")
-    )
+    }
+    for value in expected or []:
+        name = f"{partition_col}={value}"
+        if name not in names:  # dirty bucket emptied by the update
+            os.makedirs(os.path.join(tmp, name), exist_ok=True)
+            names.add(name)
+    names = sorted(names)
     for name in names:
         # mark each bucket dir complete BEFORE its swap: recover() and
         # future swaps judge bucket dirs by their own _SUCCESS marker

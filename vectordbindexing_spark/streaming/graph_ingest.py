@@ -10,9 +10,15 @@ artifact):
   B)``: (id, vec), the full current corpus
 * ``edges``    — parquet partitioned by ``bucket = pmod(xxhash64(src),
   B)``: (layer, src, dst, dist), the serving graph
-* ``meta.json``— {n_at_rebuild, build params, buckets}; written
-  atomically (write-temp + os.replace) so a crash mid-dump can never
-  brick the artifact.
+* ``rev_edges``— the SAME rows partitioned by ``bucket =
+  pmod(xxhash64(dst), B)``: the inverted adjacency. Every dst-side
+  probe (who points AT this node?) partition-prunes here instead of
+  scanning the whole src-bucketed artifact — without it each
+  micro-batch paid two O(E) scans (the replaced-id "losers" probe and
+  the dirty-dst candidate scan), the r09 scale soft spot.
+* ``meta.json``— {n_at_rebuild, n_live, build params, buckets, rev,
+  pending}; written atomically (write-temp + os.replace) so a crash
+  mid-dump can never brick the artifact.
 
 Per micro-batch (:func:`upsert_graph_artifact`):
 
@@ -32,18 +38,48 @@ Per micro-batch (:func:`upsert_graph_artifact`):
    to the dirty set; equal to the full pass on those nodes because the
    stored graph is already a mutualize fixed point and untouched nodes
    gain no candidates). Everything else keeps its stored rows
-   verbatim.
-3. Crash-safe swap of ONLY the dirty buckets of both artifacts
-   (atomic.swap_in_buckets): per-batch write I/O scales with
-   |batch|·degree, not with the corpus — the O(corpus)-rewrite flaw of
-   the first version. The whole step is replay-idempotent by
-   DETECTION: a redelivered batch (every id stored with a
-   bit-identical vector and layer-0 adjacency present) returns
-   ``"noop"`` without touching state — recomputation could drift in
-   the last distance ulp (BLAS batch shape), so exact replay is
-   guaranteed by not recomputing. A crash between the vectors swap
-   and the edges swap is caught by the adjacency check
-   (``needs_edges``) and completed on replay.
+   verbatim. All four edge reads are dirty-fraction-pruned: dirty-src
+   rows from ``edges``, dirty-dst rows and replaced-id losers from
+   ``rev_edges`` (both by partition value), never a full scan.
+3. Crash-safe swap of ONLY the dirty buckets of all three artifacts
+   (atomic.swap_in_buckets, with the expected dirty-bucket list so a
+   bucket EMPTIED by the update swaps to a marker-only dir instead of
+   silently keeping stale rows): per-batch write I/O scales with
+   |batch|·degree, not with the corpus. The whole step is
+   replay-idempotent by DETECTION: a redelivered batch (every id
+   stored with a bit-identical vector and its edge work committed)
+   returns ``"noop"`` without touching state — recomputation could
+   drift in the last distance ulp (BLAS batch shape), so exact replay
+   is guaranteed by not recomputing.
+
+CRASH-WINDOW LEDGER (``meta["pending"]``): before the first swap the
+batch's work list — its ins ids, replaced ids, and fresh ids (bounded
+by |batch|) — is stamped into meta.json atomically; the final meta
+write (after all three swaps) clears it. A replay that finds a pending
+ledger re-queues every pending id that is stored-with-matching-vector
+but whose edge work may not have landed, and re-applies the pending
+REPLACED set to the stale-edge drop — this closes the update-crash
+hole where a crash between the vectors swap and the edges swap left
+vec == stored (so ``changed`` was empty) while the id's old-geometry
+adjacency was still live. The ``needs_edges`` probe (unchanged ids
+missing layer-0 adjacency entirely) remains as defense-in-depth for
+pre-ledger artifacts. One narrow window is recompute-not-detect: a
+crash AFTER the swaps but BEFORE the meta write replays the edge
+recompute for the pending ids — correct geometry against the already
+swapped vectors, possibly last-ulp different dists. Every other replay
+is bit-exact or a detected no-op.
+
+``n_live`` is maintained incrementally (+fresh per upsert, with the
+ledger preventing both under- and double-counting across crashes) so
+the refresh decision costs no O(corpus) count per micro-batch; it is
+reconciled against a real count at every rebuild.
+
+MIGRATION: an artifact whose meta lacks ``buckets`` (pre-partitioning
+era) triggers the rebuild path on its first post-upgrade batch, which
+rewrites all artifacts partitioned and stamps the new meta keys; one
+whose meta lacks ``rev`` (bucketed but no inverted adjacency) gets
+``rev_edges`` materialized once from the live edges — one O(E)
+shuffle-write, no kNN — before proceeding incrementally.
 
 UPDATE semantics (same id, different vector): the BATCH side wins
 deterministically — stored rows with a redelivered id are anti-joined
@@ -51,7 +87,8 @@ away, and within one batch duplicate ids resolve to the greatest vec
 (array ordering), never ``F.first``'s partition-order roulette. Edges
 incident to a replaced id are dropped before the merge (their dists
 describe the old vector) and rebuilt from the fresh kNN pass, so an
-update leaves no stale geometry behind.
+update leaves no stale geometry behind — across crash replays too,
+via the pending ledger.
 
 Drift + refresh: upserted nodes never enter OLD nodes' own kNN lists
 except via back-links (classic incremental-HNSW semantics), so search
@@ -69,7 +106,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -92,10 +129,11 @@ EDGE_SCHEMA = "layer int, src long, dst long, dist double"
 DEFAULT_BUCKETS = 1024
 
 
-def _paths(index_dir: str) -> tuple[str, str, str]:
+def _paths(index_dir: str) -> tuple[str, str, str, str]:
     return (
         os.path.join(index_dir, "vectors"),
         os.path.join(index_dir, "edges"),
+        os.path.join(index_dir, "rev_edges"),
         os.path.join(index_dir, "meta.json"),
     )
 
@@ -106,6 +144,18 @@ def _bucket_of(col: str, n_buckets: int):
 
 def _build_params(M0: int, M1: int, M_level: int, metric: str) -> dict:
     return {"M0": M0, "M1": M1, "M_level": M_level, "metric": metric}
+
+
+def _ids_df(spark: SparkSession, ids: list) -> DataFrame:
+    return spark.createDataFrame([(int(i),) for i in ids], "id long")
+
+
+def _bkts(df: DataFrame, col: str, n_buckets: int) -> list:
+    """Distinct bucket values of ``col`` — collect is bounded by the
+    bucket count, used for partition pruning on the artifact scans."""
+    return sorted(
+        r[0] for r in df.select(_bucket_of(col, n_buckets)).distinct().collect()
+    )
 
 
 def init_graph_artifact(
@@ -123,13 +173,13 @@ def init_graph_artifact(
     from vectordbindexing_spark.operators.graph import build_two_layer_index
 
     os.makedirs(index_dir, exist_ok=True)
-    vec_path, edge_path, meta_path = _paths(index_dir)
+    vec_path, edge_path, rev_path, meta_path = _paths(index_dir)
     vecs = base.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     ).where(F.col("vec").isNotNull())
     edges = build_two_layer_index(
         vecs, M0=M0, M1=M1, metric=metric, M_level=M_level
-    )
+    ).localCheckpoint(eager=True)  # one build, two partitioned writes
     swap_in(
         vecs.withColumn("bucket", _bucket_of("id", buckets)),
         vec_path, coalesce=None, partition_by=["bucket"],
@@ -138,12 +188,18 @@ def init_graph_artifact(
         edges.withColumn("bucket", _bucket_of("src", buckets)),
         edge_path, coalesce=None, partition_by=["bucket"],
     )
+    swap_in(
+        edges.withColumn("bucket", _bucket_of("dst", buckets)),
+        rev_path, coalesce=None, partition_by=["bucket"],
+    )
     n = base.sparkSession.read.parquet(vec_path).count()
     write_json_atomic(
         meta_path,
         {
             "n_at_rebuild": n,
+            "n_live": n,
             "buckets": buckets,
+            "rev": True,
             **_build_params(M0, M1, M_level, metric),
         },
     )
@@ -179,7 +235,16 @@ def _knn_edges(
             queries, base, k=k + 1, metric=metric,
             q_id="id", q_vec="vec", b_id="id", b_vec="vec", **pk,
         ).where(F.col("neighbor_id") != F.col("qid"))  # planner lacks
-        # exclude_self; overfetch one and drop the self-hit
+        # exclude_self; overfetch one and drop the self-hit. When the
+        # approximate route misses the query itself the k+1 survivors
+        # would all stay, leaving this node one OVER the layer degree
+        # cap vs the exact path — re-rank per qid and keep exactly k
+        w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+        raw = (
+            raw.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
     return raw.select(
         F.lit(layer).alias("layer"),
         F.col("qid").alias("src"),
@@ -197,11 +262,12 @@ def upsert_graph_artifact(
     exact_base_limit: int | None = None,
     planner_kwargs: dict | None = None,
 ) -> str:
-    """One foreachBatch step. Returns ``"noop"`` (empty batch),
-    ``"upsert"`` (incremental edges merged into the dirty buckets) or
-    ``"rebuild"`` (growth crossed ``refresh_factor`` × the corpus size
-    at the last rebuild — full bulk build on the union, the
-    compaction).
+    """One foreachBatch step. Returns ``"noop"`` (empty batch or fully
+    committed replay), ``"upsert"`` (incremental edges merged into the
+    dirty buckets) or ``"rebuild"`` (growth crossed ``refresh_factor``
+    × the corpus size at the last rebuild — full bulk build on the
+    union, the compaction; also the migration path for pre-bucketing
+    artifacts).
 
     ``exact_base_limit``/``planner_kwargs``: the scale route — the
     batch-vs-corpus kNN pass dispatches through plans.knn_planner.knn
@@ -218,13 +284,20 @@ def upsert_graph_artifact(
     ebl = EXACT_BASE_LIMIT if exact_base_limit is None else exact_base_limit
     pk = planner_kwargs or {}
     spark = batch.sparkSession
-    vec_path, edge_path, meta_path = _paths(index_dir)
+    vec_path, edge_path, rev_path, meta_path = _paths(index_dir)
     recover_tree(vec_path)
     recover_tree(edge_path)
+    recover_tree(rev_path)
     meta = json.load(open(meta_path))
     M0, M1 = meta["M0"], meta["M1"]
     M_level, metric = meta["M_level"], meta["metric"]
-    buckets = meta["buckets"]
+    # MIGRATION 1 — pre-partitioning artifact (no "buckets"): no bucket
+    # column to prune on, so the incremental path can't run; fall
+    # through to the rebuild branch, which rewrites everything
+    # partitioned and stamps the new meta keys.
+    migrate = "buckets" not in meta
+    buckets = meta.get("buckets", DEFAULT_BUCKETS)
+    pend = meta.get("pending") or {"ids": [], "replaced": [], "fresh": []}
 
     # deterministic in-batch winner for duplicate ids: greatest vec by
     # array ordering (replays are identical rows, so this only matters
@@ -239,25 +312,23 @@ def upsert_graph_artifact(
         .agg(F.max("vec").alias("vec"))
         .localCheckpoint(eager=True)
     )
-    if new.isEmpty():
+    if new.isEmpty() and not pend["ids"]:
         return "noop"
     vecs_raw = spark.read.parquet(vec_path)
     edges_raw = spark.read.parquet(edge_path)
     stored = vecs_raw.drop("bucket")
-    old_edges = edges_raw.drop("bucket")
-    # the batch's bucket footprint — bounded by |batch|, collected once
-    # and reused for partition pruning on the artifact scans below
-    batch_bkts = [
-        r[0]
-        for r in new.select(_bucket_of("id", buckets)).distinct().collect()
-    ]
+    # batch bucket footprint — bounded by |batch|, reused for pruning
+    batch_bkts = [] if migrate else _bkts(new, "id", buckets)
 
     # classify the batch against the store. REPLAY DETECTION: a
     # redelivered batch (every id stored with a bit-identical vector
-    # and already wired into the graph) is a no-op on the state — the
-    # only way replay can be exact, since recomputing kNN dists is
-    # deterministic only up to BLAS batch shape (low-bit drift).
-    fresh = new.join(stored.select("id"), "id", "left_anti")
+    # and its edge work committed — pending ledger clear) is a no-op on
+    # the state — the only way replay can be exact, since recomputing
+    # kNN dists is deterministic only up to BLAS batch shape.
+    fresh = (
+        new.join(stored.select("id"), "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     same_t = stored.select("id", F.col("vec").alias("_sv"))
     matched = new.join(same_t, "id")
     changed = (
@@ -265,45 +336,108 @@ def upsert_graph_artifact(
         .select("id", "vec")
         .localCheckpoint(eager=True)
     )
-    # redelivered-unchanged ids missing their layer-0 adjacency: the
-    # crash window between the vectors swap and the edges swap — they
-    # need edges even though their vector is already stored. The probe
-    # only needs srcs in the batch's own buckets — partition-pruned.
-    needs_edges = (
-        matched.where(F.col("vec") == F.col("_sv"))
-        .select("id", "vec")
-        .join(
-            edges_raw.where(F.col("bucket").isin(batch_bkts))
-            .where(F.col("layer") == 0)
-            .select(F.col("src").alias("id")),
-            "id", "left_anti",
+    # redelivered-unchanged ids missing their layer-0 adjacency
+    # entirely: defense-in-depth for pre-ledger artifacts (the ledger
+    # below covers every crash window for batches it has seen). The
+    # probe only needs srcs in the batch's own buckets.
+    if migrate:
+        needs_edges = changed.limit(0)
+    else:
+        needs_edges = (
+            matched.where(F.col("vec") == F.col("_sv"))
+            .select("id", "vec")
+            .join(
+                edges_raw.where(F.col("bucket").isin(batch_bkts))
+                .where(F.col("layer") == 0)
+                .select(F.col("src").alias("id")),
+                "id", "left_anti",
+            )
         )
-    )
+
+    # PENDING LEDGER heal: a prior attempt stamped its work list but
+    # never cleared it — some swaps may have landed, some not. Every
+    # pending id that is stored but not already re-queued by the
+    # classification above gets its edges recomputed against the
+    # stored (post-swap) vectors; pending REPLACED ids re-enter the
+    # stale-edge drop, closing the update-crash window where
+    # vec == stored hid the half-applied update.
+    n_heal_fresh = 0
+    if pend["ids"] and not migrate:
+        pend_df = _ids_df(spark, pend["ids"])
+        pend_bkts = _bkts(pend_df, "id", buckets)
+        stored_pend = (
+            vecs_raw.where(F.col("bucket").isin(pend_bkts))
+            .drop("bucket")
+            .join(F.broadcast(pend_df), "id", "left_semi")
+            .localCheckpoint(eager=True)  # bounded by |pending|
+        )
+        requeued = (
+            fresh.select("id")
+            .unionByName(changed.select("id"))
+            .unionByName(needs_edges.select("id"))
+        )
+        heal = stored_pend.join(requeued, "id", "left_anti")
+        if pend["fresh"]:
+            # fresh ids the crashed attempt swapped in but never
+            # counted into n_live (the meta write is the last step)
+            n_heal_fresh = stored_pend.join(
+                F.broadcast(_ids_df(spark, pend["fresh"])), "id", "left_semi"
+            ).count()
+        heal_repl = heal.join(
+            F.broadcast(_ids_df(spark, pend["replaced"])), "id", "left_semi"
+        ).select("id")
+    else:
+        heal = changed.limit(0)
+        heal_repl = changed.select("id").limit(0)
+
     # the rows that need NEW edges (and whose ids' buckets get dirty)
     ins = (
         fresh.unionByName(changed)
         .unionByName(needs_edges)
+        .unionByName(heal)
         .localCheckpoint(eager=True)
     )
     if ins.isEmpty():
+        if meta.get("pending"):
+            meta.pop("pending", None)
+            write_json_atomic(meta_path, meta)
         return "noop"
     ins_ids = ins.select("id")
-    # ids being UPDATED: their old edges describe the old vector
-    replaced = changed.select("id")
+    # replaced for EDGE purposes (stale-geometry drop): batch updates
+    # plus healed pending updates. Replaced for VECTOR purposes is the
+    # batch updates alone — a healed id's stored vector is already the
+    # winning one and must NOT be anti-joined out of the corpus.
+    replaced_v = changed.select("id")
+    replaced_e = (
+        replaced_v.unionByName(heal_repl).distinct().localCheckpoint(eager=True)
+    )
     # batch wins deterministically for updates; unchanged redelivered
     # ids keep their stored row (bit-identical anyway). Deliberately
     # NOT checkpointed: the lineage (parquet scan + broadcast anti +
-    # tiny unions) is cheap to recompute and reconstruction-stable
-    # even after the vectors swap below — checkpointing it would
-    # materialize the whole corpus per micro-batch.
+    # tiny unions) is cheap to recompute and fully consumed (via the
+    # checkpointed kNN edges / rebuild output) before any swap.
     union = (
-        stored.join(F.broadcast(replaced), "id", "left_anti")
+        stored.join(F.broadcast(replaced_v), "id", "left_anti")
         .unionByName(changed)
         .unionByName(fresh)
     )
-    n_union = union.count()
+    # incremental corpus size: meta-maintained, no O(corpus) count per
+    # micro-batch; the ledger's fresh list keeps it exact across crash
+    # replays, and every rebuild reconciles against a real count
+    n_fresh = fresh.count()
+    n_union = meta.get("n_live", meta["n_at_rebuild"]) + n_fresh + n_heal_fresh
 
-    if n_union >= refresh_factor * meta["n_at_rebuild"]:
+    # stamp the work-list ledger BEFORE any swap: a crash anywhere
+    # between here and the final meta write replays into the heal path
+    fresh_ids = [r[0] for r in fresh.select("id").collect()]
+    meta["pending"] = {
+        "ids": [r[0] for r in ins_ids.collect()],
+        "replaced": [r[0] for r in replaced_e.collect()],
+        "fresh": fresh_ids,
+    }
+    write_json_atomic(meta_path, meta)
+
+    if migrate or n_union >= refresh_factor * meta["n_at_rebuild"]:
         # materialize BEFORE the vectors swap: the build's lineage
         # reads the pre-swap vec_path file listing, which the rename
         # below invalidates (a rebuild is O(corpus) compaction anyway)
@@ -318,13 +452,34 @@ def upsert_graph_artifact(
             edges.withColumn("bucket", _bucket_of("src", buckets)),
             edge_path, coalesce=None, partition_by=["bucket"],
         )
-        meta["n_at_rebuild"] = n_union
+        swap_in(
+            edges.withColumn("bucket", _bucket_of("dst", buckets)),
+            rev_path, coalesce=None, partition_by=["bucket"],
+        )
+        n_real = spark.read.parquet(vec_path).count()  # reconcile
+        meta.update(
+            n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True
+        )
+        meta.pop("pending", None)
         write_json_atomic(meta_path, meta)
         return "rebuild"
 
-    # incremental edges: inserted/updated nodes vs the union — exact
-    # below the limit, planner-routed past it — + layer-1 over the
-    # deterministic level>=1 subset
+    # MIGRATION 2 — bucketed artifact without the inverted adjacency:
+    # materialize rev_edges once from the live edges (one O(E)
+    # shuffle-write, no kNN), then proceed incrementally.
+    if not meta.get("rev"):
+        swap_in(
+            edges_raw.drop("bucket")
+            .withColumn("bucket", _bucket_of("dst", buckets)),
+            rev_path, coalesce=None, partition_by=["bucket"],
+        )
+        meta["rev"] = True
+        write_json_atomic(meta_path, meta)
+    rev_raw = spark.read.parquet(rev_path)
+
+    # incremental edges: inserted/updated/healed nodes vs the union —
+    # exact below the limit, planner-routed past it — + layer-1 over
+    # the deterministic level>=1 subset
     l0 = _knn_edges(ins, union, M0, metric, 0, ebl, pk)
     up_ins = assign_levels(ins, M=M_level).filter(F.col("level") >= 1)
     up_union = assign_levels(union, M=M_level).filter(F.col("level") >= 1)
@@ -334,13 +489,18 @@ def upsert_graph_artifact(
     )
     new_edges = l0.unionByName(l1).localCheckpoint(eager=True)
 
-    repl = F.broadcast(replaced.withColumnRenamed("id", "_rid"))
-    # DIRTY set: nodes whose adjacency can change — batch ids, new
-    # edges' endpoints, and nodes losing a stale edge to a replaced id
+    repl = F.broadcast(replaced_e.withColumnRenamed("id", "_rid"))
+    # nodes losing a stale edge to a replaced id: a pure dst-side
+    # probe — partition-pruned on the INVERTED artifact by the
+    # replaced ids' buckets instead of scanning every src bucket
+    repl_bkts = _bkts(replaced_e, "id", buckets)
     losers = (
-        old_edges.join(repl, old_edges["dst"] == F.col("_rid"), "left_semi")
+        rev_raw.where(F.col("bucket").isin(repl_bkts))
+        .join(repl, F.col("dst") == F.col("_rid"), "left_semi")
         .select(F.col("src").alias("id"))
     )
+    # DIRTY set: nodes whose adjacency can change — batch ids, new
+    # edges' endpoints, and the losers
     dirty = (
         ins_ids.unionByName(new_edges.select(F.col("dst").alias("id")))
         .unionByName(losers)
@@ -348,96 +508,114 @@ def upsert_graph_artifact(
         .localCheckpoint(eager=True)
     )
     dirty_b = F.broadcast(dirty)
-    # candidate rows for the dirty re-cap: stored edges touching a
-    # dirty node, minus stale rows (either endpoint replaced — their
-    # dists describe the old vector)
-    clean = (
-        old_edges.join(repl, old_edges["src"] == F.col("_rid"), "left_anti")
-        .join(repl, old_edges["dst"] == F.col("_rid"), "left_anti")
+    dirty_bkts = _bkts(dirty, "id", buckets)
+
+    # candidate rows for the dirty re-cap, all partition-pruned: rows
+    # whose SRC is dirty from the forward artifact, rows whose DST is
+    # dirty from the inverted one (srcs-not-dirty only, to avoid
+    # double-counting rows with both endpoints dirty). src_rows is
+    # ALSO exactly the set of rows the forward rewrite removes (the
+    # keep anti-join drops every dirty src), so its dst buckets give
+    # the inverted artifact's dirty-bucket list for free.
+    src_rows = (
+        edges_raw.where(F.col("bucket").isin(dirty_bkts))
+        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
+        .drop("bucket")
     )
-    flagged = (
-        clean.join(
-            dirty_b.select(F.col("id").alias("src"), F.lit(1).alias("_ds")),
-            "src", "left",
-        )
-        .join(
-            dirty_b.select(F.col("id").alias("dst"), F.lit(1).alias("_dd")),
-            "dst", "left",
-        )
+    # dirty ids hash to the same values whether keyed as src or dst,
+    # so dirty_bkts prunes the dst-partitioned artifact too
+    dst_rows = (
+        rev_raw.where(F.col("bucket").isin(dirty_bkts))
+        .join(dirty_b.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
+        .drop("bucket")
     )
-    old_rel = flagged.where(
-        F.col("_ds").isNotNull() | F.col("_dd").isNotNull()
-    ).select("layer", "src", "dst", "dist")
+    # minus stale rows (either endpoint replaced — their dists
+    # describe the old vector)
+    cand = src_rows.unionByName(dst_rows)
+    old_rel = cand.join(
+        repl, F.col("src") == F.col("_rid"), "left_anti"
+    ).join(repl, F.col("dst") == F.col("_rid"), "left_anti")
     # dirty-scoped mutualize == the full pass restricted to dirty srcs:
     # a dirty node's full-pass candidates are its own stored rows, the
     # reverses of stored rows pointing AT it, and the new edges — all
     # present in (old_rel ∪ new_edges); non-dirty rows are a mutualize
     # fixed point and gain no candidates, so they stay verbatim.
-    merged_dirty = mutualize(
-        old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1)
-    ).join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
+    # Checkpointed: it feeds BOTH edge swaps, and its lineage reads
+    # edge_path/rev_path, which the first edge swap invalidates.
+    merged_dirty = (
+        mutualize(old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1))
+        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
+        .localCheckpoint(eager=True)
+    )
 
-    # rewrite ONLY dirty buckets: each keeps its untouched srcs' rows.
-    # The dirty bucket list is collected (bounded by `buckets`) so the
-    # keep-scan partition-prunes to the dirty subdirs instead of
-    # re-reading the whole edge artifact.
-    dirty_bkts = sorted(
+    # inverted-artifact dirty buckets: dst buckets of every removed
+    # row (= src_rows) plus of every inserted row (= merged_dirty) —
+    # collected pre-swap, while src_rows' file listing is still live
+    inv_dirty_bkts = sorted(
         r[0]
-        for r in dirty.select(_bucket_of("id", buckets))
+        for r in src_rows.select(_bucket_of("dst", buckets).alias("b"))
+        .unionByName(merged_dirty.select(_bucket_of("dst", buckets).alias("b")))
         .distinct()
         .collect()
     )
+
+    # rewrite ONLY dirty buckets: each keeps its untouched srcs' rows.
     keep = (
         edges_raw.where(F.col("bucket").isin(dirty_bkts))
         .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
     )
-    # no eager checkpoints on the big outputs: swap_in_buckets fully
-    # materializes each into its temp dir BEFORE any rename, so a
-    # second materialization would only double the I/O. Lineage safety:
-    # vecs_out (reads vec_path) swaps first, while vec_path is
-    # untouched; edges_out reads ONLY edge_path (old_edges) and the
-    # checkpointed new_edges/dirty — never vec_path — so the vectors
-    # swap cannot invalidate its file listing.
     edges_out = keep.unionByName(
         merged_dirty.withColumn("bucket", _bucket_of("src", buckets))
+    )
+    inv_keep = (
+        rev_raw.where(F.col("bucket").isin(inv_dirty_bkts))
+        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
+    )
+    rev_out = inv_keep.unionByName(
+        merged_dirty.withColumn("bucket", _bucket_of("dst", buckets))
     )
 
     # vector rows actually change only for inserts and updates; their
     # bucket list (⊆ batch_bkts, bounded by |batch|) partition-prunes
     # the stored-vector scan to the buckets being rewritten
-    vb_list = sorted(
-        r[0]
-        for r in fresh.select("id")
-        .unionByName(replaced)
-        .select(_bucket_of("id", buckets))
-        .distinct()
-        .collect()
-    )
+    vb_list = _bkts(fresh.select("id").unionByName(replaced_v), "id", buckets)
     vecs_out = (
         vecs_raw.where(F.col("bucket").isin(vb_list))
         .drop("bucket")
-        .join(F.broadcast(replaced), "id", "left_anti")
+        .join(F.broadcast(replaced_v), "id", "left_anti")
         .unionByName(changed)
         .unionByName(fresh)
         .withColumn("bucket", _bucket_of("id", buckets))
     )
-    # vectors first: a crash between the two swaps leaves vectors a
+    # vectors first: a crash between the swaps leaves vectors a
     # SUPERSET of the edges' endpoints (unreachable rows, servable);
-    # the replayed batch then lands on the needs_edges path above and
+    # the replayed batch then lands on the pending-heal path above and
     # completes the graph. The reverse order could serve edges whose
-    # endpoints have no vector.
-    if not vecs_out.isEmpty():
-        swap_in_buckets(vecs_out, vec_path)
-    swap_in_buckets(edges_out, edge_path)
+    # endpoints have no vector. Forward edges before inverted: the
+    # serving path reads forward only, and the heal recompute restores
+    # the mirror either way. Lineage safety: each output's lineage
+    # reads only artifacts not yet swapped at its materialization time
+    # (vecs_out → vec_path; edges_out → edge_path; rev_out → rev_path;
+    # merged_dirty is checkpointed above).
+    if vb_list:
+        swap_in_buckets(vecs_out, vec_path, expected=vb_list)
+    swap_in_buckets(edges_out, edge_path, expected=dirty_bkts)
+    swap_in_buckets(rev_out, rev_path, expected=inv_dirty_bkts)
+    meta["n_live"] = n_union
+    meta.pop("pending", None)
+    write_json_atomic(meta_path, meta)
     return "upsert"
 
 
 def load_graph_artifact(spark: SparkSession, index_dir: str):
     """(vectors_df, edges_df, meta) — feed to
-    operators.search.compact_index / graph_search for serving."""
-    vec_path, edge_path, meta_path = _paths(index_dir)
+    operators.search.compact_index / graph_search for serving. The
+    inverted adjacency is maintenance state, not a serving input."""
+    vec_path, edge_path, rev_path, meta_path = _paths(index_dir)
     recover_tree(vec_path)
     recover_tree(edge_path)
+    recover_tree(rev_path)
     return (
         spark.read.parquet(vec_path).drop("bucket"),
         spark.read.parquet(edge_path).drop("bucket"),
