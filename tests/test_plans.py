@@ -306,3 +306,22 @@ def test_exact_knn_blocked_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_seed_init_is_take_ordered_not_global_window(spark):
+    """The k-means seed selection must be TakeOrdered (per-partition
+    top-k + driver merge), never an unpartitioned row_number Window
+    that sorts the WHOLE corpus through one task; the rank window may
+    only run over the k seed survivors (post-limit)."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.kmeans import _seed_centroids
+
+    pts = spark.range(10_000).select(
+        F.col("id"), F.array(F.col("id").cast("double")).alias("v")
+    )
+    p = _plan(_seed_centroids(pts, 8))
+    assert "TakeOrderedAndProject" in p, p
+    # the only Window must sit ABOVE the take-ordered limit — i.e. the
+    # plan never feeds the full scan into a global sort for the window
+    assert p.index("TakeOrderedAndProject") > p.index("Window"), p

@@ -38,6 +38,25 @@ from vectordbindexing_spark.functions.hashing import det_hash64
 KMEANS_FOLD_CELL_LIMIT = 2_000_000
 
 
+def _seed_centroids(pts: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeds: the k points with the smallest
+    (det_hash64(id), id) key; labels are the 0-based ordinals of that
+    order. orderBy+limit is TakeOrdered (per-partition top-k + driver
+    merge — the sketch.py:110 idiom), never a global single-task
+    Window sort over the corpus; the rank window then runs over only
+    the k survivors. Plan shape pinned in tests/test_plans.py."""
+    seeds = (
+        pts.withColumn("_h", det_hash64(F.col("id").cast("string")))
+        .orderBy(F.col("_h"), F.col("id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_h"), F.col("id"))
+    return seeds.withColumn("_rn", F.row_number().over(w)).select(
+        (F.col("_rn") - 1).cast("long").alias("cluster"),
+        F.col("v").alias("cv"),
+    )
+
+
 def _sq_l2(v, cv):
     return F.aggregate(
         F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
@@ -71,19 +90,7 @@ def kmeans(
         probe = max(1, KMEANS_FOLD_CELL_LIMIT // max(1, dim))
         exact_mean = pts.limit(probe + 1).count() <= probe
 
-    # deterministic seeds: k smallest (det_hash64(id), id); labels are
-    # the 0-based ordinals of that order
-    w = Window.orderBy(F.col("_h"), F.col("id"))
-    cents = (
-        pts.withColumn("_h", det_hash64(F.col("id").cast("string")))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .select(
-            (F.col("_rn") - 1).cast("long").alias("cluster"),
-            F.col("v").alias("cv"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    cents = _seed_centroids(pts, k).localCheckpoint(eager=True)
 
     if exact_mean:
         mean_agg = F.aggregate(
@@ -93,6 +100,13 @@ def kmeans(
         ) / F.count(F.lit(1)).cast("double")
     else:
         mean_agg = F.avg("x")
+
+    # broadcast hygiene: each scale-path round broadcasts its own k×d
+    # centroid matrix; the round's eager checkpoint fully consumes it,
+    # so it is unpersisted before the next round starts — at most one
+    # round's copy is ever live on the executors (plus the final
+    # assignment's, which the returned lazy DataFrame still needs).
+    round_bcs: list = []
 
     def assign(cent_df):
         if not exact_mean:
@@ -110,6 +124,7 @@ def kmeans(
             ids_np = np.array([r["cluster"] for r in rows], dtype=np.int64)
             C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
             bc = pts.sparkSession.sparkContext.broadcast((ids_np, C))
+            round_bcs.append(bc)
 
             def part(batches):
                 cl, Cm = bc.value
@@ -176,6 +191,8 @@ def kmeans(
             )
             .localCheckpoint(eager=True)
         )
+        while round_bcs:  # consumed by the eager checkpoint above
+            round_bcs.pop().unpersist()
     return assign(cents).select(
         "id", "cluster", F.round("dist", 6).alias("dist")
     )
