@@ -318,6 +318,57 @@ def _ann_two_layer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated contract for the streaming graph-artifact
+    maintainer (streaming/graph_ingest.py; reference study
+    hnsw_insert.ipynb's incremental add_items loop): init(base) →
+    incremental upsert (fresh inserts + same-id updates with negated
+    vectors, batch-wins) → a second batch that crosses refresh_factor
+    and triggers the compaction REBUILD. After a rebuild the artifact
+    is EXACTLY the bulk two-layer build of the union corpus
+    (upsert≡rebuild, pinned in tests/test_streaming_graph_ingest.py),
+    so the DuckDB oracle replays that deterministic build over the
+    unioned input (oracles.graph_upsert_pipeline_sql) — row-level,
+    integer-only (layer, src, dst). A silently dropped incremental
+    batch changes the union the rebuild compacts, turning the row red.
+    """
+    import shutil
+    import tempfile
+
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        init_graph_artifact,
+        load_graph_artifact,
+        upsert_graph_artifact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    sli = emb.where(F.col("id") < 160)
+    base = sli.where(F.col("id") % 8 != 0)
+    ins1 = sli.where(F.col("id") % 8 == 0)
+    upd = base.where(F.col("id") % 17 == 1).select(
+        "id", F.transform("vec", lambda x: -x).alias("vec")
+    )
+    b2 = emb.where((F.col("id") >= 160) & (F.col("id") < 200))
+
+    art = tempfile.mkdtemp(prefix="sgu_")
+    try:
+        init_graph_artifact(base, art, M0=8, M1=4, buckets=8)
+        st1 = upsert_graph_artifact(
+            ins1.unionByName(upd), art, refresh_factor=10.0
+        )
+        st2 = upsert_graph_artifact(b2, art, refresh_factor=1.0)
+        if (st1, st2) != ("upsert", "rebuild"):
+            raise RuntimeError(f"unexpected upsert statuses {(st1, st2)}")
+        _, edges, _ = load_graph_artifact(spark, art)
+        out = edges.select("layer", "src", "dst").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(art, ignore_errors=True)
+    return out
+
+
 def _ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r07 SCALE build pipeline, oracle-gated end-to-end: layer 0
     via the salt-bounded bucketed in-kernel kNN build (work bounded by
@@ -2318,36 +2369,111 @@ def queries() -> dict[str, Query]:
     # Registry ORDER is a contract with the driver: its per-round
     # CORRECTNESS file covers roughly the FIRST 50 entries, so each
     # round leads with the queries that most need a fresh driver-side
-    # oracle row. At 118 entries the window cycles every ⌈118/50⌉ = 3
+    # oracle row. At 121 entries the window cycles every ⌈121/50⌉ = 3
     # rounds; the freshness invariant (enforced by
     # scripts/check_registry.py) is "every registered query has a green
     # row in the union of the last 3 CORRECTNESS files, and the current
     # window leads with the entries whose last row is oldest". Every
     # session's local full replay (tests/test_entry_contract.py) still
     # exercises ALL queries at sf0.001.
-    # Round-9 rotation:
-    # (0) positions 1-2 — kmeans_clusters and
-    #     cluster_silhouette_simplified, registered r09 (no driver row
-    #     yet): new entries lead everything.
-    # (a) positions 3-20 — the 18 entries whose last driver row is r06
-    #     (the r08 tail; check_registry's priority list): relational
-    #     TPC-H q1/q3/q5/q6/q10/q18, events attribution/sessionize/
-    #     hourly/props, text line-dedup/url/bpe/fingerprint/
-    #     contamination, pooling, quota mixing, top-orders. Their rows
-    #     turn 3 rounds old this round — they MUST refresh now.
-    # (b) positions 19-50 — 32 of the 50 entries whose last driver row
-    #     is r07 (oldest-first by registry order): ANN builds, frontier,
-    #     roargraph, dedup stack, text quality, BPE, sketches head.
-    # (c) positions 51-68 — the 18 remaining r07-rowed entries
-    #     (deferred: sketch/relational queries with the lowest drift
-    #     risk). They MUST lead the r10 window; check_registry emits
-    #     this list mechanically.
-    # (d) positions 69-118 — the 50 entries with fresh r08 rows.
+    # Round-10 rotation:
+    # (0) position 1 — streaming_graph_upsert, registered r10 (no
+    #     driver row yet): new entries lead everything.
+    # (a) positions 2-21 — the 20 entries whose last driver row is r07
+    #     (check_registry's mechanical priority list): the deferred
+    #     sketch/relational block (HLL/KMV/CMS/quantile, as-of/range
+    #     joins, pivot/funnel/moving-avg/rollup, bloom prune, CDC diff,
+    #     editdist, z-order, NB) plus bpe_train_merges/bpe_encode_stats
+    #     (slipped past position 50 in the r09 window). Their rows turn
+    #     3 rounds old this round — they MUST refresh now.
+    # (b) positions 22-50 — 29 of the 50 entries whose last driver row
+    #     is r08 (oldest-first by registry order): lexical retrieval,
+    #     graph analytics, mining, relational tail, media, dedup
+    #     groups.
+    # (c) positions 51-71 — the 21 remaining r08-rowed entries
+    #     (deferred: quantizer/planner/exact-kNN stack with the lowest
+    #     drift risk). They MUST lead the r11 window; check_registry
+    #     emits this list mechanically.
+    # (d) positions 72-121 — the 50 entries with fresh r09 rows.
     return {
-        # (0) NEW r09 registrations — no driver row yet, lead everything
+        # (0) NEW r10 registration — no driver row yet, leads everything
+        "streaming_graph_upsert": _streaming_graph_upsert,
+        # (a) last driver row r07 — window-leading, refreshed this round
+        "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode_stats": _bpe_encode_stats,
+        "zorder_layout_stats": _zorder_layout_stats,
+        "nb_quality_scores": _nb_quality_scores,
+        "hll_registers_events": _hll_registers_events,
+        "kmv_sketch_events": _kmv_sketch_events,
+        "cms_token_counts": _cms_token_counts,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
+        "text_editdist_neardup": _text_editdist_neardup,
+        "events_multires_rollup": _events_multires_rollup,
+        "bloom_join_prune": _bloom_join_prune,
+        "events_funnel_steps": _events_funnel_steps,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "events_pivot_user_types": _events_pivot_user_types,
+        "events_moving_avg": _events_moving_avg,
+        "source_overlap_kmv": _source_overlap_kmv,
+        "hll_estimate_users": _hll_estimate_users,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        # (b) last driver row r08 — refreshed this round
+        "bm25_keyword_topk": _bm25_keyword_topk,
+        "hybrid_rrf_search": _hybrid_rrf_search,
+        "graph_pagerank": _graph_pagerank,
+        "mix_weighted_sample": _mix_weighted_sample,
+        "graph_triangle_stats": _graph_triangle_stats,
+        "graph_kcore": _graph_kcore,
+        "graph_label_prop": _graph_label_prop,
+        "graph_ppr": _graph_ppr,
+        "graph_random_walks": _graph_random_walks,
+        "maxsim_knn": _maxsim_knn,
+        "mmr_rerank_knn": _mmr_rerank_knn,
+        "mine_triplets": _mine_triplets,
+        "cluster_silhouette": _cluster_silhouette,
+        "text_tfidf_terms": _text_tfidf_terms,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_transition_counts": _events_transition_counts,
+        "tpch_q4_late_orders": _tpch_q4_late_orders,
+        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
+        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
+        "tpch_rollup_revenue": _tpch_rollup_revenue,
+        "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
+        "simhash_buckets": _simhash_buckets,
+        "events_value_histogram": _events_value_histogram,
+        "planner_filtered_route": _planner_filtered_route,
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
+        "semantic_dedup": _semantic_dedup,
+        # (c) last driver row r08, deferred — MUST lead the r11 window
+        "ann_ladder_recall": _ann_ladder_recall,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
+        "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
+        "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
+        "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
+        "planner_graph_route": _planner_graph_route,
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_ip": _knn_query("ip"),
+        "lsh_knn_cosine": _lsh_knn,
+        "ivf_knn_cosine": _ivf_knn,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition_stats": _text_repetition_stats,
+        "text_chunk_documents": _text_chunk_documents,
+        "text_lm_logprob": _char_trigram_logprob,
+        # (d) fresh r09 driver rows — tail
         "kmeans_clusters": _kmeans_clusters,
         "cluster_silhouette_simplified": _cluster_silhouette_simplified,
-        # (a) last driver row r06 — window-leading, refreshed this round
         "embedding_pool_by_doc": _embedding_pool_by_doc,
         "text_url_domains": _text_url_domains,
         "text_line_dedup": _text_line_dedup,
@@ -2366,7 +2492,6 @@ def queries() -> dict[str, Query]:
         "events_props_json": _events_props_json,
         "events_hourly_stats": _events_hourly,
         "events_sessionize": _events_sessionize,
-        # (b) last driver row r07 — refreshed this round
         "text_pack_windows": _pack_token_windows,
         "mix_token_budget_sample": _mix_token_budget_sample,
         "ann_two_layer_recall": _ann_two_layer_recall,
@@ -2397,78 +2522,6 @@ def queries() -> dict[str, Query]:
         "text_lang_id": _text_lang_id,
         "ann_bucketed_recall": _ann_bucketed_recall,
         "text_duplicated_spans": _text_duplicated_spans,
-        "bpe_train_merges": _bpe_train_merges,
-        "bpe_encode_stats": _bpe_encode_stats,
-        # (c) last driver row r07, deferred — MUST lead the r10 window
-        "zorder_layout_stats": _zorder_layout_stats,
-        "nb_quality_scores": _nb_quality_scores,
-        "hll_registers_events": _hll_registers_events,
-        "kmv_sketch_events": _kmv_sketch_events,
-        "cms_token_counts": _cms_token_counts,
-        "events_quantile_sketch": _events_quantile_sketch,
-        "events_asof_join": _events_asof_join,
-        "events_range_join": _events_range_join,
-        "text_editdist_neardup": _text_editdist_neardup,
-        "events_multires_rollup": _events_multires_rollup,
-        "bloom_join_prune": _bloom_join_prune,
-        "events_funnel_steps": _events_funnel_steps,
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "events_pivot_user_types": _events_pivot_user_types,
-        "events_moving_avg": _events_moving_avg,
-        "source_overlap_kmv": _source_overlap_kmv,
-        "hll_estimate_users": _hll_estimate_users,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        # (d) fresh r08 driver rows — tail
-        "bm25_keyword_topk": _bm25_keyword_topk,
-        "hybrid_rrf_search": _hybrid_rrf_search,
-        "graph_pagerank": _graph_pagerank,
-        "mix_weighted_sample": _mix_weighted_sample,
-        "graph_triangle_stats": _graph_triangle_stats,
-        "graph_kcore": _graph_kcore,
-        "graph_label_prop": _graph_label_prop,
-        "graph_ppr": _graph_ppr,
-        "graph_random_walks": _graph_random_walks,
-        "maxsim_knn": _maxsim_knn,
-        "mmr_rerank_knn": _mmr_rerank_knn,
-        "mine_triplets": _mine_triplets,
-        "cluster_silhouette": _cluster_silhouette,
-        "text_tfidf_terms": _text_tfidf_terms,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_transition_counts": _events_transition_counts,
-        "tpch_q4_late_orders": _tpch_q4_late_orders,
-        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
-        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
-        "tpch_rollup_revenue": _tpch_rollup_revenue,
-        "simhash_text_neardup": _simhash_text_neardup,
-        "dedup_groups": _dedup_groups,
-        "simhash_buckets": _simhash_buckets,
-        "events_value_histogram": _events_value_histogram,
-        "planner_filtered_route": _planner_filtered_route,
-        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
-        "media_wav_features": _media_wav_features,
-        "media_video_stats": _media_video_stats,
-        "semantic_dedup": _semantic_dedup,
-        "ann_ladder_recall": _ann_ladder_recall,
-        "text_lang_id_lexicon": _text_lang_id_lexicon,
-        "sq8_knn": _sq8_knn,
-        "bq_hamming_knn": _bq_knn,
-        "pq_adc_knn": _pq_adc_knn,
-        "opq_knn": _opq_knn,
-        "ivfpq_knn": _ivfpq_knn,
-        "ivfpq_index_knn": _ivfpq_index_knn,
-        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
-        "planner_knn_route": _planner_knn_route,
-        "planner_sq8_route": _planner_sq8_route,
-        "planner_graph_route": _planner_graph_route,
-        "knn_exact_cosine": _knn_query("cosine"),
-        "knn_exact_l2": _knn_query("l2"),
-        "knn_exact_ip": _knn_query("ip"),
-        "lsh_knn_cosine": _lsh_knn,
-        "ivf_knn_cosine": _ivf_knn,
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition_stats": _text_repetition_stats,
-        "text_chunk_documents": _text_chunk_documents,
-        "text_lm_logprob": _char_trigram_logprob,
     }
 
 
@@ -2571,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
             base_where="vec_id % 10 <> 0 AND vec_id % 100 = 3",
         ),
         "ann_two_layer_recall": oracles.ann_two_layer_recall_sql(),
+        "streaming_graph_upsert": oracles.graph_upsert_pipeline_sql(),
         "ann_bucketed_recall": oracles.ann_bucketed_recall_sql(),
         "text_duplicated_spans": oracles.duplicated_spans_sql(window=15),
         "bpe_train_merges": oracles.bpe_train_merges_sql(

@@ -98,6 +98,65 @@ def _run_suite(
     return qtimes, errors
 
 
+def _prev_round_queries(here: str, sf: float) -> dict[str, float]:
+    """Per-query timings from the newest recorded driver bench at the
+    SAME scale factor — the baseline for outlier re-trials. Empty when
+    no comparable record exists (first round, or a smoke run at a
+    different sf)."""
+    import glob
+
+    best_n, best = -1, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        # driver records wrap the bench stdout under "parsed"
+        body = rec.get("parsed") if isinstance(rec.get("parsed"), dict) else rec
+        if (
+            body is not None
+            and body.get("sf") == sf
+            and isinstance(body.get("queries"), dict)
+        ):
+            best_n, best = int(m.group(1)), body["queries"]
+    return best
+
+
+def _retrial_outliers(
+    spark, entrymod, sf_dir: str, qtimes: dict[str, float],
+    prev: dict[str, float], threshold: float = 1.3, cap: int = 8,
+) -> None:
+    """Self-adjudicating outlier pass: any query slower than
+    ``threshold``× its previous-round driver value is re-run ONCE,
+    warm, and both numbers land on stderr — three rounds running
+    (r07-r09), every apparent bench regression was a cold-start
+    artifact that cost a manual adjudication session; this automates
+    it. The headline JSON keeps the first-pass value for
+    round-over-round comparability."""
+    outliers = [
+        n for n, t in qtimes.items()
+        if n in prev and prev[n] > 0 and t > threshold * prev[n]
+    ]
+    outliers.sort(key=lambda n: -(qtimes[n] / prev[n]))
+    for n in outliers[cap:]:
+        print(
+            f"# retrial-skipped {n}: first={qtimes[n]:.3f}s "
+            f"prev={prev[n]:.3f}s (over per-run cap {cap})",
+            file=sys.stderr,
+        )
+    retimes, _ = _run_suite(spark, entrymod, sf_dir, names=set(outliers[:cap]))
+    for n in outliers[:cap]:
+        w = retimes.get(n)
+        warm = f"{w:.3f}s" if w is not None else "ERROR"
+        print(
+            f"# retrial {n}: first={qtimes[n]:.3f}s warm={warm} "
+            f"prev={prev[n]:.3f}s", file=sys.stderr,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     secondary = os.environ.get(
@@ -145,6 +204,10 @@ def main() -> None:
         t, e2 = _run_suite(spark, entrymod, sf_dir, names=chunk)
         qtimes.update(t)
         errs.update(e2)
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = _prev_round_queries(here, _sf_of(sf_dir))
+    if prev:
+        _retrial_outliers(spark, entrymod, sf_dir, qtimes, prev)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(qtimes.values()), 3),

@@ -325,3 +325,50 @@ def test_kmeans_seed_init_is_take_ordered_not_global_window(spark):
     # the only Window must sit ABOVE the take-ordered limit — i.e. the
     # plan never feeds the full scan into a global sort for the window
     assert p.index("TakeOrderedAndProject") > p.index("Window"), p
+
+
+def test_frontier_expand_round_plan_keeps_anti_join(spark):
+    """One frontier round: the visited filter must survive as a real
+    LeftAnti join and the edge expansion as an equi-join — a plan that
+    degrades either to a cartesian stops bounding per-round candidate
+    volume on a large graph."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.search import (
+        _frontier_expand_round,
+    )
+
+    best = spark.range(50).select(
+        (F.col("id") % 5).alias("qid"), F.col("id").alias("neighbor_id")
+    )
+    e = spark.range(500).select(
+        (F.col("id") % 50).alias("src"), (F.col("id") % 37).alias("dst")
+    )
+    visited = best.select("qid", "neighbor_id")
+    p = _plan(_frontier_expand_round(best, e, visited))
+    assert "LeftAnti" in p, p
+    assert "Cartesian" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_pagerank_sum_route_round_plan_has_partial_agg(spark):
+    """The pagerank scale route (plain sum past PR_FOLD_EDGE_LIMIT)
+    must keep a partial aggregate below the shuffle — the map-side
+    combine is what makes each round's shuffle O(nodes) instead of
+    O(edges) — and the contribution join must never be a cartesian."""
+    from pyspark.sql import functions as F
+
+    from vectordbindexing_spark.operators.pagerank import _round_incoming
+
+    e = spark.range(1000).select(
+        (F.col("id") % 100).alias("src"), (F.col("id") % 83).alias("dst")
+    )
+    ranks = spark.range(100).select(
+        F.col("id"),
+        F.lit(4).cast("long").alias("out_deg"),
+        F.lit(100).cast("long").alias("n"),
+        F.lit(0.01).alias("rank"),
+    )
+    p = _plan(_round_incoming(e, ranks, exact_fold=False))
+    assert "partial_sum" in p, p
+    assert "Cartesian" not in p, p

@@ -47,6 +47,33 @@ from pyspark.sql import functions as F
 PR_FOLD_EDGE_LIMIT = 1_000_000
 
 
+def _round_incoming(
+    e: DataFrame, ranks: DataFrame, exact_fold: bool
+) -> DataFrame:
+    """One power-iteration round's incoming mass per dst: contribution
+    join (rank/out_deg along each edge) → per-dst accumulation, either
+    the source-ordered bit-deterministic fold (contract scale) or a
+    plain map-side-combinable sum (the scale route). Extracted so the
+    plan shape is pinnable (tests/test_plans.py): the sum route must
+    keep its partial aggregate below the shuffle — at 100 TB the
+    map-side combine is what keeps the round's shuffle O(nodes), not
+    O(edges)."""
+    contrib = e.join(ranks, e["src"] == ranks["id"]).select(
+        "dst",
+        ranks["id"].alias("u"),
+        (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
+    )
+    if exact_fold:
+        s_agg = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("u", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        )
+    else:
+        s_agg = F.sum("c")
+    return contrib.groupBy("dst").agg(s_agg.alias("s"))
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -112,23 +139,7 @@ def pagerank(
     base = F.lit(1.0 - damping)  # python-float repr literal, both engines
     d_lit = F.lit(damping)
     for _ in range(iters):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .select(
-                "dst",
-                ranks["id"].alias("u"),
-                (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
-            )
-        )
-        if exact_fold:
-            s_agg = F.aggregate(
-                F.array_sort(F.collect_list(F.struct("u", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            )
-        else:
-            s_agg = F.sum("c")
-        incoming = contrib.groupBy("dst").agg(s_agg.alias("s"))
+        incoming = _round_incoming(e, ranks, exact_fold)
         ranks = (
             ranks.join(incoming, ranks["id"] == incoming["dst"], "left")
             .select(
@@ -223,20 +234,7 @@ def personalized_pagerank(
     base = F.lit(1.0 - damping)
     d_lit = F.lit(damping)
     for _ in range(iters):
-        contrib = e.join(ranks, e["src"] == ranks["id"]).select(
-            "dst",
-            ranks["id"].alias("u"),
-            (F.col("rank") / F.col("out_deg").cast("double")).alias("c"),
-        )
-        if exact_fold:
-            s_agg = F.aggregate(
-                F.array_sort(F.collect_list(F.struct("u", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            )
-        else:
-            s_agg = F.sum("c")
-        incoming = contrib.groupBy("dst").agg(s_agg.alias("s"))
+        incoming = _round_incoming(e, ranks, exact_fold)
         ranks = (
             ranks.join(incoming, ranks["id"] == incoming["dst"], "left")
             .select(

@@ -446,6 +446,23 @@ def graph_search(
     return q.mapInPandas(run, schema=schema)
 
 
+def _frontier_expand_round(
+    best: DataFrame, e: DataFrame, visited: DataFrame
+) -> DataFrame:
+    """One frontier expansion: frontier ⨝ edges → visited anti-join →
+    per-(qid, neighbor) dedup. Extracted so the plan shape is pinnable
+    (tests/test_plans.py): the anti-join must survive as a real join
+    (never a cartesian), which is what bounds each round's candidate
+    volume on a 100 TB graph."""
+    return (
+        best.withColumnRenamed("neighbor_id", "src")
+        .join(e, "src")
+        .select("qid", F.col("dst").alias("neighbor_id"))
+        .join(visited, ["qid", "neighbor_id"], "left_anti")  # visited filter
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+
+
 def frontier_search(
     queries: DataFrame,
     edges: DataFrame,
@@ -507,11 +524,7 @@ def frontier_search(
 
     for r in range(rounds):
         expand = (
-            best.withColumnRenamed("neighbor_id", "src")
-            .join(e, "src")
-            .select("qid", F.col("dst").alias("neighbor_id"))
-            .join(visited, ["qid", "neighbor_id"], "left_anti")  # visited filter
-            .dropDuplicates(["qid", "neighbor_id"])
+            _frontier_expand_round(best, e, visited)
             # lazy checkpoint: the count() below is the ONE action that
             # both materializes it (consumed by the candidate join — the
             # round must not run twice) and answers the emptiness probe;

@@ -1236,6 +1236,71 @@ def frontier_knn_sql(
     """
 
 
+def graph_upsert_pipeline_sql(
+    M0: int = 8, M1: int = 4, M_level: int = 16
+) -> str:
+    """Fully-SQL oracle for the streaming graph-upsert pipeline: the
+    entry query runs init(base) → incremental upsert(inserts + negated
+    updates) → refresh-triggered REBUILD(second batch), and after a
+    rebuild the artifact is EXACTLY ``build_two_layer_index`` of the
+    union corpus (the upsert≡rebuild anchor, pinned in
+    tests/test_streaming_graph_ingest.py). The oracle therefore replays
+    the deterministic two-layer build — md5 level assignment, per-layer
+    exact kNN with (dist, dst) ties, mutualize with min-dist dedup and
+    2·max(M0, M1) cap — over the unioned input with batch-wins update
+    semantics, as plain CTEs: row-level checking, no pinned literals.
+    Integer-only output (layer, src, dst), so no float-hash exposure.
+    Sensitive to a silently dropped incremental batch too: the rebuild
+    unions the STORED state, so missing batch-1 rows change the edge
+    set."""
+    from vectordbindexing_spark.operators.graph import assign_levels_sql
+
+    cos = (
+        KNN_DIST_SQL["cosine"]
+        .replace("q.v", "a.v")
+        .replace("b.v", "c.v")
+    )
+    cap = 2 * max(M0, M1)
+    lv = assign_levels_sql("b", "id, v", "id", M=M_level)
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         sli AS (SELECT id, v FROM e WHERE id < 160),
+         updids AS (SELECT id FROM sli WHERE id % 8 <> 0 AND id % 17 = 1),
+         b AS (
+           SELECT s.id,
+                  CASE WHEN u.id IS NULL THEN s.v
+                       ELSE list_transform(s.v, x -> -x) END AS v
+           FROM sli s LEFT JOIN updids u USING (id)
+           UNION ALL
+           SELECT id, v FROM e WHERE id >= 160 AND id < 200),
+         lv AS {lv},
+         up AS (SELECT id, v FROM lv WHERE level >= 1),
+         d0 AS (SELECT a.id AS src, c.id AS dst, {cos} AS dist
+                FROM b a, b c WHERE a.id <> c.id),
+         k0 AS (SELECT src, dst, dist FROM (
+                  SELECT src, dst, dist, row_number() OVER (
+                    PARTITION BY src ORDER BY dist, dst) AS rnk
+                  FROM d0) WHERE rnk <= {M0}),
+         d1 AS (SELECT a.id AS src, c.id AS dst, {cos} AS dist
+                FROM up a, up c WHERE a.id <> c.id),
+         k1 AS (SELECT src, dst, dist FROM (
+                  SELECT src, dst, dist, row_number() OVER (
+                    PARTITION BY src ORDER BY dist, dst) AS rnk
+                  FROM d1) WHERE rnk <= {M1}),
+         alle AS (SELECT 0 AS layer, src, dst, dist FROM k0
+                  UNION ALL SELECT 1, src, dst, dist FROM k1),
+         bidir AS (SELECT layer, src, dst, dist FROM alle
+                   UNION ALL SELECT layer, dst AS src, src AS dst, dist
+                   FROM alle),
+         uniq AS (SELECT layer, src, dst, min(dist) AS dist FROM bidir
+                  GROUP BY layer, src, dst)
+    SELECT layer::INTEGER AS layer, src::BIGINT AS src, dst::BIGINT AS dst
+    FROM (SELECT layer, src, dst, row_number() OVER (
+            PARTITION BY layer, src ORDER BY dist, dst) AS rnk
+          FROM uniq) WHERE rnk <= {cap}
+    """
+
+
 def augment_star_sql(k: int = 8, budget: int = 4) -> str:
     """Mirrors augment.augment_from_query_topk(strategy='star'): per-query
     exact top-k, pivot = rank-1, bidirectional pivot↔rest edges with the

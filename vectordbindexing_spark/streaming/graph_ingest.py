@@ -423,16 +423,21 @@ def upsert_graph_artifact(
     )
     # incremental corpus size: meta-maintained, no O(corpus) count per
     # micro-batch; the ledger's fresh list keeps it exact across crash
-    # replays, and every rebuild reconciles against a real count
-    n_fresh = fresh.count()
-    n_union = meta.get("n_live", meta["n_at_rebuild"]) + n_fresh + n_heal_fresh
+    # replays, and every rebuild reconciles against a real count.
+    # One bounded collect each (|batch|-sized); replaced rows carry
+    # their bucket so the losers probe below needs no second job.
+    fresh_ids = [r[0] for r in fresh.select("id").collect()]
+    repl_rows = replaced_e.select("id", _bucket_of("id", buckets)).collect()
+    repl_bkts = sorted({r[1] for r in repl_rows})
+    n_union = (
+        meta.get("n_live", meta["n_at_rebuild"]) + len(fresh_ids) + n_heal_fresh
+    )
 
     # stamp the work-list ledger BEFORE any swap: a crash anywhere
     # between here and the final meta write replays into the heal path
-    fresh_ids = [r[0] for r in fresh.select("id").collect()]
     meta["pending"] = {
         "ids": [r[0] for r in ins_ids.collect()],
-        "replaced": [r[0] for r in replaced_e.collect()],
+        "replaced": [r[0] for r in repl_rows],
         "fresh": fresh_ids,
     }
     write_json_atomic(meta_path, meta)
@@ -493,7 +498,6 @@ def upsert_graph_artifact(
     # nodes losing a stale edge to a replaced id: a pure dst-side
     # probe — partition-pruned on the INVERTED artifact by the
     # replaced ids' buckets instead of scanning every src bucket
-    repl_bkts = _bkts(replaced_e, "id", buckets)
     losers = (
         rev_raw.where(F.col("bucket").isin(repl_bkts))
         .join(repl, F.col("dst") == F.col("_rid"), "left_semi")
