@@ -369,6 +369,43 @@ def _streaming_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _streaming_neardup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated contract for the streaming MinHash near-dup
+    maintainer (streaming/neardup.py; reference study
+    simple_sim_hash.py's fingerprint-dedup loop made incremental):
+    init(base) → two micro-batch upserts, each answering "which
+    incoming docs near-dup anything already ingested (or each other)"
+    from the persisted banded-LSH artifact without recomputing corpus
+    signatures. The union of the batches' detected pairs equals the
+    batch operator (minhash_dedup_pairs) over the final corpus
+    restricted to pairs touching ≥1 upserted doc — which is exactly
+    what the DuckDB oracle (oracles.neardup_upsert_pipeline_sql)
+    computes. A dropped batch, a stale band bucket, or a signature
+    drift between the batch and streaming kernels all turn the row
+    red."""
+    import shutil
+    import tempfile
+
+    from vectordbindexing_spark.streaming.neardup import (
+        init_neardup_artifact,
+        upsert_neardup_artifact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    b1 = docs.where(F.col("doc_id") % 8 == 0)
+    b2 = docs.where(F.col("doc_id") % 8 == 4)
+    art = tempfile.mkdtemp(prefix="snd_")
+    try:
+        init_neardup_artifact(base, art, buckets=64)
+        p1 = upsert_neardup_artifact(b1, art)
+        p2 = upsert_neardup_artifact(b2, art)
+        out = p1.unionByName(p2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(art, ignore_errors=True)
+    return out
+
+
 def _ann_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r07 SCALE build pipeline, oracle-gated end-to-end: layer 0
     via the salt-bounded bucketed in-kernel kNN build (work bounded by
@@ -2377,27 +2414,29 @@ def queries() -> dict[str, Query]:
     # session's local full replay (tests/test_entry_contract.py) still
     # exercises ALL queries at sf0.001.
     # Round-10 rotation:
-    # (0) position 1 — streaming_graph_upsert, registered r10 (no
-    #     driver row yet): new entries lead everything.
-    # (a) positions 2-21 — the 20 entries whose last driver row is r07
+    # (0) positions 1-2 — streaming_graph_upsert and
+    #     streaming_neardup_upsert, registered r10 (no driver rows
+    #     yet): new entries lead everything.
+    # (a) positions 3-22 — the 20 entries whose last driver row is r07
     #     (check_registry's mechanical priority list): the deferred
     #     sketch/relational block (HLL/KMV/CMS/quantile, as-of/range
     #     joins, pivot/funnel/moving-avg/rollup, bloom prune, CDC diff,
     #     editdist, z-order, NB) plus bpe_train_merges/bpe_encode_stats
     #     (slipped past position 50 in the r09 window). Their rows turn
     #     3 rounds old this round — they MUST refresh now.
-    # (b) positions 22-50 — 29 of the 50 entries whose last driver row
+    # (b) positions 23-50 — 28 of the 50 entries whose last driver row
     #     is r08 (oldest-first by registry order): lexical retrieval,
     #     graph analytics, mining, relational tail, media, dedup
     #     groups.
-    # (c) positions 51-71 — the 21 remaining r08-rowed entries
-    #     (deferred: quantizer/planner/exact-kNN stack with the lowest
-    #     drift risk). They MUST lead the r11 window; check_registry
-    #     emits this list mechanically.
-    # (d) positions 72-121 — the 50 entries with fresh r09 rows.
+    # (c) positions 51-72 — the 22 remaining r08-rowed entries
+    #     (deferred: semantic_dedup + the quantizer/planner/exact-kNN
+    #     stack with the lowest drift risk). They MUST lead the r11
+    #     window; check_registry emits this list mechanically.
+    # (d) positions 73-122 — the 50 entries with fresh r09 rows.
     return {
-        # (0) NEW r10 registration — no driver row yet, leads everything
+        # (0) NEW r10 registrations — no driver rows yet, lead everything
         "streaming_graph_upsert": _streaming_graph_upsert,
+        "streaming_neardup_upsert": _streaming_neardup_upsert,
         # (a) last driver row r07 — window-leading, refreshed this round
         "bpe_train_merges": _bpe_train_merges,
         "bpe_encode_stats": _bpe_encode_stats,
@@ -2689,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": oracles.minhash_neardup_sql(
             n=3, num_hashes=16, bands=8, threshold=0.5
         ),
+        "streaming_neardup_upsert": oracles.neardup_upsert_pipeline_sql(),
         "jaccard_neardup_pairs": (
             oracles.jaccard_pairs_sql(n=3, threshold=0.2).replace(
                 "FROM documents", "FROM documents WHERE doc_id % 5 = 0"

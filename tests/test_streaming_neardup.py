@@ -1,137 +1,285 @@
-"""Streaming MinHash near-dup gate: single-batch parity with a
-shared-kernel python reference, cross-batch residency, state caps.
-
-Poll-the-memory-sink pattern from test_streaming_filter_gate; expected
-counts come from the reference (the gate emits only match rows).
-"""
+"""Streaming MinHash near-dup maintainer: every batch's detected pairs
+equal the batch operator run over the union (restricted to pairs
+touching the upserted docs), updates are batch-wins with stale band
+cleanup, and the cross-artifact crash window heals on replay."""
 
 from __future__ import annotations
 
-import time
-import uuid
+import json
+import os
 
 import pytest
+from pyspark.sql import functions as F
 
-N, NUM_HASHES, BANDS, THRESHOLD = 3, 16, 8, 0.5
+from vectordbindexing_spark.operators.dedup import minhash_dedup_pairs
+from vectordbindexing_spark.streaming.neardup import (
+    init_neardup_artifact,
+    neardup_stream,
+    upsert_neardup_artifact,
+)
 
-
-def _py_grams(text: str) -> list[str]:
-    toks = [t for t in (text or "").split(" ") if t]
-    if len(toks) >= N:
-        return [" ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)]
-    return [" ".join(toks)]
-
-
-def _py_sig(text: str) -> list[int]:
-    import numpy as np
-
-    from vectordbindexing_spark.functions.hashing import (
-        det_hash64_py,
-        minhash_signature_np,
-    )
-
-    hs = np.array([det_hash64_py(g) for g in _py_grams(text)], dtype=np.int64)
-    return minhash_signature_np(hs, NUM_HASHES).tolist()
-
-
-def _py_matches(rows: list[tuple[int, str]]) -> set[tuple[int, int, int]]:
-    """Expected (doc_id, dup_of, band_idx) rows for arrival order ==
-    ascending doc_id (the single-batch ordering contract)."""
-    from vectordbindexing_spark.streaming.neardup_gate import _band_keys
-
-    rpb = NUM_HASHES // BANDS
-    sigs = {did: _py_sig(t) for did, t in rows}
-    buckets: dict[tuple[int, str], list[int]] = {}
-    out = set()
-    for did, _ in sorted(rows):
-        sig = sigs[did]
-        for b, key in enumerate(_band_keys(sig, BANDS, rpb)):
-            res = buckets.setdefault((b, key), [])
-            for rid in res:
-                est = sum(
-                    a == b2 for a, b2 in zip(sig, sigs[rid])
-                ) / NUM_HASHES
-                if est >= THRESHOLD:
-                    out.add((did, rid, b))
-            res.append(did)
-    return out
-
-
-DOCS = [
-    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
-    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
-    (3, "completely different text about spark distributed dataflow engines"),
-    (4, "the quick brown fox jumps over the lazy dog near the river bank"),
-    (5, "another unrelated document mentioning parquet columnar storage"),
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
 ]
 
 
-def _run(spark, tmp_path, batches, expect_rows):
-    import os
+def _text(i: int, mutate_at: int | None = None) -> str:
+    # group-tagged tokens: groups share no shingles, so near-dups only
+    # occur within a group (one-word mutations of the group base text)
+    toks = [f"{WORDS[j % len(WORDS)]}{i}" for j in range(30)]
+    if mutate_at is not None:
+        toks[mutate_at] = "zulu"
+    return " ".join(toks)
 
-    from vectordbindexing_spark.streaming.neardup_gate import (
-        neardup_match_stream,
+
+def _mk_docs(spark):
+    """60 docs in 20 near-dup triples: doc 3k+1 and 3k+2 are one-word
+    mutations of doc 3k (Jaccard well above 0.5), different k's are
+    unrelated."""
+    rows = []
+    for k in range(20):
+        rows.append((3 * k, _text(k)))
+        rows.append((3 * k + 1, _text(k, mutate_at=5)))
+        rows.append((3 * k + 2, _text(k, mutate_at=20)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return _mk_docs(spark).localCheckpoint(eager=True)
+
+
+def _split(docs):
+    base = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    return base, b1, b2
+
+
+def _pairs_set(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def _state(spark, art):
+    sig = spark.read.parquet(os.path.join(art, "signatures"))
+    bands = spark.read.parquet(os.path.join(art, "bands"))
+    return (
+        {(r.did, tuple(r.sig)) for r in sig.select("did", "sig").collect()},
+        {
+            (r.did, r.band_idx, r.band_key)
+            for r in bands.select("did", "band_idx", "band_key").collect()
+        },
     )
 
-    feed = str(tmp_path / "feed")
-    os.makedirs(feed, exist_ok=True)
-    name = "nd_sink_" + uuid.uuid4().hex[:8]
-    stream = spark.readStream.schema("doc_id long, text string").parquet(feed)
-    q = (
-        neardup_match_stream(
-            stream, n=N, num_hashes=NUM_HASHES, bands=BANDS,
-            threshold=THRESHOLD,
+
+def test_upserts_match_batch_operator_on_union(spark, docs, tmp_path):
+    base, b1, b2 = _split(docs)
+    art = str(tmp_path / "nd")
+    init_neardup_artifact(base, art, buckets=16)
+    got = _pairs_set(upsert_neardup_artifact(b1, art)) | _pairs_set(
+        upsert_neardup_artifact(b2, art)
+    )
+    exp = _pairs_set(
+        minhash_dedup_pairs(docs).where(
+            (F.col("id_a") % 3 != 0) | (F.col("id_b") % 3 != 0)
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .start()
     )
-    try:
-        for b, n_expected_after in batches:
-            spark.createDataFrame(b, "doc_id long, text string").coalesce(
-                1
-            ).write.mode("append").parquet(feed)
-            for _ in range(120):
-                n = spark.sql(f"select count(*) from {name}").collect()[0][0]
-                if n >= n_expected_after:
-                    break
-                time.sleep(1)
-        rows = spark.sql(f"select * from {name}").collect()
-    finally:
-        q.stop()
-    assert len(rows) == expect_rows, f"emitted {len(rows)} != {expect_rows}"
-    return rows
+    assert got == exp and len(got) > 0
+    # fully-committed replay: zero rows, state untouched
+    pre = _state(spark, art)
+    assert upsert_neardup_artifact(b2, art).count() == 0
+    assert _state(spark, art) == pre
 
 
-def test_single_batch_matches_reference(spark, tmp_path):
-    exp = _py_matches(DOCS)
-    assert exp, "fixture must contain near-dups"
-    # exact copy (1,4) must match in every band; near-copy (1,2)/(2,4)
-    # in at least one
-    assert any(a == 4 and b == 1 for a, b, _ in exp)
-    rows = _run(spark, tmp_path, [(DOCS, len(exp))], len(exp))
-    got = {(r["doc_id"], r["dup_of"], r["band_idx"]) for r in rows}
-    assert got == exp
-    for r in rows:
-        assert 0.5 <= r["est_jaccard"] <= 1.0
+def test_artifact_state_equals_bulk_init_of_union(spark, docs, tmp_path):
+    base, b1, b2 = _split(docs)
+    art = str(tmp_path / "inc")
+    ref = str(tmp_path / "bulk")
+    init_neardup_artifact(base, art, buckets=16)
+    upsert_neardup_artifact(b1, art)
+    upsert_neardup_artifact(b2, art)
+    init_neardup_artifact(docs, ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["n_docs"] == docs.count() and meta["pending"] is None
 
 
-def test_cross_batch_earlier_arrival_is_resident(spark, tmp_path):
-    batch1 = [DOCS[0], DOCS[2]]             # originals
-    batch2 = [DOCS[3], DOCS[4]]             # 4 is an exact copy of 1
-    exp1 = _py_matches(batch1)
-    assert exp1 == set()
-    exp_all = {
-        (did, rid, b)
-        for (did, rid, b) in _py_matches(batch1 + batch2)
+def test_update_batch_wins_and_stale_bands_drop(spark, docs, tmp_path):
+    base, b1, _ = _split(docs)
+    art = str(tmp_path / "upd")
+    init_neardup_artifact(base, art, buckets=16)
+    # doc 0 rewritten to an UNRELATED text (group 7's base text):
+    # its old band rows must go, and it must now pair with group 7
+    upd = spark.createDataFrame([(0, _text(7))], "doc_id long, text string")
+    pairs = upsert_neardup_artifact(upd, art)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 21)}
+    # state == bulk init over the latest-wins corpus
+    latest = base.where(F.col("doc_id") != 0).unionByName(upd)
+    ref = str(tmp_path / "updref")
+    init_neardup_artifact(latest, ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+    # n_docs unchanged by a pure update
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["n_docs"] == base.count()
+    # a later batch near doc 0's NEW text pairs with it
+    probe = spark.createDataFrame(
+        [(999, _text(7, mutate_at=11))], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b) for r in upsert_neardup_artifact(probe, art).collect()}
+    assert (0, 999) in got and (21, 999) in got
+
+
+def test_in_batch_duplicate_ids_resolve_to_greatest_text(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(100, _text(3))], "doc_id long, text string"
+    )
+    art = str(tmp_path / "dup")
+    init_neardup_artifact(base, art, buckets=8)
+    dup = spark.createDataFrame(
+        [(7, _text(1)), (7, _text(2))], "doc_id long, text string"
+    )
+    upsert_neardup_artifact(dup, art)
+    sig = spark.read.parquet(os.path.join(art, "signatures"))
+    kept = sig.where(F.col("did") == 7).select("grams").collect()
+    assert len(kept) == 1
+    winner = max(_text(1), _text(2))
+    assert set(kept[0][0]) == {
+        " ".join(winner.split()[j : j + 3]) for j in range(28)
     }
-    rows = _run(
-        spark, tmp_path,
-        [(batch1, 0), (batch2, len(exp_all))],
-        len(exp_all),
+
+
+def test_crash_between_sig_and_band_swap_heals_on_replay(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Signatures swapped, bands not: without the pending ledger the
+    replay would see identical stored grams, classify the batch as
+    replayed, and serve a stale band index forever."""
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, b1, b2 = _split(docs)
+    art = str(tmp_path / "crash")
+    init_neardup_artifact(base, art, buckets=16)
+
+    calls = {"n": 0}
+    real = nd.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the bands swap of the first attempt
+            raise OSError("simulated crash before the bands swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_neardup_artifact(b1, art)
+    monkeypatch.undo()
+
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert set(meta["pending"]["ids"]) == {
+        r[0] for r in b1.select("doc_id").collect()
+    }
+    # replay completes the upsert AND re-emits the batch's pairs
+    pairs = upsert_neardup_artifact(b1, art)
+    exp = _pairs_set(
+        minhash_dedup_pairs(base.unionByName(b1)).where(
+            (F.col("id_a") % 3 == 1) | (F.col("id_b") % 3 == 1)
+        )
     )
-    got = {(r["doc_id"], r["dup_of"], r["band_idx"]) for r in rows}
-    assert got == exp_all
-    assert all(r["doc_id"] == 4 and r["dup_of"] == 1 for r in rows)
+    assert _pairs_set(pairs) == exp
+    ref = str(tmp_path / "crashref")
+    init_neardup_artifact(base.unionByName(b1), ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["pending"] is None and meta["n_docs"] == 40
+    # only now is the batch a pure replay
+    assert upsert_neardup_artifact(b1, art).count() == 0
+
+
+def test_crash_on_UPDATE_heals_stale_bands_via_ledger_buckets(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Update crash window: after the signatures swap the old sig is
+    unrecoverable, so the stale band cleanup must come from the
+    ledger's band_bkts list."""
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, _, _ = _split(docs)
+    art = str(tmp_path / "ucrash")
+    init_neardup_artifact(base, art, buckets=16)
+    upd = spark.createDataFrame([(0, _text(7))], "doc_id long, text string")
+
+    calls = {"n": 0}
+    real = nd.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash before the bands swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_neardup_artifact(upd, art)
+    monkeypatch.undo()
+
+    upsert_neardup_artifact(upd, art)  # replay heals
+    latest = base.where(F.col("doc_id") != 0).unionByName(upd)
+    ref = str(tmp_path / "ucrashref")
+    init_neardup_artifact(latest, ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+
+
+def test_pending_ids_absent_from_batch_heal_from_stored_sigs(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A crashed batch whose replay never arrives (checkpoint wiped):
+    the NEXT batch must still finish the pending ids' band work from
+    their stored signatures, or the index serves a hole."""
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, b1, b2 = _split(docs)
+    art = str(tmp_path / "orphan")
+    init_neardup_artifact(base, art, buckets=16)
+
+    calls = {"n": 0}
+    real = nd.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash before the bands swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_neardup_artifact(b1, art)
+    monkeypatch.undo()
+
+    upsert_neardup_artifact(b2, art)  # different batch; b1 ids pending
+    ref = str(tmp_path / "orphanref")
+    init_neardup_artifact(docs, ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["pending"] is None and meta["n_docs"] == 60
+
+
+def test_neardup_stream_end_to_end(spark, docs, tmp_path):
+    base, b1, _ = _split(docs)
+    art = str(tmp_path / "stream_art")
+    init_neardup_artifact(base, art, buckets=16)
+    feed = str(tmp_path / "feed")
+    b1.write.parquet(feed + "/b1")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        feed + "/*"
+    )
+    sink = str(tmp_path / "pairs_out")
+    q = neardup_stream(stream, art, str(tmp_path / "ckpt"), sink)
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    exp = _pairs_set(
+        minhash_dedup_pairs(base.unionByName(b1)).where(
+            (F.col("id_a") % 3 == 1) | (F.col("id_b") % 3 == 1)
+        )
+    )
+    assert {(r.id_a, r.id_b, r.jaccard) for r in out.collect()} == exp

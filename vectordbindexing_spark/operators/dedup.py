@@ -103,6 +103,153 @@ def jaccard_ngram_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(did, grams, sig): distinct word n-gram set + MinHash signature
+    per document, eagerly checkpointed (both consumers — the band
+    generator and the Jaccard verify — re-read it several times).
+
+    The shared signature kernel of the dedup stack: batch near-dup
+    (:func:`minhash_dedup_pairs`) and the streaming index maintainer
+    (streaming/neardup.py) both call this, so a document's signature is
+    bit-identical whether it arrived in the backfill or a micro-batch
+    — the property the incremental artifact's replay detection and the
+    DuckDB oracle parity both rest on.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    import numpy as np
+
+    from vectordbindexing_spark.functions.hashing import (
+        det_hash64_py,
+        minhash_signature_np,
+    )
+    from vectordbindexing_spark.plans.partitioning import (
+        repartition_for_compute,
+    )
+
+    _CACHE_MAX = 2_000_000  # ~100 MB of shingle→hash entries per worker
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # md5 once per DISTINCT shingle per worker, not once per
+        # occurrence: shingles repeat across documents (Zipfian), so the
+        # cache turns the Python-md5 cost from O(total shingles) into
+        # O(vocabulary). (Moving the md5 JVM-side was measured 2-3x
+        # SLOWER — higher-order transform() is interpreted, not codegen'd.)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = []
+            for grams in pdf["grams"]:
+                hs = np.empty(len(grams), dtype=np.int64)
+                for i, s in enumerate(grams):
+                    v = cache.get(s)
+                    if v is None:
+                        if len(cache) >= _CACHE_MAX:
+                            cache.clear()
+                        v = det_hash64_py(s)
+                        cache[s] = v
+                    hs[i] = v
+                sigs.append(minhash_signature_np(hs, num_hashes).tolist())
+            yield pd.DataFrame(
+                {"did": pdf["did"], "grams": pdf["grams"], "sig": sigs}
+            )
+
+    shingled = repartition_for_compute(df).select(
+        F.col(id_col).cast("long").alias("did"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    if impl == "jvm":
+        return _minhash_signatures_jvm(shingled, num_hashes).localCheckpoint(
+            eager=True
+        )
+    return (
+        # Arrow-batched kernel: cached md5 per distinct shingle +
+        # vectorized affine minima (the pure-Column variant re-evaluates
+        # the md5 array inside every per-hash lambda — measured ~40x
+        # slower)
+        shingled.mapInPandas(
+            signatures,
+            schema="did long, grams array<string>, sig array<long>",
+        )
+        # materialize: the banding generator + band self-join / verify
+        # would otherwise recompute the signature kernel several times
+        .localCheckpoint(eager=True)
+    )
+
+
+def band_rows(g: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(did, band_idx, band_key) LSH band rows from a signature table.
+
+    Bands the bare ids only: the explode and any band equi-join shuffle
+    (did, band_key) pairs, never the shingle arrays — at corpus scale
+    the gram sets dominate row width, so they are re-attached by id
+    AFTER candidate pairs are deduped (narrow hash joins instead of
+    2×bands copies of every gram array through the exchange).
+    """
+    return g.select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band_idx"),
+                    F.concat_ws(
+                        "_",
+                        F.slice(
+                            "sig", i * rows_per_band + 1, rows_per_band
+                        ).cast("array<string>"),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("did", "band.band_idx", "band.band_key")
+
+
+def exact_jaccard_pairs(
+    pair_ids: DataFrame,
+    grams_a: DataFrame,
+    grams_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs by exact Jaccard over the
+    distinct-gram sets — ``grams_a``/``grams_b`` are (did, grams)
+    lookups for the two sides (the same table for a self-dedup)."""
+    cand = (
+        pair_ids.join(
+            grams_a.select(
+                F.col("did").alias("id_a"), F.col("grams").alias("grams_a")
+            ),
+            "id_a",
+        )
+        .join(
+            grams_b.select(
+                F.col("did").alias("id_b"), F.col("grams").alias("grams_b")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = (
+        F.size("grams_a").cast("double")
+        + F.size("grams_b").cast("double")
+        - inter
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -134,92 +281,11 @@ def minhash_dedup_pairs(
     arrow path amortizes md5 over the Zipfian vocabulary. The jvm path
     remains for clusters where Python workers are unavailable.
     """
-    rows_per_band = num_hashes // bands
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    import numpy as np
-
-    from vectordbindexing_spark.functions.hashing import (
-        det_hash64_py,
-        minhash_signature_np,
+    g = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, impl=impl,
     )
-
-    _CACHE_MAX = 2_000_000  # ~100 MB of shingle→hash entries per worker
-
-    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # md5 once per DISTINCT shingle per worker, not once per
-        # occurrence: shingles repeat across documents (Zipfian), so the
-        # cache turns the Python-md5 cost from O(total shingles) into
-        # O(vocabulary). (Moving the md5 JVM-side was measured 2-3x
-        # SLOWER — higher-order transform() is interpreted, not codegen'd.)
-        cache: dict[str, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sigs = []
-            for grams in pdf["grams"]:
-                hs = np.empty(len(grams), dtype=np.int64)
-                for i, s in enumerate(grams):
-                    v = cache.get(s)
-                    if v is None:
-                        if len(cache) >= _CACHE_MAX:
-                            cache.clear()
-                        v = det_hash64_py(s)
-                        cache[s] = v
-                    hs[i] = v
-                sigs.append(minhash_signature_np(hs, num_hashes).tolist())
-            yield pd.DataFrame(
-                {"did": pdf["did"], "grams": pdf["grams"], "sig": sigs}
-            )
-
-    from vectordbindexing_spark.plans.partitioning import repartition_for_compute
-
-    shingled = repartition_for_compute(df).select(
-        F.col(id_col).cast("long").alias("did"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
-    )
-    if impl == "jvm":
-        g = _minhash_signatures_jvm(shingled, num_hashes).localCheckpoint(
-            eager=True
-        )
-    else:
-        g = (
-            # Arrow-batched kernel: cached md5 per distinct shingle +
-            # vectorized affine minima (the pure-Column variant re-evaluates
-            # the md5 array inside every per-hash lambda — measured ~40x
-            # slower)
-            shingled.mapInPandas(
-                signatures,
-                schema="did long, grams array<string>, sig array<long>",
-            )
-            # materialize: the banding generator + band self-join below would
-            # otherwise recompute the signature kernel three more times
-            .localCheckpoint(eager=True)
-        )
-    # Band the bare ids only: the 8-way explode and the band self-join
-    # shuffle (did, band_key) pairs, never the shingle arrays — at corpus
-    # scale the gram sets dominate row width, so they are re-attached by id
-    # AFTER candidate pairs are deduped (two narrow hash joins instead of
-    # 2×bands copies of every gram array through the exchange).
-    banded = g.select(
-        "did",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band_idx"),
-                    F.concat_ws(
-                        "_",
-                        F.slice(
-                            "sig", i * rows_per_band + 1, rows_per_band
-                        ).cast("array<string>"),
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
-    ).select("did", "band.band_idx", "band.band_key")
+    banded = band_rows(g, bands, num_hashes // bands)
     a = banded.select(F.col("did").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("did").alias("id_b"), "band_idx", "band_key")
     pair_ids = (
@@ -229,28 +295,7 @@ def minhash_dedup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     grams_tbl = g.select("did", "grams")
-    cand = (
-        pair_ids.join(
-            grams_tbl.select(
-                F.col("did").alias("id_a"), F.col("grams").alias("grams_a")
-            ),
-            "id_a",
-        )
-        .join(
-            grams_tbl.select(
-                F.col("did").alias("id_b"), F.col("grams").alias("grams_b")
-            ),
-            "id_b",
-        )
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = (
-        F.size("grams_a").cast("double") + F.size("grams_b").cast("double") - inter
-    )
-    return (
-        cand.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return exact_jaccard_pairs(pair_ids, grams_tbl, grams_tbl, threshold)
 
 
 def _minhash_signatures_jvm(shingled: DataFrame, num_hashes: int) -> DataFrame:

@@ -1400,6 +1400,21 @@ def minhash_neardup_sql(
     """
 
 
+def neardup_upsert_pipeline_sql(
+    n: int = 3, num_hashes: int = 16, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Oracle for the streaming near-dup maintainer contract
+    (streaming/neardup.py): the union of all micro-batches' detected
+    pairs equals the batch operator over the FINAL corpus restricted
+    to pairs touching ≥1 upserted doc — here the upserted set is
+    doc_id % 4 == 0 (the two batches b1 = %8==0, b2 = %8==4)."""
+    inner = minhash_neardup_sql(n, num_hashes, bands, threshold)
+    return f"""
+    SELECT id_a, id_b, jaccard FROM ({inner})
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    """
+
+
 def jaccard_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
     grams = word_ngrams_sql("text", n)
     return f"""

@@ -1,0 +1,462 @@
+"""Streaming MinHash near-dup maintenance — a persisted banded-LSH
+index over the document corpus, so each incoming micro-batch deduas
+against everything seen so far WITHOUT recomputing corpus signatures.
+
+The training-data-pipeline shape this serves: a crawl stream arrives
+in batches; each batch must answer "which of these documents are
+near-duplicates of anything already ingested (or of each other)?"
+before it is admitted. The batch operator
+(`operators.dedup.minhash_dedup_pairs`) answers that for a static
+corpus in one pass; this maintainer keeps its intermediate state — the
+per-document signature table and the banded LSH index — live on disk,
+so the per-batch cost is |batch| signature kernels + band-bucket-pruned
+probes, never O(corpus). Both sides share the same signature kernel
+(`operators.dedup.minhash_signatures`), so a document hashes
+identically whether it arrived in the backfill or a micro-batch; that
+bit-equality is what replay detection and the DuckDB oracle parity
+rest on.
+
+State layout under ``index_dir`` (crash-safe via streaming/atomic.py):
+
+* ``signatures`` — parquet partitioned by ``bucket =
+  pmod(xxhash64(did), B)``: (did, grams, sig) — the distinct n-gram
+  set + MinHash signature per live document (grams are kept because
+  the exact-Jaccard verify of FUTURE batches needs the stored side's
+  gram set; reads of it are always partition-pruned to candidate
+  buckets).
+* ``bands`` — parquet partitioned by ``bucket =
+  pmod(xxhash64(band_idx, band_key), B)``: (did, band_idx, band_key)
+  — the LSH index. An incoming batch's band rows prune this read to
+  exactly the buckets its own band keys hash into.
+* ``meta.json`` — {n_docs, n, num_hashes, bands, buckets, pending};
+  atomic writes.
+
+Per micro-batch (:func:`upsert_neardup_artifact`):
+
+1. Batch signatures through the shared kernel; in-batch duplicate ids
+   resolve deterministically to the greatest text (batch-wins, no
+   ``F.first`` roulette).
+2. Classify against the bucket-pruned stored signature slice:
+   *replayed* (stored with identical grams — skip, the detection
+   already ran), *replaced* (stored with different grams — update),
+   *fresh*. All-replayed → ``noop``, artifact untouched.
+3. Candidates: the work set's band rows equi-join the bucket-pruned
+   live ``bands`` slice (cross pairs vs the corpus) plus an intra-work
+   band self-join — candidate volume ∝ band collisions, never
+   |batch|·|corpus|.
+4. Exact-Jaccard verify (same arithmetic + rounding as the batch
+   operator) over the work grams and the candidate-bucket-pruned
+   stored grams; returned pairs are (least, greatest)-oriented, so
+   the union of all batches' outputs equals the batch operator run
+   over the final corpus, restricted to pairs touching ≥1 upserted
+   doc (pinned by test; the driver contract's DuckDB oracle replays
+   exactly that).
+5. Dirty-bucket swaps: ``signatures`` buckets of the work dids;
+   ``bands`` buckets of the new band rows ∪ the replaced dids' OLD
+   band rows (recomputed from their stored sigs — no index scan).
+   Write I/O ∝ |batch|·bands / B, not corpus size.
+
+CRASH-WINDOW LEDGER (``meta["pending"]``, the graph maintainer's
+contract): the work list (ids + replaced ids) is stamped into
+meta.json atomically BEFORE the first swap and cleared by the final
+meta write. A crash between the signatures swap and the bands swap
+would otherwise be invisible to step 2 on replay (sig already matches
+→ "replayed" → stale band rows served forever); the ledger re-queues
+pending ids so their band rows are rebuilt deterministically from the
+now-stored signatures.
+
+Reference study: `simple_sim_hash.py` (the reference's streaming-ish
+fingerprint dedup loop) re-expressed as a partitioned artifact +
+Structured Streaming maintainer; the banded-MinHash math follows
+Broder '97 / Leskovec MMDS ch.3 like the batch operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from vectordbindexing_spark.streaming.atomic import (
+    recover_tree,
+    swap_in,
+    swap_in_buckets,
+    write_json_atomic,
+)
+
+DEFAULT_BUCKETS = 256
+
+PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
+
+
+def _paths(index_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_dir, "signatures"),
+        os.path.join(index_dir, "bands"),
+        os.path.join(index_dir, "meta.json"),
+    )
+
+
+def _did_bucket(buckets: int):
+    return F.pmod(F.xxhash64(F.col("did")), F.lit(buckets)).cast("int")
+
+
+def _band_bucket(buckets: int):
+    return F.pmod(
+        F.xxhash64(F.col("band_idx"), F.col("band_key")), F.lit(buckets)
+    ).cast("int")
+
+
+def init_neardup_artifact(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    buckets: int = DEFAULT_BUCKETS,
+    impl: str = "arrow",
+) -> None:
+    """Bulk-build the artifact from the initial corpus (the backfill)."""
+    from vectordbindexing_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    sig_path, band_path, meta_path = _paths(index_dir)
+    g = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, impl=impl,
+    )
+    swap_in(
+        g.withColumn("bucket", _did_bucket(buckets)),
+        sig_path, coalesce=None, partition_by=["bucket"],
+    )
+    br = band_rows(g, bands, num_hashes // bands)
+    swap_in(
+        br.withColumn("bucket", _band_bucket(buckets)),
+        band_path, coalesce=None, partition_by=["bucket"],
+    )
+    n_docs = df.sparkSession.read.parquet(sig_path).count()
+    write_json_atomic(
+        meta_path,
+        {
+            "n_docs": n_docs,
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "buckets": buckets,
+        },
+    )
+
+
+def upsert_neardup_artifact(
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """One foreachBatch step. Folds the batch into the live index and
+    returns the verified near-dup pairs the batch introduced —
+    (id_a, id_b, jaccard) with id_a < id_b, covering batch-vs-corpus
+    AND batch-vs-batch. A fully-replayed batch returns zero rows (the
+    original delivery already reported its pairs); an empty batch
+    likewise. The returned DataFrame is eagerly checkpointed BEFORE
+    the swaps, so it never reads post-swap artifact state."""
+    from vectordbindexing_spark.operators.dedup import (
+        band_rows,
+        exact_jaccard_pairs,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    sig_path, band_path, meta_path = _paths(index_dir)
+    recover_tree(sig_path)
+    recover_tree(band_path)
+    meta = json.load(open(meta_path))
+    buckets = meta["buckets"]
+    bands, num_hashes = meta["bands"], meta["num_hashes"]
+    pend = meta.get("pending") or {"ids": [], "replaced": [], "fresh": []}
+
+    empty_pairs = spark.createDataFrame([], PAIR_SCHEMA)
+    # deterministic in-batch winner for duplicate ids: greatest text
+    latest = (
+        batch.select(
+            F.col(id_col).cast("long").alias("did"),
+            F.col(text_col).alias("text"),
+        )
+        .where(F.col("text").isNotNull())
+        .groupBy("did")
+        .agg(F.max("text").alias("text"))
+    )
+    g_new = minhash_signatures(
+        latest, text_col="text", id_col="did", n=meta["n"],
+        num_hashes=num_hashes, impl=impl,
+    )
+    batch_dids = [r[0] for r in g_new.select("did").collect()]
+    if not batch_dids and not pend["ids"]:
+        return empty_pairs
+
+    # classify against the did-bucket-pruned stored slice
+    did_bkts = sorted(
+        {r[0] for r in g_new.select(_did_bucket(buckets)).collect()}
+    )
+    stored_sig = spark.read.parquet(sig_path)
+    stored_slice = (
+        stored_sig.where(F.col("bucket").isin(did_bkts))
+        if did_bkts
+        else stored_sig.where(F.lit(False))
+    )
+    cls = g_new.join(
+        stored_slice.select(
+            "did",
+            F.col("grams").alias("_sg"),
+            F.col("sig").alias("_ss"),
+        ),
+        "did",
+        "left",
+    )
+    pending_ids = set(pend["ids"])
+    # replayed = stored with identical grams AND not in the pending
+    # ledger (a pending id's bands swap may not have landed — re-queue)
+    changed = F.col("_sg").isNull() | (F.col("_sg") != F.col("grams"))
+    if pending_ids:
+        changed = changed | F.col("did").isin(list(pending_ids))
+    work = cls.where(changed)
+    # pending ids are excluded from the replaced set: their stored sig
+    # may already be the NEW one (crash after the signatures swap), so
+    # their stale band buckets come from the ledger's band_bkts list,
+    # not from recomputing old band rows
+    replaced = work.where(F.col("_sg").isNotNull())
+    if pending_ids:
+        replaced = replaced.where(~F.col("did").isin(list(pending_ids)))
+    repl_rows = replaced.select("did", "_ss").collect()
+    repl_ids = [r[0] for r in repl_rows]
+    g_work = work.select("did", "grams", "sig").localCheckpoint(eager=True)
+    work_ids = [r[0] for r in g_work.select("did").collect()]
+    # a pending id absent from this batch (crash replayed into a later
+    # stream position) heals from its STORED signature — the band
+    # rebuild below is a deterministic function of the sig
+    missing_pend = sorted(pending_ids - set(work_ids))
+    if missing_pend:
+        healed = (
+            stored_sig.where(
+                F.col("bucket").isin(
+                    sorted(
+                        {
+                            r[0]
+                            for r in spark.createDataFrame(
+                                [(i,) for i in missing_pend], "did long"
+                            )
+                            .select(_did_bucket(buckets))
+                            .collect()
+                        }
+                    )
+                )
+            )
+            .where(F.col("did").isin(missing_pend))
+            .select("did", "grams", "sig")
+            .localCheckpoint(eager=True)
+        )
+        g_work = g_work.unionByName(healed)
+        work_ids = work_ids + [r[0] for r in healed.select("did").collect()]
+    # exact n_docs across crash replays: a pending ledger means the
+    # crashed attempt's fresh ids were never counted (the count and the
+    # ledger clear share the final meta write), so resume ITS list
+    fresh_now = sorted(set(work_ids) - set(repl_ids) - set(pend["ids"]))
+    fresh_ids = sorted(set(fresh_now) | set(pend.get("fresh", [])))
+    if not work_ids:
+        return empty_pairs  # fully-committed replay: noop
+
+    # ---- candidates: band rows of the work set ----
+    br_new = band_rows(g_work, bands, num_hashes // bands).localCheckpoint(
+        eager=True
+    )
+    band_bkts = sorted(
+        {r[0] for r in br_new.select(_band_bucket(buckets)).collect()}
+    )
+    stored_bands = (
+        spark.read.parquet(band_path).where(F.col("bucket").isin(band_bkts))
+    )
+    if repl_ids:  # their stored band rows describe the OLD text
+        stored_bands = stored_bands.join(
+            F.broadcast(
+                spark.createDataFrame([(i,) for i in repl_ids], "did long")
+            ),
+            "did",
+            "left_anti",
+        )
+    cross_ids = (
+        br_new.select(F.col("did").alias("id_new"), "band_idx", "band_key")
+        .join(
+            stored_bands.select(
+                F.col("did").alias("id_old"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("id_new") != F.col("id_old"))
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    intra_ids = (
+        br_new.select(F.col("did").alias("id_new"), "band_idx", "band_key")
+        .join(
+            br_new.select(F.col("did").alias("id_old"), "band_idx",
+                          "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("id_new") < F.col("id_old"))
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+
+    # ---- verify: work grams + candidate-bucket-pruned stored grams ----
+    cand_bkts = sorted(
+        {
+            r[0]
+            for r in cross_ids.select(
+                F.pmod(F.xxhash64("id_old"), F.lit(buckets)).cast("int")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    stored_grams = (
+        stored_sig.where(F.col("bucket").isin(cand_bkts)).select(
+            "did", "grams"
+        )
+        if cand_bkts
+        else stored_sig.select("did", "grams").where(F.lit(False))
+    )
+    work_grams = g_work.select("did", "grams")
+    cross_pairs = exact_jaccard_pairs(
+        cross_ids.select(
+            F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
+        ),
+        work_grams,
+        stored_grams,
+        threshold,
+    )
+    intra_pairs = exact_jaccard_pairs(
+        intra_ids.select(
+            F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
+        ),
+        work_grams,
+        work_grams,
+        threshold,
+    )
+    pairs = (
+        cross_pairs.unionByName(intra_pairs)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        # materialize BEFORE the swaps: the verify lineage reads the
+        # pre-swap signatures file listing, which the renames invalidate
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- bands dirty set: buckets of the new rows ∪ the replaced
+    # dids' OLD rows (recomputed from their stored sigs — no artifact
+    # scan) ∪ the ledger's list from a crashed attempt (whose replaced
+    # ids' old sigs may be gone after its signatures swap landed) ----
+    old_br = None
+    if repl_rows:
+        old_sig_df = spark.createDataFrame(
+            [(r[0], list(r[1])) for r in repl_rows],
+            "did long, sig array<long>",
+        )
+        old_br = band_rows(old_sig_df, bands, num_hashes // bands)
+    dirty_band_src = br_new if old_br is None else br_new.unionByName(old_br)
+    band_dirty = sorted(
+        {
+            r[0]
+            for r in dirty_band_src.select(_band_bucket(buckets))
+            .distinct()
+            .collect()
+        }
+        | set(pend.get("band_bkts", []))
+    )
+    sig_dirty = sorted(
+        {
+            r[0]
+            for r in g_work.select(_did_bucket(buckets)).distinct().collect()
+        }
+    )
+
+    # ---- stamp the work-list ledger BEFORE any swap: a crash between
+    # the swaps replays into the heal path above, and band_bkts keeps
+    # the stale-band cleanup reachable once the old sigs are gone ----
+    meta["pending"] = {
+        "ids": work_ids,
+        "replaced": repl_ids,
+        "fresh": fresh_ids,
+        "band_bkts": band_dirty,
+    }
+    write_json_atomic(meta_path, meta)
+
+    # ---- signatures: dirty buckets = buckets of the work dids ----
+    work_df = F.broadcast(
+        spark.createDataFrame([(i,) for i in work_ids], "did long")
+    )
+    sig_out = (
+        stored_sig.where(F.col("bucket").isin(sig_dirty))
+        .join(work_df, "did", "left_anti")
+        .unionByName(g_work.withColumn("bucket", _did_bucket(buckets)))
+    )
+    swap_in_buckets(sig_out, sig_path, expected=sig_dirty)
+
+    band_out = (
+        spark.read.parquet(band_path)
+        .where(F.col("bucket").isin(band_dirty))
+        .join(work_df, "did", "left_anti")
+        .unionByName(br_new.withColumn("bucket", _band_bucket(buckets)))
+    )
+    swap_in_buckets(band_out, band_path, expected=band_dirty)
+
+    meta["n_docs"] = meta["n_docs"] + len(fresh_ids)
+    meta["pending"] = None
+    write_json_atomic(meta_path, meta)
+    return pairs
+
+
+def neardup_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    pairs_out: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Attach the maintainer to a document stream; detected pairs are
+    appended to ``pairs_out`` parquet keyed by batch_id (a replayed
+    batch returns zero rows, so the sink stays exactly-once). The
+    artifact must exist (:func:`init_neardup_artifact`)."""
+
+    def step(b: DataFrame, batch_id: int) -> None:
+        pairs = upsert_neardup_artifact(
+            b, index_dir, text_col=text_col, id_col=id_col,
+            threshold=threshold,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(pairs_out)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
