@@ -434,3 +434,52 @@ def test_migration_bucketed_but_no_rev_materializes_inverse(
         for r in spark.read.parquet(art + "/edges").collect()
     )
     assert got == want
+
+
+def test_replay_noop_reads_only_the_batch_bucket_footprint(
+    spark, corpus, tmp_path
+):
+    """The replay-detection scans (stored-id anti-join, stored-vector
+    compare, adjacency probe) must partition-prune to the batch's own
+    buckets — unpruned, a no-op replay pays full corpus scans, the
+    exact classification regression this pins against. Corrupting the
+    DATA region (footers left intact, so schema inference still works)
+    of every vectors/edges parquet file OUTSIDE a one-id batch's
+    footprint makes any unpruned scan throw; a clean "noop" proves the
+    prune."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as SF
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "prune_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1, buckets=8)
+    one = b1.limit(1).localCheckpoint(eager=True)
+    assert upsert_graph_artifact(one, art, refresh_factor=10.0) == "upsert"
+
+    keep_bkt = one.select(
+        SF.pmod(SF.xxhash64(SF.col("id")), SF.lit(8)).cast("int")
+    ).first()[0]
+    corrupted = 0
+    for sub in ("vectors", "edges"):
+        for d in glob.glob(os.path.join(art, sub, "bucket=*")):
+            if int(d.rsplit("=", 1)[1]) == keep_bkt:
+                continue
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                size = os.path.getsize(f)
+                if size < 2600:  # too small to corrupt clear of footer
+                    continue
+                with open(f, "r+b") as fh:  # zero data pages only
+                    fh.seek(4)
+                    fh.write(b"\x00" * (size - 2500))
+                corrupted += 1
+    assert corrupted >= 8  # the corpus really extends past the batch
+    # sanity: an UNpruned read of a corrupted slice really does throw
+    # (a real column read — count() alone is answered from footers)
+    with pytest.raises(Exception):
+        spark.read.parquet(art + "/vectors").agg(
+            SF.sum("id")
+        ).collect()
+
+    assert upsert_graph_artifact(one, art, refresh_factor=10.0) == "noop"

@@ -319,6 +319,15 @@ def upsert_graph_artifact(
     stored = vecs_raw.drop("bucket")
     # batch bucket footprint — bounded by |batch|, reused for pruning
     batch_bkts = [] if migrate else _bkts(new, "id", buckets)
+    # the classification scans only need stored rows whose id COULD be
+    # in the batch — its bucket footprint; the full `stored` is kept
+    # for the union below. Unpruned, a replay no-op pays two full
+    # corpus scans just to discover there is nothing to do.
+    stored_slice = (
+        stored
+        if migrate
+        else vecs_raw.where(F.col("bucket").isin(batch_bkts)).drop("bucket")
+    )
 
     # classify the batch against the store. REPLAY DETECTION: a
     # redelivered batch (every id stored with a bit-identical vector
@@ -326,10 +335,10 @@ def upsert_graph_artifact(
     # the state — the only way replay can be exact, since recomputing
     # kNN dists is deterministic only up to BLAS batch shape.
     fresh = (
-        new.join(stored.select("id"), "id", "left_anti")
+        new.join(stored_slice.select("id"), "id", "left_anti")
         .localCheckpoint(eager=True)
     )
-    same_t = stored.select("id", F.col("vec").alias("_sv"))
+    same_t = stored_slice.select("id", F.col("vec").alias("_sv"))
     matched = new.join(same_t, "id")
     changed = (
         matched.where(F.col("vec") != F.col("_sv"))
