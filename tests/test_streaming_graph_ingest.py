@@ -321,9 +321,14 @@ def test_crash_between_vec_and_edge_swap_on_UPDATE_heals_on_replay(
 
 
 def test_rev_edges_mirror_forward_and_n_live_tracks(spark, corpus, tmp_path):
-    """The inverted (dst-bucketed) artifact must stay an exact row
-    mirror of the forward one across init, upsert and update; n_live
-    is maintained incrementally and matches the real corpus size."""
+    """The resolved inverted log (base + delta adds − tombstones) must
+    stay an exact row mirror of the forward artifact across init,
+    upsert and update; n_live is maintained incrementally and matches
+    the real corpus size."""
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        rev_edges_resolved,
+    )
+
     full, base, b1, b2, q = corpus
     art = str(tmp_path / "mirror_art")
     init_graph_artifact(base, art, M0=M0, M1=M1)
@@ -334,14 +339,20 @@ def test_rev_edges_mirror_forward_and_n_live_tracks(spark, corpus, tmp_path):
             for r in spark.read.parquet(path).drop("bucket").collect()
         )
 
-    assert rows(art + "/edges") == rows(art + "/rev_edges")
+    def rev_rows():
+        return sorted(
+            (r["layer"], r["src"], r["dst"], r["dist"])
+            for r in rev_edges_resolved(spark, art).collect()
+        )
+
+    assert rows(art + "/edges") == rev_rows()
     assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
-    assert rows(art + "/edges") == rows(art + "/rev_edges")
+    assert rows(art + "/edges") == rev_rows()
     upd = spark.createDataFrame(
         [(3, [0.75] * D)], "id long, vec array<double>"
     )
     assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
-    assert rows(art + "/edges") == rows(art + "/rev_edges")
+    assert rows(art + "/edges") == rev_rows()
     vecs, _, meta = load_graph_artifact(spark, art)
     assert meta["n_live"] == vecs.count() == N0 + NB
 
@@ -386,9 +397,13 @@ def test_migration_from_unbucketed_artifact_rebuilds(spark, tmp_path):
         [(102, [0.1, 0.2, 0.9])], "id long, vec array<double>"
     )
     assert upsert_graph_artifact(b2, art, refresh_factor=10.0) == "upsert"
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        rev_edges_resolved,
+    )
+
     got = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/rev_edges").collect()
+        for r in rev_edges_resolved(spark, art).collect()
     )
     want = sorted(
         (r["layer"], r["src"], r["dst"])
@@ -425,9 +440,13 @@ def test_migration_bucketed_but_no_rev_materializes_inverse(
     vecs, edges, meta = load_graph_artifact(spark, art)
     assert vecs.count() == 61 and meta["rev"] is True
     assert meta["n_live"] == 61
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        rev_edges_resolved,
+    )
+
     got = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/rev_edges").collect()
+        for r in rev_edges_resolved(spark, art).collect()
     )
     want = sorted(
         (r["layer"], r["src"], r["dst"])
@@ -483,3 +502,174 @@ def test_replay_noop_reads_only_the_batch_bucket_footprint(
         ).collect()
 
     assert upsert_graph_artifact(one, art, refresh_factor=10.0) == "noop"
+
+
+def test_rev_delta_is_append_only_and_compaction_folds(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """An upsert must never rewrite a rev base bucket (that third
+    dirty-fraction swap was the r10 write-amplification finding) —
+    only d<seq> files appear under rev_delta/. Once the log outgrows
+    the threshold, the NEXT upsert folds it back into the base and
+    the resolved mirror is preserved throughout."""
+    import glob
+    import os
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        rev_edges_resolved,
+    )
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "delta_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+    base_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(art, "rev_edges", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+    # base untouched, delta appended
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(art, "rev_edges", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert after == base_files
+    adds = glob.glob(os.path.join(art, "rev_delta", "adds", "**",
+                                  "d1.parquet"), recursive=True)
+    assert len(adds) > 0
+    assert os.path.exists(
+        os.path.join(art, "rev_delta", "tombs", "d1.parquet")
+    )
+
+    def fwd_rows():
+        return sorted(
+            (r["layer"], r["src"], r["dst"])
+            for r in spark.read.parquet(art + "/edges").collect()
+        )
+
+    def rev_rows():
+        return sorted(
+            (r["layer"], r["src"], r["dst"])
+            for r in rev_edges_resolved(spark, art).collect()
+        )
+
+    assert fwd_rows() == rev_rows()
+
+    # force the fold: threshold 0 -> the next upsert compacts FIRST
+    monkeypatch.setattr(gi, "REV_COMPACT_FACTOR", 0.0)
+    upd = spark.createDataFrame(
+        [(5, [0.5] * D)], "id long, vec array<double>"
+    )
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
+    # the fold consumed d1; the new batch appended d2 only
+    assert not glob.glob(os.path.join(art, "rev_delta", "adds", "**",
+                                      "d1.parquet"), recursive=True)
+    assert glob.glob(os.path.join(art, "rev_delta", "adds", "**",
+                                  "d2.parquet"), recursive=True)
+    assert fwd_rows() == rev_rows()
+    import json as _json
+
+    meta = _json.load(open(art + "/meta.json"))
+    assert meta["rev_seq"] == 2 and meta.get("pending") is None
+
+
+def test_half_finished_compaction_is_exact_and_self_heals(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Crash between the fold's base swap and the delta removal: the
+    resolved view must stay exact (folded base rows keep their seq;
+    leftover delta rows are identical payloads deduped on key), and
+    the next upsert completes the fold."""
+    import glob
+    import os
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        rev_edges_resolved,
+    )
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "halffold_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+
+    monkeypatch.setattr(gi, "REV_COMPACT_FACTOR", 0.0)
+    real_clear = gi._clear_rev_delta
+    calls = {"n": 0}
+
+    def boom(index_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash before the delta removal")
+        return real_clear(index_dir)
+
+    monkeypatch.setattr(gi, "_clear_rev_delta", boom)
+    upd = spark.createDataFrame(
+        [(5, [0.5] * D)], "id long, vec array<double>"
+    )
+    with pytest.raises(OSError):
+        upsert_graph_artifact(upd, art, refresh_factor=10.0)
+
+    # half-folded: base rewritten AND delta still present — resolution
+    # must dedup to the exact mirror of the (untouched) forward edges
+    assert glob.glob(os.path.join(art, "rev_delta", "adds", "**",
+                                  "*.parquet"), recursive=True)
+    fwd = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/edges").collect()
+    )
+    rev = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in rev_edges_resolved(spark, art).collect()
+    )
+    assert fwd == rev
+
+    # next upsert re-folds (idempotent) and completes the batch
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
+    fwd = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/edges").collect()
+    )
+    rev = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in rev_edges_resolved(spark, art).collect()
+    )
+    assert fwd == rev
+
+
+def test_crash_before_rev_delta_write_heals_on_replay(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Vectors and forward edges committed, rev delta not: the replay
+    must land on the pending-heal path, pre-clear this seq's files and
+    restore the mirror."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+    from vectordbindexing_spark.streaming.graph_ingest import (
+        rev_edges_resolved,
+    )
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "revcrash_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+
+    def boom(*a, **kw):
+        raise OSError("simulated crash before the rev delta write")
+
+    monkeypatch.setattr(gi, "_write_rev_delta", boom)
+    with pytest.raises(OSError):
+        upsert_graph_artifact(b1, art, refresh_factor=10.0)
+    monkeypatch.undo()
+
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+    fwd = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in spark.read.parquet(art + "/edges").collect()
+    )
+    rev = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in rev_edges_resolved(spark, art).collect()
+    )
+    assert fwd == rev
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "noop"

@@ -10,12 +10,30 @@ artifact):
   B)``: (id, vec), the full current corpus
 * ``edges``    — parquet partitioned by ``bucket = pmod(xxhash64(src),
   B)``: (layer, src, dst, dist), the serving graph
-* ``rev_edges``— the SAME rows partitioned by ``bucket =
-  pmod(xxhash64(dst), B)``: the inverted adjacency. Every dst-side
-  probe (who points AT this node?) partition-prunes here instead of
-  scanning the whole src-bucketed artifact — without it each
-  micro-batch paid two O(E) scans (the replaced-id "losers" probe and
-  the dirty-dst candidate scan), the r09 scale soft spot.
+* ``rev_edges``— the inverted adjacency BASE, partitioned by
+  ``bucket = pmod(xxhash64(dst), B)`` with a fold-watermark ``seq``
+  column. Every dst-side probe (who points AT this node?)
+  partition-prunes here instead of scanning the whole src-bucketed
+  artifact — without it each micro-batch paid two O(E) scans (the
+  replaced-id "losers" probe and the dirty-dst candidate scan), the
+  r09 scale soft spot.
+* ``rev_delta/`` — the mirror's LSM-style delta log (the r10 fix for
+  the mirror's write amplification: rewriting dirty rev buckets cost
+  a third dirty-fraction swap per batch, measured at ~+50% upsert
+  wall-clock at 500k). ``adds/bucket=K/d<seq>.parquet`` holds one
+  batch's merged dirty adjacency, one file per touched dst bucket;
+  ``tombs/d<seq>.parquet`` is a GLOBAL per-batch tombstone file of
+  that batch's dirty srcs. Resolution (``_rev_live``): a row is live
+  iff no newer src-tombstone exists (``row.seq >= tseq`` keeps a
+  batch's own re-adds); src-level global tombstones need no
+  per-bucket coverage, so replay-divergent recomputes (kNN edge sets
+  that differ in the last distance ulp between attempts) cannot
+  strand stale adds. Probes filter by their broadcast dst set BEFORE
+  resolution, so the resolve join is probe-sized. The log folds back
+  into the base when it outgrows REV_COMPACT_FACTOR x the base rows,
+  and for free at every rebuild; a half-finished fold is exact (base
+  keeps each row's seq, duplicates between base and a not-yet-removed
+  delta are identical payloads deduped on key).
 * ``meta.json``— {n_at_rebuild, n_live, build params, buckets, rev,
   pending}; written atomically (write-temp + os.replace) so a crash
   mid-dump can never brick the artifact.
@@ -41,11 +59,12 @@ Per micro-batch (:func:`upsert_graph_artifact`):
    verbatim. All four edge reads are dirty-fraction-pruned: dirty-src
    rows from ``edges``, dirty-dst rows and replaced-id losers from
    ``rev_edges`` (both by partition value), never a full scan.
-3. Crash-safe swap of ONLY the dirty buckets of all three artifacts
-   (atomic.swap_in_buckets, with the expected dirty-bucket list so a
-   bucket EMPTIED by the update swaps to a marker-only dir instead of
-   silently keeping stale rows): per-batch write I/O scales with
-   |batch|·degree, not with the corpus. The whole step is
+3. Crash-safe commit: dirty-bucket swaps for vectors and forward
+   edges (atomic.swap_in_buckets, with the expected dirty-bucket list
+   so a bucket EMPTIED by the update swaps to a marker-only dir
+   instead of silently keeping stale rows), then an APPEND to the rev
+   delta log (|adds| + |dirty| rows, no bucket rewrite): per-batch
+   write I/O scales with |batch|·degree, not with the corpus. The whole step is
    replay-idempotent by DETECTION: a redelivered batch (every id
    stored with a bit-identical vector and its edge work committed)
    returns ``"noop"`` without touching state — recomputation could
@@ -124,8 +143,13 @@ EDGE_SCHEMA = "layer int, src long, dst long, dist double"
 #: ≈ 1 − exp(−dirty/buckets) — so buckets must sit well ABOVE the
 #: expected dirty-src count for the bucket swap to beat a full
 #: rewrite (measured at 500k/M0=16: 256 buckets → a 100-row batch
-#: dirties 254/256; 4096 → ~1/3). Size upward with the corpus so each
-#: bucket still holds healthy parquet files (≥ a few MB).
+#: dirties 254/256; 4096 → ~1/3). Sizing is a BALANCE, not a
+#: maximization (r10 measurement, SCALE.md): 16384 buckets at 500k
+#: was ~2x SLOWER than 4096 across every step because per-file fixed
+#: costs (open/footer/rename, 3x dir listings) outgrew the dirty-row
+#: savings once bucket files fell to tens of KB. Keep bucket files
+#: ≥ a few MB AND buckets well above |batch|·(M0+1); both hold
+#: simultaneously only at large corpora — which is the design point.
 DEFAULT_BUCKETS = 1024
 
 
@@ -155,6 +179,175 @@ def _bkts(df: DataFrame, col: str, n_buckets: int) -> list:
     bucket count, used for partition pruning on the artifact scans."""
     return sorted(
         r[0] for r in df.select(_bucket_of(col, n_buckets)).distinct().collect()
+    )
+
+
+#: compact the rev delta log back into its base once the accumulated
+#: delta rows exceed this fraction of the base (bounds probe-side read
+#: amplification; the fold also happens for free at every rebuild)
+REV_COMPACT_FACTOR = 0.25
+
+ADDS_SCHEMA = "layer int, src long, dst long, dist double, seq long, bucket int"
+TOMBS_SCHEMA = "src long, seq long"
+
+
+def _delta_paths(index_dir: str) -> tuple[str, str]:
+    root = os.path.join(index_dir, "rev_delta")
+    return os.path.join(root, "adds"), os.path.join(root, "tombs")
+
+
+def _read_rev_base(spark: SparkSession, rev_path: str) -> DataFrame:
+    """The rev base with its fold watermark; pre-delta-era bases (the
+    short-lived full-mirror layout) read as seq 0."""
+    base = spark.read.parquet(rev_path)
+    if "seq" not in base.columns:
+        base = base.withColumn("seq", F.lit(0).cast("long"))
+    return base
+
+
+def _read_adds(spark: SparkSession, adds_dir: str) -> DataFrame:
+    if not os.path.isdir(adds_dir):
+        return spark.createDataFrame([], ADDS_SCHEMA)
+    return spark.read.schema(ADDS_SCHEMA).parquet(adds_dir)
+
+
+def _read_tomb_max(spark: SparkSession, tombs_dir: str) -> DataFrame:
+    """(src, tseq): the newest tombstone per dirtied src. Tombstones
+    are GLOBAL (one tiny file per batch, rows = that batch's dirty
+    srcs): a src-level kill needs no per-bucket coverage, which is
+    what makes replay-divergent batches (kNN edge sets that differ in
+    the last ulp between attempts) safe — any stale add of a dirty src
+    dies regardless of which dst bucket it landed in."""
+    if not os.path.isdir(tombs_dir):
+        return spark.createDataFrame([], "src long, tseq long")
+    return (
+        spark.read.schema(TOMBS_SCHEMA).parquet(tombs_dir)
+        .groupBy("src").agg(F.max("seq").alias("tseq"))
+    )
+
+
+def _rev_live(
+    spark: SparkSession,
+    index_dir: str,
+    bkts: list | None = None,
+    dst_df: DataFrame | None = None,
+    keep_seq: bool = False,
+) -> DataFrame:
+    """Resolved live inverted-adjacency rows (layer, src, dst, dist):
+    base ∪ delta adds, minus rows superseded by a newer src tombstone
+    (``row.seq >= tseq`` keeps a batch's own re-adds). ``bkts``
+    partition-prunes both reads; ``dst_df`` (a (dst) frame) semi-joins
+    BEFORE resolution so the join work is probe-sized, never
+    slice-sized — dst is part of every row, so the filter keeps whole
+    src-group slices intact per bucket. The final key-dedup only fires
+    on rows duplicated between a half-compacted base and a not-yet-
+    removed delta (identical payloads, so keeping either is exact)."""
+    _, _, rev_path, _ = _paths(index_dir)
+    adds_dir, tombs_dir = _delta_paths(index_dir)
+    base = _read_rev_base(spark, rev_path)
+    adds = _read_adds(spark, adds_dir)
+    if bkts is not None:
+        base = base.where(F.col("bucket").isin(bkts))
+        adds = adds.where(F.col("bucket").isin(bkts))
+    cols = ["layer", "src", "dst", "dist", "seq"]
+    rows = base.select(*cols).unionByName(adds.select(*cols))
+    if dst_df is not None:
+        rows = rows.join(F.broadcast(dst_df), "dst", "left_semi")
+    live = (
+        rows.join(_read_tomb_max(spark, tombs_dir), "src", "left")
+        .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
+        .dropDuplicates(["layer", "src", "dst"])
+    )
+    keep = cols if keep_seq else ["layer", "src", "dst", "dist"]
+    return live.select(*keep)
+
+
+def rev_edges_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The full live inverted adjacency (test/inspection surface) —
+    must always equal the forward ``edges`` artifact row-for-row."""
+    return _rev_live(spark, index_dir)
+
+
+def _write_rev_delta(
+    adds: DataFrame,
+    dirty_src: DataFrame,
+    index_dir: str,
+    seq: int,
+    buckets: int,
+) -> None:
+    """Append one batch's rev delta: ``adds`` (the batch's merged
+    dirty adjacency) as ONE parquet file per touched dst bucket plus
+    one global tombstone file of the dirty srcs, every file named
+    d<seq> so a crash replay OVERWRITES its own attempt instead of
+    duplicating it. Write I/O is |adds| + |dirty| rows — never a
+    bucket rewrite; that is the point of the log."""
+    import shutil
+
+    adds_dir, tombs_dir = _delta_paths(index_dir)
+    spark = adds.sparkSession
+    tmp = os.path.join(index_dir, "rev_delta.__tmp__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        adds.withColumn("seq", F.lit(seq).cast("long"))
+        .withColumn("bucket", _bucket_of("dst", buckets))
+        .repartition("bucket")  # one file per touched bucket
+        .write.partitionBy("bucket").parquet(os.path.join(tmp, "adds"))
+    )
+    (
+        dirty_src.select(
+            F.col("id").alias("src"), F.lit(seq).cast("long").alias("seq")
+        )
+        .coalesce(1)
+        .write.parquet(os.path.join(tmp, "tombs"))
+    )
+    tname = [
+        f for f in os.listdir(os.path.join(tmp, "tombs"))
+        if f.endswith(".parquet")
+    ][0]
+    # tombstone FIRST: if the move loop dies midway, every landed add
+    # of this seq is already covered by its (same-seq) tombstone rule
+    os.makedirs(tombs_dir, exist_ok=True)
+    os.replace(
+        os.path.join(tmp, "tombs", tname),
+        os.path.join(tombs_dir, f"d{seq}.parquet"),
+    )
+    for name in sorted(os.listdir(os.path.join(tmp, "adds"))):
+        if not name.startswith("bucket="):
+            continue
+        part = [
+            f for f in os.listdir(os.path.join(tmp, "adds", name))
+            if f.endswith(".parquet")
+        ][0]
+        live_dir = os.path.join(adds_dir, name)
+        os.makedirs(live_dir, exist_ok=True)
+        os.replace(
+            os.path.join(tmp, "adds", name, part),
+            os.path.join(live_dir, f"d{seq}.parquet"),
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pre_clear_rev_delta(index_dir: str, seq: int, bkts: list) -> None:
+    """Remove a crashed attempt's delta files before this replay's
+    probes run: the probes must see the PRE-batch rev state, and the
+    replay's own recompute (which may differ from the crashed attempt
+    in the last distance ulp) rewrites the same d<seq> names."""
+    adds_dir, tombs_dir = _delta_paths(index_dir)
+    for b in bkts:
+        f = os.path.join(adds_dir, f"bucket={b}", f"d{seq}.parquet")
+        if os.path.exists(f):
+            os.remove(f)
+    f = os.path.join(tombs_dir, f"d{seq}.parquet")
+    if os.path.exists(f):
+        os.remove(f)
+
+
+def _clear_rev_delta(index_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "rev_delta"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(index_dir, "rev_delta.__tmp__"), ignore_errors=True
     )
 
 
@@ -189,9 +382,11 @@ def init_graph_artifact(
         edge_path, coalesce=None, partition_by=["bucket"],
     )
     swap_in(
-        edges.withColumn("bucket", _bucket_of("dst", buckets)),
+        edges.withColumn("seq", F.lit(0).cast("long"))
+        .withColumn("bucket", _bucket_of("dst", buckets)),
         rev_path, coalesce=None, partition_by=["bucket"],
     )
+    _clear_rev_delta(index_dir)
     n = base.sparkSession.read.parquet(vec_path).count()
     write_json_atomic(
         meta_path,
@@ -200,6 +395,9 @@ def init_graph_artifact(
             "n_live": n,
             "buckets": buckets,
             "rev": True,
+            "rev_seq": 0,
+            "rev_base_rows": edges.count(),
+            "rev_delta_rows": 0,
             **_build_params(M0, M1, M_level, metric),
         },
     )
@@ -298,6 +496,30 @@ def upsert_graph_artifact(
     migrate = "buckets" not in meta
     buckets = meta.get("buckets", DEFAULT_BUCKETS)
     pend = meta.get("pending") or {"ids": [], "replaced": [], "fresh": []}
+    # a crashed attempt's rev-delta files must go BEFORE any probe
+    # runs: the probes need the PRE-batch rev state, and the replay
+    # rewrites the same d<seq> names with its own recompute
+    if pend.get("seq") is not None:
+        _pre_clear_rev_delta(index_dir, pend["seq"], pend.get("rev_bkts", []))
+    rev_seq = int(meta.get("rev_seq", 0)) + 1
+
+    # fold the rev delta log back into its base once it outgrows
+    # REV_COMPACT_FACTOR x the base — bounds probe-side read
+    # amplification; deferred while a pending batch needs healing
+    if (
+        not pend["ids"]
+        and meta.get("rev")
+        and meta.get("rev_delta_rows", 0)
+        > REV_COMPACT_FACTOR * max(int(meta.get("rev_base_rows", 0)), 1)
+    ):
+        folded = _rev_live(spark, index_dir, keep_seq=True).withColumn(
+            "bucket", _bucket_of("dst", buckets)
+        ).localCheckpoint(eager=True)  # lineage reads the paths it replaces
+        swap_in(folded, rev_path, coalesce=None, partition_by=["bucket"])
+        _clear_rev_delta(index_dir)
+        meta["rev_base_rows"] = folded.count()
+        meta["rev_delta_rows"] = 0
+        write_json_atomic(meta_path, meta)
 
     # deterministic in-batch winner for duplicate ids: greatest vec by
     # array ordering (replays are identical rows, so this only matters
@@ -448,6 +670,7 @@ def upsert_graph_artifact(
         "ids": [r[0] for r in ins_ids.collect()],
         "replaced": [r[0] for r in repl_rows],
         "fresh": fresh_ids,
+        "seq": rev_seq,  # rev_bkts stamped just before the delta write
     }
     write_json_atomic(meta_path, meta)
 
@@ -467,12 +690,15 @@ def upsert_graph_artifact(
             edge_path, coalesce=None, partition_by=["bucket"],
         )
         swap_in(
-            edges.withColumn("bucket", _bucket_of("dst", buckets)),
+            edges.withColumn("seq", F.lit(0).cast("long"))
+            .withColumn("bucket", _bucket_of("dst", buckets)),
             rev_path, coalesce=None, partition_by=["bucket"],
         )
+        _clear_rev_delta(index_dir)  # the fresh base subsumes the log
         n_real = spark.read.parquet(vec_path).count()  # reconcile
         meta.update(
-            n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True
+            n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True,
+            rev_base_rows=edges.count(), rev_delta_rows=0,
         )
         meta.pop("pending", None)
         write_json_atomic(meta_path, meta)
@@ -484,12 +710,16 @@ def upsert_graph_artifact(
     if not meta.get("rev"):
         swap_in(
             edges_raw.drop("bucket")
+            .withColumn("seq", F.lit(0).cast("long"))
             .withColumn("bucket", _bucket_of("dst", buckets)),
             rev_path, coalesce=None, partition_by=["bucket"],
         )
         meta["rev"] = True
+        meta["rev_base_rows"] = int(
+            spark.read.parquet(rev_path).count()
+        )
+        meta["rev_delta_rows"] = 0
         write_json_atomic(meta_path, meta)
-    rev_raw = spark.read.parquet(rev_path)
 
     # incremental edges: inserted/updated/healed nodes vs the union —
     # exact below the limit, planner-routed past it — + layer-1 over
@@ -503,15 +733,13 @@ def upsert_graph_artifact(
     )
     new_edges = l0.unionByName(l1).localCheckpoint(eager=True)
 
-    repl = F.broadcast(replaced_e.withColumnRenamed("id", "_rid"))
     # nodes losing a stale edge to a replaced id: a pure dst-side
-    # probe — partition-pruned on the INVERTED artifact by the
-    # replaced ids' buckets instead of scanning every src bucket
-    losers = (
-        rev_raw.where(F.col("bucket").isin(repl_bkts))
-        .join(repl, F.col("dst") == F.col("_rid"), "left_semi")
-        .select(F.col("src").alias("id"))
-    )
+    # probe — partition-pruned on the INVERTED log by the replaced
+    # ids' buckets instead of scanning every src bucket
+    losers = _rev_live(
+        spark, index_dir, bkts=repl_bkts,
+        dst_df=replaced_e.withColumnRenamed("id", "dst"),
+    ).select(F.col("src").alias("id"))
     # DIRTY set: nodes whose adjacency can change — batch ids, new
     # edges' endpoints, and the losers
     dirty = (
@@ -536,15 +764,15 @@ def upsert_graph_artifact(
         .drop("bucket")
     )
     # dirty ids hash to the same values whether keyed as src or dst,
-    # so dirty_bkts prunes the dst-partitioned artifact too
-    dst_rows = (
-        rev_raw.where(F.col("bucket").isin(dirty_bkts))
-        .join(dirty_b.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
-        .drop("bucket")
-    )
+    # so dirty_bkts prunes the dst-partitioned log too; the dst filter
+    # is applied INSIDE the resolver, before per-src resolution
+    dst_rows = _rev_live(
+        spark, index_dir, bkts=dirty_bkts,
+        dst_df=dirty.withColumnRenamed("id", "dst"),
+    ).join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
     # minus stale rows (either endpoint replaced — their dists
     # describe the old vector)
+    repl = F.broadcast(replaced_e.withColumnRenamed("id", "_rid"))
     cand = src_rows.unionByName(dst_rows)
     old_rel = cand.join(
         repl, F.col("src") == F.col("_rid"), "left_anti"
@@ -562,13 +790,11 @@ def upsert_graph_artifact(
         .localCheckpoint(eager=True)
     )
 
-    # inverted-artifact dirty buckets: dst buckets of every removed
-    # row (= src_rows) plus of every inserted row (= merged_dirty) —
-    # collected pre-swap, while src_rows' file listing is still live
+    # rev-delta footprint: dst buckets of the batch's adds — collected
+    # pre-swap so the ledger can scope a replay's pre-clear
     inv_dirty_bkts = sorted(
         r[0]
-        for r in src_rows.select(_bucket_of("dst", buckets).alias("b"))
-        .unionByName(merged_dirty.select(_bucket_of("dst", buckets).alias("b")))
+        for r in merged_dirty.select(_bucket_of("dst", buckets).alias("b"))
         .distinct()
         .collect()
     )
@@ -580,13 +806,6 @@ def upsert_graph_artifact(
     )
     edges_out = keep.unionByName(
         merged_dirty.withColumn("bucket", _bucket_of("src", buckets))
-    )
-    inv_keep = (
-        rev_raw.where(F.col("bucket").isin(inv_dirty_bkts))
-        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
-    )
-    rev_out = inv_keep.unionByName(
-        merged_dirty.withColumn("bucket", _bucket_of("dst", buckets))
     )
 
     # vector rows actually change only for inserts and updates; their
@@ -605,17 +824,27 @@ def upsert_graph_artifact(
     # SUPERSET of the edges' endpoints (unreachable rows, servable);
     # the replayed batch then lands on the pending-heal path above and
     # completes the graph. The reverse order could serve edges whose
-    # endpoints have no vector. Forward edges before inverted: the
-    # serving path reads forward only, and the heal recompute restores
-    # the mirror either way. Lineage safety: each output's lineage
-    # reads only artifacts not yet swapped at its materialization time
-    # (vecs_out → vec_path; edges_out → edge_path; rev_out → rev_path;
-    # merged_dirty is checkpointed above).
+    # endpoints have no vector. Forward edges before the rev delta:
+    # the serving path reads forward only, and the heal recompute
+    # restores the mirror either way. Lineage safety: each output's
+    # lineage reads only artifacts not yet swapped at its
+    # materialization time (vecs_out → vec_path; edges_out →
+    # edge_path; merged_dirty and dirty are checkpointed above, so the
+    # rev delta write has no live lineage at all).
     if vb_list:
         swap_in_buckets(vecs_out, vec_path, expected=vb_list)
     swap_in_buckets(edges_out, edge_path, expected=dirty_bkts)
-    swap_in_buckets(rev_out, rev_path, expected=inv_dirty_bkts)
+    # scope a future replay's pre-clear to the delta files this
+    # attempt is about to write, then append the log entry: |adds| +
+    # |dirty| rows of write I/O — never a rev bucket rewrite
+    meta["pending"]["rev_bkts"] = inv_dirty_bkts
+    write_json_atomic(meta_path, meta)
+    _write_rev_delta(merged_dirty, dirty, index_dir, rev_seq, buckets)
     meta["n_live"] = n_union
+    meta["rev_seq"] = rev_seq
+    meta["rev_delta_rows"] = int(meta.get("rev_delta_rows", 0)) + (
+        merged_dirty.count() + dirty.count()
+    )
     meta.pop("pending", None)
     write_json_atomic(meta_path, meta)
     return "upsert"
