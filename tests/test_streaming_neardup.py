@@ -283,3 +283,62 @@ def test_neardup_stream_end_to_end(spark, docs, tmp_path):
         )
     )
     assert {(r.id_a, r.id_b, r.jaccard) for r in out.collect()} == exp
+
+
+def test_replay_classification_reads_only_batch_bucket_footprint(
+    spark, docs, tmp_path
+):
+    """The replay/update classification must partition-prune the
+    signatures read to the batch dids' buckets (the graph maintainer
+    lost exactly this prune in a refactor once — r10). Corrupting the
+    data pages of every signature/bands bucket file OUTSIDE a one-doc
+    batch's footprint makes any unpruned column read throw; the
+    replay must still detect the no-op cleanly."""
+    import glob
+
+    from pyspark.sql import functions as SF
+
+    # bigger docs than the shared fixture so every signature bucket
+    # file is large enough to poison clear of its footer
+    rows = [
+        (d, " ".join(f"{WORDS[(d * 3 + j) % len(WORDS)]}{d}{j % 17}"
+                     for j in range(200)))
+        for d in range(200)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    art = str(tmp_path / "prune_nd")
+    init_neardup_artifact(base, art, buckets=8)
+    one = spark.createDataFrame(
+        [(1000, rows[0][1][:-8])], "doc_id long, text string"
+    ).localCheckpoint(eager=True)
+    assert upsert_neardup_artifact(one, art).count() >= 0
+
+    keep_bkt = (
+        one.select(
+            SF.pmod(
+                SF.xxhash64(SF.col("doc_id").cast("long")), SF.lit(8)
+            ).cast("int")
+        )
+        .first()[0]
+    )
+    # bands probe footprint: the batch doc's band keys — corrupt only
+    # signature buckets (the classification read); bands stay intact
+    corrupted = 0
+    for d in glob.glob(os.path.join(art, "signatures", "bucket=*")):
+        if int(d.rsplit("=", 1)[1]) == keep_bkt:
+            continue
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            size = os.path.getsize(f)
+            if size < 2600:
+                continue
+            with open(f, "r+b") as fh:
+                fh.seek(4)
+                fh.write(b"\x00" * (size - 2500))
+            corrupted += 1
+    assert corrupted >= 3
+    with pytest.raises(Exception):
+        spark.read.parquet(os.path.join(art, "signatures")).agg(
+            SF.sum("did")
+        ).collect()
+
+    assert upsert_neardup_artifact(one, art).count() == 0  # clean noop
