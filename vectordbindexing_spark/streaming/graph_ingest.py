@@ -268,23 +268,36 @@ def rev_edges_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
     return _rev_live(spark, index_dir)
 
 
+def _du_parquet(path: str) -> int:
+    """Total parquet bytes under ``path`` — the delta-vs-base fold
+    trigger runs on bytes (the actual IO cost driver), and sizing from
+    the filesystem costs no Spark job."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def _write_rev_delta(
     adds: DataFrame,
     dirty_src: DataFrame,
     index_dir: str,
     seq: int,
     buckets: int,
-) -> None:
+) -> int:
     """Append one batch's rev delta: ``adds`` (the batch's merged
     dirty adjacency) as ONE parquet file per touched dst bucket plus
     one global tombstone file of the dirty srcs, every file named
     d<seq> so a crash replay OVERWRITES its own attempt instead of
     duplicating it. Write I/O is |adds| + |dirty| rows — never a
-    bucket rewrite; that is the point of the log."""
+    bucket rewrite; that is the point of the log. Returns the bytes
+    appended (the fold-trigger accounting, measured off the moved
+    files so it costs no extra Spark job)."""
     import shutil
 
     adds_dir, tombs_dir = _delta_paths(index_dir)
-    spark = adds.sparkSession
     tmp = os.path.join(index_dir, "rev_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -300,6 +313,7 @@ def _write_rev_delta(
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
+    appended = 0
     tname = [
         f for f in os.listdir(os.path.join(tmp, "tombs"))
         if f.endswith(".parquet")
@@ -307,6 +321,7 @@ def _write_rev_delta(
     # tombstone FIRST: if the move loop dies midway, every landed add
     # of this seq is already covered by its (same-seq) tombstone rule
     os.makedirs(tombs_dir, exist_ok=True)
+    appended += os.path.getsize(os.path.join(tmp, "tombs", tname))
     os.replace(
         os.path.join(tmp, "tombs", tname),
         os.path.join(tombs_dir, f"d{seq}.parquet"),
@@ -320,11 +335,13 @@ def _write_rev_delta(
         ][0]
         live_dir = os.path.join(adds_dir, name)
         os.makedirs(live_dir, exist_ok=True)
+        appended += os.path.getsize(os.path.join(tmp, "adds", name, part))
         os.replace(
             os.path.join(tmp, "adds", name, part),
             os.path.join(live_dir, f"d{seq}.parquet"),
         )
     shutil.rmtree(tmp, ignore_errors=True)
+    return appended
 
 
 def _pre_clear_rev_delta(index_dir: str, seq: int, bkts: list) -> None:
@@ -396,8 +413,8 @@ def init_graph_artifact(
             "buckets": buckets,
             "rev": True,
             "rev_seq": 0,
-            "rev_base_rows": edges.count(),
-            "rev_delta_rows": 0,
+            "rev_base_bytes": _du_parquet(rev_path),
+            "rev_delta_bytes": 0,
             **_build_params(M0, M1, M_level, metric),
         },
     )
@@ -509,16 +526,16 @@ def upsert_graph_artifact(
     if (
         not pend["ids"]
         and meta.get("rev")
-        and meta.get("rev_delta_rows", 0)
-        > REV_COMPACT_FACTOR * max(int(meta.get("rev_base_rows", 0)), 1)
+        and meta.get("rev_delta_bytes", 0)
+        > REV_COMPACT_FACTOR * max(int(meta.get("rev_base_bytes", 0)), 1)
     ):
         folded = _rev_live(spark, index_dir, keep_seq=True).withColumn(
             "bucket", _bucket_of("dst", buckets)
         ).localCheckpoint(eager=True)  # lineage reads the paths it replaces
         swap_in(folded, rev_path, coalesce=None, partition_by=["bucket"])
         _clear_rev_delta(index_dir)
-        meta["rev_base_rows"] = folded.count()
-        meta["rev_delta_rows"] = 0
+        meta["rev_base_bytes"] = _du_parquet(rev_path)
+        meta["rev_delta_bytes"] = 0
         write_json_atomic(meta_path, meta)
 
     # deterministic in-batch winner for duplicate ids: greatest vec by
@@ -698,7 +715,7 @@ def upsert_graph_artifact(
         n_real = spark.read.parquet(vec_path).count()  # reconcile
         meta.update(
             n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True,
-            rev_base_rows=edges.count(), rev_delta_rows=0,
+            rev_base_bytes=_du_parquet(rev_path), rev_delta_bytes=0,
         )
         meta.pop("pending", None)
         write_json_atomic(meta_path, meta)
@@ -715,10 +732,8 @@ def upsert_graph_artifact(
             rev_path, coalesce=None, partition_by=["bucket"],
         )
         meta["rev"] = True
-        meta["rev_base_rows"] = int(
-            spark.read.parquet(rev_path).count()
-        )
-        meta["rev_delta_rows"] = 0
+        meta["rev_base_bytes"] = _du_parquet(rev_path)
+        meta["rev_delta_bytes"] = 0
         write_json_atomic(meta_path, meta)
 
     # incremental edges: inserted/updated/healed nodes vs the union —
@@ -839,12 +854,12 @@ def upsert_graph_artifact(
     # |dirty| rows of write I/O — never a rev bucket rewrite
     meta["pending"]["rev_bkts"] = inv_dirty_bkts
     write_json_atomic(meta_path, meta)
-    _write_rev_delta(merged_dirty, dirty, index_dir, rev_seq, buckets)
+    appended = _write_rev_delta(
+        merged_dirty, dirty, index_dir, rev_seq, buckets
+    )
     meta["n_live"] = n_union
     meta["rev_seq"] = rev_seq
-    meta["rev_delta_rows"] = int(meta.get("rev_delta_rows", 0)) + (
-        merged_dirty.count() + dirty.count()
-    )
+    meta["rev_delta_bytes"] = int(meta.get("rev_delta_bytes", 0)) + appended
     meta.pop("pending", None)
     write_json_atomic(meta_path, meta)
     return "upsert"
