@@ -136,6 +136,20 @@ def _retrial_outliers(
     artifact that cost a manual adjudication session; this automates
     it. The headline JSON keeps the first-pass value for
     round-over-round comparability."""
+    ratios = sorted(
+        qtimes[n] / prev[n] for n in qtimes if n in prev and prev[n] > 0
+    )
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        print(
+            f"# box-factor median={med:.2f} over {len(ratios)} common "
+            f"queries vs previous round"
+            + (
+                " — BOX-LEVEL slowdown, per-query deltas are not "
+                "code regressions" if med > 1.2 else ""
+            ),
+            file=sys.stderr,
+        )
     outliers = [
         n for n, t in qtimes.items()
         if n in prev and prev[n] > 0 and t > threshold * prev[n]
