@@ -2404,91 +2404,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Query]:
     # Registry ORDER is a contract with the driver: its per-round
-    # CORRECTNESS file covers roughly the FIRST 50 entries, so each
-    # round leads with the queries that most need a fresh driver-side
-    # oracle row. At 121 entries the window cycles every ⌈121/50⌉ = 3
-    # rounds; the freshness invariant (enforced by
-    # scripts/check_registry.py) is "every registered query has a green
-    # row in the union of the last 3 CORRECTNESS files, and the current
-    # window leads with the entries whose last row is oldest". Every
-    # session's local full replay (tests/test_entry_contract.py) still
-    # exercises ALL queries at sf0.001.
-    # Round-10 rotation:
-    # (0) positions 1-2 — streaming_graph_upsert and
-    #     streaming_neardup_upsert, registered r10 (no driver rows
-    #     yet): new entries lead everything.
-    # (a) positions 3-22 — the 20 entries whose last driver row is r07
-    #     (check_registry's mechanical priority list): the deferred
-    #     sketch/relational block (HLL/KMV/CMS/quantile, as-of/range
-    #     joins, pivot/funnel/moving-avg/rollup, bloom prune, CDC diff,
-    #     editdist, z-order, NB) plus bpe_train_merges/bpe_encode_stats
-    #     (slipped past position 50 in the r09 window). Their rows turn
-    #     3 rounds old this round — they MUST refresh now.
+    # CORRECTNESS file covers roughly the FIRST 50 entries (r10 covered
+    # 49 — budget for 49, not 50), so each round leads with the queries
+    # that most need a fresh driver-side oracle row. At 122 entries the
+    # window cycles every ⌈122/50⌉ = 3 rounds; the freshness invariant
+    # (enforced by scripts/check_registry.py) is "every registered
+    # query has a green row in the union of the last 3 CORRECTNESS
+    # files, and the current window leads with the entries whose last
+    # row is oldest". Every session's local full replay
+    # (tests/test_entry_contract.py) still exercises ALL queries at
+    # sf0.001.
+    #
+    # GROWTH POLICY (registry headroom): at 122 queries the 50-slot
+    # window covers the registry in exactly the 3-round lookback with
+    # ~28 slots/cycle of slack. A new registration consumes one slack
+    # slot for 3 rounds. Before registering, run check_registry and
+    # confirm ⌈(N+new)/50⌉ does not exceed the lookback; if it would,
+    # first retire/merge a redundant row (candidates:
+    # simhash_text_fingerprints ⊂ simhash_buckets coverage,
+    # cluster_silhouette vs cluster_silhouette_simplified) so the
+    # invariant stays satisfiable. Never register more than ~10 new
+    # queries in one round without retiring an equal number.
+    #
+    # Round-11 rotation:
+    # (a) positions 1-22 — the 22 entries whose last driver row is r08
+    #     (check_registry's mechanical priority list): semantic_dedup
+    #     (slipped past the 49-row r10 coverage at position 50) + the
+    #     quantizer/planner/exact-kNN stack + four text ops. Their rows
+    #     turn 3 rounds old this round — they MUST refresh now.
     # (b) positions 23-50 — 28 of the 50 entries whose last driver row
-    #     is r08 (oldest-first by registry order): lexical retrieval,
-    #     graph analytics, mining, relational tail, media, dedup
-    #     groups.
-    # (c) positions 51-72 — the 22 remaining r08-rowed entries
-    #     (deferred: semantic_dedup + the quantizer/planner/exact-kNN
-    #     stack with the lowest drift risk). They MUST lead the r11
-    #     window; check_registry emits this list mechanically.
-    # (d) positions 73-122 — the 50 entries with fresh r09 rows.
+    #     is r09 (oldest-first by registry order): clustering, mixing,
+    #     relational r09 block, packing.
+    # (c) positions 51-72 — the 22 remaining r09-rowed entries. They
+    #     MUST lead the r12 window; check_registry emits this list
+    #     mechanically.
+    # (d) positions 73-122 — the 50 entries with fresh r10 rows.
     return {
-        # (0) NEW r10 registrations — no driver rows yet, lead everything
-        "streaming_graph_upsert": _streaming_graph_upsert,
-        "streaming_neardup_upsert": _streaming_neardup_upsert,
-        # (a) last driver row r07 — window-leading, refreshed this round
-        "bpe_train_merges": _bpe_train_merges,
-        "bpe_encode_stats": _bpe_encode_stats,
-        "zorder_layout_stats": _zorder_layout_stats,
-        "nb_quality_scores": _nb_quality_scores,
-        "hll_registers_events": _hll_registers_events,
-        "kmv_sketch_events": _kmv_sketch_events,
-        "cms_token_counts": _cms_token_counts,
-        "events_quantile_sketch": _events_quantile_sketch,
-        "events_asof_join": _events_asof_join,
-        "events_range_join": _events_range_join,
-        "text_editdist_neardup": _text_editdist_neardup,
-        "events_multires_rollup": _events_multires_rollup,
-        "bloom_join_prune": _bloom_join_prune,
-        "events_funnel_steps": _events_funnel_steps,
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "events_pivot_user_types": _events_pivot_user_types,
-        "events_moving_avg": _events_moving_avg,
-        "source_overlap_kmv": _source_overlap_kmv,
-        "hll_estimate_users": _hll_estimate_users,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        # (b) last driver row r08 — refreshed this round
-        "bm25_keyword_topk": _bm25_keyword_topk,
-        "hybrid_rrf_search": _hybrid_rrf_search,
-        "graph_pagerank": _graph_pagerank,
-        "mix_weighted_sample": _mix_weighted_sample,
-        "graph_triangle_stats": _graph_triangle_stats,
-        "graph_kcore": _graph_kcore,
-        "graph_label_prop": _graph_label_prop,
-        "graph_ppr": _graph_ppr,
-        "graph_random_walks": _graph_random_walks,
-        "maxsim_knn": _maxsim_knn,
-        "mmr_rerank_knn": _mmr_rerank_knn,
-        "mine_triplets": _mine_triplets,
-        "cluster_silhouette": _cluster_silhouette,
-        "text_tfidf_terms": _text_tfidf_terms,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_transition_counts": _events_transition_counts,
-        "tpch_q4_late_orders": _tpch_q4_late_orders,
-        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
-        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
-        "tpch_rollup_revenue": _tpch_rollup_revenue,
-        "simhash_text_neardup": _simhash_text_neardup,
-        "dedup_groups": _dedup_groups,
-        "simhash_buckets": _simhash_buckets,
-        "events_value_histogram": _events_value_histogram,
-        "planner_filtered_route": _planner_filtered_route,
-        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
-        "media_wav_features": _media_wav_features,
-        "media_video_stats": _media_video_stats,
+        # (a) last driver row r08 — window-leading, refreshed this round
         "semantic_dedup": _semantic_dedup,
-        # (c) last driver row r08, deferred — MUST lead the r11 window
         "ann_ladder_recall": _ann_ladder_recall,
         "text_lang_id_lexicon": _text_lang_id_lexicon,
         "sq8_knn": _sq8_knn,
@@ -2510,7 +2463,7 @@ def queries() -> dict[str, Query]:
         "text_repetition_stats": _text_repetition_stats,
         "text_chunk_documents": _text_chunk_documents,
         "text_lm_logprob": _char_trigram_logprob,
-        # (d) fresh r09 driver rows — tail
+        # (b) last driver row r09 — refreshed this round
         "kmeans_clusters": _kmeans_clusters,
         "cluster_silhouette_simplified": _cluster_silhouette_simplified,
         "embedding_pool_by_doc": _embedding_pool_by_doc,
@@ -2539,6 +2492,7 @@ def queries() -> dict[str, Query]:
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
         "khop_reachability": _khop_reachability,
+        # (c) last driver row r09, deferred — MUST lead the r12 window
         "augment_star_edges": _augment_star_edges,
         "traced_steps_summary": _traced_steps_summary,
         "hnsw_level_assignment": _hnsw_levels,
@@ -2561,6 +2515,57 @@ def queries() -> dict[str, Query]:
         "text_lang_id": _text_lang_id,
         "ann_bucketed_recall": _ann_bucketed_recall,
         "text_duplicated_spans": _text_duplicated_spans,
+        # (d) fresh r10 driver rows — tail
+        "streaming_graph_upsert": _streaming_graph_upsert,
+        "streaming_neardup_upsert": _streaming_neardup_upsert,
+        "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode_stats": _bpe_encode_stats,
+        "zorder_layout_stats": _zorder_layout_stats,
+        "nb_quality_scores": _nb_quality_scores,
+        "hll_registers_events": _hll_registers_events,
+        "kmv_sketch_events": _kmv_sketch_events,
+        "cms_token_counts": _cms_token_counts,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
+        "text_editdist_neardup": _text_editdist_neardup,
+        "events_multires_rollup": _events_multires_rollup,
+        "bloom_join_prune": _bloom_join_prune,
+        "events_funnel_steps": _events_funnel_steps,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "events_pivot_user_types": _events_pivot_user_types,
+        "events_moving_avg": _events_moving_avg,
+        "source_overlap_kmv": _source_overlap_kmv,
+        "hll_estimate_users": _hll_estimate_users,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bm25_keyword_topk": _bm25_keyword_topk,
+        "hybrid_rrf_search": _hybrid_rrf_search,
+        "graph_pagerank": _graph_pagerank,
+        "mix_weighted_sample": _mix_weighted_sample,
+        "graph_triangle_stats": _graph_triangle_stats,
+        "graph_kcore": _graph_kcore,
+        "graph_label_prop": _graph_label_prop,
+        "graph_ppr": _graph_ppr,
+        "graph_random_walks": _graph_random_walks,
+        "maxsim_knn": _maxsim_knn,
+        "mmr_rerank_knn": _mmr_rerank_knn,
+        "mine_triplets": _mine_triplets,
+        "cluster_silhouette": _cluster_silhouette,
+        "text_tfidf_terms": _text_tfidf_terms,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_transition_counts": _events_transition_counts,
+        "tpch_q4_late_orders": _tpch_q4_late_orders,
+        "tpch_q13_order_distribution": _tpch_q13_order_distribution,
+        "tpch_q22_idle_balances": _tpch_q22_idle_balances,
+        "tpch_rollup_revenue": _tpch_rollup_revenue,
+        "simhash_text_neardup": _simhash_text_neardup,
+        "dedup_groups": _dedup_groups,
+        "simhash_buckets": _simhash_buckets,
+        "events_value_histogram": _events_value_histogram,
+        "planner_filtered_route": _planner_filtered_route,
+        "media_jpeg_decode_stats": _media_jpeg_decode_stats,
+        "media_wav_features": _media_wav_features,
+        "media_video_stats": _media_video_stats,
     }
 
 

@@ -128,19 +128,24 @@ def _prev_round_queries(here: str, sf: float) -> dict[str, float]:
 def _retrial_outliers(
     spark, entrymod, sf_dir: str, qtimes: dict[str, float],
     prev: dict[str, float], threshold: float = 1.3, cap: int = 8,
-) -> None:
+) -> tuple[float | None, dict[str, float]]:
     """Self-adjudicating outlier pass: any query slower than
     ``threshold``× its previous-round driver value is re-run ONCE,
     warm, and both numbers land on stderr — three rounds running
     (r07-r09), every apparent bench regression was a cold-start
     artifact that cost a manual adjudication session; this automates
     it. The headline JSON keeps the first-pass value for
-    round-over-round comparability."""
+    round-over-round comparability. Returns (box-factor median,
+    {outlier: warm_sec}) so the caller can inline both into the final
+    stdout JSON — the driver records only that line, and three rounds
+    of stderr-only adjudication data (r08-r10) never reached the
+    BENCH file."""
+    med = None
     ratios = sorted(
         qtimes[n] / prev[n] for n in qtimes if n in prev and prev[n] > 0
     )
     if ratios:
-        med = ratios[len(ratios) // 2]
+        med = round(ratios[len(ratios) // 2], 2)
         print(
             f"# box-factor median={med:.2f} over {len(ratios)} common "
             f"queries vs previous round"
@@ -169,6 +174,7 @@ def _retrial_outliers(
             f"# retrial {n}: first={qtimes[n]:.3f}s warm={warm} "
             f"prev={prev[n]:.3f}s", file=sys.stderr,
         )
+    return med, {n: retimes[n] for n in outliers[:cap] if n in retimes}
 
 
 def main() -> None:
@@ -220,8 +226,11 @@ def main() -> None:
         errs.update(e2)
     here = os.path.dirname(os.path.abspath(__file__))
     prev = _prev_round_queries(here, _sf_of(sf_dir))
+    box_med, retrials = (None, {})
     if prev:
-        _retrial_outliers(spark, entrymod, sf_dir, qtimes, prev)
+        box_med, retrials = _retrial_outliers(
+            spark, entrymod, sf_dir, qtimes, prev
+        )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(qtimes.values()), 3),
@@ -229,6 +238,14 @@ def main() -> None:
         "queries": qtimes,
         "sf": _sf_of(sf_dir),
     }
+    # self-adjudication IN the recorded line: box_factor_median > ~1.2
+    # means the whole run sits on a slow box and per-query deltas are
+    # not code regressions; retrials carries each outlier's warm re-run
+    # (r08-r10 each needed a manual adjudication session without this)
+    if box_med is not None:
+        out["box_factor_median"] = box_med
+    if retrials:
+        out["retrials"] = {k: round(v, 2) for k, v in retrials.items()}
     if errs:
         # names only inline (bounded); full messages are on stderr above
         out["errors"] = sorted(errs)
@@ -273,6 +290,12 @@ def main() -> None:
         # map is only ~50 chars over); dropping entries is the last
         # resort below
         out["queries"] = {k: round(v, 1) for k, v in out["queries"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > _LINE_BUDGET and len(out.get("retrials", {})) > 3:
+        # retrials shrink before any query entry is dropped (full list
+        # is on stderr); keep the 3 worst outliers
+        keep3 = sorted(out["retrials"].items(), key=lambda kv: -kv[1])[:3]
+        out["retrials"] = dict(keep3)
         line = json.dumps(out, separators=(",", ":"))
     while len(line) > _LINE_BUDGET and len(out["queries"]) > 1:
         keep = sorted(out["queries"].items(), key=lambda kv: -kv[1])

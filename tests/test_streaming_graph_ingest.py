@@ -537,7 +537,7 @@ def test_rev_delta_is_append_only_and_compaction_folds(
     }
     assert after == base_files
     adds = glob.glob(os.path.join(art, "rev_delta", "adds", "**",
-                                  "d1.parquet"), recursive=True)
+                                  "d1-*.parquet"), recursive=True)
     assert len(adds) > 0
     assert os.path.exists(
         os.path.join(art, "rev_delta", "tombs", "d1.parquet")
@@ -565,9 +565,9 @@ def test_rev_delta_is_append_only_and_compaction_folds(
     assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
     # the fold consumed d1; the new batch appended d2 only
     assert not glob.glob(os.path.join(art, "rev_delta", "adds", "**",
-                                      "d1.parquet"), recursive=True)
+                                      "d1-*.parquet"), recursive=True)
     assert glob.glob(os.path.join(art, "rev_delta", "adds", "**",
-                                  "d2.parquet"), recursive=True)
+                                  "d2-*.parquet"), recursive=True)
     assert fwd_rows() == rev_rows()
     import json as _json
 
@@ -673,3 +673,60 @@ def test_crash_before_rev_delta_write_heals_on_replay(
     )
     assert fwd == rev
     assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "noop"
+
+
+def test_pre_clear_rev_delta_removes_only_its_own_seq(tmp_path):
+    """The replay pre-clear must match d<seq>.parquet and
+    d<seq>-<i>.parquet EXACTLY — a bare d<seq>* pattern would also
+    delete d<seq>0…'s files (seq 1 eating seq 10's delta)."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    adds = tmp_path / "rev_delta" / "adds" / "bucket=3"
+    tombs = tmp_path / "rev_delta" / "tombs"
+    adds.mkdir(parents=True)
+    tombs.mkdir(parents=True)
+    for n in [
+        "d1.parquet", "d1-0.parquet", "d1-1.parquet",
+        "d10.parquet", "d10-0.parquet", "d12-0.parquet",
+    ]:
+        (adds / n).write_bytes(b"x")
+    (tombs / "d1.parquet").write_bytes(b"x")
+    (tombs / "d10.parquet").write_bytes(b"x")
+
+    gi._pre_clear_rev_delta(str(tmp_path), 1, [3, 99])  # 99: absent dir
+    assert sorted(os.listdir(adds)) == [
+        "d10-0.parquet", "d10.parquet", "d12-0.parquet"
+    ]
+    assert sorted(os.listdir(tombs)) == ["d10.parquet"]
+
+
+def test_write_rev_delta_moves_every_part_file(spark, tmp_path, monkeypatch):
+    """If the bucket-clustered write ever emits >1 part file per bucket
+    dir (AQE/config variation), every part must be moved into the log —
+    dropping parts [1:] silently loses delta rows. Simulated by making
+    repartition a no-op so the 8 input partitions each write their own
+    part files."""
+    from pyspark.sql import DataFrame
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    adds = spark.createDataFrame(
+        [(0, i, i % 5 + 100, 0.25) for i in range(64)],
+        "layer int, src long, dst long, dist double",
+    ).repartition(8).localCheckpoint(eager=True)
+    dirty = spark.createDataFrame([(i,) for i in range(64)], "id long")
+
+    monkeypatch.setattr(
+        DataFrame, "repartition", lambda self, *a, **kw: self
+    )
+    appended = gi._write_rev_delta(adds, dirty, str(tmp_path), 1, buckets=2)
+    monkeypatch.undo()
+
+    adds_dir = os.path.join(str(tmp_path), "rev_delta", "adds")
+    import glob as _glob
+
+    parts = _glob.glob(os.path.join(adds_dir, "bucket=*", "d1-*.parquet"))
+    assert len(parts) > 2  # the multi-part layout actually materialized
+    got = spark.read.schema(gi.ADDS_SCHEMA).parquet(adds_dir)
+    assert got.count() == 64
+    assert appended > 0

@@ -342,3 +342,144 @@ def test_replay_classification_reads_only_batch_bucket_footprint(
         ).collect()
 
     assert upsert_neardup_artifact(one, art).count() == 0  # clean noop
+
+
+def test_crash_before_sig_swap_on_update_emits_no_dead_text_pairs(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Crash between the ledger stamp and the SIGNATURES swap on an
+    UPDATED doc: on replay the pending id is excluded from repl_ids
+    (its stored sig may already be the new one), so only an anti-join
+    of ALL work ids keeps its stale OLD band rows out of stored_bands.
+    Without it, a fresh batch doc near the doc's OLD text verifies
+    against grams that no longer exist and emits a pair for dead
+    text."""
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, _, _ = _split(docs)
+    art = str(tmp_path / "stale_bands")
+    init_neardup_artifact(base, art, buckets=16)
+    batch = spark.createDataFrame(
+        [
+            (0, _text(7)),                    # UPDATE: doc 0 leaves group 0
+            (999, _text(0, mutate_at=11)),    # fresh doc near doc 0's OLD text
+        ],
+        "doc_id long, text string",
+    )
+
+    calls = {"n": 0}
+    real = nd.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the signatures swap of the first attempt
+            raise OSError("simulated crash before the signatures swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_neardup_artifact(batch, art)
+    monkeypatch.undo()
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in upsert_neardup_artifact(batch, art).collect()
+    }
+    # (0, 999) would pair doc 999 with doc 0's DEAD group-0 text
+    assert pairs == {(0, 21)}
+    latest = base.where(F.col("doc_id") != 0).unionByName(batch)
+    ref = str(tmp_path / "stale_bands_ref")
+    init_neardup_artifact(latest, ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+
+
+def test_never_redelivered_fresh_pending_does_not_inflate_n_docs(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A crash BEFORE the signatures swap whose batch is never
+    redelivered: the pending fresh ids were never stored and the heal
+    finds nothing — n_docs must not count documents absent from the
+    artifact."""
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, b1, b2 = _split(docs)
+    art = str(tmp_path / "orphan_fresh")
+    init_neardup_artifact(base, art, buckets=16)
+
+    calls = {"n": 0}
+    real = nd.swap_in_buckets
+
+    def boom(out, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:  # crash BEFORE the signatures swap
+            raise OSError("simulated crash before the signatures swap")
+        return real(out, path, *a, **kw)
+
+    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    with pytest.raises(OSError):
+        upsert_neardup_artifact(b1, art)
+    monkeypatch.undo()
+
+    # b1's delivery never replays (checkpoint wiped); the next batch
+    # clears the ledger without counting b1's unstored ids
+    upsert_neardup_artifact(b2, art)
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["n_docs"] == 40 and meta["pending"] is None
+    ref = str(tmp_path / "orphan_fresh_ref")
+    init_neardup_artifact(base.unionByName(b2), ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+
+
+def test_redelivered_batch_reemits_committed_pairs_exactly_once(
+    spark, docs, tmp_path
+):
+    """The committed-artifact / unwritten-sink crash window: a replay
+    carrying the SAME stream batch_id re-returns the persisted pairs
+    (so the sink write can be retried), while a CONTENT duplicate under
+    a NEW batch_id — whose pairs were already delivered — and the
+    legacy no-batch_id path both return zero rows."""
+    base, b1, _ = _split(docs)
+    art = str(tmp_path / "reemit")
+    init_neardup_artifact(base, art, buckets=16)
+
+    first = _pairs_set(upsert_neardup_artifact(b1, art, batch_id=0))
+    assert len(first) > 0
+    again = _pairs_set(upsert_neardup_artifact(b1, art, batch_id=0))
+    assert again == first
+    assert upsert_neardup_artifact(b1, art, batch_id=1).count() == 0
+    assert upsert_neardup_artifact(b1, art).count() == 0
+    # the re-emits never mutate artifact state
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["pending"] is None and meta["last_emit"] == 0
+
+
+def test_stream_sink_partition_is_idempotent_on_redelivery(
+    spark, docs, tmp_path
+):
+    """Sink-side exactly-once: re-running a batch's sink write (the
+    crash-after-append-before-checkpoint-commit window) overwrites the
+    same batch partition instead of appending a second copy."""
+    import vectordbindexing_spark.streaming.neardup as nd
+    from vectordbindexing_spark.streaming.atomic import swap_in
+
+    base, b1, _ = _split(docs)
+    art = str(tmp_path / "sink_idem")
+    init_neardup_artifact(base, art, buckets=16)
+    sink = str(tmp_path / "pairs_sink")
+
+    def deliver():
+        pairs = upsert_neardup_artifact(b1, art, batch_id=0)
+        swap_in(pairs, os.path.join(sink, "batch_id=0"))
+
+    deliver()
+    once = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(sink).collect()
+    }
+    deliver()  # full foreachBatch redelivery
+    twice = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert twice == once and len(once) > 0
+    assert spark.read.parquet(sink).count() == len(once)

@@ -20,8 +20,9 @@ artifact):
 * ``rev_delta/`` — the mirror's LSM-style delta log (the r10 fix for
   the mirror's write amplification: rewriting dirty rev buckets cost
   a third dirty-fraction swap per batch, measured at ~+50% upsert
-  wall-clock at 500k). ``adds/bucket=K/d<seq>.parquet`` holds one
-  batch's merged dirty adjacency, one file per touched dst bucket;
+  wall-clock at 500k). ``adds/bucket=K/d<seq>-<i>.parquet`` holds one
+  batch's merged dirty adjacency, normally one file per touched dst
+  bucket (every writer part file is moved — AQE may split one);
   ``tombs/d<seq>.parquet`` is a GLOBAL per-batch tombstone file of
   that batch's dirty srcs. Resolution (``_rev_live``): a row is live
   iff no newer src-tombstone exists (``row.seq >= tseq`` keeps a
@@ -329,17 +330,23 @@ def _write_rev_delta(
     for name in sorted(os.listdir(os.path.join(tmp, "adds"))):
         if not name.startswith("bucket="):
             continue
-        part = [
+        # repartition('bucket') normally yields ONE part file per bucket,
+        # but AQE/config variation may split it — move EVERY part under
+        # distinct d<seq>-<i> names (dropping parts [1:] would silently
+        # lose delta rows); _pre_clear_rev_delta globs d<seq>* so a
+        # replay still overwrites the whole attempt
+        parts = sorted(
             f for f in os.listdir(os.path.join(tmp, "adds", name))
             if f.endswith(".parquet")
-        ][0]
+        )
         live_dir = os.path.join(adds_dir, name)
         os.makedirs(live_dir, exist_ok=True)
-        appended += os.path.getsize(os.path.join(tmp, "adds", name, part))
-        os.replace(
-            os.path.join(tmp, "adds", name, part),
-            os.path.join(live_dir, f"d{seq}.parquet"),
-        )
+        for i, part in enumerate(parts):
+            appended += os.path.getsize(os.path.join(tmp, "adds", name, part))
+            os.replace(
+                os.path.join(tmp, "adds", name, part),
+                os.path.join(live_dir, f"d{seq}-{i}.parquet"),
+            )
     shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
@@ -351,9 +358,16 @@ def _pre_clear_rev_delta(index_dir: str, seq: int, bkts: list) -> None:
     in the last distance ulp) rewrites the same d<seq> names."""
     adds_dir, tombs_dir = _delta_paths(index_dir)
     for b in bkts:
-        f = os.path.join(adds_dir, f"bucket={b}", f"d{seq}.parquet")
-        if os.path.exists(f):
-            os.remove(f)
+        d = os.path.join(adds_dir, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        # d<seq>-<i>.parquet (multi-part) and legacy d<seq>.parquet —
+        # never a bare d<seq>* glob (it would also match d<seq>0…)
+        for f in os.listdir(d):
+            if f == f"d{seq}.parquet" or (
+                f.startswith(f"d{seq}-") and f.endswith(".parquet")
+            ):
+                os.remove(os.path.join(d, f))
     f = os.path.join(tombs_dir, f"d{seq}.parquet")
     if os.path.exists(f):
         os.remove(f)

@@ -28,8 +28,13 @@ State layout under ``index_dir`` (crash-safe via streaming/atomic.py):
   pmod(xxhash64(band_idx, band_key), B)``: (did, band_idx, band_key)
   — the LSH index. An incoming batch's band rows prune this read to
   exactly the buckets its own band keys hash into.
-* ``meta.json`` — {n_docs, n, num_hashes, bands, buckets, pending};
-  atomic writes.
+* ``meta.json`` — {n_docs, n, num_hashes, bands, buckets, pending,
+  last_emit}; atomic writes.
+* ``last_pairs`` — the most recently committed batch's detected
+  pairs, swapped in before the commit that clears the pending ledger;
+  paired with ``last_emit`` (that batch's stream batch_id) it lets a
+  redelivered batch re-emit pairs the sink never received
+  (exactly-once, not at-most-once).
 
 Per micro-batch (:func:`upsert_neardup_artifact`):
 
@@ -81,6 +86,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from vectordbindexing_spark.streaming.atomic import (
+    recover,
     recover_tree,
     swap_in,
     swap_in_buckets,
@@ -162,14 +168,26 @@ def upsert_neardup_artifact(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     impl: str = "arrow",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One foreachBatch step. Folds the batch into the live index and
     returns the verified near-dup pairs the batch introduced —
     (id_a, id_b, jaccard) with id_a < id_b, covering batch-vs-corpus
-    AND batch-vs-batch. A fully-replayed batch returns zero rows (the
-    original delivery already reported its pairs); an empty batch
-    likewise. The returned DataFrame is eagerly checkpointed BEFORE
-    the swaps, so it never reads post-swap artifact state."""
+    AND batch-vs-batch. The returned DataFrame is eagerly checkpointed
+    BEFORE the swaps, so it never reads post-swap artifact state.
+
+    ``batch_id`` (the stream path): when set, the batch's pairs are
+    ALSO persisted into the artifact (``last_pairs`` + a ``last_emit``
+    stamp in meta.json, written before the pending ledger clears), and
+    a fully-replayed batch whose id matches ``last_emit`` RE-RETURNS
+    those stored pairs instead of zero rows — the committed-artifact /
+    unwritten-sink crash window (crash after the final meta write but
+    before the sink append) no longer loses the batch's pairs, which
+    is what makes :func:`neardup_stream` exactly-once rather than
+    at-most-once. Without ``batch_id`` (direct library calls) a
+    fully-replayed batch returns zero rows as before; an empty batch
+    likewise (an empty original emitted nothing, so nothing is lost).
+    """
     from vectordbindexing_spark.operators.dedup import (
         band_rows,
         exact_jaccard_pairs,
@@ -269,11 +287,26 @@ def upsert_neardup_artifact(
         work_ids = work_ids + [r[0] for r in healed.select("did").collect()]
     # exact n_docs across crash replays: a pending ledger means the
     # crashed attempt's fresh ids were never counted (the count and the
-    # ledger clear share the final meta write), so resume ITS list
+    # ledger clear share the final meta write), so resume ITS list —
+    # intersected with work_ids: a pending id whose crash predated the
+    # signatures swap AND whose batch is never redelivered was never
+    # stored (the heal finds nothing), so counting it would overstate
+    # n_docs for a document absent from the artifact
     fresh_now = sorted(set(work_ids) - set(repl_ids) - set(pend["ids"]))
-    fresh_ids = sorted(set(fresh_now) | set(pend.get("fresh", [])))
+    fresh_ids = sorted(
+        (set(fresh_now) | set(pend.get("fresh", []))) & set(work_ids)
+    )
     if not work_ids:
-        return empty_pairs  # fully-committed replay: noop
+        # fully-committed replay: the artifact already folded this
+        # batch. Re-emit its persisted pairs when the sink never got
+        # them (stream redelivery carries the SAME batch_id the
+        # committed attempt stamped); any other caller gets zero rows.
+        last_pairs = os.path.join(index_dir, "last_pairs")
+        if batch_id is not None and meta.get("last_emit") == batch_id:
+            recover(last_pairs)
+            if os.path.isdir(last_pairs):
+                return spark.read.schema(PAIR_SCHEMA).parquet(last_pairs)
+        return empty_pairs
 
     # ---- candidates: band rows of the work set ----
     br_new = band_rows(g_work, bands, num_hashes // bands).localCheckpoint(
@@ -282,17 +315,22 @@ def upsert_neardup_artifact(
     band_bkts = sorted(
         {r[0] for r in br_new.select(_band_bucket(buckets)).collect()}
     )
-    stored_bands = (
-        spark.read.parquet(band_path).where(F.col("bucket").isin(band_bkts))
+    work_df = F.broadcast(
+        spark.createDataFrame([(i,) for i in work_ids], "did long")
     )
-    if repl_ids:  # their stored band rows describe the OLD text
-        stored_bands = stored_bands.join(
-            F.broadcast(
-                spark.createDataFrame([(i,) for i in repl_ids], "did long")
-            ),
-            "did",
-            "left_anti",
-        )
+    # anti-join ALL work ids, not just the replaced set: a pending
+    # UPDATE whose crash landed between the ledger stamp and the
+    # signatures swap is excluded from repl_ids on replay, yet its
+    # stored band rows still describe the OLD text — a cross pair
+    # against them would verify a jaccard for text that no longer
+    # exists. Every work doc's pairs are fully covered by br_new via
+    # the cross + intra joins, so dropping their stored rows is always
+    # safe (and is what makes the replay ≡ first-delivery).
+    stored_bands = (
+        spark.read.parquet(band_path)
+        .where(F.col("bucket").isin(band_bkts))
+        .join(work_df, "did", "left_anti")
+    )
     cross_ids = (
         br_new.select(F.col("did").alias("id_new"), "band_idx", "band_key")
         .join(
@@ -405,9 +443,6 @@ def upsert_neardup_artifact(
     write_json_atomic(meta_path, meta)
 
     # ---- signatures: dirty buckets = buckets of the work dids ----
-    work_df = F.broadcast(
-        spark.createDataFrame([(i,) for i in work_ids], "did long")
-    )
     sig_out = (
         stored_sig.where(F.col("bucket").isin(sig_dirty))
         .join(work_df, "did", "left_anti")
@@ -422,6 +457,15 @@ def upsert_neardup_artifact(
         .unionByName(br_new.withColumn("bucket", _band_bucket(buckets)))
     )
     swap_in_buckets(band_out, band_path, expected=band_dirty)
+
+    if batch_id is not None:
+        # persist the batch's pairs BEFORE the commit that clears the
+        # pending ledger: a crash after that commit but before the
+        # sink write redelivers this batch as a fully-committed replay,
+        # and the matching last_emit stamp re-returns these rows —
+        # the sink stays exactly-once instead of at-most-once
+        swap_in(pairs, os.path.join(index_dir, "last_pairs"))
+        meta["last_emit"] = batch_id
 
     meta["n_docs"] = meta["n_docs"] + len(fresh_ids)
     meta["pending"] = None
@@ -438,21 +482,25 @@ def neardup_stream(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> StreamingQuery:
-    """Attach the maintainer to a document stream; detected pairs are
-    appended to ``pairs_out`` parquet keyed by batch_id (a replayed
-    batch returns zero rows, so the sink stays exactly-once). The
-    artifact must exist (:func:`init_neardup_artifact`)."""
+    """Attach the maintainer to a document stream; detected pairs land
+    in ``pairs_out`` as one hive partition per batch
+    (``batch_id=N/``). Exactly-once: a redelivered batch re-emits the
+    pairs the committed attempt persisted in the artifact (see
+    :func:`upsert_neardup_artifact`'s ``batch_id`` contract) and the
+    per-batch partition is swapped in atomically, so a crash anywhere
+    between the artifact commit and the checkpoint commit converges to
+    exactly one copy of every pair. The artifact must exist
+    (:func:`init_neardup_artifact`)."""
 
     def step(b: DataFrame, batch_id: int) -> None:
         pairs = upsert_neardup_artifact(
             b, index_dir, text_col=text_col, id_col=id_col,
-            threshold=threshold,
+            threshold=threshold, batch_id=batch_id,
         )
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(pairs_out)
-        )
+        # idempotent sink write: overwrite-by-swap of this batch's own
+        # partition dir — an append here would double the pairs when
+        # the batch replays after a post-commit crash
+        swap_in(pairs, os.path.join(pairs_out, f"batch_id={batch_id}"))
 
     return (
         docs_stream.writeStream.foreachBatch(step)
