@@ -68,6 +68,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--compare-strings", action="store_true",
+        help="also write the pre-r11 raw-string signatures layout and "
+             "report its bytes (the storage-ratio measurement)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -80,6 +85,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from vectordbindexing_spark.operators.dedup import minhash_signatures
+    from vectordbindexing_spark.streaming.atomic import du_parquet
     from vectordbindexing_spark.streaming.neardup import (
         init_neardup_artifact,
         upsert_neardup_artifact,
@@ -95,17 +102,39 @@ def main() -> None:
     base = synth_docs(spark, args.n, args.words)
     t0 = time.time()
     init_neardup_artifact(base, idx, buckets=args.buckets)
-    emit("init", time.time() - t0, n=args.n, buckets=args.buckets)
+    sig_bytes = du_parquet(f"{idx}/signatures")
+    emit(
+        "init", time.time() - t0, n=args.n, buckets=args.buckets,
+        sig_bytes=sig_bytes, band_bytes=du_parquet(f"{idx}/bands"),
+        sig_bytes_per_doc=round(sig_bytes / args.n, 1),
+    )
+    if args.compare_strings:
+        # the pre-r11 layout (raw gram strings) for the storage ratio
+        t0 = time.time()
+        gs = minhash_signatures(base)
+        gs.write.mode("overwrite").parquet(f"{work}/sig_strings")
+        sb = du_parquet(f"{work}/sig_strings")
+        emit(
+            "sig_strings_layout", time.time() - t0, sig_bytes=sb,
+            sig_bytes_per_doc=round(sb / args.n, 1),
+            ratio_vs_hashed=round(sb / max(sig_bytes, 1), 2),
+        )
 
     next_id = args.n
     last = None
     for bs in [int(b) for b in args.batches.split(",")]:
         batch = synth_docs(spark, bs, args.words, start_id=next_id)
         next_id += bs
+        d0 = du_parquet(f"{idx}/bands_delta") if os.path.isdir(
+            f"{idx}/bands_delta") else 0
         t0 = time.time()
         pairs = upsert_neardup_artifact(batch, idx)
         npairs = pairs.count()
-        emit(f"batch_{bs}", time.time() - t0, pairs=npairs)
+        emit(
+            f"batch_{bs}", time.time() - t0, pairs=npairs,
+            band_delta_appended=du_parquet(f"{idx}/bands_delta") - d0,
+            band_base_bytes=du_parquet(f"{idx}/bands"),
+        )
         last = batch
 
     t0 = time.time()

@@ -679,6 +679,8 @@ def test_pre_clear_rev_delta_removes_only_its_own_seq(tmp_path):
     """The replay pre-clear must match d<seq>.parquet and
     d<seq>-<i>.parquet EXACTLY — a bare d<seq>* pattern would also
     delete d<seq>0…'s files (seq 1 eating seq 10's delta)."""
+    import os
+
     import vectordbindexing_spark.streaming.graph_ingest as gi
 
     adds = tmp_path / "rev_delta" / "adds" / "bucket=3"
@@ -706,7 +708,9 @@ def test_write_rev_delta_moves_every_part_file(spark, tmp_path, monkeypatch):
     dropping parts [1:] silently loses delta rows. Simulated by making
     repartition a no-op so the 8 input partitions each write their own
     part files."""
-    from pyspark.sql import DataFrame
+    import os
+
+    from pyspark.sql.classic.dataframe import DataFrame
 
     import vectordbindexing_spark.streaming.graph_ingest as gi
 

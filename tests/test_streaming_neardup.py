@@ -62,8 +62,10 @@ def _pairs_set(df):
 
 
 def _state(spark, art):
+    from vectordbindexing_spark.streaming.neardup import bands_resolved
+
     sig = spark.read.parquet(os.path.join(art, "signatures"))
-    bands = spark.read.parquet(os.path.join(art, "bands"))
+    bands = bands_resolved(spark, art)
     return (
         {(r.did, tuple(r.sig)) for r in sig.select("did", "sig").collect()},
         {
@@ -141,36 +143,36 @@ def test_in_batch_duplicate_ids_resolve_to_greatest_text(spark, tmp_path):
     )
     upsert_neardup_artifact(dup, art)
     sig = spark.read.parquet(os.path.join(art, "signatures"))
-    kept = sig.where(F.col("did") == 7).select("grams").collect()
+    kept = sig.where(F.col("did") == 7).select("ghash").collect()
     assert len(kept) == 1
     winner = max(_text(1), _text(2))
-    assert set(kept[0][0]) == {
-        " ".join(winner.split()[j : j + 3]) for j in range(28)
-    }
+    from vectordbindexing_spark.functions.hashing import det_hash60_py
+
+    assert list(kept[0][0]) == sorted(
+        {
+            det_hash60_py(" ".join(winner.split()[j : j + 3]))
+            for j in range(28)
+        }
+    )
 
 
 def test_crash_between_sig_and_band_swap_heals_on_replay(
     spark, docs, tmp_path, monkeypatch
 ):
-    """Signatures swapped, bands not: without the pending ledger the
-    replay would see identical stored grams, classify the batch as
-    replayed, and serve a stale band index forever."""
+    """Signatures swapped, bands delta not appended: without the
+    pending ledger the replay would see identical stored gram hashes,
+    classify the batch as replayed, and serve a stale band index
+    forever."""
     import vectordbindexing_spark.streaming.neardup as nd
 
     base, b1, b2 = _split(docs)
     art = str(tmp_path / "crash")
     init_neardup_artifact(base, art, buckets=16)
 
-    calls = {"n": 0}
-    real = nd.swap_in_buckets
+    def boom(*a, **kw):
+        raise OSError("simulated crash before the bands delta append")
 
-    def boom(out, path, *a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 2:  # the bands swap of the first attempt
-            raise OSError("simulated crash before the bands swap")
-        return real(out, path, *a, **kw)
-
-    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    monkeypatch.setattr(nd, "_write_band_delta", boom)
     with pytest.raises(OSError):
         upsert_neardup_artifact(b1, art)
     monkeypatch.undo()
@@ -200,8 +202,8 @@ def test_crash_on_UPDATE_heals_stale_bands_via_ledger_buckets(
     spark, docs, tmp_path, monkeypatch
 ):
     """Update crash window: after the signatures swap the old sig is
-    unrecoverable, so the stale band cleanup must come from the
-    ledger's band_bkts list."""
+    unrecoverable — the replay's did-level tombstone must still kill
+    the doc's stale band rows wherever they sit."""
     import vectordbindexing_spark.streaming.neardup as nd
 
     base, _, _ = _split(docs)
@@ -209,16 +211,10 @@ def test_crash_on_UPDATE_heals_stale_bands_via_ledger_buckets(
     init_neardup_artifact(base, art, buckets=16)
     upd = spark.createDataFrame([(0, _text(7))], "doc_id long, text string")
 
-    calls = {"n": 0}
-    real = nd.swap_in_buckets
+    def boom(*a, **kw):
+        raise OSError("simulated crash before the bands delta append")
 
-    def boom(out, path, *a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("simulated crash before the bands swap")
-        return real(out, path, *a, **kw)
-
-    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    monkeypatch.setattr(nd, "_write_band_delta", boom)
     with pytest.raises(OSError):
         upsert_neardup_artifact(upd, art)
     monkeypatch.undo()
@@ -242,16 +238,10 @@ def test_pending_ids_absent_from_batch_heal_from_stored_sigs(
     art = str(tmp_path / "orphan")
     init_neardup_artifact(base, art, buckets=16)
 
-    calls = {"n": 0}
-    real = nd.swap_in_buckets
+    def boom(*a, **kw):
+        raise OSError("simulated crash before the bands delta append")
 
-    def boom(out, path, *a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("simulated crash before the bands swap")
-        return real(out, path, *a, **kw)
-
-    monkeypatch.setattr(nd, "swap_in_buckets", boom)
+    monkeypatch.setattr(nd, "_write_band_delta", boom)
     with pytest.raises(OSError):
         upsert_neardup_artifact(b1, art)
     monkeypatch.undo()
@@ -483,3 +473,123 @@ def test_stream_sink_partition_is_idempotent_on_redelivery(
     }
     assert twice == once and len(once) > 0
     assert spark.read.parquet(sink).count() == len(once)
+
+
+def test_pre_hashing_artifact_migrates_in_place(spark, docs, tmp_path):
+    """An artifact built by the legacy string-grams layout upgrades on
+    its first upsert (ghash = sorted distinct det_hash60 of the stored
+    strings — no text re-ingest) and behaves identically afterwards."""
+    import vectordbindexing_spark.streaming.neardup as nd
+    from vectordbindexing_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from vectordbindexing_spark.streaming.atomic import (
+        swap_in,
+        write_json_atomic,
+    )
+
+    base, b1, _ = _split(docs)
+    art = str(tmp_path / "legacy")
+    os.makedirs(art, exist_ok=True)
+    buckets = 16
+    # replicate the legacy init: raw gram STRINGS persisted
+    g = minhash_signatures(base)  # (did, grams, sig)
+    swap_in(
+        g.withColumn("bucket", nd._did_bucket(buckets)),
+        os.path.join(art, "signatures"), coalesce=None,
+        partition_by=["bucket"],
+    )
+    br = band_rows(g, 8, 2)
+    swap_in(
+        br.withColumn("bucket", nd._band_bucket(buckets)),
+        os.path.join(art, "bands"), coalesce=None, partition_by=["bucket"],
+    )
+    write_json_atomic(
+        os.path.join(art, "meta.json"),
+        {"n_docs": base.count(), "n": 3, "num_hashes": 16, "bands": 8,
+         "buckets": buckets},
+    )
+
+    pairs = _pairs_set(upsert_neardup_artifact(b1, art))
+    exp = _pairs_set(
+        minhash_dedup_pairs(base.unionByName(b1)).where(
+            (F.col("id_a") % 3 == 1) | (F.col("id_b") % 3 == 1)
+        )
+    )
+    assert pairs == exp
+    sig = spark.read.parquet(os.path.join(art, "signatures"))
+    assert "ghash" in sig.columns and "grams" not in sig.columns
+    ref = str(tmp_path / "legacyref")
+    init_neardup_artifact(base.unionByName(b1), ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+
+
+def test_bands_delta_is_append_only_and_compaction_folds(
+    spark, docs, tmp_path, monkeypatch
+):
+    """An upsert must never rewrite a bands base bucket (the pre-LSM
+    design's dirty fraction was ≈ ALL buckets per batch) — only
+    d<seq> files appear under bands_delta/. Once the log outgrows the
+    threshold, the NEXT upsert folds it back into the base; the
+    resolved index equals the bulk init of the union throughout."""
+    import glob
+
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, b1, b2 = _split(docs)
+    art = str(tmp_path / "bdelta")
+    init_neardup_artifact(base, art, buckets=16)
+    base_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(art, "bands", "**", "*.parquet"),
+                           recursive=True)
+    }
+    upsert_neardup_artifact(b1, art)
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(art, "bands", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert after == base_files  # base untouched, delta appended
+    assert glob.glob(os.path.join(art, "bands_delta", "adds", "**",
+                                  "d1-*.parquet"), recursive=True)
+    assert os.path.exists(
+        os.path.join(art, "bands_delta", "tombs", "d1.parquet")
+    )
+    ref = str(tmp_path / "bdelta_ref")
+    init_neardup_artifact(base.unionByName(b1), ref, buckets=16)
+    assert _state(spark, art) == _state(spark, ref)
+
+    # force the fold: threshold 0 -> the next upsert compacts FIRST
+    monkeypatch.setattr(nd, "BAND_COMPACT_FACTOR", 0.0)
+    upsert_neardup_artifact(b2, art)
+    monkeypatch.undo()
+    # the fold consumed d1; the new batch appended d2 only
+    assert not glob.glob(os.path.join(art, "bands_delta", "adds", "**",
+                                      "d1-*.parquet"), recursive=True)
+    assert glob.glob(os.path.join(art, "bands_delta", "adds", "**",
+                                  "d2-*.parquet"), recursive=True)
+    ref2 = str(tmp_path / "bdelta_ref2")
+    init_neardup_artifact(docs, ref2, buckets=16)
+    assert _state(spark, art) == _state(spark, ref2)
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["band_seq"] == 2 and meta["pending"] is None
+
+
+def test_pre_clear_band_delta_removes_only_its_own_seq(tmp_path):
+    """Replay pre-clear matches d<seq>.parquet / d<seq>-<i>.parquet
+    exactly — a bare d<seq>* pattern would eat d<seq>0…'s files."""
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    adds = tmp_path / "bands_delta" / "adds" / "bucket=5"
+    tombs = tmp_path / "bands_delta" / "tombs"
+    adds.mkdir(parents=True)
+    tombs.mkdir(parents=True)
+    for n in ["d1.parquet", "d1-0.parquet", "d10-0.parquet", "d12.parquet"]:
+        (adds / n).write_bytes(b"x")
+    (tombs / "d1.parquet").write_bytes(b"x")
+    (tombs / "d10.parquet").write_bytes(b"x")
+    nd._pre_clear_band_delta(str(tmp_path), 1, [5, 99])
+    assert sorted(os.listdir(adds)) == ["d10-0.parquet", "d12.parquet"]
+    assert sorted(os.listdir(tombs)) == ["d10.parquet"]

@@ -8,7 +8,7 @@ generate candidate pairs via equi-joins on bucket keys (never all-pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.text import word_ngrams
@@ -110,6 +110,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
     impl: str = "arrow",
+    hashed_grams: bool = False,
 ) -> DataFrame:
     """(did, grams, sig): distinct word n-gram set + MinHash signature
     per document, eagerly checkpointed (both consumers — the band
@@ -121,6 +122,17 @@ def minhash_signatures(
     bit-identical whether it arrived in the backfill or a micro-batch
     — the property the incremental artifact's replay detection and the
     DuckDB oracle parity both rest on.
+
+    ``hashed_grams=True`` returns (did, ghash, sig) instead: ghash is
+    the SORTED distinct det_hash60 (15 md5 hex chars, 60-bit) of each
+    gram — what the streaming maintainer PERSISTS so the artifact
+    stores ~16 bytes per distinct gram instead of the raw n-gram
+    string (word-3-grams ≈ 3× the document text; at corpus scale the
+    dedup artifact would outweigh the corpus). Exact Jaccard over the
+    hash sets equals Jaccard over the strings up to 60-bit birthday
+    collisions (≈ \\|gram set\\|²/2⁶¹ per pair — negligible), both md5
+    prefixes come from ONE digest per distinct shingle, and the DuckDB
+    oracle replays the identical hashing (DET_HASH60_SQL).
     """
     from collections.abc import Iterator
 
@@ -129,7 +141,6 @@ def minhash_signatures(
     import numpy as np
 
     from vectordbindexing_spark.functions.hashing import (
-        det_hash64_py,
         minhash_signature_np,
     )
     from vectordbindexing_spark.plans.partitioning import (
@@ -144,34 +155,52 @@ def minhash_signatures(
         # cache turns the Python-md5 cost from O(total shingles) into
         # O(vocabulary). (Moving the md5 JVM-side was measured 2-3x
         # SLOWER — higher-order transform() is interpreted, not codegen'd.)
-        cache: dict[str, int] = {}
+        # One digest yields both prefixes: sig hash (8 hex chars) and,
+        # when hashed_grams, the persisted gram hash (15 hex chars).
+        import hashlib
+
+        cache: dict[str, tuple[int, int]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sigs = []
+            sigs, ghs = [], []
             for grams in pdf["grams"]:
                 hs = np.empty(len(grams), dtype=np.int64)
+                h60 = np.empty(len(grams), dtype=np.int64)
                 for i, s in enumerate(grams):
                     v = cache.get(s)
                     if v is None:
                         if len(cache) >= _CACHE_MAX:
                             cache.clear()
-                        v = det_hash64_py(s)
+                        hexd = hashlib.md5(s.encode("utf-8")).hexdigest()
+                        v = (int(hexd[:8], 16), int(hexd[:15], 16))
                         cache[s] = v
-                    hs[i] = v
+                    hs[i] = v[0]
+                    h60[i] = v[1]
                 sigs.append(minhash_signature_np(hs, num_hashes).tolist())
-            yield pd.DataFrame(
-                {"did": pdf["did"], "grams": pdf["grams"], "sig": sigs}
-            )
+                if hashed_grams:
+                    ghs.append(np.unique(h60).tolist())
+            if hashed_grams:
+                yield pd.DataFrame(
+                    {"did": pdf["did"], "ghash": ghs, "sig": sigs}
+                )
+            else:
+                yield pd.DataFrame(
+                    {"did": pdf["did"], "grams": pdf["grams"], "sig": sigs}
+                )
 
     shingled = repartition_for_compute(df).select(
         F.col(id_col).cast("long").alias("did"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
     if impl == "jvm":
-        return _minhash_signatures_jvm(shingled, num_hashes).localCheckpoint(
-            eager=True
-        )
+        out = _minhash_signatures_jvm(shingled, num_hashes)
+        if hashed_grams:
+            out = out.select("did", grams_to_ghash("grams"), "sig")
+        return out.localCheckpoint(eager=True)
+    gram_field = (
+        "ghash array<long>" if hashed_grams else "grams array<string>"
+    )
     return (
         # Arrow-batched kernel: cached md5 per distinct shingle +
         # vectorized affine minima (the pure-Column variant re-evaluates
@@ -179,12 +208,24 @@ def minhash_signatures(
         # slower)
         shingled.mapInPandas(
             signatures,
-            schema="did long, grams array<string>, sig array<long>",
+            schema=f"did long, {gram_field}, sig array<long>",
         )
         # materialize: the banding generator + band self-join / verify
         # would otherwise recompute the signature kernel several times
         .localCheckpoint(eager=True)
     )
+
+
+def grams_to_ghash(grams_col) -> Column:
+    """array<string> grams → the canonical persisted gram-hash set:
+    sorted distinct det_hash60 values (aliased ``ghash``). The JVM twin
+    of the arrow kernel's np.unique(h60) — also the one-time migration
+    expression for artifacts that still store raw gram strings."""
+    from vectordbindexing_spark.functions.hashing import det_hash60
+
+    return F.sort_array(
+        F.array_distinct(F.transform(grams_col, det_hash60))
+    ).alias("ghash")
 
 
 def band_rows(g: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

@@ -66,16 +66,19 @@ def kmeans_fit(
     touches the full corpus. Replaces a per-iteration distributed job with
     pure numpy on ≤``sample_size`` rows, so max_iter no longer multiplies
     scan count. Init = the k smallest ids, sampling order = md5 hash of id
-    — both engine-independent and reproducible."""
-    from vectordbindexing_spark.functions.hashing import det_hash64
+    — both engine-independent and reproducible.
 
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(det_hash64(F.col("i").cast("string")), "i")
-        .limit(sample_size)
-        .toPandas()
+    The take goes through plans.partitioning.hash_ordered_sample —
+    cutoff-filtered so the driver transfer is bounded at ~1.3·K rows
+    instead of TakeOrdered's min(K, partition rows) × partitions (which
+    was the whole corpus at 2M rows and blew
+    spark.driver.maxResultSize; measured, r11). The selected sample is
+    bit-identical to the unfiltered take."""
+    from vectordbindexing_spark.plans.partitioning import (
+        hash_ordered_sample,
     )
+
+    rows = hash_ordered_sample(df, sample_size, id_col, vec_col)
     order = np.argsort(rows["i"].to_numpy(), kind="stable")[:k]
     X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
     C = X[order].copy()
@@ -128,13 +131,11 @@ def kmeans_fit_distributed(
         F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
     )
     if init is None:
-        from vectordbindexing_spark.functions.hashing import det_hash64
-
-        rows = (
-            v.orderBy(det_hash64(F.col("i").cast("string")), "i")
-            .limit(sample_size)
-            .toPandas()
+        from vectordbindexing_spark.plans.partitioning import (
+            hash_ordered_sample,
         )
+
+        rows = hash_ordered_sample(v, sample_size, id_col="i", vec_col="v")
         order = np.argsort(rows["i"].to_numpy(), kind="stable")[:k]
         X0 = np.stack([np.asarray(x, dtype=np.float64) for x in rows["v"]])
         C = X0[order].copy()

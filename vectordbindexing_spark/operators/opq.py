@@ -93,18 +93,13 @@ def opq_fit(
     sample_size: int = _FIT_SAMPLE_SIZE,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit (R, codebooks) on the same bounded deterministic sample
-    recipe as pq_fit (hash-ordered take, one scan)."""
-    from vectordbindexing_spark.functions.hashing import det_hash64
-
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
-        )
-        .orderBy(det_hash64(F.col("i").cast("string")), "i")
-        .limit(sample_size)
-        .toPandas()
+    recipe as pq_fit (hash_ordered_sample — one scan, bounded driver
+    transfer)."""
+    from vectordbindexing_spark.plans.partitioning import (
+        hash_ordered_sample,
     )
+
+    rows = hash_ordered_sample(df, sample_size, id_col, vec_col)
     ids = rows["i"].to_numpy()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
     return opq_fit_arrays(ids, X, m, ks, opq_iters, pq_iters)

@@ -134,17 +134,15 @@ def pq_fit(
     sample_size: int = _FIT_SAMPLE_SIZE,
 ) -> np.ndarray:
     """Fit PQ codebooks on a bounded deterministic sample (hash-ordered
-    take — one scan, no full sort; below ``sample_size`` rows the sample
-    IS the corpus, which is what makes the sf-scale oracle exact)."""
-    from vectordbindexing_spark.functions.hashing import det_hash64
-
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(det_hash64(F.col("i").cast("string")), "i")
-        .limit(sample_size)
-        .toPandas()
+    take via plans.partitioning.hash_ordered_sample — one scan, driver
+    transfer bounded at ~1.3×sample_size rows; below ``sample_size``
+    rows the sample IS the corpus, which is what makes the sf-scale
+    oracle exact)."""
+    from vectordbindexing_spark.plans.partitioning import (
+        hash_ordered_sample,
     )
+
+    rows = hash_ordered_sample(df, sample_size, id_col, vec_col)
     ids = rows["i"].to_numpy()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
     return pq_fit_arrays(ids, X, m, ks, max_iter)

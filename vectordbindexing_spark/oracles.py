@@ -1370,24 +1370,41 @@ def knn_graph_degree_stats_sql(k: int = 10, max_degree: int = 16) -> str:
 
 
 def minhash_neardup_sql(
-    n: int = 3, num_hashes: int = 16, bands: int = 8, threshold: float = 0.5
+    n: int = 3, num_hashes: int = 16, bands: int = 8,
+    threshold: float = 0.5, hashed_grams: bool = False,
 ) -> str:
+    """``hashed_grams`` replays the streaming maintainer's persisted
+    layout: the exact-Jaccard verify runs over SORTED distinct
+    det_hash60 gram hashes (what the artifact stores) instead of the
+    raw n-gram strings — identical arithmetic to
+    operators.dedup.grams_to_ghash, so the parity is over the very
+    representation the engine persists."""
+    from vectordbindexing_spark.functions.hashing import DET_HASH60_SQL
+
     rows_per_band = num_hashes // bands
     grams = word_ngrams_sql("text", n)
     sig = minhash_signature_sql("grams", num_hashes)
+    if hashed_grams:
+        gram_set = (
+            "list_sort(list_distinct(list_transform(grams, g -> "
+            + DET_HASH60_SQL.format(s="g")
+            + ")))"
+        )
+    else:
+        gram_set = "grams"
     return f"""
     WITH g AS (SELECT doc_id AS did, list_distinct({grams}) AS grams
                FROM documents),
-         s AS (SELECT did, grams, {sig} AS sig FROM g),
+         s AS (SELECT did, {gram_set} AS gset, {sig} AS sig FROM g),
          banded AS (
-           SELECT did, grams, band_idx,
+           SELECT did, gset, band_idx,
                   array_to_string(list_transform(
                       list_slice(sig, band_idx*{rows_per_band} + 1,
                                  band_idx*{rows_per_band} + {rows_per_band}),
                       x -> x::VARCHAR), '_') AS band_key
            FROM s, unnest(range(0, {bands})) AS t(band_idx)),
          cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b,
-                         a.grams AS ga, b.grams AS gb
+                         a.gset AS ga, b.gset AS gb
                   FROM banded a JOIN banded b
                     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                    AND a.did < b.did),
@@ -1407,8 +1424,12 @@ def neardup_upsert_pipeline_sql(
     (streaming/neardup.py): the union of all micro-batches' detected
     pairs equals the batch operator over the FINAL corpus restricted
     to pairs touching ≥1 upserted doc — here the upserted set is
-    doc_id % 4 == 0 (the two batches b1 = %8==0, b2 = %8==4)."""
-    inner = minhash_neardup_sql(n, num_hashes, bands, threshold)
+    doc_id % 4 == 0 (the two batches b1 = %8==0, b2 = %8==4). The
+    verify replays the maintainer's PERSISTED representation
+    (det_hash60 gram-hash sets), not the raw strings."""
+    inner = minhash_neardup_sql(
+        n, num_hashes, bands, threshold, hashed_grams=True
+    )
     return f"""
     SELECT id_a, id_b, jaccard FROM ({inner})
     WHERE id_a % 4 = 0 OR id_b % 4 = 0

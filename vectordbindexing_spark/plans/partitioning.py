@@ -24,6 +24,52 @@ def repartition_for_compute(df: DataFrame, min_parts: int | None = None) -> Data
     return df.repartition(target)
 
 
+def hash_ordered_sample(
+    df: DataFrame,
+    sample_size: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+):
+    """The bounded deterministic fit-sample shared by every codebook /
+    centroid trainer (kmeans/IVF/PQ/OPQ): the ``sample_size`` rows with
+    the smallest (det_hash64(id), id) — engine-independent, one scan,
+    and at n ≤ sample_size the sample IS the corpus (what makes the
+    sf-scale oracles exact). Returns a pandas DataFrame (i, v).
+
+    Scale guard: a bare ``orderBy(hash).limit(K).toPandas()`` executes
+    as TakeOrdered, which ships min(K, partition rows) from EVERY
+    partition to the driver — at 2M rows × 472 partitions that was the
+    whole corpus and blew spark.driver.maxResultSize (measured, r11).
+    Pre-filtering to hashes below ~1.3·K/n of the 32-bit range bounds
+    the driver transfer at ~1.3·K rows; the final ordered limit still
+    selects the exact K smallest hashes, so the sample — and every
+    centroid/codebook/oracle derived from it — is bit-identical to the
+    unfiltered take.
+    """
+    from vectordbindexing_spark.functions.hashing import det_hash64
+
+    src = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("i"),
+            F.col(vec_col).alias("v"),
+            det_hash64(
+                F.col(id_col).cast("long").cast("string")
+            ).alias("_h"),
+        )
+    )
+    n = src.count()
+    if n > sample_size:
+        cut = int(min(1.0, 1.3 * sample_size / n) * (1 << 32))
+        cand = src.where(F.col("_h") < cut)
+        if cand.count() < sample_size:
+            # pathological hash skew (never observed): exact fallback
+            cand = src
+    else:
+        cand = src
+    return cand.orderBy("_h", "i").limit(sample_size).drop("_h").toPandas()
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -202,6 +202,30 @@ def recover_tree(artifact_path: str, partition_col: str = "bucket") -> int:
     return n
 
 
+def delta_empty(*dirs: str) -> bool:
+    """True iff none of the given delta-log dirs holds a parquet file —
+    a filesystem check, no Spark job (the LSM maintainers' fast path:
+    an empty log means the base alone is the resolved state)."""
+    for d in dirs:
+        if os.path.isdir(d):
+            for _root, _sub, files in os.walk(d):
+                if any(f.endswith(".parquet") for f in files):
+                    return False
+    return True
+
+
+def du_parquet(path: str) -> int:
+    """Total parquet bytes under ``path`` — LSM fold triggers run on
+    bytes (the actual IO cost driver), and sizing from the filesystem
+    costs no Spark job."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def write_json_atomic(path: str, obj: dict) -> None:
     """Dump JSON so a crash mid-write can never truncate the live file:
     write a temp sibling, fsync, then ``os.replace`` (atomic on POSIX)."""

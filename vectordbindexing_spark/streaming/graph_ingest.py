@@ -131,6 +131,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from vectordbindexing_spark.streaming.atomic import (
+    delta_empty,
+    du_parquet,
     recover_tree,
     swap_in,
     swap_in_buckets,
@@ -246,11 +248,22 @@ def _rev_live(
     _, _, rev_path, _ = _paths(index_dir)
     adds_dir, tombs_dir = _delta_paths(index_dir)
     base = _read_rev_base(spark, rev_path)
-    adds = _read_adds(spark, adds_dir)
     if bkts is not None:
         base = base.where(F.col("bucket").isin(bkts))
-        adds = adds.where(F.col("bucket").isin(bkts))
     cols = ["layer", "src", "dst", "dist", "seq"]
+    keep = cols if keep_seq else ["layer", "src", "dst", "dist"]
+    if delta_empty(adds_dir, tombs_dir):
+        # empty log (right after init/rebuild/fold — and the state every
+        # probe of a batch's FIRST post-compaction upsert sees): the
+        # base alone is the resolved mirror, so skip the union, the
+        # tombstone join and the key-dedup shuffle entirely
+        rows = base.select(*cols)
+        if dst_df is not None:
+            rows = rows.join(F.broadcast(dst_df), "dst", "left_semi")
+        return rows.select(*keep)
+    adds = _read_adds(spark, adds_dir)
+    if bkts is not None:
+        adds = adds.where(F.col("bucket").isin(bkts))
     rows = base.select(*cols).unionByName(adds.select(*cols))
     if dst_df is not None:
         rows = rows.join(F.broadcast(dst_df), "dst", "left_semi")
@@ -259,7 +272,6 @@ def _rev_live(
         .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
         .dropDuplicates(["layer", "src", "dst"])
     )
-    keep = cols if keep_seq else ["layer", "src", "dst", "dist"]
     return live.select(*keep)
 
 
@@ -267,18 +279,6 @@ def rev_edges_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
     """The full live inverted adjacency (test/inspection surface) —
     must always equal the forward ``edges`` artifact row-for-row."""
     return _rev_live(spark, index_dir)
-
-
-def _du_parquet(path: str) -> int:
-    """Total parquet bytes under ``path`` — the delta-vs-base fold
-    trigger runs on bytes (the actual IO cost driver), and sizing from
-    the filesystem costs no Spark job."""
-    total = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
 
 
 def _write_rev_delta(
@@ -427,7 +427,7 @@ def init_graph_artifact(
             "buckets": buckets,
             "rev": True,
             "rev_seq": 0,
-            "rev_base_bytes": _du_parquet(rev_path),
+            "rev_base_bytes": du_parquet(rev_path),
             "rev_delta_bytes": 0,
             **_build_params(M0, M1, M_level, metric),
         },
@@ -442,11 +442,16 @@ def _knn_edges(
     layer: int,
     exact_base_limit: int,
     planner_kwargs: dict,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus kNN for one layer: blocked exact below the
     limit (bit-stable, what the parity pins replay), planner-dispatched
-    (IVF/IVF-PQ/SQ8 by scale) past it."""
-    n_b = base.limit(exact_base_limit + 1).count()
+    (IVF/IVF-PQ/SQ8 by scale) past it. ``n_hint`` spares the sizing
+    job when the caller already tracks the corpus size (the upsert's
+    meta-maintained n_live)."""
+    n_b = n_hint if n_hint is not None else (
+        base.limit(exact_base_limit + 1).count()
+    )
     if n_b <= exact_base_limit:
         from vectordbindexing_spark.operators.exact_knn import exact_knn
 
@@ -548,7 +553,7 @@ def upsert_graph_artifact(
         ).localCheckpoint(eager=True)  # lineage reads the paths it replaces
         swap_in(folded, rev_path, coalesce=None, partition_by=["bucket"])
         _clear_rev_delta(index_dir)
-        meta["rev_base_bytes"] = _du_parquet(rev_path)
+        meta["rev_base_bytes"] = du_parquet(rev_path)
         meta["rev_delta_bytes"] = 0
         write_json_atomic(meta_path, meta)
 
@@ -729,7 +734,7 @@ def upsert_graph_artifact(
         n_real = spark.read.parquet(vec_path).count()  # reconcile
         meta.update(
             n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True,
-            rev_base_bytes=_du_parquet(rev_path), rev_delta_bytes=0,
+            rev_base_bytes=du_parquet(rev_path), rev_delta_bytes=0,
         )
         meta.pop("pending", None)
         write_json_atomic(meta_path, meta)
@@ -746,14 +751,14 @@ def upsert_graph_artifact(
             rev_path, coalesce=None, partition_by=["bucket"],
         )
         meta["rev"] = True
-        meta["rev_base_bytes"] = _du_parquet(rev_path)
+        meta["rev_base_bytes"] = du_parquet(rev_path)
         meta["rev_delta_bytes"] = 0
         write_json_atomic(meta_path, meta)
 
     # incremental edges: inserted/updated/healed nodes vs the union —
     # exact below the limit, planner-routed past it — + layer-1 over
     # the deterministic level>=1 subset
-    l0 = _knn_edges(ins, union, M0, metric, 0, ebl, pk)
+    l0 = _knn_edges(ins, union, M0, metric, 0, ebl, pk, n_hint=n_union)
     up_ins = assign_levels(ins, M=M_level).filter(F.col("level") >= 1)
     up_union = assign_levels(union, M=M_level).filter(F.col("level") >= 1)
     l1 = _knn_edges(
@@ -764,11 +769,16 @@ def upsert_graph_artifact(
 
     # nodes losing a stale edge to a replaced id: a pure dst-side
     # probe — partition-pruned on the INVERTED log by the replaced
-    # ids' buckets instead of scanning every src bucket
-    losers = _rev_live(
-        spark, index_dir, bkts=repl_bkts,
-        dst_df=replaced_e.withColumnRenamed("id", "dst"),
-    ).select(F.col("src").alias("id"))
+    # ids' buckets instead of scanning every src bucket. Skipped
+    # outright for insert-only batches (repl_rows already collected —
+    # no replaced ids means no stale edges to lose).
+    if repl_rows:
+        losers = _rev_live(
+            spark, index_dir, bkts=repl_bkts,
+            dst_df=replaced_e.withColumnRenamed("id", "dst"),
+        ).select(F.col("src").alias("id"))
+    else:
+        losers = ins_ids.limit(0)
     # DIRTY set: nodes whose adjacency can change — batch ids, new
     # edges' endpoints, and the losers
     dirty = (

@@ -19,15 +19,35 @@ rest on.
 State layout under ``index_dir`` (crash-safe via streaming/atomic.py):
 
 * ``signatures`` — parquet partitioned by ``bucket =
-  pmod(xxhash64(did), B)``: (did, grams, sig) — the distinct n-gram
-  set + MinHash signature per live document (grams are kept because
-  the exact-Jaccard verify of FUTURE batches needs the stored side's
-  gram set; reads of it are always partition-pruned to candidate
-  buckets).
-* ``bands`` — parquet partitioned by ``bucket =
+  pmod(xxhash64(did), B)``: (did, ghash, sig) — the SORTED distinct
+  60-bit gram hashes (det_hash60 — ~16 bytes per distinct gram, vs
+  raw word-n-gram strings ≈ 3× the document text; at 100 TB the
+  string layout would outweigh the corpus) + MinHash signature per
+  live document (ghash is kept because the exact-Jaccard verify of
+  FUTURE batches needs the stored side's gram-hash set; Jaccard over
+  the hash sets equals Jaccard over the strings up to negligible
+  60-bit collisions, and the DuckDB oracle replays the identical
+  hashing). Reads are always partition-pruned to candidate buckets.
+  Pre-hashing artifacts (raw ``grams`` strings) migrate in place on
+  the first upsert that touches them.
+* ``bands`` — the LSH index BASE, parquet partitioned by ``bucket =
   pmod(xxhash64(band_idx, band_key), B)``: (did, band_idx, band_key)
-  — the LSH index. An incoming batch's band rows prune this read to
-  exactly the buckets its own band keys hash into.
+  with a fold-watermark ``seq``. An incoming batch's band rows prune
+  reads to exactly the buckets its own band keys hash into.
+* ``bands_delta/`` — the bands LSM delta log (the rev_delta design
+  from the graph maintainer applied verbatim, closing the r10 "bands
+  swap rewrites whole dirty buckets" scale defect: with B buckets the
+  dirty fraction is ≈ 1 − exp(−|batch|·bands/B) ≈ ALL of them at any
+  real batch size). ``adds/bucket=K/d<seq>-<i>.parquet`` holds one
+  batch's new band rows; ``tombs/d<seq>.parquet`` is a GLOBAL
+  per-batch did-tombstone file of that batch's work dids — a batch
+  replaces each work doc's whole band-row set, so did-level
+  tombstones are exact wherever the stale rows sit, no old-sig
+  recompute needed. Resolution (``_bands_live``): a row is live iff
+  no newer did-tombstone exists (``row.seq >= tseq`` keeps a batch's
+  own re-adds). The log folds back into the base when it outgrows
+  BAND_COMPACT_FACTOR × the base bytes. Per-batch band write I/O is
+  |batch|·bands rows, never a bucket rewrite.
 * ``meta.json`` — {n_docs, n, num_hashes, bands, buckets, pending,
   last_emit}; atomic writes.
 * ``last_pairs`` — the most recently committed batch's detected
@@ -42,33 +62,35 @@ Per micro-batch (:func:`upsert_neardup_artifact`):
    resolve deterministically to the greatest text (batch-wins, no
    ``F.first`` roulette).
 2. Classify against the bucket-pruned stored signature slice:
-   *replayed* (stored with identical grams — skip, the detection
-   already ran), *replaced* (stored with different grams — update),
-   *fresh*. All-replayed → ``noop``, artifact untouched.
+   *replayed* (stored with identical gram hashes — skip, the
+   detection already ran), *replaced* (stored with different gram
+   hashes — update), *fresh*. All-replayed → ``noop``, artifact
+   untouched.
 3. Candidates: the work set's band rows equi-join the bucket-pruned
    live ``bands`` slice (cross pairs vs the corpus) plus an intra-work
    band self-join — candidate volume ∝ band collisions, never
    |batch|·|corpus|.
 4. Exact-Jaccard verify (same arithmetic + rounding as the batch
-   operator) over the work grams and the candidate-bucket-pruned
-   stored grams; returned pairs are (least, greatest)-oriented, so
+   operator) over the work gram hashes and the candidate-bucket-pruned
+   stored gram hashes; returned pairs are (least, greatest)-oriented, so
    the union of all batches' outputs equals the batch operator run
    over the final corpus, restricted to pairs touching ≥1 upserted
    doc (pinned by test; the driver contract's DuckDB oracle replays
    exactly that).
-5. Dirty-bucket swaps: ``signatures`` buckets of the work dids;
-   ``bands`` buckets of the new band rows ∪ the replaced dids' OLD
-   band rows (recomputed from their stored sigs — no index scan).
-   Write I/O ∝ |batch|·bands / B, not corpus size.
+5. Commit: dirty-bucket swap of the work dids' ``signatures``
+   buckets, then an APPEND to the bands delta log (tombstones first,
+   then adds). Write I/O ∝ |batch|, never corpus size.
 
 CRASH-WINDOW LEDGER (``meta["pending"]``, the graph maintainer's
-contract): the work list (ids + replaced ids) is stamped into
-meta.json atomically BEFORE the first swap and cleared by the final
-meta write. A crash between the signatures swap and the bands swap
-would otherwise be invisible to step 2 on replay (sig already matches
-→ "replayed" → stale band rows served forever); the ledger re-queues
-pending ids so their band rows are rebuilt deterministically from the
-now-stored signatures.
+contract): the work list (ids + replaced ids + the delta seq and its
+add buckets) is stamped into meta.json atomically BEFORE the first
+swap and cleared by the final meta write. A crash between the
+signatures swap and the bands delta append would otherwise be
+invisible to step 2 on replay (sig already matches → "replayed" →
+stale band rows served forever); the ledger re-queues pending ids so
+their band rows are rebuilt deterministically from the now-stored
+signatures, and the replay pre-clears its own seq's half-written
+delta files before any probe runs.
 
 Reference study: `simple_sim_hash.py` (the reference's streaming-ish
 fingerprint dedup loop) re-expressed as a partitioned artifact +
@@ -86,6 +108,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from vectordbindexing_spark.streaming.atomic import (
+    delta_empty,
+    du_parquet,
     recover,
     recover_tree,
     swap_in,
@@ -96,6 +120,16 @@ from vectordbindexing_spark.streaming.atomic import (
 DEFAULT_BUCKETS = 256
 
 PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
+
+#: fold the bands delta log back into its base once the accumulated
+#: delta bytes exceed this fraction of the base (bounds probe-side
+#: read amplification)
+BAND_COMPACT_FACTOR = 0.25
+
+BANDS_ADDS_SCHEMA = (
+    "did long, band_idx int, band_key string, seq long, bucket int"
+)
+BANDS_TOMBS_SCHEMA = "did long, seq long"
 
 
 def _paths(index_dir: str) -> tuple[str, str, str]:
@@ -114,6 +148,163 @@ def _band_bucket(buckets: int):
     return F.pmod(
         F.xxhash64(F.col("band_idx"), F.col("band_key")), F.lit(buckets)
     ).cast("int")
+
+
+def _band_delta_paths(index_dir: str) -> tuple[str, str]:
+    root = os.path.join(index_dir, "bands_delta")
+    return os.path.join(root, "adds"), os.path.join(root, "tombs")
+
+
+def _bands_base(spark: SparkSession, band_path: str) -> DataFrame:
+    """The bands base with its fold watermark; pre-LSM bases (and any
+    half-swapped pre-LSM bucket) read as seq 0."""
+    base = spark.read.parquet(band_path)
+    if "seq" not in base.columns:
+        base = base.withColumn("seq", F.lit(0).cast("long"))
+    else:
+        base = base.withColumn(
+            "seq", F.coalesce(F.col("seq"), F.lit(0).cast("long"))
+        )
+    return base
+
+
+def _bands_live(
+    spark: SparkSession,
+    index_dir: str,
+    bkts: list | None = None,
+    keep_seq: bool = False,
+) -> DataFrame:
+    """Resolved live band rows (did, band_idx, band_key): base ∪ delta
+    adds, minus rows superseded by a newer did-tombstone
+    (``row.seq >= tseq`` keeps a batch's own re-adds) — the graph
+    maintainer's rev_delta LSM design applied to the bands index. A
+    batch replaces each work doc's WHOLE band-row set, so one global
+    did-level tombstone per batch is exact regardless of which buckets
+    the stale rows sit in. ``bkts`` partition-prunes base and adds;
+    with an empty log the base alone is the resolved state (no union,
+    no tombstone join, no dedup shuffle)."""
+    _, band_path, _ = _paths(index_dir)
+    adds_dir, tombs_dir = _band_delta_paths(index_dir)
+    base = _bands_base(spark, band_path)
+    if bkts is not None:
+        base = base.where(F.col("bucket").isin(bkts))
+    cols = ["did", "band_idx", "band_key", "seq"]
+    keep = cols if keep_seq else cols[:3]
+    if delta_empty(adds_dir, tombs_dir):
+        return base.select(*keep)
+    adds = spark.read.schema(BANDS_ADDS_SCHEMA).parquet(adds_dir)
+    if bkts is not None:
+        adds = adds.where(F.col("bucket").isin(bkts))
+    rows = base.select(*cols).unionByName(adds.select(*cols))
+    tombs = (
+        spark.read.schema(BANDS_TOMBS_SCHEMA).parquet(tombs_dir)
+        .groupBy("did").agg(F.max("seq").alias("tseq"))
+    )
+    live = (
+        rows.join(tombs, "did", "left")
+        .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
+        .dropDuplicates(["did", "band_idx", "band_key"])
+    )
+    return live.select(*keep)
+
+
+def bands_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The full live band index (test/inspection surface) — must
+    always equal the bulk init of the latest-wins corpus."""
+    return _bands_live(spark, index_dir)
+
+
+def _write_band_delta(
+    br_new: DataFrame, work_dids: list, index_dir: str, seq: int,
+    buckets: int,
+) -> int:
+    """Append one batch's band delta: the work docs' new band rows as
+    d<seq>-<i> parquet files per touched band bucket plus ONE global
+    did-tombstone file, so a crash replay overwrites its own attempt.
+    Write I/O ∝ |batch|·bands rows — never a bucket rewrite. The
+    pre-LSM design swapped every dirty band bucket per batch: dirty
+    fraction ≈ 1 − exp(−|batch|·bands/buckets) ≈ ALL buckets at any
+    real batch size, i.e. an O(corpus·bands/buckets·B) rewrite per
+    micro-batch. Returns the bytes appended (fold-trigger accounting,
+    measured off the moved files — no extra Spark job)."""
+    import shutil
+
+    spark = br_new.sparkSession
+    adds_dir, tombs_dir = _band_delta_paths(index_dir)
+    tmp = os.path.join(index_dir, "bands_delta.__tmp__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        br_new.withColumn("seq", F.lit(seq).cast("long"))
+        .withColumn("bucket", _band_bucket(buckets))
+        .repartition("bucket")  # normally one file per touched bucket
+        .write.partitionBy("bucket").parquet(os.path.join(tmp, "adds"))
+    )
+    (
+        spark.createDataFrame([(i,) for i in work_dids], "did long")
+        .select("did", F.lit(seq).cast("long").alias("seq"))
+        .coalesce(1)
+        .write.parquet(os.path.join(tmp, "tombs"))
+    )
+    appended = 0
+    tname = [
+        f for f in os.listdir(os.path.join(tmp, "tombs"))
+        if f.endswith(".parquet")
+    ][0]
+    # tombstone FIRST: if the move loop dies midway, every landed add
+    # of this seq is already covered by its (same-seq) tombstone rule
+    os.makedirs(tombs_dir, exist_ok=True)
+    appended += os.path.getsize(os.path.join(tmp, "tombs", tname))
+    os.replace(
+        os.path.join(tmp, "tombs", tname),
+        os.path.join(tombs_dir, f"d{seq}.parquet"),
+    )
+    for name in sorted(os.listdir(os.path.join(tmp, "adds"))):
+        if not name.startswith("bucket="):
+            continue
+        parts = sorted(
+            f for f in os.listdir(os.path.join(tmp, "adds", name))
+            if f.endswith(".parquet")
+        )
+        live_dir = os.path.join(adds_dir, name)
+        os.makedirs(live_dir, exist_ok=True)
+        for i, part in enumerate(parts):
+            appended += os.path.getsize(
+                os.path.join(tmp, "adds", name, part)
+            )
+            os.replace(
+                os.path.join(tmp, "adds", name, part),
+                os.path.join(live_dir, f"d{seq}-{i}.parquet"),
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return appended
+
+
+def _pre_clear_band_delta(index_dir: str, seq: int, bkts: list) -> None:
+    """Remove a crashed attempt's band-delta files before this
+    replay's probes run (the probes need the PRE-batch band state; the
+    replay's own recompute rewrites the same d<seq> names)."""
+    adds_dir, tombs_dir = _band_delta_paths(index_dir)
+    for b in bkts:
+        d = os.path.join(adds_dir, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f == f"d{seq}.parquet" or (
+                f.startswith(f"d{seq}-") and f.endswith(".parquet")
+            ):
+                os.remove(os.path.join(d, f))
+    f = os.path.join(tombs_dir, f"d{seq}.parquet")
+    if os.path.exists(f):
+        os.remove(f)
+
+
+def _clear_band_delta(index_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "bands_delta"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(index_dir, "bands_delta.__tmp__"), ignore_errors=True
+    )
 
 
 def init_neardup_artifact(
@@ -137,13 +328,15 @@ def init_neardup_artifact(
     sig_path, band_path, meta_path = _paths(index_dir)
     g = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n,
-        num_hashes=num_hashes, impl=impl,
+        num_hashes=num_hashes, impl=impl, hashed_grams=True,
     )
     swap_in(
         g.withColumn("bucket", _did_bucket(buckets)),
         sig_path, coalesce=None, partition_by=["bucket"],
     )
-    br = band_rows(g, bands, num_hashes // bands)
+    br = band_rows(g, bands, num_hashes // bands).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
     swap_in(
         br.withColumn("bucket", _band_bucket(buckets)),
         band_path, coalesce=None, partition_by=["bucket"],
@@ -157,6 +350,9 @@ def init_neardup_artifact(
             "num_hashes": num_hashes,
             "bands": bands,
             "buckets": buckets,
+            "band_seq": 0,
+            "band_base_bytes": du_parquet(band_path),
+            "band_delta_bytes": 0,
         },
     )
 
@@ -202,6 +398,31 @@ def upsert_neardup_artifact(
     buckets = meta["buckets"]
     bands, num_hashes = meta["bands"], meta["num_hashes"]
     pend = meta.get("pending") or {"ids": [], "replaced": [], "fresh": []}
+    # a crashed attempt's band-delta files must go BEFORE any probe
+    # runs (probes need the PRE-batch band state); the replay rewrites
+    # the same d<seq> names with its own recompute
+    if pend.get("seq") is not None:
+        _pre_clear_band_delta(
+            index_dir, pend["seq"], pend.get("band_bkts", [])
+        )
+    band_seq = int(meta.get("band_seq", 0)) + 1
+
+    # fold the bands delta log back into its base once it outgrows
+    # BAND_COMPACT_FACTOR x the base — bounds probe-side read
+    # amplification; deferred while a pending batch needs healing
+    if (
+        not pend["ids"]
+        and meta.get("band_delta_bytes", 0)
+        > BAND_COMPACT_FACTOR * max(int(meta.get("band_base_bytes", 0)), 1)
+    ):
+        folded = _bands_live(spark, index_dir, keep_seq=True).withColumn(
+            "bucket", _band_bucket(buckets)
+        ).localCheckpoint(eager=True)  # lineage reads paths it replaces
+        swap_in(folded, band_path, coalesce=None, partition_by=["bucket"])
+        _clear_band_delta(index_dir)
+        meta["band_base_bytes"] = du_parquet(band_path)
+        meta["band_delta_bytes"] = 0
+        write_json_atomic(meta_path, meta)
 
     empty_pairs = spark.createDataFrame([], PAIR_SCHEMA)
     # deterministic in-batch winner for duplicate ids: greatest text
@@ -216,7 +437,7 @@ def upsert_neardup_artifact(
     )
     g_new = minhash_signatures(
         latest, text_col="text", id_col="did", n=meta["n"],
-        num_hashes=num_hashes, impl=impl,
+        num_hashes=num_hashes, impl=impl, hashed_grams=True,
     )
     batch_dids = [r[0] for r in g_new.select("did").collect()]
     if not batch_dids and not pend["ids"]:
@@ -227,6 +448,20 @@ def upsert_neardup_artifact(
         {r[0] for r in g_new.select(_did_bucket(buckets)).collect()}
     )
     stored_sig = spark.read.parquet(sig_path)
+    # MIGRATION — pre-hashing artifact (raw gram STRINGS persisted):
+    # ghash is a pure function of the stored strings, so a one-time
+    # in-place rewrite (sorted distinct det_hash60 per doc) upgrades
+    # the layout without re-ingesting any text.
+    if "grams" in stored_sig.columns:
+        from vectordbindexing_spark.operators.dedup import grams_to_ghash
+
+        swap_in(
+            stored_sig.select(
+                "did", grams_to_ghash("grams"), "sig", "bucket"
+            ),
+            sig_path, coalesce=None, partition_by=["bucket"],
+        )
+        stored_sig = spark.read.parquet(sig_path)
     stored_slice = (
         stored_sig.where(F.col("bucket").isin(did_bkts))
         if did_bkts
@@ -235,16 +470,18 @@ def upsert_neardup_artifact(
     cls = g_new.join(
         stored_slice.select(
             "did",
-            F.col("grams").alias("_sg"),
+            F.col("ghash").alias("_sg"),
             F.col("sig").alias("_ss"),
         ),
         "did",
         "left",
     )
     pending_ids = set(pend["ids"])
-    # replayed = stored with identical grams AND not in the pending
-    # ledger (a pending id's bands swap may not have landed — re-queue)
-    changed = F.col("_sg").isNull() | (F.col("_sg") != F.col("grams"))
+    # replayed = stored with identical gram hashes AND not in the
+    # pending ledger (a pending id's bands swap may not have landed —
+    # re-queue); both sides are canonical (sorted distinct), so array
+    # equality is set equality
+    changed = F.col("_sg").isNull() | (F.col("_sg") != F.col("ghash"))
     if pending_ids:
         changed = changed | F.col("did").isin(list(pending_ids))
     work = cls.where(changed)
@@ -257,7 +494,7 @@ def upsert_neardup_artifact(
         replaced = replaced.where(~F.col("did").isin(list(pending_ids)))
     repl_rows = replaced.select("did", "_ss").collect()
     repl_ids = [r[0] for r in repl_rows]
-    g_work = work.select("did", "grams", "sig").localCheckpoint(eager=True)
+    g_work = work.select("did", "ghash", "sig").localCheckpoint(eager=True)
     work_ids = [r[0] for r in g_work.select("did").collect()]
     # a pending id absent from this batch (crash replayed into a later
     # stream position) heals from its STORED signature — the band
@@ -280,7 +517,7 @@ def upsert_neardup_artifact(
                 )
             )
             .where(F.col("did").isin(missing_pend))
-            .select("did", "grams", "sig")
+            .select("did", "ghash", "sig")
             .localCheckpoint(eager=True)
         )
         g_work = g_work.unionByName(healed)
@@ -327,8 +564,7 @@ def upsert_neardup_artifact(
     # the cross + intra joins, so dropping their stored rows is always
     # safe (and is what makes the replay ≡ first-delivery).
     stored_bands = (
-        spark.read.parquet(band_path)
-        .where(F.col("bucket").isin(band_bkts))
+        _bands_live(spark, index_dir, bkts=band_bkts)
         .join(work_df, "did", "left_anti")
     )
     cross_ids = (
@@ -355,7 +591,9 @@ def upsert_neardup_artifact(
         .dropDuplicates(["id_new", "id_old"])
     )
 
-    # ---- verify: work grams + candidate-bucket-pruned stored grams ----
+    # ---- verify: work gram hashes + candidate-bucket-pruned stored
+    # gram hashes (exact Jaccard over the hash sets — identical values
+    # to the string sets up to negligible 60-bit collisions) ----
     cand_bkts = sorted(
         {
             r[0]
@@ -368,12 +606,14 @@ def upsert_neardup_artifact(
     )
     stored_grams = (
         stored_sig.where(F.col("bucket").isin(cand_bkts)).select(
-            "did", "grams"
+            "did", F.col("ghash").alias("grams")
         )
         if cand_bkts
-        else stored_sig.select("did", "grams").where(F.lit(False))
+        else stored_sig.select(
+            "did", F.col("ghash").alias("grams")
+        ).where(F.lit(False))
     )
-    work_grams = g_work.select("did", "grams")
+    work_grams = g_work.select("did", F.col("ghash").alias("grams"))
     cross_pairs = exact_jaccard_pairs(
         cross_ids.select(
             F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
@@ -403,27 +643,11 @@ def upsert_neardup_artifact(
         .localCheckpoint(eager=True)
     )
 
-    # ---- bands dirty set: buckets of the new rows ∪ the replaced
-    # dids' OLD rows (recomputed from their stored sigs — no artifact
-    # scan) ∪ the ledger's list from a crashed attempt (whose replaced
-    # ids' old sigs may be gone after its signatures swap landed) ----
-    old_br = None
-    if repl_rows:
-        old_sig_df = spark.createDataFrame(
-            [(r[0], list(r[1])) for r in repl_rows],
-            "did long, sig array<long>",
-        )
-        old_br = band_rows(old_sig_df, bands, num_hashes // bands)
-    dirty_band_src = br_new if old_br is None else br_new.unionByName(old_br)
-    band_dirty = sorted(
-        {
-            r[0]
-            for r in dirty_band_src.select(_band_bucket(buckets))
-            .distinct()
-            .collect()
-        }
-        | set(pend.get("band_bkts", []))
-    )
+    # stale band rows of replaced/updated dids need NO recompute from
+    # old sigs and NO bucket rewrite: this batch's did-level tombstone
+    # (seq = band_seq) kills every prior row of every work did at
+    # resolution, wherever it sits. band_bkts (the add rows' buckets)
+    # only scopes a replay's pre-clear.
     sig_dirty = sorted(
         {
             r[0]
@@ -432,13 +656,14 @@ def upsert_neardup_artifact(
     )
 
     # ---- stamp the work-list ledger BEFORE any swap: a crash between
-    # the swaps replays into the heal path above, and band_bkts keeps
-    # the stale-band cleanup reachable once the old sigs are gone ----
+    # here and the final meta write replays into the heal path above,
+    # and (seq, band_bkts) scopes the replay's delta pre-clear ----
     meta["pending"] = {
         "ids": work_ids,
         "replaced": repl_ids,
         "fresh": fresh_ids,
-        "band_bkts": band_dirty,
+        "seq": band_seq,
+        "band_bkts": band_bkts,
     }
     write_json_atomic(meta_path, meta)
 
@@ -450,13 +675,12 @@ def upsert_neardup_artifact(
     )
     swap_in_buckets(sig_out, sig_path, expected=sig_dirty)
 
-    band_out = (
-        spark.read.parquet(band_path)
-        .where(F.col("bucket").isin(band_dirty))
-        .join(work_df, "did", "left_anti")
-        .unionByName(br_new.withColumn("bucket", _band_bucket(buckets)))
+    # bands: APPEND to the LSM delta log — tombstone the work dids,
+    # add their new band rows; |batch|·bands rows of write I/O, never
+    # a bucket rewrite
+    appended = _write_band_delta(
+        br_new, work_ids, index_dir, band_seq, buckets
     )
-    swap_in_buckets(band_out, band_path, expected=band_dirty)
 
     if batch_id is not None:
         # persist the batch's pairs BEFORE the commit that clears the
@@ -468,6 +692,10 @@ def upsert_neardup_artifact(
         meta["last_emit"] = batch_id
 
     meta["n_docs"] = meta["n_docs"] + len(fresh_ids)
+    meta["band_seq"] = band_seq
+    meta["band_delta_bytes"] = (
+        int(meta.get("band_delta_bytes", 0)) + appended
+    )
     meta["pending"] = None
     write_json_atomic(meta_path, meta)
     return pairs
