@@ -178,9 +178,15 @@ def test_ivf_index_persist_and_pruned_search(spark, tables, tmp_path):
                               q_id="vec_id", q_vec="embedding")
     live = ivf_knn(q, b, k=5, nlist=8, nprobe=3, centroids=cents,
                    q_id="vec_id", q_vec="embedding", b_id="id", b_vec="vec")
-    assert sorted(tuple(r) for r in served.collect()) == sorted(
-        tuple(r) for r in live.collect()
-    )
+    # ids + ranks exact; dist to kernel-vs-UDF float drift (the live
+    # path scores through the broadcast kernel since r11, the persisted
+    # serve path through the assignment-table join — same math, last-ulp
+    # BLAS association differences)
+    sa = sorted(tuple(r) for r in served.collect())
+    sb = sorted(tuple(r) for r in live.collect())
+    assert len(sa) == len(sb)
+    for ra, rb in zip(sa, sb):
+        assert ra[:3] == rb[:3] and abs(ra[3] - rb[3]) < 1e-9
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -372,3 +378,37 @@ def test_kmeans_driver_fit_degenerates_past_sample_budget(spark, tables):
     # see every corpus row — the 64-point driver fit must be clearly
     # worse on the full corpus
     assert qerr(C_dist) < qerr(C_driver)
+
+
+def test_ivf_kernel_and_join_impls_agree(spark):
+    """The broadcast-kernel scoring path (the r11 fix for the join
+    formulation's fat candidate shuffle — >100 GB spill at 2M base ×
+    1000 queries) must select exactly the same neighbors with the same
+    ranks as the declarative join, with distances equal to kernel-vs-
+    UDF float drift."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.ivf import ivf_knn
+
+    rng = np.random.default_rng(11)
+    base = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(400)],
+        "id long, vec array<double>",
+    ).localCheckpoint(eager=True)
+    qs = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(25)],
+        "qid long, vec array<double>",
+    ).localCheckpoint(eager=True)
+    for metric in ("cosine", "l2", "ip"):
+        a = ivf_knn(qs, base, k=5, nlist=8, nprobe=3, metric=metric,
+                    q_id="qid", q_vec="vec", impl="kernel")
+        b = ivf_knn(qs, base, k=5, nlist=8, nprobe=3, metric=metric,
+                    q_id="qid", q_vec="vec", impl="join")
+        ra = {(r.qid, r.nbr_rank): (r.neighbor_id, r.dist)
+              for r in a.collect()}
+        rb = {(r.qid, r.nbr_rank): (r.neighbor_id, r.dist)
+              for r in b.collect()}
+        assert ra.keys() == rb.keys() and len(ra) == 25 * 5, metric
+        for key, (ida, da) in ra.items():
+            idb, db = rb[key]
+            assert ida == idb and abs(da - db) < 1e-9, (metric, key)

@@ -318,31 +318,186 @@ def ivf_knn(
     b_id: str = "id",
     b_vec: str = "vec",
     centroids: np.ndarray | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
-    """IVF search end-to-end: fit (or reuse) centroids, assign base, probe
-    nprobe cells per query, exact-score candidates, per-query top-k.
+    """IVF search end-to-end: fit (or reuse) centroids, probe nprobe
+    cells per query, exact-score candidates, per-query top-k.
 
     Output: (qid, nbr_rank, neighbor_id, dist) like exact_knn.
-    """
+
+    ``impl``: "kernel" scores in ONE broadcast Arrow pass over the raw
+    base (per batch: blocked-argmin cell assignment, then each row is
+    scored against only the broadcast queries probing its cell; the
+    exchange carries (qid, neighbor_id, dist) per-batch top-k partials
+    only). "join" is the declarative formulation (assignment table ⨝
+    probe table ⨝ vectors): it materializes every (query, candidate)
+    pair WITH both vectors through a shuffle — measured at 2M base ×
+    1000 queries (nprobe/nlist = 1/8): ~250M candidate rows × ~1 KB
+    ≈ >100 GB of shuffle spill, which filled the disk (r11). "auto"
+    takes the kernel whenever the query side fits the same broadcast
+    budget as the exact blocked path, else the join."""
     # one narrow materialization of (id, vec): the centroid fit, the
-    # assignment pass, and the candidate-scoring join all reuse these
-    # blocks instead of re-scanning the source three times
+    # assignment pass, and the candidate scoring all reuse these blocks
+    # instead of re-scanning the source
     base = base.select(
         F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
     ).localCheckpoint(eager=True)
     if centroids is None:
         centroids = kmeans_fit(base, nlist, max_iter, b_id, b_vec)
+
+    q = queries.filter(F.col(q_vec).isNotNull()).select(
+        F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
+    )
+    if impl not in ("auto", "kernel", "join"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl in ("auto", "kernel"):
+        from vectordbindexing_spark.operators.exact_knn import (
+            _BLOCKED_THRESHOLD_QUERIES,
+        )
+
+        qrows = q.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+        if 0 < len(qrows) <= _BLOCKED_THRESHOLD_QUERIES:
+            return _ivf_knn_kernel(
+                base, qrows, centroids, k, nprobe, metric, b_id, b_vec
+            )
+        if impl == "kernel":
+            raise ValueError(
+                "impl='kernel' requires a non-empty query side within "
+                f"the broadcast budget ({_BLOCKED_THRESHOLD_QUERIES})"
+            )
+    return _ivf_knn_join(
+        q, base, centroids, k, nprobe, metric, b_id, b_vec
+    )
+
+
+def _ivf_knn_kernel(
+    base: DataFrame,
+    qrows,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    metric: str,
+    b_id: str,
+    b_vec: str,
+) -> DataFrame:
+    """Broadcast-kernel IVF scoring (see ivf_knn docstring). Selection
+    conventions are identical to the join path: probe ties break to the
+    lowest cid, result ties to the lowest neighbor_id, distances come
+    from the same batch kernels as the exact blocked scan — so the two
+    impls return the same rows (pinned by test)."""
+    from vectordbindexing_spark.operators.exact_knn import (
+        _BLOCK_TARGET_BYTES,
+        _pairwise_dist,
+    )
+    from vectordbindexing_spark.operators.topk import (
+        batch_topk_by_dist_id,
+        topk_per_group,
+    )
+    from vectordbindexing_spark.plans.partitioning import (
+        repartition_for_compute,
+    )
+
+    spark = base.sparkSession
+    qids = qrows["qid"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["_qv"]])
+    C = np.asarray(centroids, dtype=np.float64)
+    npb = min(nprobe, len(C))
+    # probe selection, driver-side: per-pair l2 (the join path scores
+    # centroids with pair_dist_udf("l2")) + lowest-cid tie break
+    cell_to_qidx: dict[int, list[int]] = {}
+    chunk = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * C.size))
+    cid_range = np.arange(len(C))
+    for s in range(0, len(qids), chunk):
+        diff = Q[s : s + chunk, None, :] - C[None, :, :]
+        cd = np.sqrt(np.einsum("qcd,qcd->qc", diff, diff))
+        for r in range(cd.shape[0]):
+            for c in np.lexsort((cid_range, cd[r]))[:npb]:
+                cell_to_qidx.setdefault(int(c), []).append(s + r)
+    cq_np = {
+        c: np.asarray(v, dtype=np.int64) for c, v in cell_to_qidx.items()
+    }
+    bc = spark.sparkContext.broadcast((qids, Q, C, cq_np))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bQ, bC, cq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bids = pdf["bid"].to_numpy()
+            cids = _argmin_d2_blocked(B, bC)  # the ivf_assign convention
+            order = np.argsort(cids, kind="stable")
+            B, bids, cids = B[order], bids[order], cids[order]
+            ucells, starts = np.unique(cids, return_index=True)
+            ends = np.append(starts[1:], len(cids))
+            cq_chunks, ci_chunks, cd_chunks = [], [], []
+            for c, s0, s1 in zip(ucells, starts, ends):
+                qidx = cq.get(int(c))
+                if qidx is None:
+                    continue
+                rows = s1 - s0
+                kk = min(k, rows)
+                qch = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * rows))
+                for qs in range(0, len(qidx), qch):
+                    sub = qidx[qs : qs + qch]
+                    D = _pairwise_dist(bQ[sub], B[s0:s1], metric)
+                    nbr, dd = batch_topk_by_dist_id(D, bids[s0:s1], kk)
+                    cq_chunks.append(np.repeat(sub, nbr.shape[1]))
+                    ci_chunks.append(nbr.ravel())
+                    cd_chunks.append(dd.ravel())
+            if not cq_chunks:
+                continue
+            qi = np.concatenate(cq_chunks)
+            ii = np.concatenate(ci_chunks)
+            di = np.concatenate(cd_chunks)
+            # per-query top-k across this batch's cells: (dist, id) lex
+            # within each query — the same convention as the global merge
+            o = np.lexsort((ii, di, qi))
+            qi, ii, di = qi[o], ii[o], di[o]
+            grp_start = np.r_[True, qi[1:] != qi[:-1]]
+            pos = np.arange(len(qi))
+            rank = pos - np.maximum.accumulate(np.where(grp_start, pos, 0))
+            keep = rank < k
+            yield pd.DataFrame(
+                {
+                    "qid": bqids[qi[keep]],
+                    "neighbor_id": ii[keep],
+                    "dist": di[keep],
+                }
+            )
+
+    b = repartition_for_compute(
+        base.select(
+            F.col(b_id).cast("long").alias("bid"), F.col(b_vec).alias("v")
+        )
+    )
+    partial = b.mapInPandas(
+        score, schema="qid long, neighbor_id long, dist double"
+    )
+    ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
+
+
+def _ivf_knn_join(
+    q: DataFrame,
+    base: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    metric: str,
+    b_id: str,
+    b_vec: str,
+) -> DataFrame:
+    """Declarative IVF scoring — the over-broadcast-budget fallback
+    (see ivf_knn docstring for the shuffle-volume caveat)."""
     assign = ivf_assign(base, centroids, b_id, b_vec)
 
     # query → nprobe nearest centroids (tiny: k×d broadcast matmul on driver
     # side expressed declaratively via a centroid literal table)
-    spark = queries.sparkSession
+    spark = base.sparkSession
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         schema="cid long, cvec array<double>",
-    )
-    q = queries.filter(F.col(q_vec).isNotNull()).select(
-        F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
     )
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
         "cdist", pair_dist_udf("l2")("_qv", "cvec")
