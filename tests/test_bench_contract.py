@@ -63,7 +63,15 @@ def test_bench_json_contract_with_secondary_sf():
             out["queries"]
         )
         dropped = set(full["queries"]) - set(out["queries"])
-        assert all(full["queries"][q] <= 1.0 for q in dropped), dropped
+        # the degrade loop drops the SMALLEST entries first — at 122
+        # registered queries on a slow box the dropped tail can
+        # legitimately exceed an absolute threshold, so pin the
+        # ordering invariant instead (0.1 tolerance: the sort ran on
+        # 1-decimal rounded values, full carries 3 decimals)
+        kept_full = [full["queries"][q] for q in out["queries"]]
+        assert max(full["queries"][q] for q in dropped) <= min(
+            kept_full
+        ) + 0.1, dropped
     else:
         assert set(sec["queries_secondary"]) == set(out["queries"])
     # the stdout contract line itself must fit the driver's tail buffer
