@@ -203,16 +203,10 @@ def test_crash_between_vector_and_edge_swap_heals_on_replay(
     art = str(tmp_path / "crash_art")
     init_graph_artifact(base, art, M0=M0, M1=M1)
 
-    calls = {"n": 0}
-    real = gi.swap_in_buckets
+    def boom(*a, **kw):
+        raise OSError("simulated crash before the forward delta append")
 
-    def boom(out, path, *a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 2:  # the edges swap of the first attempt
-            raise OSError("simulated crash before the edges swap")
-        return real(out, path, *a, **kw)
-
-    monkeypatch.setattr(gi, "swap_in_buckets", boom)
+    monkeypatch.setattr(gi, "_write_fwd_delta", boom)
     with pytest.raises(OSError):
         upsert_graph_artifact(b1, art, refresh_factor=10.0)
     monkeypatch.undo()
@@ -277,16 +271,10 @@ def test_crash_between_vec_and_edge_swap_on_UPDATE_heals_on_replay(
         [(upd_id, newvec)], "id long, vec array<double>"
     )
 
-    calls = {"n": 0}
-    real = gi.swap_in_buckets
+    def boom(*a, **kw):
+        raise OSError("simulated crash before the forward delta append")
 
-    def boom(out, path, *a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 2:  # the forward-edges swap of the first attempt
-            raise OSError("simulated crash before the edges swap")
-        return real(out, path, *a, **kw)
-
-    monkeypatch.setattr(gi, "swap_in_buckets", boom)
+    monkeypatch.setattr(gi, "_write_fwd_delta", boom)
     with pytest.raises(OSError):
         upsert_graph_artifact(upd, art, refresh_factor=10.0)
     monkeypatch.undo()
@@ -325,6 +313,8 @@ def test_rev_edges_mirror_forward_and_n_live_tracks(spark, corpus, tmp_path):
     stay an exact row mirror of the forward artifact across init,
     upsert and update; n_live is maintained incrementally and matches
     the real corpus size."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
     from vectordbindexing_spark.streaming.graph_ingest import (
         rev_edges_resolved,
     )
@@ -336,7 +326,7 @@ def test_rev_edges_mirror_forward_and_n_live_tracks(spark, corpus, tmp_path):
     def rows(path):
         return sorted(
             (r["layer"], r["src"], r["dst"], r["dist"])
-            for r in spark.read.parquet(path).drop("bucket").collect()
+            for r in gi.edges_resolved(spark, path).collect()
         )
 
     def rev_rows():
@@ -345,14 +335,14 @@ def test_rev_edges_mirror_forward_and_n_live_tracks(spark, corpus, tmp_path):
             for r in rev_edges_resolved(spark, art).collect()
         )
 
-    assert rows(art + "/edges") == rev_rows()
+    assert rows(art) == rev_rows()
     assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
-    assert rows(art + "/edges") == rev_rows()
+    assert rows(art) == rev_rows()
     upd = spark.createDataFrame(
         [(3, [0.75] * D)], "id long, vec array<double>"
     )
     assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
-    assert rows(art + "/edges") == rev_rows()
+    assert rows(art) == rev_rows()
     vecs, _, meta = load_graph_artifact(spark, art)
     assert meta["n_live"] == vecs.count() == N0 + NB
 
@@ -361,6 +351,8 @@ def test_migration_from_unbucketed_artifact_rebuilds(spark, tmp_path):
     """An r08-era artifact (no bucket partitioning, meta without
     "buckets"/"rev"/"n_live") must survive the first post-upgrade
     batch via the rebuild path instead of KeyError'ing."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
     import json as _json
 
     from vectordbindexing_spark.operators.graph import build_two_layer_index
@@ -407,7 +399,7 @@ def test_migration_from_unbucketed_artifact_rebuilds(spark, tmp_path):
     )
     want = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/edges").collect()
+        for r in gi.edges_resolved(spark, art).collect()
     )
     assert got == want
 
@@ -418,6 +410,8 @@ def test_migration_bucketed_but_no_rev_materializes_inverse(
     """An r09-era artifact (bucketed, meta without "rev") gets the
     inverted adjacency materialized once — no rebuild — and proceeds
     incrementally."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
     import json as _json
     import shutil
 
@@ -450,7 +444,7 @@ def test_migration_bucketed_but_no_rev_materializes_inverse(
     )
     want = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/edges").collect()
+        for r in gi.edges_resolved(spark, art).collect()
     )
     assert got == want
 
@@ -546,7 +540,7 @@ def test_rev_delta_is_append_only_and_compaction_folds(
     def fwd_rows():
         return sorted(
             (r["layer"], r["src"], r["dst"])
-            for r in spark.read.parquet(art + "/edges").collect()
+            for r in gi.edges_resolved(spark, art).collect()
         )
 
     def rev_rows():
@@ -618,7 +612,7 @@ def test_half_finished_compaction_is_exact_and_self_heals(
                                   "*.parquet"), recursive=True)
     fwd = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/edges").collect()
+        for r in gi.edges_resolved(spark, art).collect()
     )
     rev = sorted(
         (r["layer"], r["src"], r["dst"])
@@ -630,7 +624,7 @@ def test_half_finished_compaction_is_exact_and_self_heals(
     assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
     fwd = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/edges").collect()
+        for r in gi.edges_resolved(spark, art).collect()
     )
     rev = sorted(
         (r["layer"], r["src"], r["dst"])
@@ -665,7 +659,7 @@ def test_crash_before_rev_delta_write_heals_on_replay(
     assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
     fwd = sorted(
         (r["layer"], r["src"], r["dst"])
-        for r in spark.read.parquet(art + "/edges").collect()
+        for r in gi.edges_resolved(spark, art).collect()
     )
     rev = sorted(
         (r["layer"], r["src"], r["dst"])
@@ -734,3 +728,69 @@ def test_write_rev_delta_moves_every_part_file(spark, tmp_path, monkeypatch):
     got = spark.read.schema(gi.ADDS_SCHEMA).parquet(adds_dir)
     assert got.count() == 64
     assert appended > 0
+
+
+def test_fwd_delta_is_append_only_serving_resolves_and_folds(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """An upsert must never rewrite a forward base bucket (r11
+    measurement: the dirty-bucket swap rewrote 91% of the artifact per
+    1000-node update at 2M — batch·2·M0 + losers srcs saturate any
+    bucket count) — adds land in fwd_delta/, serving resolves
+    base ∪ delta − tombstones, and the log folds back into the base
+    past the threshold."""
+    import glob
+    import json as _json
+    import os
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "fwd_delta_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+    base_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(art, "edges", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(art, "edges", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert after == base_files  # base untouched, delta appended
+    assert glob.glob(os.path.join(art, "fwd_delta", "adds", "**",
+                                  "d1-*.parquet"), recursive=True)
+    assert os.path.exists(
+        os.path.join(art, "fwd_delta", "tombs", "d1.parquet")
+    )
+    # serving reads the resolved view; inserted nodes are reachable
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    gt1 = _gt(q, base.unionByName(b1))
+    assert _recall(spark, q, vecs, edges, gt1) >= 0.8
+
+    # force the fold: threshold 0 → the next upsert compacts FIRST
+    monkeypatch.setattr(gi, "REV_COMPACT_FACTOR", 0.0)
+    upd = spark.createDataFrame(
+        [(5, [0.5] * D)], "id long, vec array<double>"
+    )
+    assert upsert_graph_artifact(upd, art, refresh_factor=10.0) == "upsert"
+    monkeypatch.undo()
+    assert not glob.glob(os.path.join(art, "fwd_delta", "adds", "**",
+                                      "d1-*.parquet"), recursive=True)
+    assert glob.glob(os.path.join(art, "fwd_delta", "adds", "**",
+                                  "d2-*.parquet"), recursive=True)
+    # the resolved forward view still mirrors the resolved inverse
+    fwd = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in gi.edges_resolved(spark, art).collect()
+    )
+    rev = sorted(
+        (r["layer"], r["src"], r["dst"])
+        for r in gi.rev_edges_resolved(spark, art).collect()
+    )
+    assert fwd == rev
+    meta = _json.load(open(art + "/meta.json"))
+    assert meta.get("pending") is None
+    assert meta["fwd_base_bytes"] > 0 and meta["fwd_delta_bytes"] > 0

@@ -8,8 +8,16 @@ artifact):
 
 * ``vectors``  — parquet partitioned by ``bucket = pmod(xxhash64(id),
   B)``: (id, vec), the full current corpus
-* ``edges``    — parquet partitioned by ``bucket = pmod(xxhash64(src),
-  B)``: (layer, src, dst, dist), the serving graph
+* ``edges``    — the serving graph BASE, parquet partitioned by
+  ``bucket = pmod(xxhash64(src), B)``: (layer, src, dst, dist) with a
+  fold-watermark ``seq`` after the first fold
+* ``fwd_delta/`` — the serving graph's LSM delta log (r11: the
+  forward dirty-bucket swap measured 91% of the artifact rewritten
+  per 1000-node update batch at 2M — the dirty set is
+  |batch|·2·M0 + losers srcs, which saturates any bucket count).
+  Same design as rev_delta but bucketed by SRC; serving resolves
+  base ∪ adds − src-tombstones (``edges_resolved``), and the log
+  folds into the base past REV_COMPACT_FACTOR and at every rebuild
 * ``rev_edges``— the inverted adjacency BASE, partitioned by
   ``bucket = pmod(xxhash64(dst), B)`` with a fold-watermark ``seq``
   column. Every dst-side probe (who points AT this node?)
@@ -60,12 +68,12 @@ Per micro-batch (:func:`upsert_graph_artifact`):
    verbatim. All four edge reads are dirty-fraction-pruned: dirty-src
    rows from ``edges``, dirty-dst rows and replaced-id losers from
    ``rev_edges`` (both by partition value), never a full scan.
-3. Crash-safe commit: dirty-bucket swaps for vectors and forward
-   edges (atomic.swap_in_buckets, with the expected dirty-bucket list
-   so a bucket EMPTIED by the update swaps to a marker-only dir
-   instead of silently keeping stale rows), then an APPEND to the rev
-   delta log (|adds| + |dirty| rows, no bucket rewrite): per-batch
-   write I/O scales with |batch|·degree, not with the corpus. The whole step is
+3. Crash-safe commit: dirty-bucket swap for vectors
+   (atomic.swap_in_buckets with the expected dirty-bucket list), then
+   APPENDS to the forward and rev delta logs (|adds| + |dirty| rows
+   each, no bucket rewrite — a dirty src emptied by the update is
+   covered by its tombstone alone): per-batch write I/O scales with
+   |batch|·degree, not with the corpus. The whole step is
    replay-idempotent by DETECTION: a redelivered batch (every id
    stored with a bit-identical vector and its edge work committed)
    returns ``"noop"`` without touching state — recomputation could
@@ -199,6 +207,67 @@ def _delta_paths(index_dir: str) -> tuple[str, str]:
     return os.path.join(root, "adds"), os.path.join(root, "tombs")
 
 
+def _fwd_delta_paths(index_dir: str) -> tuple[str, str]:
+    root = os.path.join(index_dir, "fwd_delta")
+    return os.path.join(root, "adds"), os.path.join(root, "tombs")
+
+
+def _fwd_live(
+    spark: SparkSession,
+    index_dir: str,
+    bkts: list | None = None,
+    src_df: DataFrame | None = None,
+    keep_seq: bool = False,
+) -> DataFrame:
+    """Resolved live FORWARD adjacency rows (layer, src, dst, dist):
+    base ∪ fwd_delta adds, minus rows superseded by a newer
+    src-tombstone (``row.seq >= tseq`` keeps a batch's own re-adds) —
+    the rev_delta LSM design applied to the serving-side artifact (the
+    r11 2M measurement showed the forward dirty-bucket swap rewriting
+    91% of the artifact per 1000-node update batch: the dirty set is
+    batch·(2·M0)+losers srcs, which saturates any bucket count).
+    ``bkts`` partition-prunes base and adds (both are src-bucketed, so
+    one list serves both); ``src_df`` (a (src) frame) semi-joins BEFORE
+    resolution so the join work is probe-sized. Pre-LSM artifacts (no
+    fwd_delta dir) resolve to the base alone — no migration step."""
+    _, edge_path, _, _ = _paths(index_dir)
+    adds_dir, tombs_dir = _fwd_delta_paths(index_dir)
+    base = spark.read.parquet(edge_path)
+    if "seq" not in base.columns:
+        base = base.withColumn("seq", F.lit(0).cast("long"))
+    if bkts is not None:
+        base = base.where(F.col("bucket").isin(bkts))
+    cols = ["layer", "src", "dst", "dist", "seq"]
+    keep = cols if keep_seq else cols[:4]
+    if delta_empty(adds_dir, tombs_dir):
+        rows = base.select(*cols)
+        if src_df is not None:
+            rows = rows.join(F.broadcast(src_df), "src", "left_semi")
+        return rows.select(*keep)
+    adds = spark.read.schema(ADDS_SCHEMA).parquet(adds_dir)
+    if bkts is not None:
+        adds = adds.where(F.col("bucket").isin(bkts))
+    rows = base.select(*cols).unionByName(adds.select(*cols))
+    if src_df is not None:
+        rows = rows.join(F.broadcast(src_df), "src", "left_semi")
+    tombs = (
+        spark.read.schema(TOMBS_SCHEMA).parquet(tombs_dir)
+        .groupBy("src").agg(F.max("seq").alias("tseq"))
+    )
+    live = (
+        rows.join(tombs, "src", "left")
+        .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
+        .dropDuplicates(["layer", "src", "dst"])
+    )
+    return live.select(*keep)
+
+
+def edges_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The full live forward adjacency (serving + test surface) —
+    base ∪ fwd delta, resolved."""
+    return _fwd_live(spark, index_dir)
+
+
 def _read_rev_base(spark: SparkSession, rev_path: str) -> DataFrame:
     """The rev base with its fold watermark; pre-delta-era bases (the
     short-lived full-mirror layout) read as seq 0."""
@@ -288,8 +357,43 @@ def _write_rev_delta(
     seq: int,
     buckets: int,
 ) -> int:
-    """Append one batch's rev delta: ``adds`` (the batch's merged
-    dirty adjacency) as ONE parquet file per touched dst bucket plus
+    """Append one batch's rev delta (adds bucketed by DST — the
+    mirror's probe key). See :func:`_write_edge_delta`."""
+    adds_dir, tombs_dir = _delta_paths(index_dir)
+    return _write_edge_delta(
+        adds, dirty_src, os.path.join(index_dir, "rev_delta.__tmp__"),
+        adds_dir, tombs_dir, seq, buckets, "dst",
+    )
+
+
+def _write_fwd_delta(
+    adds: DataFrame,
+    dirty_src: DataFrame,
+    index_dir: str,
+    seq: int,
+    buckets: int,
+) -> int:
+    """Append one batch's FORWARD delta (adds bucketed by SRC — the
+    serving key). See :func:`_write_edge_delta`."""
+    adds_dir, tombs_dir = _fwd_delta_paths(index_dir)
+    return _write_edge_delta(
+        adds, dirty_src, os.path.join(index_dir, "fwd_delta.__tmp__"),
+        adds_dir, tombs_dir, seq, buckets, "src",
+    )
+
+
+def _write_edge_delta(
+    adds: DataFrame,
+    dirty_src: DataFrame,
+    tmp: str,
+    adds_dir: str,
+    tombs_dir: str,
+    seq: int,
+    buckets: int,
+    bucket_col: str,
+) -> int:
+    """Append one batch's edge delta: ``adds`` (the batch's merged
+    dirty adjacency) as ONE parquet file per touched bucket plus
     one global tombstone file of the dirty srcs, every file named
     d<seq> so a crash replay OVERWRITES its own attempt instead of
     duplicating it. Write I/O is |adds| + |dirty| rows — never a
@@ -298,12 +402,10 @@ def _write_rev_delta(
     files so it costs no extra Spark job)."""
     import shutil
 
-    adds_dir, tombs_dir = _delta_paths(index_dir)
-    tmp = os.path.join(index_dir, "rev_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
     (
         adds.withColumn("seq", F.lit(seq).cast("long"))
-        .withColumn("bucket", _bucket_of("dst", buckets))
+        .withColumn("bucket", _bucket_of(bucket_col, buckets))
         .repartition("bucket")  # one file per touched bucket
         .write.partitionBy("bucket").parquet(os.path.join(tmp, "adds"))
     )
@@ -352,11 +454,23 @@ def _write_rev_delta(
 
 
 def _pre_clear_rev_delta(index_dir: str, seq: int, bkts: list) -> None:
-    """Remove a crashed attempt's delta files before this replay's
+    """Remove a crashed attempt's rev-delta files before this replay's
     probes run: the probes must see the PRE-batch rev state, and the
     replay's own recompute (which may differ from the crashed attempt
     in the last distance ulp) rewrites the same d<seq> names."""
     adds_dir, tombs_dir = _delta_paths(index_dir)
+    _pre_clear_delta(adds_dir, tombs_dir, seq, bkts)
+
+
+def _pre_clear_fwd_delta(index_dir: str, seq: int, bkts: list) -> None:
+    """:func:`_pre_clear_rev_delta` for the forward log."""
+    adds_dir, tombs_dir = _fwd_delta_paths(index_dir)
+    _pre_clear_delta(adds_dir, tombs_dir, seq, bkts)
+
+
+def _pre_clear_delta(
+    adds_dir: str, tombs_dir: str, seq: int, bkts: list
+) -> None:
     for b in bkts:
         d = os.path.join(adds_dir, f"bucket={b}")
         if not os.path.isdir(d):
@@ -379,6 +493,15 @@ def _clear_rev_delta(index_dir: str) -> None:
     shutil.rmtree(os.path.join(index_dir, "rev_delta"), ignore_errors=True)
     shutil.rmtree(
         os.path.join(index_dir, "rev_delta.__tmp__"), ignore_errors=True
+    )
+
+
+def _clear_fwd_delta(index_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "fwd_delta"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(index_dir, "fwd_delta.__tmp__"), ignore_errors=True
     )
 
 
@@ -418,6 +541,7 @@ def init_graph_artifact(
         rev_path, coalesce=None, partition_by=["bucket"],
     )
     _clear_rev_delta(index_dir)
+    _clear_fwd_delta(index_dir)
     n = base.sparkSession.read.parquet(vec_path).count()
     write_json_atomic(
         meta_path,
@@ -429,6 +553,8 @@ def init_graph_artifact(
             "rev_seq": 0,
             "rev_base_bytes": du_parquet(rev_path),
             "rev_delta_bytes": 0,
+            "fwd_base_bytes": du_parquet(edge_path),
+            "fwd_delta_bytes": 0,
             **_build_params(M0, M1, M_level, metric),
         },
     )
@@ -537,6 +663,7 @@ def upsert_graph_artifact(
     # rewrites the same d<seq> names with its own recompute
     if pend.get("seq") is not None:
         _pre_clear_rev_delta(index_dir, pend["seq"], pend.get("rev_bkts", []))
+        _pre_clear_fwd_delta(index_dir, pend["seq"], pend.get("fwd_bkts", []))
     rev_seq = int(meta.get("rev_seq", 0)) + 1
 
     # fold the rev delta log back into its base once it outgrows
@@ -557,6 +684,22 @@ def upsert_graph_artifact(
         meta["rev_delta_bytes"] = 0
         write_json_atomic(meta_path, meta)
 
+    # same fold for the FORWARD log (serving reads resolve base ∪ delta,
+    # so the fold also bounds serve-load read amplification)
+    if (
+        not pend["ids"]
+        and meta.get("fwd_delta_bytes", 0)
+        > REV_COMPACT_FACTOR * max(int(meta.get("fwd_base_bytes", 0)), 1)
+    ):
+        folded = _fwd_live(spark, index_dir, keep_seq=True).withColumn(
+            "bucket", _bucket_of("src", buckets)
+        ).localCheckpoint(eager=True)
+        swap_in(folded, edge_path, coalesce=None, partition_by=["bucket"])
+        _clear_fwd_delta(index_dir)
+        meta["fwd_base_bytes"] = du_parquet(edge_path)
+        meta["fwd_delta_bytes"] = 0
+        write_json_atomic(meta_path, meta)
+
     # deterministic in-batch winner for duplicate ids: greatest vec by
     # array ordering (replays are identical rows, so this only matters
     # when one batch really carries conflicting payloads)
@@ -573,7 +716,6 @@ def upsert_graph_artifact(
     if new.isEmpty() and not pend["ids"]:
         return "noop"
     vecs_raw = spark.read.parquet(vec_path)
-    edges_raw = spark.read.parquet(edge_path)
     stored = vecs_raw.drop("bucket")
     # batch bucket footprint — bounded by |batch|, reused for pruning
     batch_bkts = [] if migrate else _bkts(new, "id", buckets)
@@ -614,7 +756,7 @@ def upsert_graph_artifact(
             matched.where(F.col("vec") == F.col("_sv"))
             .select("id", "vec")
             .join(
-                edges_raw.where(F.col("bucket").isin(batch_bkts))
+                _fwd_live(spark, index_dir, bkts=batch_bkts)
                 .where(F.col("layer") == 0)
                 .select(F.col("src").alias("id")),
                 "id", "left_anti",
@@ -730,11 +872,13 @@ def upsert_graph_artifact(
             .withColumn("bucket", _bucket_of("dst", buckets)),
             rev_path, coalesce=None, partition_by=["bucket"],
         )
-        _clear_rev_delta(index_dir)  # the fresh base subsumes the log
+        _clear_rev_delta(index_dir)  # the fresh bases subsume the logs
+        _clear_fwd_delta(index_dir)
         n_real = spark.read.parquet(vec_path).count()  # reconcile
         meta.update(
             n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True,
             rev_base_bytes=du_parquet(rev_path), rev_delta_bytes=0,
+            fwd_base_bytes=du_parquet(edge_path), fwd_delta_bytes=0,
         )
         meta.pop("pending", None)
         write_json_atomic(meta_path, meta)
@@ -745,7 +889,7 @@ def upsert_graph_artifact(
     # shuffle-write, no kNN), then proceed incrementally.
     if not meta.get("rev"):
         swap_in(
-            edges_raw.drop("bucket")
+            _fwd_live(spark, index_dir)
             .withColumn("seq", F.lit(0).cast("long"))
             .withColumn("bucket", _bucket_of("dst", buckets)),
             rev_path, coalesce=None, partition_by=["bucket"],
@@ -791,16 +935,13 @@ def upsert_graph_artifact(
     dirty_bkts = _bkts(dirty, "id", buckets)
 
     # candidate rows for the dirty re-cap, all partition-pruned: rows
-    # whose SRC is dirty from the forward artifact, rows whose DST is
-    # dirty from the inverted one (srcs-not-dirty only, to avoid
+    # whose SRC is dirty from the resolved forward log, rows whose DST
+    # is dirty from the inverted one (srcs-not-dirty only, to avoid
     # double-counting rows with both endpoints dirty). src_rows is
-    # ALSO exactly the set of rows the forward rewrite removes (the
-    # keep anti-join drops every dirty src), so its dst buckets give
-    # the inverted artifact's dirty-bucket list for free.
-    src_rows = (
-        edges_raw.where(F.col("bucket").isin(dirty_bkts))
-        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
-        .drop("bucket")
+    # ALSO exactly the row set this batch's forward tombstones kill.
+    src_rows = _fwd_live(
+        spark, index_dir, bkts=dirty_bkts,
+        src_df=dirty.withColumnRenamed("id", "src"),
     )
     # dirty ids hash to the same values whether keyed as src or dst,
     # so dirty_bkts prunes the dst-partitioned log too; the dst filter
@@ -821,15 +962,15 @@ def upsert_graph_artifact(
     # reverses of stored rows pointing AT it, and the new edges — all
     # present in (old_rel ∪ new_edges); non-dirty rows are a mutualize
     # fixed point and gain no candidates, so they stay verbatim.
-    # Checkpointed: it feeds BOTH edge swaps, and its lineage reads
-    # edge_path/rev_path, which the first edge swap invalidates.
+    # Checkpointed: it feeds BOTH delta appends, and its lineage reads
+    # edge_path/rev_path listings that later batches' folds invalidate.
     merged_dirty = (
         mutualize(old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1))
         .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
         .localCheckpoint(eager=True)
     )
 
-    # rev-delta footprint: dst buckets of the batch's adds — collected
+    # delta footprints: src/dst buckets of the batch's adds — collected
     # pre-swap so the ledger can scope a replay's pre-clear
     inv_dirty_bkts = sorted(
         r[0]
@@ -837,14 +978,11 @@ def upsert_graph_artifact(
         .distinct()
         .collect()
     )
-
-    # rewrite ONLY dirty buckets: each keeps its untouched srcs' rows.
-    keep = (
-        edges_raw.where(F.col("bucket").isin(dirty_bkts))
-        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_anti")
-    )
-    edges_out = keep.unionByName(
-        merged_dirty.withColumn("bucket", _bucket_of("src", buckets))
+    fwd_dirty_bkts = sorted(
+        r[0]
+        for r in merged_dirty.select(_bucket_of("src", buckets).alias("b"))
+        .distinct()
+        .collect()
     )
 
     # vector rows actually change only for inserts and updates; their
@@ -859,30 +997,36 @@ def upsert_graph_artifact(
         .unionByName(fresh)
         .withColumn("bucket", _bucket_of("id", buckets))
     )
-    # vectors first: a crash between the swaps leaves vectors a
-    # SUPERSET of the edges' endpoints (unreachable rows, servable);
-    # the replayed batch then lands on the pending-heal path above and
-    # completes the graph. The reverse order could serve edges whose
-    # endpoints have no vector. Forward edges before the rev delta:
-    # the serving path reads forward only, and the heal recompute
-    # restores the mirror either way. Lineage safety: each output's
-    # lineage reads only artifacts not yet swapped at its
-    # materialization time (vecs_out → vec_path; edges_out →
-    # edge_path; merged_dirty and dirty are checkpointed above, so the
-    # rev delta write has no live lineage at all).
+    # vectors first: a crash between the vectors swap and the edge
+    # appends leaves vectors a SUPERSET of the edges' endpoints
+    # (unreachable rows, servable); the replayed batch then lands on
+    # the pending-heal path above and completes the graph. The reverse
+    # order could serve edges whose endpoints have no vector. Both
+    # edge artifacts are APPEND-ONLY logs since r11 (the forward
+    # dirty-bucket swap measured 91% of the artifact rewritten per
+    # 1000-node update at 2M — batch·2·M0 + losers srcs saturate any
+    # bucket count; the delta append is |adds| + |dirty| rows):
+    # forward before rev so the serving view completes first, each
+    # log's tombstone file lands before its adds, and a crash anywhere
+    # replays via the ledger's (seq, bkts) pre-clear. Lineage safety:
+    # merged_dirty and dirty are checkpointed above, so the edge
+    # appends have no live lineage; vecs_out reads only vec_path.
     if vb_list:
         swap_in_buckets(vecs_out, vec_path, expected=vb_list)
-    swap_in_buckets(edges_out, edge_path, expected=dirty_bkts)
-    # scope a future replay's pre-clear to the delta files this
-    # attempt is about to write, then append the log entry: |adds| +
-    # |dirty| rows of write I/O — never a rev bucket rewrite
+    meta["pending"]["fwd_bkts"] = fwd_dirty_bkts
     meta["pending"]["rev_bkts"] = inv_dirty_bkts
     write_json_atomic(meta_path, meta)
+    fwd_appended = _write_fwd_delta(
+        merged_dirty, dirty, index_dir, rev_seq, buckets
+    )
     appended = _write_rev_delta(
         merged_dirty, dirty, index_dir, rev_seq, buckets
     )
     meta["n_live"] = n_union
     meta["rev_seq"] = rev_seq
+    meta["fwd_delta_bytes"] = (
+        int(meta.get("fwd_delta_bytes", 0)) + fwd_appended
+    )
     meta["rev_delta_bytes"] = int(meta.get("rev_delta_bytes", 0)) + appended
     meta.pop("pending", None)
     write_json_atomic(meta_path, meta)
@@ -899,7 +1043,7 @@ def load_graph_artifact(spark: SparkSession, index_dir: str):
     recover_tree(rev_path)
     return (
         spark.read.parquet(vec_path).drop("bucket"),
-        spark.read.parquet(edge_path).drop("bucket"),
+        edges_resolved(spark, index_dir),
         json.load(open(meta_path)),
     )
 
