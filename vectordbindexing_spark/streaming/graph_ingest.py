@@ -971,19 +971,16 @@ def upsert_graph_artifact(
     )
 
     # delta footprints: src/dst buckets of the batch's adds — collected
-    # pre-swap so the ledger can scope a replay's pre-clear
-    inv_dirty_bkts = sorted(
-        r[0]
-        for r in merged_dirty.select(_bucket_of("dst", buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
-    fwd_dirty_bkts = sorted(
-        r[0]
-        for r in merged_dirty.select(_bucket_of("src", buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
+    # pre-swap so the ledger can scope a replay's pre-clear. ONE job
+    # for both lists (collect_set aggregates are bucket-count-bounded;
+    # two distinct+collect passes doubled the fixed job latency that
+    # dominates micro-batches)
+    fp = merged_dirty.agg(
+        F.collect_set(_bucket_of("src", buckets)).alias("sb"),
+        F.collect_set(_bucket_of("dst", buckets)).alias("db"),
+    ).collect()[0]
+    fwd_dirty_bkts = sorted(fp["sb"])
+    inv_dirty_bkts = sorted(fp["db"])
 
     # vector rows actually change only for inserts and updates; their
     # bucket list (⊆ batch_bkts, bounded by |batch|) partition-prunes
