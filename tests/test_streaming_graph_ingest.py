@@ -794,3 +794,46 @@ def test_fwd_delta_is_append_only_serving_resolves_and_folds(
     meta = _json.load(open(art + "/meta.json"))
     assert meta.get("pending") is None
     assert meta["fwd_base_bytes"] > 0 and meta["fwd_delta_bytes"] > 0
+
+
+def test_fwd_tombs_without_adds_serves_instead_of_throwing(
+    spark, corpus, tmp_path
+):
+    """The fwd-delta crash window: _write_edge_delta moves the global
+    tombstone file BEFORE the per-bucket adds, so a crash between the
+    two (or a batch whose merged adjacency is empty) leaves
+    fwd_delta/tombs populated with fwd_delta/adds absent. delta_empty
+    is then False, and an unguarded adds read would throw
+    PATH_NOT_FOUND on EVERY serving read until the batch replays —
+    the resolved view must instead read the adds as empty and keep
+    serving base − tombstoned srcs."""
+    import shutil
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "fwd_crash_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1)
+    assert upsert_graph_artifact(b1, art, refresh_factor=10.0) == "upsert"
+
+    fwd_adds, fwd_tombs = gi._fwd_delta_paths(art)
+    tomb_srcs = {
+        r["src"]
+        for r in spark.read.parquet(fwd_tombs).select("src").collect()
+    }
+    assert tomb_srcs  # the window is only interesting with tombstones
+    shutil.rmtree(fwd_adds)  # simulate: tombs moved, adds never landed
+
+    fwd = gi.edges_resolved(spark, art)
+    fwd_srcs = {r["src"] for r in fwd.select("src").distinct().collect()}
+    # no throw, and every tombstoned src is masked (base rows are seq 0)
+    assert not (fwd_srcs & tomb_srcs)
+    base_srcs = {
+        r["src"]
+        for r in spark.read.parquet(art + "/edges")
+        .select("src").distinct().collect()
+    }
+    assert fwd_srcs == base_srcs - tomb_srcs
+    # the serving entry point reads the same resolved view
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    assert edges.count() == fwd.count()

@@ -593,3 +593,44 @@ def test_pre_clear_band_delta_removes_only_its_own_seq(tmp_path):
     nd._pre_clear_band_delta(str(tmp_path), 1, [5, 99])
     assert sorted(os.listdir(adds)) == ["d10-0.parquet", "d12.parquet"]
     assert sorted(os.listdir(tombs)) == ["d10.parquet"]
+
+
+def test_band_tombs_without_adds_serves_instead_of_throwing(
+    spark, docs, tmp_path
+):
+    """The bands-delta crash window: _write_band_delta moves the global
+    did-tombstone file BEFORE the per-bucket adds, so a crash between
+    the two leaves bands_delta/tombs populated with bands_delta/adds
+    absent. delta_empty is then False, and an unguarded adds read
+    would throw PATH_NOT_FOUND on every bands_resolved / candidate
+    probe until the batch replays — the resolved view must instead
+    read the adds as empty and serve base − tombstoned dids."""
+    import shutil
+
+    import vectordbindexing_spark.streaming.neardup as nd
+
+    base, b1, _ = _split(docs)
+    art = str(tmp_path / "band_crash")
+    init_neardup_artifact(base, art, buckets=16)
+    # an UPDATE batch so the tombstones actually mask base rows
+    upd = spark.createDataFrame([(0, _text(7))], "doc_id long, text string")
+    upsert_neardup_artifact(upd, art)
+
+    adds_dir, tombs_dir = nd._band_delta_paths(art)
+    tomb_dids = {
+        r["did"]
+        for r in spark.read.parquet(tombs_dir).select("did").collect()
+    }
+    assert 0 in tomb_dids
+    shutil.rmtree(adds_dir)  # simulate: tombs moved, adds never landed
+
+    bands = nd.bands_resolved(spark, art)
+    dids = {r["did"] for r in bands.select("did").distinct().collect()}
+    # no throw, and the tombstoned doc's stale base rows are masked
+    assert not (dids & tomb_dids)
+    base_dids = {
+        r["did"]
+        for r in spark.read.parquet(os.path.join(art, "bands"))
+        .select("did").distinct().collect()
+    }
+    assert dids == base_dids - tomb_dids

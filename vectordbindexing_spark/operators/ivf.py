@@ -338,10 +338,14 @@ def ivf_knn(
     budget as the exact blocked path, else the join."""
     # one narrow materialization of (id, vec): the centroid fit, the
     # assignment pass, and the candidate scoring all reuse these blocks
-    # instead of re-scanning the source
-    base = base.select(
-        F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec)
-    ).localCheckpoint(eager=True)
+    # instead of re-scanning the source. NULL vectors are dropped HERE so
+    # both impls (kernel np.stack would crash on a ragged batch; join is
+    # already guarded inside ivf_assign) see the identical corpus.
+    base = (
+        base.filter(F.col(b_vec).isNotNull())
+        .select(F.col(b_id).cast("long").alias(b_id), F.col(b_vec).alias(b_vec))
+        .localCheckpoint(eager=True)
+    )
     if centroids is None:
         centroids = kmeans_fit(base, nlist, max_iter, b_id, b_vec)
 

@@ -32,9 +32,11 @@ def hash_ordered_sample(
 ):
     """The bounded deterministic fit-sample shared by every codebook /
     centroid trainer (kmeans/IVF/PQ/OPQ): the ``sample_size`` rows with
-    the smallest (det_hash64(id), id) — engine-independent, one scan,
-    and at n ≤ sample_size the sample IS the corpus (what makes the
-    sf-scale oracles exact). Returns a pandas DataFrame (i, v).
+    the smallest (det_hash64(id), id) — engine-independent, TWO jobs
+    (one count to size the hash cutoff + one bounded take; the skew
+    fallback re-takes but has never fired), and at n ≤ sample_size the
+    sample IS the corpus (what makes the sf-scale oracles exact).
+    Returns a pandas DataFrame (i, v).
 
     Scale guard: a bare ``orderBy(hash).limit(K).toPandas()`` executes
     as TakeOrdered, which ships min(K, partition rows) from EVERY
@@ -62,12 +64,13 @@ def hash_ordered_sample(
     if n > sample_size:
         cut = int(min(1.0, 1.3 * sample_size / n) * (1 << 32))
         cand = src.where(F.col("_h") < cut)
-        if cand.count() < sample_size:
-            # pathological hash skew (never observed): exact fallback
-            cand = src
-    else:
-        cand = src
-    return cand.orderBy("_h", "i").limit(sample_size).drop("_h").toPandas()
+        pdf = cand.orderBy("_h", "i").limit(sample_size).drop("_h").toPandas()
+        if len(pdf) < sample_size:
+            # pathological hash skew (never observed): exact fallback —
+            # shortfall is detected from the take itself, not a count job
+            pdf = src.orderBy("_h", "i").limit(sample_size).drop("_h").toPandas()
+        return pdf
+    return src.orderBy("_h", "i").limit(sample_size).drop("_h").toPandas()
 
 
 def salted_join(

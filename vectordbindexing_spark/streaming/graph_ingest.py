@@ -244,16 +244,17 @@ def _fwd_live(
         if src_df is not None:
             rows = rows.join(F.broadcast(src_df), "src", "left_semi")
         return rows.select(*keep)
-    adds = spark.read.schema(ADDS_SCHEMA).parquet(adds_dir)
+    # guarded reads: _write_edge_delta moves the tombstone file BEFORE
+    # the adds, so a crash in that window (or an empty merged adjacency)
+    # leaves tombs-present/adds-missing — read each side as empty when
+    # its dir is absent instead of throwing PATH_NOT_FOUND at serving
+    adds = _read_adds(spark, adds_dir)
     if bkts is not None:
         adds = adds.where(F.col("bucket").isin(bkts))
     rows = base.select(*cols).unionByName(adds.select(*cols))
     if src_df is not None:
         rows = rows.join(F.broadcast(src_df), "src", "left_semi")
-    tombs = (
-        spark.read.schema(TOMBS_SCHEMA).parquet(tombs_dir)
-        .groupBy("src").agg(F.max("seq").alias("tseq"))
-    )
+    tombs = _read_tomb_max(spark, tombs_dir)
     live = (
         rows.join(tombs, "src", "left")
         .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))

@@ -192,14 +192,24 @@ def _bands_live(
     keep = cols if keep_seq else cols[:3]
     if delta_empty(adds_dir, tombs_dir):
         return base.select(*keep)
-    adds = spark.read.schema(BANDS_ADDS_SCHEMA).parquet(adds_dir)
+    # guarded reads: _write_band_delta moves the did-tombstone BEFORE
+    # the adds, so a crash in that window leaves tombs-present with the
+    # adds dir absent — read each side as empty when missing instead of
+    # throwing PATH_NOT_FOUND at probe/serving time until replay
+    if os.path.isdir(adds_dir):
+        adds = spark.read.schema(BANDS_ADDS_SCHEMA).parquet(adds_dir)
+    else:
+        adds = spark.createDataFrame([], BANDS_ADDS_SCHEMA)
     if bkts is not None:
         adds = adds.where(F.col("bucket").isin(bkts))
     rows = base.select(*cols).unionByName(adds.select(*cols))
-    tombs = (
-        spark.read.schema(BANDS_TOMBS_SCHEMA).parquet(tombs_dir)
-        .groupBy("did").agg(F.max("seq").alias("tseq"))
-    )
+    if os.path.isdir(tombs_dir):
+        tombs = (
+            spark.read.schema(BANDS_TOMBS_SCHEMA).parquet(tombs_dir)
+            .groupBy("did").agg(F.max("seq").alias("tseq"))
+        )
+    else:
+        tombs = spark.createDataFrame([], "did long, tseq long")
     live = (
         rows.join(tombs, "did", "left")
         .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
