@@ -1414,13 +1414,6 @@ def _pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectordbindexing_spark.operators.dedup import simhash_text_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_text_fingerprints(docs, text_col="text", id_col="doc_id")
-
-
 def _media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal ingest path over REAL compressed images: deterministic
     synthetic frames (seeded per doc_id) are JPEG-encoded — even doc_ids
@@ -2406,8 +2399,8 @@ def queries() -> dict[str, Query]:
     # Registry ORDER is a contract with the driver: its per-round
     # CORRECTNESS file covers roughly the FIRST 50 entries (r10 covered
     # 49 — budget for 49, not 50), so each round leads with the queries
-    # that most need a fresh driver-side oracle row. At 122 entries the
-    # window cycles every ⌈122/50⌉ = 3 rounds; the freshness invariant
+    # that most need a fresh driver-side oracle row. At 120 entries the
+    # window cycles every ⌈120/50⌉ = 3 rounds; the freshness invariant
     # (enforced by scripts/check_registry.py) is "every registered
     # query has a green row in the union of the last 3 CORRECTNESS
     # files, and the current window leads with the entries whose last
@@ -2415,84 +2408,34 @@ def queries() -> dict[str, Query]:
     # (tests/test_entry_contract.py) still exercises ALL queries at
     # sf0.001.
     #
-    # GROWTH POLICY (registry headroom): at 122 queries the 50-slot
+    # GROWTH POLICY (registry headroom): at 120 queries the 50-slot
     # window covers the registry in exactly the 3-round lookback with
-    # ~28 slots/cycle of slack. A new registration consumes one slack
+    # ~30 slots/cycle of slack. A new registration consumes one slack
     # slot for 3 rounds. Before registering, run check_registry and
     # confirm ⌈(N+new)/50⌉ does not exceed the lookback; if it would,
-    # first retire/merge a redundant row (candidates:
+    # first retire/merge a redundant row (the r12 retirements —
     # simhash_text_fingerprints ⊂ simhash_buckets coverage,
-    # cluster_silhouette vs cluster_silhouette_simplified) so the
-    # invariant stays satisfiable. Never register more than ~10 new
+    # cluster_silhouette superseded by its _simplified scale route —
+    # are the model: the library operator and its pytest pins stay, only
+    # the redundant driver row goes). Never register more than ~10 new
     # queries in one round without retiring an equal number.
     #
-    # Round-11 rotation:
-    # (a) positions 1-22 — the 22 entries whose last driver row is r08
-    #     (check_registry's mechanical priority list): semantic_dedup
-    #     (slipped past the 49-row r10 coverage at position 50) + the
-    #     quantizer/planner/exact-kNN stack + four text ops. Their rows
-    #     turn 3 rounds old this round — they MUST refresh now.
-    # (b) positions 23-50 — 28 of the 50 entries whose last driver row
-    #     is r09 (oldest-first by registry order): clustering, mixing,
-    #     relational r09 block, packing.
-    # (c) positions 51-72 — the 22 remaining r09-rowed entries. They
-    #     MUST lead the r12 window; check_registry emits this list
-    #     mechanically.
-    # (d) positions 73-122 — the 50 entries with fresh r10 rows.
+    # Round-12 rotation (registry: 120 after retiring
+    # simhash_text_fingerprints — its library operator keeps its pytest
+    # pins and its driver coverage is a strict subset of simhash_buckets
+    # + simhash_text_neardup — and cluster_silhouette, whose scale route
+    # cluster_silhouette_simplified keeps the driver row while the exact
+    # O(n²) variant stays a pytest-pinned library operator):
+    # (a) positions 1-21 — the 21 remaining entries whose last driver
+    #     row is r09 (check_registry's mechanical priority list). Their
+    #     rows turn 3 rounds old this round — they MUST refresh now.
+    # (b) positions 22-50 — 29 of the 49 entries whose last driver row
+    #     is r10 (oldest-first by registry order).
+    # (c) positions 51-70 — the 20 remaining r10-rowed entries; they
+    #     lead the r13 window.
+    # (d) positions 71-120 — the 50 entries with fresh r11 rows.
     return {
-        # (a) last driver row r08 — window-leading, refreshed this round
-        "semantic_dedup": _semantic_dedup,
-        "ann_ladder_recall": _ann_ladder_recall,
-        "text_lang_id_lexicon": _text_lang_id_lexicon,
-        "sq8_knn": _sq8_knn,
-        "bq_hamming_knn": _bq_knn,
-        "pq_adc_knn": _pq_adc_knn,
-        "opq_knn": _opq_knn,
-        "ivfpq_knn": _ivfpq_knn,
-        "ivfpq_index_knn": _ivfpq_index_knn,
-        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
-        "planner_knn_route": _planner_knn_route,
-        "planner_sq8_route": _planner_sq8_route,
-        "planner_graph_route": _planner_graph_route,
-        "knn_exact_cosine": _knn_query("cosine"),
-        "knn_exact_l2": _knn_query("l2"),
-        "knn_exact_ip": _knn_query("ip"),
-        "lsh_knn_cosine": _lsh_knn,
-        "ivf_knn_cosine": _ivf_knn,
-        "text_pii_redact": _text_pii_redact,
-        "text_repetition_stats": _text_repetition_stats,
-        "text_chunk_documents": _text_chunk_documents,
-        "text_lm_logprob": _char_trigram_logprob,
-        # (b) last driver row r09 — refreshed this round
-        "kmeans_clusters": _kmeans_clusters,
-        "cluster_silhouette_simplified": _cluster_silhouette_simplified,
-        "embedding_pool_by_doc": _embedding_pool_by_doc,
-        "text_url_domains": _text_url_domains,
-        "text_line_dedup": _text_line_dedup,
-        "mix_quota_sample": _mix_quota_sample,
-        "doc_fingerprint": _doc_fingerprint,
-        "tpch_q10_returned_items": _tpch_q10,
-        "tpch_q18_large_volume": _tpch_q18,
-        "events_attribution": _events_attribution,
-        "text_bpe_token_stats": _bpe_token_stats,
-        "benchmark_contamination": _benchmark_contamination,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q6_forecast_revenue": _tpch_q6,
-        "top_orders_per_customer": _top_orders_per_customer,
-        "events_props_json": _events_props_json,
-        "events_hourly_stats": _events_hourly,
-        "events_sessionize": _events_sessionize,
-        "text_pack_windows": _pack_token_windows,
-        "mix_token_budget_sample": _mix_token_budget_sample,
-        "ann_two_layer_recall": _ann_two_layer_recall,
-        "frontier_knn": _frontier_knn,
-        "corpus_filter_gate": _corpus_filter_gate,
-        "ann_sharded_recall": _ann_sharded_recall,
-        "roargraph_recall": _roargraph_recall,
-        "khop_reachability": _khop_reachability,
-        # (c) last driver row r09, deferred — MUST lead the r12 window
+        # (a) last driver row r09 — window-leading, refreshed this round
         "augment_star_edges": _augment_star_edges,
         "traced_steps_summary": _traced_steps_summary,
         "hnsw_level_assignment": _hnsw_levels,
@@ -2505,7 +2448,6 @@ def queries() -> dict[str, Query]:
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "weighted_l2_knn": _weighted_l2_knn,
         "gt_clean_arrays": _gt_clean,
-        "simhash_text_fingerprints": _simhash_text_fp,
         "modality_stats": _modality_stats,
         "train_test_split": _train_test_split,
         "recall_lsh_vs_exact": _recall_lsh_vs_exact,
@@ -2515,7 +2457,7 @@ def queries() -> dict[str, Query]:
         "text_lang_id": _text_lang_id,
         "ann_bucketed_recall": _ann_bucketed_recall,
         "text_duplicated_spans": _text_duplicated_spans,
-        # (d) fresh r10 driver rows — tail
+        # (b) last driver row r10 — refreshed this round (registry order)
         "streaming_graph_upsert": _streaming_graph_upsert,
         "streaming_neardup_upsert": _streaming_neardup_upsert,
         "bpe_train_merges": _bpe_train_merges,
@@ -2545,12 +2487,12 @@ def queries() -> dict[str, Query]:
         "graph_triangle_stats": _graph_triangle_stats,
         "graph_kcore": _graph_kcore,
         "graph_label_prop": _graph_label_prop,
+        # (c) last driver row r10, deferred — MUST lead the r13 window
         "graph_ppr": _graph_ppr,
         "graph_random_walks": _graph_random_walks,
         "maxsim_knn": _maxsim_knn,
         "mmr_rerank_knn": _mmr_rerank_knn,
         "mine_triplets": _mine_triplets,
-        "cluster_silhouette": _cluster_silhouette,
         "text_tfidf_terms": _text_tfidf_terms,
         "events_cohort_retention": _events_cohort_retention,
         "events_transition_counts": _events_transition_counts,
@@ -2566,6 +2508,57 @@ def queries() -> dict[str, Query]:
         "media_jpeg_decode_stats": _media_jpeg_decode_stats,
         "media_wav_features": _media_wav_features,
         "media_video_stats": _media_video_stats,
+        # (d) fresh r11 driver rows — tail
+        "semantic_dedup": _semantic_dedup,
+        "ann_ladder_recall": _ann_ladder_recall,
+        "text_lang_id_lexicon": _text_lang_id_lexicon,
+        "sq8_knn": _sq8_knn,
+        "bq_hamming_knn": _bq_knn,
+        "pq_adc_knn": _pq_adc_knn,
+        "opq_knn": _opq_knn,
+        "ivfpq_knn": _ivfpq_knn,
+        "ivfpq_index_knn": _ivfpq_index_knn,
+        "ivfpq_rerank_knn": _ivfpq_rerank_knn,
+        "planner_knn_route": _planner_knn_route,
+        "planner_sq8_route": _planner_sq8_route,
+        "planner_graph_route": _planner_graph_route,
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_ip": _knn_query("ip"),
+        "lsh_knn_cosine": _lsh_knn,
+        "ivf_knn_cosine": _ivf_knn,
+        "text_pii_redact": _text_pii_redact,
+        "text_repetition_stats": _text_repetition_stats,
+        "text_chunk_documents": _text_chunk_documents,
+        "text_lm_logprob": _char_trigram_logprob,
+        "kmeans_clusters": _kmeans_clusters,
+        "cluster_silhouette_simplified": _cluster_silhouette_simplified,
+        "embedding_pool_by_doc": _embedding_pool_by_doc,
+        "text_url_domains": _text_url_domains,
+        "text_line_dedup": _text_line_dedup,
+        "mix_quota_sample": _mix_quota_sample,
+        "doc_fingerprint": _doc_fingerprint,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q18_large_volume": _tpch_q18,
+        "events_attribution": _events_attribution,
+        "text_bpe_token_stats": _bpe_token_stats,
+        "benchmark_contamination": _benchmark_contamination,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q6_forecast_revenue": _tpch_q6,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "events_props_json": _events_props_json,
+        "events_hourly_stats": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "text_pack_windows": _pack_token_windows,
+        "mix_token_budget_sample": _mix_token_budget_sample,
+        "ann_two_layer_recall": _ann_two_layer_recall,
+        "frontier_knn": _frontier_knn,
+        "corpus_filter_gate": _corpus_filter_gate,
+        "ann_sharded_recall": _ann_sharded_recall,
+        "roargraph_recall": _roargraph_recall,
+        "khop_reachability": _khop_reachability,
     }
 
 
@@ -2610,10 +2603,6 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_knn": oracles.maxsim_topk_sql(),
         "mmr_rerank_knn": oracles.mmr_rerank_sql(mmr_cand, k=5, lam=0.7),
         "mine_triplets": oracles.mine_triplets_sql(k_neg=5),
-        "cluster_silhouette": oracles.silhouette_sql(
-            "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
-            "label AS cluster FROM embeddings WHERE vec_id < 300"
-        ),
         "cluster_silhouette_simplified": oracles.simplified_silhouette_sql(
             "SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
             "label AS cluster FROM embeddings WHERE vec_id < 300"
@@ -2745,7 +2734,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_l2_knn": oracles.weighted_l2_knn_sql(k=10),
         "gt_clean_arrays": oracles.gt_clean_sql(k=10, cap=250),
-        "simhash_text_fingerprints": oracles.simhash_text_fp_sql(num_bits=32),
         "simhash_text_neardup": oracles.simhash_text_neardup_sql(
             num_bits=32, max_hamming=3, bands=4
         ),
