@@ -37,6 +37,17 @@ def main() -> None:
     ap.add_argument("--m1", type=int, default=8)
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--exact-limit", type=int, default=None,
+        help="exact_base_limit forwarded to init + every upsert "
+        "(force the maintained-IVF-artifact route below 2M corpora)",
+    )
+    ap.add_argument(
+        "--reuse", action="store_true",
+        help="skip the init bulk build when --workdir already holds an "
+        "artifact (meta.json present) — amortize the 2M init across "
+        "measurement reruns",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -62,15 +73,35 @@ def main() -> None:
         print(json.dumps({"step": step, "sec": round(sec, 1), **kw}),
               flush=True)
 
+    import glob as _glob
+
+    def _snap(sub: str) -> dict:
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in _glob.glob(
+                os.path.join(idx, sub, "**", "*.parquet"), recursive=True
+            )
+        }
+
+    def _rewritten(before: dict, after: dict) -> int:
+        return sum(
+            sz for f, (mt, sz) in after.items()
+            if f not in before or before[f][0] != mt
+        )
+
     base = synthetic_vectors(
         spark, args.n, args.dim, n_modalities=64, seed=7
     ).select("id", "vec")
-    t0 = time.time()
-    init_graph_artifact(
-        base, idx, M0=args.m0, M1=args.m1, buckets=args.buckets
-    )
-    emit("init", time.time() - t0, n=args.n, dim=args.dim,
-         buckets=args.buckets)
+    if args.reuse and os.path.exists(os.path.join(idx, "meta.json")):
+        emit("init", 0.0, n=args.n, reused=True)
+    else:
+        t0 = time.time()
+        init_graph_artifact(
+            base, idx, M0=args.m0, M1=args.m1, buckets=args.buckets,
+            exact_base_limit=args.exact_limit,
+        )
+        emit("init", time.time() - t0, n=args.n, dim=args.dim,
+             buckets=args.buckets)
 
     next_id = args.n
     for bs in [int(b) for b in args.batches.split(",")]:
@@ -80,20 +111,36 @@ def main() -> None:
         ).selectExpr(f"id + {next_id} as id", "vec")
         next_id += bs
         t0 = time.time()
-        out = upsert_graph_artifact(batch, idx)
+        out = upsert_graph_artifact(
+            batch, idx, exact_base_limit=args.exact_limit
+        )
         emit(f"fresh_batch_{bs}", time.time() - t0, result=out)
 
     # UPDATE: existing ids, shifted vectors — stale-edge drop + losers
-    # probe + dirty-dst candidate scan all on the rev_edges prune path
+    # probe + dirty-dst candidate scan all on the rev_edges prune path.
+    # Bytes-rewritten accounting per artifact (the LSM contract: only
+    # vectors swap dirty buckets; edges/rev/ivf are append-only logs).
     upd = synthetic_vectors(
         spark, 1000, args.dim, n_modalities=64, seed=7, noise_seed=1717
     ).selectExpr(f"id * 137 % {args.n} as id", "vec").dropDuplicates(["id"])
+    snaps = {
+        s: _snap(s) for s in ("vectors", "edges", "rev_edges", "ivf_cells")
+    }
     t0 = time.time()
-    out = upsert_graph_artifact(upd, idx)
-    emit("update_batch_1000", time.time() - t0, result=out)
+    out = upsert_graph_artifact(upd, idx, exact_base_limit=args.exact_limit)
+    sec = time.time() - t0
+    rewritten = {
+        s: _rewritten(before, _snap(s)) for s, before in snaps.items()
+    }
+    appended = {
+        s: sum(sz for _, sz in _snap(s).values())
+        for s in ("fwd_delta", "rev_delta", "ivf_delta")
+    }
+    emit("update_batch_1000", sec, result=out,
+         bytes_rewritten=rewritten, delta_bytes_total=appended)
 
     t0 = time.time()
-    out = upsert_graph_artifact(upd, idx)
+    out = upsert_graph_artifact(upd, idx, exact_base_limit=args.exact_limit)
     emit("replay_noop", time.time() - t0, result=out)
 
     if args.workdir is None:

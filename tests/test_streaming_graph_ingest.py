@@ -837,3 +837,152 @@ def test_fwd_tombs_without_adds_serves_instead_of_throwing(
     # the serving entry point reads the same resolved view
     vecs, edges, _ = load_graph_artifact(spark, art)
     assert edges.count() == fwd.count()
+
+
+def _ivf_state(spark, art):
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    return {
+        (r["id"], tuple(r["vec"]))
+        for r in gi._ivf_live(spark, art).collect()
+    }
+
+
+def _vec_state(spark, art):
+    return {
+        (r["id"], tuple(float(x) for x in r["vec"]))
+        for r in spark.read.parquet(art + "/vectors")
+        .select("id", "vec").collect()
+    }
+
+
+def test_maintained_ivf_mirror_stays_in_sync_and_append_only(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Past the exact limit the batch kNN reads the maintained IVF
+    cells mirror instead of re-fitting/re-assigning the corpus per
+    micro-batch (the r11 2M residual floor). The mirror must (a) be
+    built at init when the corpus already exceeds the limit, (b) stay
+    an exact resolved copy of the vectors artifact across inserts,
+    updates and crash replays, (c) take batch rows as LSM delta
+    appends — never a cell rewrite — and (d) fold back into its base
+    past the threshold with state intact."""
+    import glob
+    import json as _json
+    import os
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "ivf_mirror")
+    init_graph_artifact(base, art, M0=M0, M1=M1, exact_base_limit=100)
+    meta = _json.load(open(art + "/meta.json"))
+    assert meta["ivf"]["nlist"] >= 16 and meta["ivf"]["base_bytes"] > 0
+    assert _ivf_state(spark, art) == _vec_state(spark, art)
+    base_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(art, "ivf_cells", "**", "*.parquet"), recursive=True
+        )
+    }
+
+    # insert batch: mirror follows, base cells untouched (append-only)
+    assert (
+        upsert_graph_artifact(
+            b1, art, refresh_factor=10.0, exact_base_limit=100
+        )
+        == "upsert"
+    )
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(art, "ivf_cells", "**", "*.parquet"), recursive=True
+        )
+    }
+    assert after == base_files
+    assert glob.glob(
+        os.path.join(art, "ivf_delta", "adds", "**", "d1-*.parquet"),
+        recursive=True,
+    )
+    assert _ivf_state(spark, art) == _vec_state(spark, art)
+
+    # update batch (changed vector, likely a cell move): batch wins
+    upd = spark.createDataFrame(
+        [(7, [0.25] * D)], "id long, vec array<double>"
+    )
+    assert (
+        upsert_graph_artifact(
+            upd, art, refresh_factor=10.0, exact_base_limit=100
+        )
+        == "upsert"
+    )
+    assert _ivf_state(spark, art) == _vec_state(spark, art)
+
+    # replay of a fully-committed batch: noop, mirror untouched
+    pre = _ivf_state(spark, art)
+    assert (
+        upsert_graph_artifact(
+            upd, art, refresh_factor=10.0, exact_base_limit=100
+        )
+        == "noop"
+    )
+    assert _ivf_state(spark, art) == pre
+
+    # forced fold: delta subsumed into the base, state identical
+    monkeypatch.setattr(gi, "REV_COMPACT_FACTOR", 0.0)
+    upd2 = spark.createDataFrame(
+        [(9, [0.75] * D)], "id long, vec array<double>"
+    )
+    assert (
+        upsert_graph_artifact(
+            upd2, art, refresh_factor=10.0, exact_base_limit=100
+        )
+        == "upsert"
+    )
+    monkeypatch.undo()
+    assert not glob.glob(
+        os.path.join(art, "ivf_delta", "adds", "**", "d1-*.parquet"),
+        recursive=True,
+    )
+    assert _ivf_state(spark, art) == _vec_state(spark, art)
+
+
+def test_ivf_mirror_crash_before_delta_append_heals_on_replay(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Crash window: fwd/rev deltas landed but the IVF delta append
+    never ran (ledger still pending). The replay must pre-clear and
+    re-append so the mirror converges back to the vectors artifact."""
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "ivf_crash")
+    init_graph_artifact(base, art, M0=M0, M1=M1, exact_base_limit=100)
+
+    real = gi._write_ivf_delta
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash before the IVF delta append")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gi, "_write_ivf_delta", boom)
+    with pytest.raises(OSError):
+        upsert_graph_artifact(
+            b1, art, refresh_factor=10.0, exact_base_limit=100
+        )
+    # replay heals: pending ledger re-queues, mirror converges
+    assert (
+        upsert_graph_artifact(
+            b1, art, refresh_factor=10.0, exact_base_limit=100
+        )
+        == "upsert"
+    )
+    monkeypatch.undo()
+    assert _ivf_state(spark, art) == _vec_state(spark, art)
+    # and serving still works over the healed artifact
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    gt1 = _gt(q, base.unionByName(b1))
+    assert _recall(spark, q, vecs, edges, gt1) >= 0.6

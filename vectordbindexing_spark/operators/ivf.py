@@ -374,6 +374,130 @@ def ivf_knn(
     )
 
 
+def probe_cells(
+    Q: np.ndarray, C: np.ndarray, nprobe: int
+) -> dict[int, np.ndarray]:
+    """Driver-side probe selection: per-query l2 to every centroid (the
+    join path scores centroids with pair_dist_udf("l2")) with
+    lowest-cid tie break, blocked so the scratch stays bounded.
+    Returns {cell: int64 array of query INDICES probing it} — the
+    broadcast payload every kernel scorer masks against."""
+    from vectordbindexing_spark.operators.exact_knn import (
+        _BLOCK_TARGET_BYTES,
+    )
+
+    npb = min(nprobe, len(C))
+    cell_to_qidx: dict[int, list[int]] = {}
+    chunk = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * C.size))
+    cid_range = np.arange(len(C))
+    for s in range(0, len(Q), chunk):
+        diff = Q[s : s + chunk, None, :] - C[None, :, :]
+        cd = np.sqrt(np.einsum("qcd,qcd->qc", diff, diff))
+        for r in range(cd.shape[0]):
+            for c in np.lexsort((cid_range, cd[r]))[:npb]:
+                cell_to_qidx.setdefault(int(c), []).append(s + r)
+    return {c: np.asarray(v, dtype=np.int64) for c, v in cell_to_qidx.items()}
+
+
+def ivf_cells_knn(
+    cand: DataFrame,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    metric: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Broadcast-kernel IVF scoring over PRE-ASSIGNED cells — the search
+    half of a maintained IVF artifact (persisted centroids +
+    cell-partitioned vectors). ``cand`` already carries each row's cell,
+    so the caller can partition-prune the scan to the probed cells and
+    the kernel skips the per-row argmin re-assignment that made the
+    fit-per-call path O(corpus·nlist) flops per batch. Selection
+    conventions match _ivf_knn_kernel exactly: probe ties break to the
+    lowest cid, result ties to the lowest neighbor_id, distances come
+    from the same batch kernels — so on identical centroids +
+    assignments the two return the same rows. Queries are
+    driver-resident (|batch|-bounded callers like the streaming graph
+    upsert); the exchange carries (qid, neighbor_id, dist) per-batch
+    top-k partials only."""
+    from vectordbindexing_spark.operators.exact_knn import (
+        _BLOCK_TARGET_BYTES,
+        _pairwise_dist,
+    )
+    from vectordbindexing_spark.operators.topk import (
+        batch_topk_by_dist_id,
+        topk_per_group,
+    )
+
+    spark = cand.sparkSession
+    Q = np.asarray(Q, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    qids = np.asarray(qids, dtype=np.int64)
+    cq_np = probe_cells(Q, C, nprobe)
+    bc = spark.sparkContext.broadcast((qids, Q, cq_np))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bQ, cq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bids = pdf["bid"].to_numpy()
+            cids = pdf["cell"].to_numpy()
+            order = np.argsort(cids, kind="stable")
+            B, bids, cids = B[order], bids[order], cids[order]
+            ucells, starts = np.unique(cids, return_index=True)
+            ends = np.append(starts[1:], len(cids))
+            cq_chunks, ci_chunks, cd_chunks = [], [], []
+            for c, s0, s1 in zip(ucells, starts, ends):
+                qidx = cq.get(int(c))
+                if qidx is None:
+                    continue
+                rows = s1 - s0
+                kk = min(k, rows)
+                qch = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * rows))
+                for qs in range(0, len(qidx), qch):
+                    sub = qidx[qs : qs + qch]
+                    D = _pairwise_dist(bQ[sub], B[s0:s1], metric)
+                    nbr, dd = batch_topk_by_dist_id(D, bids[s0:s1], kk)
+                    cq_chunks.append(np.repeat(sub, nbr.shape[1]))
+                    ci_chunks.append(nbr.ravel())
+                    cd_chunks.append(dd.ravel())
+            if not cq_chunks:
+                continue
+            qi = np.concatenate(cq_chunks)
+            ii = np.concatenate(ci_chunks)
+            di = np.concatenate(cd_chunks)
+            o = np.lexsort((ii, di, qi))
+            qi, ii, di = qi[o], ii[o], di[o]
+            grp_start = np.r_[True, qi[1:] != qi[:-1]]
+            pos = np.arange(len(qi))
+            rank = pos - np.maximum.accumulate(np.where(grp_start, pos, 0))
+            keep = rank < k
+            yield pd.DataFrame(
+                {
+                    "qid": bqids[qi[keep]],
+                    "neighbor_id": ii[keep],
+                    "dist": di[keep],
+                }
+            )
+
+    b = cand.select(
+        F.col(id_col).cast("long").alias("bid"),
+        F.col(vec_col).alias("v"),
+        F.col(cell_col).cast("long").alias("cell"),
+    )
+    partial = b.mapInPandas(
+        score, schema="qid long, neighbor_id long, dist double"
+    )
+    ranked = topk_per_group(partial, ["qid"], "dist", k, tie_col="neighbor_id")
+    return ranked.select("qid", "nbr_rank", "neighbor_id", "dist")
+
+
 def _ivf_knn_kernel(
     base: DataFrame,
     qrows,
@@ -405,21 +529,7 @@ def _ivf_knn_kernel(
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["_qv"]])
     C = np.asarray(centroids, dtype=np.float64)
-    npb = min(nprobe, len(C))
-    # probe selection, driver-side: per-pair l2 (the join path scores
-    # centroids with pair_dist_udf("l2")) + lowest-cid tie break
-    cell_to_qidx: dict[int, list[int]] = {}
-    chunk = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * C.size))
-    cid_range = np.arange(len(C))
-    for s in range(0, len(qids), chunk):
-        diff = Q[s : s + chunk, None, :] - C[None, :, :]
-        cd = np.sqrt(np.einsum("qcd,qcd->qc", diff, diff))
-        for r in range(cd.shape[0]):
-            for c in np.lexsort((cid_range, cd[r]))[:npb]:
-                cell_to_qidx.setdefault(int(c), []).append(s + r)
-    cq_np = {
-        c: np.asarray(v, dtype=np.int64) for c, v in cell_to_qidx.items()
-    }
+    cq_np = probe_cells(Q, C, nprobe)
     bc = spark.sparkContext.broadcast((qids, Q, C, cq_np))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -417,13 +417,29 @@ def _write_edge_delta(
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
+    appended = _move_delta_files(tmp, adds_dir, tombs_dir, seq, "bucket=")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return appended
+
+
+def _move_delta_files(
+    tmp: str, adds_dir: str, tombs_dir: str, seq: int, prefix: str
+) -> int:
+    """Move one written delta attempt (``tmp/{adds,tombs}``) into the
+    live log: the tombstone FIRST (if the add-move loop dies midway,
+    every landed add of this seq is already covered by its same-seq
+    tombstone rule), then every add part file under distinct
+    d<seq>-<i> names (repartition normally yields ONE part per
+    partition dir, but AQE/config variation may split it — dropping
+    parts [1:] would silently lose delta rows; the pre-clears glob
+    d<seq>* so a replay still overwrites the whole attempt). Returns
+    bytes appended (the fold-trigger accounting — filesystem sizes,
+    no extra Spark job)."""
     appended = 0
     tname = [
         f for f in os.listdir(os.path.join(tmp, "tombs"))
         if f.endswith(".parquet")
     ][0]
-    # tombstone FIRST: if the move loop dies midway, every landed add
-    # of this seq is already covered by its (same-seq) tombstone rule
     os.makedirs(tombs_dir, exist_ok=True)
     appended += os.path.getsize(os.path.join(tmp, "tombs", tname))
     os.replace(
@@ -431,13 +447,8 @@ def _write_edge_delta(
         os.path.join(tombs_dir, f"d{seq}.parquet"),
     )
     for name in sorted(os.listdir(os.path.join(tmp, "adds"))):
-        if not name.startswith("bucket="):
+        if not name.startswith(prefix):
             continue
-        # repartition('bucket') normally yields ONE part file per bucket,
-        # but AQE/config variation may split it — move EVERY part under
-        # distinct d<seq>-<i> names (dropping parts [1:] would silently
-        # lose delta rows); _pre_clear_rev_delta globs d<seq>* so a
-        # replay still overwrites the whole attempt
         parts = sorted(
             f for f in os.listdir(os.path.join(tmp, "adds", name))
             if f.endswith(".parquet")
@@ -450,7 +461,6 @@ def _write_edge_delta(
                 os.path.join(tmp, "adds", name, part),
                 os.path.join(live_dir, f"d{seq}-{i}.parquet"),
             )
-    shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
 
@@ -470,10 +480,11 @@ def _pre_clear_fwd_delta(index_dir: str, seq: int, bkts: list) -> None:
 
 
 def _pre_clear_delta(
-    adds_dir: str, tombs_dir: str, seq: int, bkts: list
+    adds_dir: str, tombs_dir: str, seq: int, bkts: list,
+    prefix: str = "bucket=",
 ) -> None:
     for b in bkts:
-        d = os.path.join(adds_dir, f"bucket={b}")
+        d = os.path.join(adds_dir, f"{prefix}{b}")
         if not os.path.isdir(d):
             continue
         # d<seq>-<i>.parquet (multi-part) and legacy d<seq>.parquet —
@@ -506,6 +517,355 @@ def _clear_fwd_delta(index_dir: str) -> None:
     )
 
 
+# --------------------------------------------------------------- IVF artifact
+#
+# The maintained IVF artifact that makes the past-exact-limit batch kNN
+# an nprobe/nlist-PRUNED read instead of an O(corpus) fit+assign per
+# micro-batch (the r11 2M measurement's residual floor: the planner
+# route re-fit centroids and re-assigned every stored row each batch).
+#
+# * ``ivf_centroids`` — (cid, cvec) parquet, fitted at init/rebuild on
+#   the bounded deterministic sample (ivf.kmeans_fit), FROZEN between
+#   rebuilds (the ivfpq_ingest.py freeze-then-refit contract: upsert
+#   stays O(batch), drift is repaid at the next rebuild).
+# * ``ivf_cells``  — (id, vec, seq) parquet partitioned by ``cell=``:
+#   the corpus mirrored by coarse cell, so a batch's kNN reads ONLY the
+#   cells its queries probe. This is the classic second copy every IVF
+#   serving artifact keeps (operators.ivf.save_ivf_index stores the
+#   same (cid, id, vec) table); the graph artifact pays it to stop
+#   re-deriving the assignment per batch.
+# * ``ivf_delta/`` — the cells mirror's LSM delta log (same design as
+#   rev/fwd: per-seq adds under ``cell=K/d<seq>-<i>.parquet`` + ONE
+#   global id-tombstone file per batch; ``row.seq >= tseq`` keeps a
+#   batch's own re-adds). Batch rows are assigned driver-side
+#   (|batch|·nlist flops) and appended — never a cell rewrite. Folds
+#   past REV_COMPACT_FACTOR and for free at every rebuild.
+
+IVF_ADDS_SCHEMA = "id long, vec array<double>, seq long, cell int"
+IVF_TOMBS_SCHEMA = "id long, seq long"
+
+
+def _ivf_paths(index_dir: str) -> tuple[str, str]:
+    return (
+        os.path.join(index_dir, "ivf_cells"),
+        os.path.join(index_dir, "ivf_centroids"),
+    )
+
+
+def _ivf_delta_paths(index_dir: str) -> tuple[str, str]:
+    root = os.path.join(index_dir, "ivf_delta")
+    return os.path.join(root, "adds"), os.path.join(root, "tombs")
+
+
+def _ivf_live(
+    spark: SparkSession,
+    index_dir: str,
+    cells: list | None = None,
+    keep_seq: bool = False,
+) -> DataFrame:
+    """Resolved live IVF-cell rows (id, vec, cell): base ∪ delta adds,
+    minus rows superseded by a newer id-tombstone (``row.seq >= tseq``
+    keeps a batch's own re-adds). ``cells`` partition-prunes base and
+    adds to the probed cells. Both delta sides read as empty when their
+    dir is missing (the tombstone lands first — same crash window as
+    the fwd/rev logs)."""
+    cells_path, _ = _ivf_paths(index_dir)
+    adds_dir, tombs_dir = _ivf_delta_paths(index_dir)
+    base = spark.read.parquet(cells_path)
+    if cells is not None:
+        base = base.where(F.col("cell").isin(cells))
+    cols = ["id", "vec", "cell", "seq"]
+    keep = cols if keep_seq else cols[:3]
+    if delta_empty(adds_dir, tombs_dir):
+        return base.select(*keep)
+    if os.path.isdir(adds_dir):
+        adds = spark.read.schema(IVF_ADDS_SCHEMA).parquet(adds_dir)
+    else:
+        adds = spark.createDataFrame([], IVF_ADDS_SCHEMA)
+    if cells is not None:
+        adds = adds.where(F.col("cell").isin(cells))
+    rows = base.select(*cols).unionByName(adds.select(*cols))
+    if os.path.isdir(tombs_dir):
+        tombs = (
+            spark.read.schema(IVF_TOMBS_SCHEMA).parquet(tombs_dir)
+            .groupBy("id").agg(F.max("seq").alias("tseq"))
+        )
+    else:
+        tombs = spark.createDataFrame([], "id long, tseq long")
+    live = (
+        rows.join(tombs, "id", "left")
+        .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
+        .dropDuplicates(["id"])
+    )
+    return live.select(*keep)
+
+
+def _pre_clear_ivf_delta(index_dir: str, seq: int, cells: list) -> None:
+    """:func:`_pre_clear_rev_delta` for the IVF cells log."""
+    adds_dir, tombs_dir = _ivf_delta_paths(index_dir)
+    _pre_clear_delta(adds_dir, tombs_dir, seq, cells, prefix="cell=")
+
+
+def _clear_ivf_delta(index_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "ivf_delta"), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(index_dir, "ivf_delta.__tmp__"), ignore_errors=True
+    )
+
+
+def _write_ivf_delta(
+    add_rows: list, index_dir: str, seq: int
+) -> int:
+    """Append one batch's IVF-cell delta from DRIVER-LOCAL rows
+    [(id, vec, cell)] (the upsert classifies and assigns the batch
+    driver-side, so no distributed input exists to begin with): the
+    global id-tombstone file first, then one d<seq> file per touched
+    cell. Write I/O ∝ |batch| rows. Returns bytes appended."""
+    import shutil
+
+    spark = SparkSession.getActiveSession()
+    adds_dir, tombs_dir = _ivf_delta_paths(index_dir)
+    tmp = os.path.join(index_dir, "ivf_delta.__tmp__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in v], int(seq), int(c))
+                for i, v, c in add_rows
+            ],
+            IVF_ADDS_SCHEMA,
+        )
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(os.path.join(tmp, "adds"))
+    )
+    (
+        spark.createDataFrame(
+            [(int(i), int(seq)) for i, _, _ in add_rows], IVF_TOMBS_SCHEMA
+        )
+        .coalesce(1)
+        .write.parquet(os.path.join(tmp, "tombs"))
+    )
+    appended = _move_delta_files(tmp, adds_dir, tombs_dir, seq, "cell=")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return appended
+
+
+def _ivf_assign_vecs(df: DataFrame, centroids) -> DataFrame:
+    """One fused Arrow pass: (id, vec) → (id, vec, cell) under the
+    broadcast centroids — the ivf_assign convention (blocked l2 argmin,
+    ties → lowest cid) carrying the vector through so the partitioned
+    write needs no join back."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.ivf import _argmin_d2_blocked
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "vec": pdf["vec"],
+                    "cell": _argmin_d2_blocked(X, C).astype("int32"),
+                }
+            )
+
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("vec").cast("array<double>").alias("vec"),
+    ).mapInPandas(assign, schema="id long, vec array<double>, cell int")
+
+
+def _build_ivf_artifact(
+    spark: SparkSession, index_dir: str, n: int
+) -> dict:
+    """Fit + materialize the IVF artifact from the live ``vectors``
+    dir (called at init and at every rebuild — the only O(corpus)
+    passes it ever costs). Returns the meta["ivf"] dict."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.ivf import kmeans_fit
+    from vectordbindexing_spark.plans.knn_planner import MAX_NLIST
+
+    vec_path, _, _, _ = _paths(index_dir)
+    cells_path, cent_path = _ivf_paths(index_dir)
+    vecs = spark.read.parquet(vec_path).drop("bucket")
+    nlist = min(max(16, int(max(n, 1) ** 0.5)), MAX_NLIST)
+    centroids = kmeans_fit(vecs, nlist)
+    cent_df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in row])
+            for i, row in enumerate(np.asarray(centroids))
+        ],
+        schema="cid long, cvec array<double>",
+    )
+    swap_in(cent_df, cent_path, coalesce=1)
+    swap_in(
+        _ivf_assign_vecs(vecs, centroids).withColumn(
+            "seq", F.lit(0).cast("long")
+        ),
+        cells_path, coalesce=None, partition_by=["cell"],
+    )
+    _clear_ivf_delta(index_dir)
+    return {
+        "nlist": int(nlist),
+        "base_bytes": du_parquet(cells_path),
+        "delta_bytes": 0,
+    }
+
+
+def _load_ivf_centroids(spark: SparkSession, index_dir: str):
+    import numpy as np
+
+    _, cent_path = _ivf_paths(index_dir)
+    rows = spark.read.parquet(cent_path).orderBy("cid").collect()
+    return np.array([r["cvec"] for r in rows], dtype=np.float64)
+
+
+def _level_py(i: int, M: int) -> int:
+    """Python twin of operators.graph.assign_levels for one id — the
+    upsert's query rows are driver-local, so the layer-1 subset filter
+    needs no Spark job."""
+    import math
+
+    from vectordbindexing_spark.functions.hashing import det_hash64_py
+    from vectordbindexing_spark.operators.graph import MAX_LEVEL
+
+    bits = int(math.log2(M))
+    h = det_hash64_py(str(int(i)))
+    return sum(
+        1
+        for level in range(1, MAX_LEVEL + 1)
+        if 32 - bits * level > 0 and h < 2 ** (32 - bits * level)
+    )
+
+
+def _ivf_artifact_knn(
+    spark: SparkSession,
+    index_dir: str,
+    q_rows: list,
+    batch_rows: list,
+    k: int,
+    metric: str,
+    layer: int,
+    nprobe: int | None = None,
+    level_min: int | None = None,
+    M_level: int = 16,
+) -> DataFrame:
+    """Batch-vs-corpus kNN for one layer through the MAINTAINED IVF
+    artifact: probe cells are selected driver-side from the frozen
+    centroids, the cells mirror is read partition-pruned to exactly
+    those cells, and scoring runs in the broadcast Arrow kernel
+    (ivf.ivf_cells_knn — narrow top-k partials through the exchange,
+    never candidate pairs). Per-batch cost ∝ Σ|probed cells| +
+    |batch|·nlist driver flops — nothing re-fits or re-assigns the
+    corpus.
+
+    ``q_rows``/``batch_rows`` are driver-local [(id, vec)]: the
+    queries, and the batch-side candidate rows that supersede any
+    artifact rows with the same ids (stale geometry / not yet
+    appended). ``level_min`` restricts BOTH sides to the
+    deterministic level≥ subset (the layer-1 pass)."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.graph import assign_levels
+    from vectordbindexing_spark.operators.ivf import (
+        _argmin_d2_blocked,
+        ivf_cells_knn,
+        probe_cells,
+    )
+
+    C = _load_ivf_centroids(spark, index_dir)
+    npb = nprobe if nprobe is not None else max(1, len(C) // 8)
+    if level_min is not None:
+        q_rows = [
+            (i, v) for i, v in q_rows if _level_py(i, M_level) >= level_min
+        ]
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "layer int, src long, dst long, dist double"
+        )
+    qids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in q_rows])
+    probed = sorted(probe_cells(Q, C, npb))
+
+    # artifact candidates: probed cells only, minus every batch id (its
+    # artifact row is stale for updates and a duplicate for re-adds —
+    # the authoritative row comes in through cand_local)
+    excluded = _ids_df(spark, [i for i, _ in batch_rows])
+    art = _ivf_live(spark, index_dir, cells=probed).join(
+        F.broadcast(excluded), "id", "left_anti"
+    )
+    if level_min is not None:
+        art = (
+            assign_levels(art, "id", M=M_level)
+            .where(F.col("level") >= level_min)
+            .drop("level")
+        )
+    b_rows = (
+        [
+            (i, v)
+            for i, v in batch_rows
+            if _level_py(i, M_level) >= level_min
+        ]
+        if level_min is not None
+        else batch_rows
+    )
+    bcells = (
+        _argmin_d2_blocked(
+            np.stack([np.asarray(v, dtype=np.float64) for _, v in b_rows]), C
+        )
+        if b_rows
+        else []
+    )
+    cand_local = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v], int(c))
+            for (i, v), c in zip(b_rows, bcells)
+        ],
+        "id long, vec array<double>, cell int",
+    )
+    cand = art.select("id", "vec", "cell").unionByName(cand_local)
+    # k+1 overfetch + self-drop + re-rank: the same convention as the
+    # planner branch of _knn_edges, so route flips never change degree
+    raw = ivf_cells_knn(cand, qids, Q, C, k + 1, npb, metric).where(
+        F.col("neighbor_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "neighbor_id")
+    raw = (
+        raw.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    return raw.select(
+        F.lit(layer).alias("layer"),
+        F.col("qid").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "dist",
+    )
+
+
+def _default_exact_limit() -> int:
+    from vectordbindexing_spark.plans.knn_planner import EXACT_BASE_LIMIT
+
+    return EXACT_BASE_LIMIT
+
+
 def init_graph_artifact(
     base: DataFrame,
     index_dir: str,
@@ -516,6 +876,7 @@ def init_graph_artifact(
     id_col: str = "id",
     vec_col: str = "vec",
     buckets: int = DEFAULT_BUCKETS,
+    exact_base_limit: int | None = None,
 ) -> None:
     """Bulk-build the artifact from an initial corpus (the backfill)."""
     from vectordbindexing_spark.operators.graph import build_two_layer_index
@@ -543,22 +904,31 @@ def init_graph_artifact(
     )
     _clear_rev_delta(index_dir)
     _clear_fwd_delta(index_dir)
-    n = base.sparkSession.read.parquet(vec_path).count()
-    write_json_atomic(
-        meta_path,
-        {
-            "n_at_rebuild": n,
-            "n_live": n,
-            "buckets": buckets,
-            "rev": True,
-            "rev_seq": 0,
-            "rev_base_bytes": du_parquet(rev_path),
-            "rev_delta_bytes": 0,
-            "fwd_base_bytes": du_parquet(edge_path),
-            "fwd_delta_bytes": 0,
-            **_build_params(M0, M1, M_level, metric),
-        },
+    spark = base.sparkSession
+    n = spark.read.parquet(vec_path).count()
+    meta = {
+        "n_at_rebuild": n,
+        "n_live": n,
+        "buckets": buckets,
+        "rev": True,
+        "rev_seq": 0,
+        "rev_base_bytes": du_parquet(rev_path),
+        "rev_delta_bytes": 0,
+        "fwd_base_bytes": du_parquet(edge_path),
+        "fwd_delta_bytes": 0,
+        **_build_params(M0, M1, M_level, metric),
+    }
+    # the IVF cells mirror only pays for itself once the batch kNN is
+    # past the exact limit (below it the blocked exact pass needs no
+    # artifact); smaller corpora get it lazily via MIGRATION 3 the
+    # first time an upsert actually routes past the limit
+    ebl = (
+        _default_exact_limit() if exact_base_limit is None
+        else exact_base_limit
     )
+    if n > ebl:
+        meta["ivf"] = _build_ivf_artifact(spark, index_dir, n)
+    write_json_atomic(meta_path, meta)
 
 
 def _knn_edges(
@@ -649,6 +1019,12 @@ def upsert_graph_artifact(
     recover_tree(vec_path)
     recover_tree(edge_path)
     recover_tree(rev_path)
+    cells_path, cent_path = _ivf_paths(index_dir)
+    if os.path.isdir(cells_path):
+        recover_tree(cells_path, partition_col="cell")
+    from vectordbindexing_spark.streaming.atomic import recover
+
+    recover(cent_path)
     meta = json.load(open(meta_path))
     M0, M1 = meta["M0"], meta["M1"]
     M_level, metric = meta["M_level"], meta["metric"]
@@ -665,6 +1041,7 @@ def upsert_graph_artifact(
     if pend.get("seq") is not None:
         _pre_clear_rev_delta(index_dir, pend["seq"], pend.get("rev_bkts", []))
         _pre_clear_fwd_delta(index_dir, pend["seq"], pend.get("fwd_bkts", []))
+        _pre_clear_ivf_delta(index_dir, pend["seq"], pend.get("ivf_cells", []))
     rev_seq = int(meta.get("rev_seq", 0)) + 1
 
     # fold the rev delta log back into its base once it outgrows
@@ -701,10 +1078,35 @@ def upsert_graph_artifact(
         meta["fwd_delta_bytes"] = 0
         write_json_atomic(meta_path, meta)
 
-    # deterministic in-batch winner for duplicate ids: greatest vec by
-    # array ordering (replays are identical rows, so this only matters
-    # when one batch really carries conflicting payloads)
-    new = (
+    # and for the IVF cells log (bounds the probed-cell read
+    # amplification of the batch kNN; centroids stay frozen — a fold
+    # is compaction, never a refit)
+    if (
+        not pend["ids"]
+        and meta.get("ivf")
+        and meta["ivf"].get("delta_bytes", 0)
+        > REV_COMPACT_FACTOR * max(int(meta["ivf"].get("base_bytes", 0)), 1)
+    ):
+        folded = _ivf_live(spark, index_dir, keep_seq=True).localCheckpoint(
+            eager=True
+        )
+        swap_in(folded, cells_path, coalesce=None, partition_by=["cell"])
+        _clear_ivf_delta(index_dir)
+        meta["ivf"]["base_bytes"] = du_parquet(cells_path)
+        meta["ivf"]["delta_bytes"] = 0
+        write_json_atomic(meta_path, meta)
+
+    # ---- classification: TWO |batch|-bounded jobs ----
+    # Job 1 — the batch's deterministic winners (duplicate ids resolve
+    # to the greatest vec by array ordering — replays are identical
+    # rows, so this only matters when one batch really carries
+    # conflicting payloads) collected ONCE with their bucket values.
+    # Every batch-side frame the old path materialized separately
+    # (fresh/changed/ins checkpoints + fresh_ids/ins_ids/repl_rows
+    # collects — ~6 extra jobs of pure fixed latency per micro-batch,
+    # the r11 toy-scale floor) is rebuilt driver-side from this one
+    # bounded collect instead.
+    new_rows = (
         batch.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).alias("vec"),
@@ -712,57 +1114,91 @@ def upsert_graph_artifact(
         .where(F.col("vec").isNotNull())
         .groupBy("id")
         .agg(F.max("vec").alias("vec"))
-        .localCheckpoint(eager=True)
+        .select("id", "vec", _bucket_of("id", buckets).alias("_bkt"))
+        .collect()
     )
-    if new.isEmpty() and not pend["ids"]:
+    new_vec = {r["id"]: list(r["vec"]) for r in new_rows}
+    new_bkt = {r["id"]: r["_bkt"] for r in new_rows}
+    if not new_vec and not pend["ids"]:
         return "noop"
     vecs_raw = spark.read.parquet(vec_path)
     stored = vecs_raw.drop("bucket")
-    # batch bucket footprint — bounded by |batch|, reused for pruning
-    batch_bkts = [] if migrate else _bkts(new, "id", buckets)
-    # the classification scans only need stored rows whose id COULD be
-    # in the batch — its bucket footprint; the full `stored` is kept
-    # for the union below. Unpruned, a replay no-op pays two full
-    # corpus scans just to discover there is nothing to do.
-    stored_slice = (
-        stored
-        if migrate
-        else vecs_raw.where(F.col("bucket").isin(batch_bkts)).drop("bucket")
+    # local frames round-trip through the STORED vec element type so
+    # the unions below line up whatever the caller fed the stream
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    row_schema = StructType(
+        [StructField("id", LongType(), False), stored.schema["vec"]]
     )
 
-    # classify the batch against the store. REPLAY DETECTION: a
-    # redelivered batch (every id stored with a bit-identical vector
-    # and its edge work committed — pending ledger clear) is a no-op on
-    # the state — the only way replay can be exact, since recomputing
-    # kNN dists is deterministic only up to BLAS batch shape.
-    fresh = (
-        new.join(stored_slice.select("id"), "id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    same_t = stored_slice.select("id", F.col("vec").alias("_sv"))
-    matched = new.join(same_t, "id")
-    changed = (
-        matched.where(F.col("vec") != F.col("_sv"))
-        .select("id", "vec")
-        .localCheckpoint(eager=True)
-    )
+    def _rows_df(rows: list) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(i), list(v)) for i, v in rows], row_schema
+        )
+
+    # Job 2 — the classification probe: stored rows in the batch's
+    # bucket footprint (bounded by |batch| — unpruned, a replay no-op
+    # would pay a full corpus scan to discover there is nothing to do)
+    # semi-joined to the batch ids, left-joined to a layer-0 adjacency
+    # marker (probe-sized via _fwd_live's src pushdown). One collect
+    # returns everything the classification needs: (id, stored vec,
+    # has layer-0 edges).
+    batch_bkts = [] if migrate else sorted(set(new_bkt.values()))
+    probe_rows: list = []
+    if new_vec:
+        ids_b = F.broadcast(_ids_df(spark, list(new_vec)))
+        stored_slice = (
+            stored
+            if migrate
+            else vecs_raw.where(F.col("bucket").isin(batch_bkts)).drop("bucket")
+        )
+        matched = stored_slice.join(ids_b, "id", "left_semi")
+        if migrate:
+            # pre-bucketing artifact: no pruning possible and the
+            # rebuild branch below re-keys everything — skip the
+            # edge-marker join, it isn't consulted on this path
+            probe_rows = [
+                (r["id"], list(r["vec"]), True) for r in matched.collect()
+            ]
+        else:
+            l0 = (
+                _fwd_live(
+                    spark, index_dir, bkts=batch_bkts,
+                    src_df=_ids_df(spark, list(new_vec))
+                    .withColumnRenamed("id", "src"),
+                )
+                .where(F.col("layer") == 0)
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .withColumn("_has", F.lit(True))
+            )
+            probe_rows = [
+                (r["id"], list(r["vec"]), r["_has"] is True)
+                for r in matched.join(l0, "id", "left").collect()
+            ]
+
+    # driver-side classify. REPLAY DETECTION: a redelivered batch
+    # (every id stored with a bit-identical vector and its edge work
+    # committed — pending ledger clear) is a no-op on the state — the
+    # only way replay can be exact, since recomputing kNN dists is
+    # deterministic only up to BLAS batch shape. The vec comparison is
+    # the same exact element-wise equality the old Spark-side
+    # F.col("vec") != F.col("_sv") evaluated.
+    stored_map = {i: (v, has) for i, v, has in probe_rows}
+    fresh_rows = [(i, v) for i, v in new_vec.items() if i not in stored_map]
+    changed_rows = [
+        (i, v)
+        for i, v in new_vec.items()
+        if i in stored_map and stored_map[i][0] != v
+    ]
     # redelivered-unchanged ids missing their layer-0 adjacency
     # entirely: defense-in-depth for pre-ledger artifacts (the ledger
-    # below covers every crash window for batches it has seen). The
-    # probe only needs srcs in the batch's own buckets.
-    if migrate:
-        needs_edges = changed.limit(0)
-    else:
-        needs_edges = (
-            matched.where(F.col("vec") == F.col("_sv"))
-            .select("id", "vec")
-            .join(
-                _fwd_live(spark, index_dir, bkts=batch_bkts)
-                .where(F.col("layer") == 0)
-                .select(F.col("src").alias("id")),
-                "id", "left_anti",
-            )
-        )
+    # below covers every crash window for batches it has seen)
+    needs_rows = [
+        (i, v)
+        for i, v in new_vec.items()
+        if i in stored_map and stored_map[i][0] == v and not stored_map[i][1]
+    ]
 
     # PENDING LEDGER heal: a prior attempt stamped its work list but
     # never cleared it — some swaps may have landed, some not. Every
@@ -770,62 +1206,71 @@ def upsert_graph_artifact(
     # classification above gets its edges recomputed against the
     # stored (post-swap) vectors; pending REPLACED ids re-enter the
     # stale-edge drop, closing the update-crash window where
-    # vec == stored hid the half-applied update.
+    # vec == stored hid the half-applied update. Two extra bounded
+    # jobs, paid only on a crash replay.
     n_heal_fresh = 0
+    heal_rows: list = []
+    heal_repl_ids: list = []
+    pend_bkt: dict = {}
     if pend["ids"] and not migrate:
-        pend_df = _ids_df(spark, pend["ids"])
-        pend_bkts = _bkts(pend_df, "id", buckets)
-        stored_pend = (
-            vecs_raw.where(F.col("bucket").isin(pend_bkts))
+        pend_bkt = {
+            r["id"]: r["_bkt"]
+            for r in _ids_df(spark, pend["ids"])
+            .select("id", _bucket_of("id", buckets).alias("_bkt"))
+            .collect()
+        }
+        stored_pend_rows = [
+            (r["id"], list(r["vec"]))
+            for r in vecs_raw.where(
+                F.col("bucket").isin(sorted(set(pend_bkt.values())))
+            )
             .drop("bucket")
-            .join(F.broadcast(pend_df), "id", "left_semi")
-            .localCheckpoint(eager=True)  # bounded by |pending|
-        )
+            .join(F.broadcast(_ids_df(spark, pend["ids"])), "id", "left_semi")
+            .collect()
+        ]
         requeued = (
-            fresh.select("id")
-            .unionByName(changed.select("id"))
-            .unionByName(needs_edges.select("id"))
+            {i for i, _ in fresh_rows}
+            | {i for i, _ in changed_rows}
+            | {i for i, _ in needs_rows}
         )
-        heal = stored_pend.join(requeued, "id", "left_anti")
+        heal_rows = [(i, v) for i, v in stored_pend_rows if i not in requeued]
         if pend["fresh"]:
             # fresh ids the crashed attempt swapped in but never
             # counted into n_live (the meta write is the last step)
-            n_heal_fresh = stored_pend.join(
-                F.broadcast(_ids_df(spark, pend["fresh"])), "id", "left_semi"
-            ).count()
-        heal_repl = heal.join(
-            F.broadcast(_ids_df(spark, pend["replaced"])), "id", "left_semi"
-        ).select("id")
-    else:
-        heal = changed.limit(0)
-        heal_repl = changed.select("id").limit(0)
+            pf = set(pend["fresh"])
+            n_heal_fresh = sum(1 for i, _ in stored_pend_rows if i in pf)
+        pr = set(pend["replaced"])
+        heal_repl_ids = [i for i, _ in heal_rows if i in pr]
 
     # the rows that need NEW edges (and whose ids' buckets get dirty)
-    ins = (
-        fresh.unionByName(changed)
-        .unionByName(needs_edges)
-        .unionByName(heal)
-        .localCheckpoint(eager=True)
-    )
-    if ins.isEmpty():
+    ins_rows = fresh_rows + changed_rows + needs_rows + heal_rows
+    if not ins_rows:
         if meta.get("pending"):
             meta.pop("pending", None)
             write_json_atomic(meta_path, meta)
         return "noop"
+    fresh = _rows_df(fresh_rows)
+    changed = _rows_df(changed_rows)
+    ins = _rows_df(ins_rows)
     ins_ids = ins.select("id")
+    fresh_ids = [i for i, _ in fresh_rows]
     # replaced for EDGE purposes (stale-geometry drop): batch updates
     # plus healed pending updates. Replaced for VECTOR purposes is the
     # batch updates alone — a healed id's stored vector is already the
     # winning one and must NOT be anti-joined out of the corpus.
-    replaced_v = changed.select("id")
-    replaced_e = (
-        replaced_v.unionByName(heal_repl).distinct().localCheckpoint(eager=True)
+    replaced_v_ids = [i for i, _ in changed_rows]
+    replaced_e_ids = sorted(set(replaced_v_ids) | set(heal_repl_ids))
+    replaced_v = _ids_df(spark, replaced_v_ids)
+    replaced_e = _ids_df(spark, replaced_e_ids)
+    repl_bkts = sorted(
+        {new_bkt[i] for i in replaced_v_ids}
+        | {pend_bkt[i] for i in heal_repl_ids}
     )
     # batch wins deterministically for updates; unchanged redelivered
     # ids keep their stored row (bit-identical anyway). Deliberately
     # NOT checkpointed: the lineage (parquet scan + broadcast anti +
-    # tiny unions) is cheap to recompute and fully consumed (via the
-    # checkpointed kNN edges / rebuild output) before any swap.
+    # local-frame unions) is cheap to recompute and fully consumed
+    # (via the checkpointed kNN edges / rebuild output) before any swap.
     union = (
         stored.join(F.broadcast(replaced_v), "id", "left_anti")
         .unionByName(changed)
@@ -834,20 +1279,16 @@ def upsert_graph_artifact(
     # incremental corpus size: meta-maintained, no O(corpus) count per
     # micro-batch; the ledger's fresh list keeps it exact across crash
     # replays, and every rebuild reconciles against a real count.
-    # One bounded collect each (|batch|-sized); replaced rows carry
-    # their bucket so the losers probe below needs no second job.
-    fresh_ids = [r[0] for r in fresh.select("id").collect()]
-    repl_rows = replaced_e.select("id", _bucket_of("id", buckets)).collect()
-    repl_bkts = sorted({r[1] for r in repl_rows})
     n_union = (
         meta.get("n_live", meta["n_at_rebuild"]) + len(fresh_ids) + n_heal_fresh
     )
 
     # stamp the work-list ledger BEFORE any swap: a crash anywhere
-    # between here and the final meta write replays into the heal path
+    # between here and the final meta write replays into the heal path.
+    # All three lists are driver-local already — no collect jobs here.
     meta["pending"] = {
-        "ids": [r[0] for r in ins_ids.collect()],
-        "replaced": [r[0] for r in repl_rows],
+        "ids": [i for i, _ in ins_rows],
+        "replaced": replaced_e_ids,
         "fresh": fresh_ids,
         "seq": rev_seq,  # rev_bkts stamped just before the delta write
     }
@@ -881,6 +1322,18 @@ def upsert_graph_artifact(
             rev_base_bytes=du_parquet(rev_path), rev_delta_bytes=0,
             fwd_base_bytes=du_parquet(edge_path), fwd_delta_bytes=0,
         )
+        # REFIT the IVF mirror (the ivfpq_ingest freeze-then-refit
+        # contract: rebuild is where quantizer drift is repaid); below
+        # the exact limit the mirror is dead weight and is dropped
+        if n_real > ebl:
+            meta["ivf"] = _build_ivf_artifact(spark, index_dir, n_real)
+        else:
+            meta.pop("ivf", None)
+            _clear_ivf_delta(index_dir)
+            import shutil
+
+            shutil.rmtree(cells_path, ignore_errors=True)
+            shutil.rmtree(cent_path, ignore_errors=True)
         meta.pop("pending", None)
         write_json_atomic(meta_path, meta)
         return "rebuild"
@@ -901,23 +1354,44 @@ def upsert_graph_artifact(
         write_json_atomic(meta_path, meta)
 
     # incremental edges: inserted/updated/healed nodes vs the union —
-    # exact below the limit, planner-routed past it — + layer-1 over
-    # the deterministic level>=1 subset
-    l0 = _knn_edges(ins, union, M0, metric, 0, ebl, pk, n_hint=n_union)
-    up_ins = assign_levels(ins, M=M_level).filter(F.col("level") >= 1)
-    up_union = assign_levels(union, M=M_level).filter(F.col("level") >= 1)
-    l1 = _knn_edges(
-        up_ins.select("id", "vec"), up_union.select("id", "vec"),
-        M1, metric, 1, ebl, pk,
-    )
+    # exact below the limit, MAINTAINED-IVF-ARTIFACT-routed past it
+    # (probe-pruned read, no per-batch fit/assign scan) — + layer-1
+    # over the deterministic level>=1 subset
+    if n_union <= ebl:
+        l0 = _knn_edges(ins, union, M0, metric, 0, ebl, pk, n_hint=n_union)
+        up_ins = assign_levels(ins, M=M_level).filter(F.col("level") >= 1)
+        up_union = assign_levels(union, M=M_level).filter(F.col("level") >= 1)
+        l1 = _knn_edges(
+            up_ins.select("id", "vec"), up_union.select("id", "vec"),
+            M1, metric, 1, ebl, pk,
+        )
+    else:
+        # MIGRATION 3 — the corpus crossed the exact limit but the
+        # artifact predates the IVF cells mirror: fit + materialize it
+        # once from the PRE-batch vectors (the same two O(corpus)
+        # passes a rebuild pays; batch rows ride in as cand_local)
+        if not meta.get("ivf"):
+            meta["ivf"] = _build_ivf_artifact(
+                spark, index_dir, meta.get("n_live", meta["n_at_rebuild"])
+            )
+            write_json_atomic(meta_path, meta)
+        nprobe = pk.get("ivf_nprobe")
+        l0 = _ivf_artifact_knn(
+            spark, index_dir, ins_rows, ins_rows, M0, metric, 0,
+            nprobe=nprobe, M_level=M_level,
+        )
+        l1 = _ivf_artifact_knn(
+            spark, index_dir, ins_rows, ins_rows, M1, metric, 1,
+            nprobe=nprobe, level_min=1, M_level=M_level,
+        )
     new_edges = l0.unionByName(l1).localCheckpoint(eager=True)
 
     # nodes losing a stale edge to a replaced id: a pure dst-side
     # probe — partition-pruned on the INVERTED log by the replaced
     # ids' buckets instead of scanning every src bucket. Skipped
-    # outright for insert-only batches (repl_rows already collected —
-    # no replaced ids means no stale edges to lose).
-    if repl_rows:
+    # outright for insert-only batches (the replaced list is
+    # driver-local — no replaced ids means no stale edges to lose).
+    if replaced_e_ids:
         losers = _rev_live(
             spark, index_dir, bkts=repl_bkts,
             dst_df=replaced_e.withColumnRenamed("id", "dst"),
@@ -986,7 +1460,11 @@ def upsert_graph_artifact(
     # vector rows actually change only for inserts and updates; their
     # bucket list (⊆ batch_bkts, bounded by |batch|) partition-prunes
     # the stored-vector scan to the buckets being rewritten
-    vb_list = _bkts(fresh.select("id").unionByName(replaced_v), "id", buckets)
+    # vector-dirty buckets: driver-local (fresh ∪ replaced ids are all
+    # batch ids, whose buckets job 1 already collected) — no extra job
+    vb_list = sorted(
+        {new_bkt[i] for i in fresh_ids} | {new_bkt[i] for i in replaced_v_ids}
+    )
     vecs_out = (
         vecs_raw.where(F.col("bucket").isin(vb_list))
         .drop("bucket")
@@ -1009,10 +1487,30 @@ def upsert_graph_artifact(
     # replays via the ledger's (seq, bkts) pre-clear. Lineage safety:
     # merged_dirty and dirty are checkpointed above, so the edge
     # appends have no live lineage; vecs_out reads only vec_path.
+    # IVF-cells maintenance rows (only once the mirror exists): assign
+    # the batch driver-side (|batch|·nlist flops — the whole point: the
+    # corpus is never re-assigned) so the mirror keeps serving pruned
+    # batch kNNs
+    ivf_add_rows: list = []
+    if meta.get("ivf"):
+        import numpy as np
+
+        from vectordbindexing_spark.operators.ivf import _argmin_d2_blocked
+
+        C = _load_ivf_centroids(spark, index_dir)
+        ins_cells = _argmin_d2_blocked(
+            np.stack([np.asarray(v, dtype=np.float64) for _, v in ins_rows]),
+            C,
+        )
+        ivf_add_rows = [
+            (i, v, int(c)) for (i, v), c in zip(ins_rows, ins_cells)
+        ]
     if vb_list:
         swap_in_buckets(vecs_out, vec_path, expected=vb_list)
     meta["pending"]["fwd_bkts"] = fwd_dirty_bkts
     meta["pending"]["rev_bkts"] = inv_dirty_bkts
+    if ivf_add_rows:
+        meta["pending"]["ivf_cells"] = sorted({c for _, _, c in ivf_add_rows})
     write_json_atomic(meta_path, meta)
     fwd_appended = _write_fwd_delta(
         merged_dirty, dirty, index_dir, rev_seq, buckets
@@ -1026,6 +1524,11 @@ def upsert_graph_artifact(
         int(meta.get("fwd_delta_bytes", 0)) + fwd_appended
     )
     meta["rev_delta_bytes"] = int(meta.get("rev_delta_bytes", 0)) + appended
+    if ivf_add_rows:
+        ivf_appended = _write_ivf_delta(ivf_add_rows, index_dir, rev_seq)
+        meta["ivf"]["delta_bytes"] = (
+            int(meta["ivf"].get("delta_bytes", 0)) + ivf_appended
+        )
     meta.pop("pending", None)
     write_json_atomic(meta_path, meta)
     return "upsert"
