@@ -776,8 +776,7 @@ def char_trigram_logprob(
                 f"impl='arrow' broadcasts the LM; {v} distinct trigrams "
                 "exceed the 1M gate - use impl='join'"
             )
-        return _lm_score_arrow(df, text_col, id_col, k, tri_counts,
-                               bi_counts, v)
+        return _lm_score_arrow(df, text_col, id_col, k, tri_counts, v)
     tri_c = F.broadcast(tri_counts) if small else tri_counts
     bi_c = F.broadcast(bi_counts) if small else bi_counts
     scored = (
@@ -887,7 +886,7 @@ def _tri_count_partials(df, text_col):
     )
 
 
-def _lm_score_arrow(df, text_col, id_col, k, tri_counts, bi_counts, v):
+def _lm_score_arrow(df, text_col, id_col, k, tri_counts, v):
     """Arrow scoring path: the LM (two sorted id/count arrays, ≤ the
     1M-row gate) broadcasts and one mapInPandas scan scores every
     document fully vectorized — packed-codepoint trigram ids, binary
@@ -917,7 +916,17 @@ def _lm_score_arrow(df, text_col, id_col, k, tri_counts, bi_counts, v):
 
     spark = df.sparkSession
     tri_keys, tri_vals = _pack_vocab(tri_counts.collect(), "tri", "ct", 3)
-    bi_keys, bi_vals = _pack_vocab(bi_counts.collect(), "bi", "cb", 2)
+    # the prefix (bigram) table derives DRIVER-SIDE from the collected
+    # trigram table: a packed trigram id's top 42 bits ARE its 2-char
+    # prefix id, and tri_keys is sorted, so the prefix ids are already
+    # non-decreasing — one np.unique + segment sum replaces the
+    # bi_counts groupBy job + its collect (exact integer math, bit-
+    # identical to the substring rollup; two fewer fixed-latency jobs
+    # on a query whose cost is ~all fixed overhead at bench scale)
+    pref = tri_keys >> 21
+    bi_keys, inv = np.unique(pref, return_inverse=True)
+    bi_vals = np.zeros(len(bi_keys), dtype=np.int64)
+    np.add.at(bi_vals, inv, tri_vals)
     bc = spark.sparkContext.broadcast(
         (tri_keys, tri_vals, bi_keys, bi_vals, float(k), float(k) * v)
     )
