@@ -449,14 +449,24 @@ def upsert_neardup_artifact(
         latest, text_col="text", id_col="did", n=meta["n"],
         num_hashes=num_hashes, impl=impl, hashed_grams=True,
     )
-    batch_dids = [r[0] for r in g_new.select("did").collect()]
+    # ---- classification: the signature kernel runs ONCE (inside
+    # minhash_signatures' eager checkpoint); one array-free collect
+    # brings the batch ids + buckets driver-side, and one pruned probe
+    # below settles fresh/changed/replayed — the ~5 further
+    # fixed-latency jobs the old path paid per micro-batch (dids,
+    # buckets, replaced, work-checkpoint, work-ids) are rebuilt
+    # client-side instead (the graph maintainer's r12 fold, applied
+    # here) ----
+    id_rows = g_new.select(
+        "did", _did_bucket(buckets).alias("_bkt")
+    ).collect()
+    batch_dids = [r["did"] for r in id_rows]
+    new_bkt = {r["did"]: r["_bkt"] for r in id_rows}
     if not batch_dids and not pend["ids"]:
         return empty_pairs
 
     # classify against the did-bucket-pruned stored slice
-    did_bkts = sorted(
-        {r[0] for r in g_new.select(_did_bucket(buckets)).collect()}
-    )
+    did_bkts = sorted(set(new_bkt.values()))
     stored_sig = spark.read.parquet(sig_path)
     # MIGRATION — pre-hashing artifact (raw gram STRINGS persisted):
     # ghash is a pure function of the stored strings, so a one-time
@@ -477,35 +487,49 @@ def upsert_neardup_artifact(
         if did_bkts
         else stored_sig.where(F.lit(False))
     )
-    cls = g_new.join(
-        stored_slice.select(
-            "did",
-            F.col("ghash").alias("_sg"),
-            F.col("sig").alias("_ss"),
+    pending_ids = set(pend["ids"])
+    # the probe: batch signatures vs stored — gram-set equality folds
+    # INSIDE the join (both sides are canonical sorted-distinct
+    # arrays, so array equality is set equality; the ghash arrays
+    # never ship to the driver)
+    probe_same: dict = {}
+    if batch_dids:
+        probe_same = {
+            r["did"]: r["_same"]
+            for r in g_new.select("did", "ghash")
+            .join(
+                stored_slice.select(
+                    "did", F.col("ghash").alias("_sg")
+                ),
+                "did",
+            )
+            .select(
+                "did", (F.col("_sg") == F.col("ghash")).alias("_same")
+            )
+            .collect()
+        }
+    # driver-side classify — identical semantics to the old Spark-side
+    # filters: replayed = stored with identical gram hashes AND not in
+    # the pending ledger (a pending id's bands swap may not have
+    # landed — re-queue). Pending ids are excluded from the replaced
+    # set: their stored sig may already be the NEW one (crash after
+    # the signatures swap), so their stale band buckets come from the
+    # ledger's band_bkts list, not from recomputing old band rows.
+    work_ids = sorted(
+        i
+        for i in batch_dids
+        if probe_same.get(i) is not True or i in pending_ids
+    )
+    repl_ids = sorted(
+        i for i in work_ids if i in probe_same and i not in pending_ids
+    )
+    g_work = g_new.join(
+        F.broadcast(
+            spark.createDataFrame([(i,) for i in work_ids], "did long")
         ),
         "did",
-        "left",
-    )
-    pending_ids = set(pend["ids"])
-    # replayed = stored with identical gram hashes AND not in the
-    # pending ledger (a pending id's bands swap may not have landed —
-    # re-queue); both sides are canonical (sorted distinct), so array
-    # equality is set equality
-    changed = F.col("_sg").isNull() | (F.col("_sg") != F.col("ghash"))
-    if pending_ids:
-        changed = changed | F.col("did").isin(list(pending_ids))
-    work = cls.where(changed)
-    # pending ids are excluded from the replaced set: their stored sig
-    # may already be the NEW one (crash after the signatures swap), so
-    # their stale band buckets come from the ledger's band_bkts list,
-    # not from recomputing old band rows
-    replaced = work.where(F.col("_sg").isNotNull())
-    if pending_ids:
-        replaced = replaced.where(~F.col("did").isin(list(pending_ids)))
-    repl_rows = replaced.select("did", "_ss").collect()
-    repl_ids = [r[0] for r in repl_rows]
-    g_work = work.select("did", "ghash", "sig").localCheckpoint(eager=True)
-    work_ids = [r[0] for r in g_work.select("did").collect()]
+        "left_semi",
+    ).select("did", "ghash", "sig")
     # a pending id absent from this batch (crash replayed into a later
     # stream position) heals from its STORED signature — the band
     # rebuild below is a deterministic function of the sig
@@ -527,11 +551,15 @@ def upsert_neardup_artifact(
                 )
             )
             .where(F.col("did").isin(missing_pend))
-            .select("did", "ghash", "sig")
+            .select("did", "ghash", "sig", "bucket")
             .localCheckpoint(eager=True)
         )
-        g_work = g_work.unionByName(healed)
-        work_ids = work_ids + [r[0] for r in healed.select("did").collect()]
+        # one collect for both the healed ids and their (stored)
+        # buckets — the buckets feed sig_dirty below
+        h_rows = healed.select("did", "bucket").collect()
+        g_work = g_work.unionByName(healed.drop("bucket"))
+        work_ids = work_ids + [r["did"] for r in h_rows]
+        new_bkt.update({r["did"]: r["bucket"] for r in h_rows})
     # exact n_docs across crash replays: a pending ledger means the
     # crashed attempt's fresh ids were never counted (the count and the
     # ledger clear share the final meta write), so resume ITS list —
@@ -555,12 +583,23 @@ def upsert_neardup_artifact(
                 return spark.read.schema(PAIR_SCHEMA).parquet(last_pairs)
         return empty_pairs
 
-    # ---- candidates: band rows of the work set ----
-    br_new = band_rows(g_work, bands, num_hashes // bands).localCheckpoint(
-        eager=True
+    # ---- candidates: band rows of the work set — collected ONCE with
+    # their buckets (|batch|·bands narrow rows) and re-created as a
+    # local relation: the cross/intra joins broadcast it and the delta
+    # writer re-partitions it, with no checkpoint + bucket-collect
+    # job pair ----
+    br_rows = (
+        band_rows(g_work, bands, num_hashes // bands)
+        .select(
+            "did", "band_idx", "band_key",
+            _band_bucket(buckets).alias("_bkt"),
+        )
+        .collect()
     )
-    band_bkts = sorted(
-        {r[0] for r in br_new.select(_band_bucket(buckets)).collect()}
+    band_bkts = sorted({r["_bkt"] for r in br_rows})
+    br_new = spark.createDataFrame(
+        [(r["did"], r["band_idx"], r["band_key"]) for r in br_rows],
+        "did long, band_idx int, band_key string",
     )
     work_df = F.broadcast(
         spark.createDataFrame([(i,) for i in work_ids], "did long")
@@ -657,13 +696,9 @@ def upsert_neardup_artifact(
     # old sigs and NO bucket rewrite: this batch's did-level tombstone
     # (seq = band_seq) kills every prior row of every work did at
     # resolution, wherever it sits. band_bkts (the add rows' buckets)
-    # only scopes a replay's pre-clear.
-    sig_dirty = sorted(
-        {
-            r[0]
-            for r in g_work.select(_did_bucket(buckets)).distinct().collect()
-        }
-    )
+    # only scopes a replay's pre-clear. Buckets are all driver-local
+    # already (batch collect + heal collect) — no job.
+    sig_dirty = sorted({new_bkt[i] for i in work_ids})
 
     # ---- stamp the work-list ledger BEFORE any swap: a crash between
     # here and the final meta write replays into the heal path above,
