@@ -689,19 +689,28 @@ def test_pre_clear_rev_delta_removes_only_its_own_seq(tmp_path):
     (tombs / "d1.parquet").write_bytes(b"x")
     (tombs / "d10.parquet").write_bytes(b"x")
 
+    # flat-layout files straight under adds/ must follow the same
+    # exact-seq rule
+    flat = tmp_path / "rev_delta" / "adds"
+    for n in ["d1-0.parquet", "d10-0.parquet"]:
+        (flat / n).write_bytes(b"x")
+
     gi._pre_clear_rev_delta(str(tmp_path), 1, [3, 99])  # 99: absent dir
     assert sorted(os.listdir(adds)) == [
         "d10-0.parquet", "d10.parquet", "d12-0.parquet"
     ]
+    assert sorted(
+        n for n in os.listdir(flat) if not n.startswith("bucket=")
+    ) == ["d10-0.parquet"]
     assert sorted(os.listdir(tombs)) == ["d10.parquet"]
 
 
 def test_write_rev_delta_moves_every_part_file(spark, tmp_path, monkeypatch):
-    """If the bucket-clustered write ever emits >1 part file per bucket
-    dir (AQE/config variation), every part must be moved into the log —
-    dropping parts [1:] silently loses delta rows. Simulated by making
-    repartition a no-op so the 8 input partitions each write their own
-    part files."""
+    """If the flat delta write ever emits >1 part file (coalesce(1)
+    made a no-op — AQE/config variation), every part must be moved
+    into the log — dropping parts [1:] silently loses delta rows.
+    Simulated by making coalesce a no-op so the 8 input partitions
+    each write their own part file."""
     import os
 
     from pyspark.sql.classic.dataframe import DataFrame
@@ -715,7 +724,7 @@ def test_write_rev_delta_moves_every_part_file(spark, tmp_path, monkeypatch):
     dirty = spark.createDataFrame([(i,) for i in range(64)], "id long")
 
     monkeypatch.setattr(
-        DataFrame, "repartition", lambda self, *a, **kw: self
+        DataFrame, "coalesce", lambda self, *a, **kw: self
     )
     appended = gi._write_rev_delta(adds, dirty, str(tmp_path), 1, buckets=2)
     monkeypatch.undo()
@@ -723,7 +732,7 @@ def test_write_rev_delta_moves_every_part_file(spark, tmp_path, monkeypatch):
     adds_dir = os.path.join(str(tmp_path), "rev_delta", "adds")
     import glob as _glob
 
-    parts = _glob.glob(os.path.join(adds_dir, "bucket=*", "d1-*.parquet"))
+    parts = _glob.glob(os.path.join(adds_dir, "d1-*.parquet"))
     assert len(parts) > 2  # the multi-part layout actually materialized
     got = spark.read.schema(gi.ADDS_SCHEMA).parquet(adds_dir)
     assert got.count() == 64
@@ -986,3 +995,44 @@ def test_ivf_mirror_crash_before_delta_append_heals_on_replay(
     vecs, edges, _ = load_graph_artifact(spark, art)
     gt1 = _gt(q, base.unionByName(b1))
     assert _recall(spark, q, vecs, edges, gt1) >= 0.6
+
+
+def test_legacy_per_bucket_delta_folds_away_and_appends_flat(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Pre-r12 logs hold one adds file PER TOUCHED BUCKET — a listing
+    cost that grows with batch count (measured at 2M: ~15k fwd + ~23k
+    rev files PER 1000-row batch, ~10k-task scans after a handful of
+    batches). The first upsert against such an artifact must fold the
+    legacy log away (the fold IS the migration) and append flat
+    bucket-sorted files from then on, with resolution unchanged."""
+    import glob
+    import os
+
+    import vectordbindexing_spark.streaming.graph_ingest as gi
+
+    full, base, b1, b2, q = corpus
+    art = str(tmp_path / "legacy_art")
+    init_graph_artifact(base, art, M0=M0, M1=M1, buckets=8)
+
+    # a legacy-era batch: pin the writers into the per-bucket layout
+    monkeypatch.setattr(gi, "_legacy_delta", lambda *a, **k: True)
+    upsert_graph_artifact(b1, art)
+    monkeypatch.undo()
+    assert glob.glob(os.path.join(art, "rev_delta", "adds", "bucket=*"))
+    assert glob.glob(os.path.join(art, "fwd_delta", "adds", "bucket=*"))
+    n_legacy = gi.edges_resolved(spark, art).count()
+
+    # the next upsert folds the legacy logs (migration) and its own
+    # delta lands as flat files under adds/
+    out = upsert_graph_artifact(b2, art)
+    assert out == "upsert"
+    for log in ("rev_delta", "fwd_delta"):
+        assert not glob.glob(os.path.join(art, log, "adds", "bucket=*"))
+        flat = glob.glob(os.path.join(art, log, "adds", "d*-*.parquet"))
+        assert flat, f"{log}: no flat delta files appended"
+    # resolution still serves the union state
+    assert gi.edges_resolved(spark, art).count() > n_legacy
+    vecs, edges, _ = load_graph_artifact(spark, art)
+    gt = _gt(q, full)
+    assert _recall(spark, q, vecs, edges, gt) >= 0.6

@@ -383,6 +383,25 @@ def _write_fwd_delta(
     )
 
 
+def _legacy_delta(adds_dir: str, prefix: str = "bucket=") -> bool:
+    """True while the adds log still holds the r11 one-file-PER-BUCKET
+    layout (``bucket=K/d<seq>-<i>.parquet``). Measured at 2M nodes: a
+    1000-row update batch dirties ~91% of 16384 buckets, so that
+    layout appended ~15k (fwd) + ~23k (rev) FILES per batch — after a
+    handful of batches every probe/resolve listed ~100k tiny files and
+    planned ~10k scan tasks, a read-side cost that grows with batch
+    COUNT (the classic small-files failure; write amplification was
+    fixed, listing amplification was not). New batches append a few
+    bucket-SORTED flat files instead (listing ∝ batches-since-fold,
+    bucket pruning via parquet row-group stats); while legacy dirs
+    exist the writer keeps the legacy layout (mixed flat+partitioned
+    dirs break Spark's partition discovery) and the next fold — forced
+    by this predicate — clears the log to the flat era."""
+    if not os.path.isdir(adds_dir):
+        return False
+    return any(n.startswith(prefix) for n in os.listdir(adds_dir))
+
+
 def _write_edge_delta(
     adds: DataFrame,
     dirty_src: DataFrame,
@@ -394,22 +413,35 @@ def _write_edge_delta(
     bucket_col: str,
 ) -> int:
     """Append one batch's edge delta: ``adds`` (the batch's merged
-    dirty adjacency) as ONE parquet file per touched bucket plus
-    one global tombstone file of the dirty srcs, every file named
-    d<seq> so a crash replay OVERWRITES its own attempt instead of
-    duplicating it. Write I/O is |adds| + |dirty| rows — never a
-    bucket rewrite; that is the point of the log. Returns the bytes
-    appended (the fold-trigger accounting, measured off the moved
-    files so it costs no extra Spark job)."""
+    dirty adjacency) as a FEW bucket-sorted flat parquet files (bucket
+    rides as a data column; row-group stats carry the pruning the r11
+    per-bucket layout did with directories — see :func:`_legacy_delta`
+    for why that layout was a read-side scale defect) plus one global
+    tombstone file of the dirty srcs, every file named d<seq> so a
+    crash replay OVERWRITES its own attempt instead of duplicating
+    it. Write I/O is |adds| + |dirty| rows — never a bucket rewrite;
+    that is the point of the log. Returns the bytes appended (the
+    fold-trigger accounting, measured off the moved files so it costs
+    no extra Spark job)."""
     import shutil
 
+    legacy = _legacy_delta(adds_dir)
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        adds.withColumn("seq", F.lit(seq).cast("long"))
-        .withColumn("bucket", _bucket_of(bucket_col, buckets))
-        .repartition("bucket")  # one file per touched bucket
-        .write.partitionBy("bucket").parquet(os.path.join(tmp, "adds"))
+    staged = adds.withColumn("seq", F.lit(seq).cast("long")).withColumn(
+        "bucket", _bucket_of(bucket_col, buckets)
     )
+    if legacy:
+        (
+            staged.repartition("bucket")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(tmp, "adds"))
+        )
+    else:
+        (
+            staged.coalesce(1)
+            .sortWithinPartitions("bucket")
+            .write.parquet(os.path.join(tmp, "adds"))
+        )
     (
         dirty_src.select(
             F.col("id").alias("src"), F.lit(seq).cast("long").alias("seq")
@@ -417,24 +449,28 @@ def _write_edge_delta(
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
-    appended = _move_delta_files(tmp, adds_dir, tombs_dir, seq, "bucket=")
+    appended = _move_delta_files(
+        tmp, adds_dir, tombs_dir, seq, "bucket=" if legacy else None
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
 
 def _move_delta_files(
-    tmp: str, adds_dir: str, tombs_dir: str, seq: int, prefix: str
+    tmp: str, adds_dir: str, tombs_dir: str, seq: int, prefix: str | None
 ) -> int:
     """Move one written delta attempt (``tmp/{adds,tombs}``) into the
     live log: the tombstone FIRST (if the add-move loop dies midway,
     every landed add of this seq is already covered by its same-seq
     tombstone rule), then every add part file under distinct
-    d<seq>-<i> names (repartition normally yields ONE part per
-    partition dir, but AQE/config variation may split it — dropping
-    parts [1:] would silently lose delta rows; the pre-clears glob
-    d<seq>* so a replay still overwrites the whole attempt). Returns
-    bytes appended (the fold-trigger accounting — filesystem sizes,
-    no extra Spark job)."""
+    d<seq>-<i> names (coalesce/repartition normally yield ONE part,
+    but AQE/config variation may split it — dropping parts [1:] would
+    silently lose delta rows; the pre-clears glob d<seq>* so a replay
+    still overwrites the whole attempt). ``prefix=None`` is the flat
+    layout (files straight under ``adds_dir``); a ``bucket=``/``cell=``
+    prefix moves the legacy per-partition layout. Returns bytes
+    appended (the fold-trigger accounting — filesystem sizes, no
+    extra Spark job)."""
     appended = 0
     tname = [
         f for f in os.listdir(os.path.join(tmp, "tombs"))
@@ -446,6 +482,19 @@ def _move_delta_files(
         os.path.join(tmp, "tombs", tname),
         os.path.join(tombs_dir, f"d{seq}.parquet"),
     )
+    if prefix is None:
+        parts = sorted(
+            f for f in os.listdir(os.path.join(tmp, "adds"))
+            if f.endswith(".parquet")
+        )
+        os.makedirs(adds_dir, exist_ok=True)
+        for i, part in enumerate(parts):
+            appended += os.path.getsize(os.path.join(tmp, "adds", part))
+            os.replace(
+                os.path.join(tmp, "adds", part),
+                os.path.join(adds_dir, f"d{seq}-{i}.parquet"),
+            )
+        return appended
     for name in sorted(os.listdir(os.path.join(tmp, "adds"))):
         if not name.startswith(prefix):
             continue
@@ -483,16 +532,26 @@ def _pre_clear_delta(
     adds_dir: str, tombs_dir: str, seq: int, bkts: list,
     prefix: str = "bucket=",
 ) -> None:
+    # d<seq>-<i>.parquet (multi-part) and legacy d<seq>.parquet —
+    # never a bare d<seq>* glob (it would also match d<seq>0…)
+    def _is_seq_file(f: str) -> bool:
+        return f == f"d{seq}.parquet" or (
+            f.startswith(f"d{seq}-") and f.endswith(".parquet")
+        )
+
+    # flat-layout files sit straight under adds_dir
+    if os.path.isdir(adds_dir):
+        for f in os.listdir(adds_dir):
+            if _is_seq_file(f):
+                os.remove(os.path.join(adds_dir, f))
+    # legacy per-bucket layout: the crashed attempt scoped its dirty
+    # bucket list into the ledger
     for b in bkts:
         d = os.path.join(adds_dir, f"{prefix}{b}")
         if not os.path.isdir(d):
             continue
-        # d<seq>-<i>.parquet (multi-part) and legacy d<seq>.parquet —
-        # never a bare d<seq>* glob (it would also match d<seq>0…)
         for f in os.listdir(d):
-            if f == f"d{seq}.parquet" or (
-                f.startswith(f"d{seq}-") and f.endswith(".parquet")
-            ):
+            if _is_seq_file(f):
                 os.remove(os.path.join(d, f))
     f = os.path.join(tombs_dir, f"d{seq}.parquet")
     if os.path.exists(f):
@@ -584,7 +643,6 @@ def _ivf_live(
         adds = spark.createDataFrame([], IVF_ADDS_SCHEMA)
     if cells is not None:
         adds = adds.where(F.col("cell").isin(cells))
-    rows = base.select(*cols).unionByName(adds.select(*cols))
     if os.path.isdir(tombs_dir):
         tombs = (
             spark.read.schema(IVF_TOMBS_SCHEMA).parquet(tombs_dir)
@@ -592,12 +650,32 @@ def _ivf_live(
         )
     else:
         tombs = spark.createDataFrame([], "id long, tseq long")
-    live = (
-        rows.join(tombs, "id", "left")
+    # every live tombstone is NEWER than every base row (a fold clears
+    # the log, so surviving tombstones postdate the fold watermark any
+    # folded row carries): the base side resolves with a broadcast
+    # anti-join on the tombstoned ids — never a corpus-wide shuffle
+    # (the first cut's dropDuplicates(id) re-shuffled ~the whole
+    # mirror per batch kNN once the delta was non-empty). The
+    # broadcast is forced only while the tombstone log is small
+    # (it folds at REV_COMPACT_FACTOR x base, but guard anyway).
+    tomb_ids = tombs.select("id")
+    if du_parquet(tombs_dir) < 64 * 1024 * 1024:
+        tomb_ids = F.broadcast(tomb_ids)
+        tombs = F.broadcast(tombs)
+    live_base = base.select(*cols).join(tomb_ids, "id", "left_anti")
+    # the adds side is |delta|-bounded: drop adds superseded by a
+    # newer tombstone (row.seq >= tseq keeps a batch's own re-adds),
+    # then keep the newest re-add per id
+    w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+    surv = (
+        adds.select(*cols)
+        .join(tombs, "id", "left")
         .where(F.col("tseq").isNull() | (F.col("seq") >= F.col("tseq")))
-        .dropDuplicates(["id"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*cols)
     )
-    return live.select(*keep)
+    return live_base.unionByName(surv).select(*keep)
 
 
 def _pre_clear_ivf_delta(index_dir: str, seq: int, cells: list) -> None:
@@ -627,20 +705,31 @@ def _write_ivf_delta(
 
     spark = SparkSession.getActiveSession()
     adds_dir, tombs_dir = _ivf_delta_paths(index_dir)
+    legacy = _legacy_delta(adds_dir, "cell=")
     tmp = os.path.join(index_dir, "ivf_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.createDataFrame(
-            [
-                (int(i), [float(x) for x in v], int(seq), int(c))
-                for i, v, c in add_rows
-            ],
-            IVF_ADDS_SCHEMA,
-        )
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .parquet(os.path.join(tmp, "adds"))
+    staged = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v], int(seq), int(c))
+            for i, v, c in add_rows
+        ],
+        IVF_ADDS_SCHEMA,
     )
+    if legacy:
+        (
+            staged.repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(os.path.join(tmp, "adds"))
+        )
+    else:
+        # flat bucket-sorted file(s): cell rides as a data column, one
+        # file per batch instead of one per touched cell (see
+        # _legacy_delta — listing cost must not grow with batch count)
+        (
+            staged.coalesce(1)
+            .sortWithinPartitions("cell")
+            .write.parquet(os.path.join(tmp, "adds"))
+        )
     (
         spark.createDataFrame(
             [(int(i), int(seq)) for i, _, _ in add_rows], IVF_TOMBS_SCHEMA
@@ -648,7 +737,9 @@ def _write_ivf_delta(
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
-    appended = _move_delta_files(tmp, adds_dir, tombs_dir, seq, "cell=")
+    appended = _move_delta_files(
+        tmp, adds_dir, tombs_dir, seq, "cell=" if legacy else None
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
@@ -1046,12 +1137,17 @@ def upsert_graph_artifact(
 
     # fold the rev delta log back into its base once it outgrows
     # REV_COMPACT_FACTOR x the base — bounds probe-side read
-    # amplification; deferred while a pending batch needs healing
+    # amplification; deferred while a pending batch needs healing. A
+    # legacy one-file-per-bucket log (see _legacy_delta) folds
+    # immediately: the fold is the migration to the flat layout.
     if (
         not pend["ids"]
         and meta.get("rev")
-        and meta.get("rev_delta_bytes", 0)
-        > REV_COMPACT_FACTOR * max(int(meta.get("rev_base_bytes", 0)), 1)
+        and (
+            meta.get("rev_delta_bytes", 0)
+            > REV_COMPACT_FACTOR * max(int(meta.get("rev_base_bytes", 0)), 1)
+            or _legacy_delta(_delta_paths(index_dir)[0])
+        )
     ):
         folded = _rev_live(spark, index_dir, keep_seq=True).withColumn(
             "bucket", _bucket_of("dst", buckets)
@@ -1066,8 +1162,11 @@ def upsert_graph_artifact(
     # so the fold also bounds serve-load read amplification)
     if (
         not pend["ids"]
-        and meta.get("fwd_delta_bytes", 0)
-        > REV_COMPACT_FACTOR * max(int(meta.get("fwd_base_bytes", 0)), 1)
+        and (
+            meta.get("fwd_delta_bytes", 0)
+            > REV_COMPACT_FACTOR * max(int(meta.get("fwd_base_bytes", 0)), 1)
+            or _legacy_delta(_fwd_delta_paths(index_dir)[0])
+        )
     ):
         folded = _fwd_live(spark, index_dir, keep_seq=True).withColumn(
             "bucket", _bucket_of("src", buckets)
@@ -1084,8 +1183,12 @@ def upsert_graph_artifact(
     if (
         not pend["ids"]
         and meta.get("ivf")
-        and meta["ivf"].get("delta_bytes", 0)
-        > REV_COMPACT_FACTOR * max(int(meta["ivf"].get("base_bytes", 0)), 1)
+        and (
+            meta["ivf"].get("delta_bytes", 0)
+            > REV_COMPACT_FACTOR
+            * max(int(meta["ivf"].get("base_bytes", 0)), 1)
+            or _legacy_delta(_ivf_delta_paths(index_dir)[0], "cell=")
+        )
     ):
         folded = _ivf_live(spark, index_dir, keep_seq=True).localCheckpoint(
             eager=True

@@ -107,6 +107,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from vectordbindexing_spark.streaming.graph_ingest import (
+    _legacy_delta,
+    _move_delta_files,
+)
+
 from vectordbindexing_spark.streaming.atomic import (
     delta_empty,
     du_parquet,
@@ -229,62 +234,52 @@ def _write_band_delta(
     buckets: int,
 ) -> int:
     """Append one batch's band delta: the work docs' new band rows as
-    d<seq>-<i> parquet files per touched band bucket plus ONE global
-    did-tombstone file, so a crash replay overwrites its own attempt.
-    Write I/O ∝ |batch|·bands rows — never a bucket rewrite. The
-    pre-LSM design swapped every dirty band bucket per batch: dirty
-    fraction ≈ 1 − exp(−|batch|·bands/buckets) ≈ ALL buckets at any
-    real batch size, i.e. an O(corpus·bands/buckets·B) rewrite per
-    micro-batch. Returns the bytes appended (fold-trigger accounting,
-    measured off the moved files — no extra Spark job)."""
+    a FEW bucket-sorted flat parquet files (bucket rides as a data
+    column; row-group stats carry the probe pruning — the
+    one-file-per-touched-bucket layout appended |batch|·bands FILES
+    per batch, a listing cost that grows with batch count; see
+    graph_ingest._legacy_delta for the 2M measurement) plus ONE
+    global did-tombstone file, so a crash replay overwrites its own
+    attempt. Write I/O ∝ |batch|·bands rows — never a bucket rewrite.
+    The pre-LSM design swapped every dirty band bucket per batch:
+    dirty fraction ≈ 1 − exp(−|batch|·bands/buckets) ≈ ALL buckets at
+    any real batch size, i.e. an O(corpus·bands/buckets·B) rewrite
+    per micro-batch. While legacy per-bucket dirs exist the writer
+    keeps that layout (mixed layouts break partition discovery); the
+    next fold migrates the log to the flat era. Returns the bytes
+    appended (fold-trigger accounting, measured off the moved files —
+    no extra Spark job)."""
     import shutil
 
     spark = br_new.sparkSession
     adds_dir, tombs_dir = _band_delta_paths(index_dir)
+    legacy = _legacy_delta(adds_dir)
     tmp = os.path.join(index_dir, "bands_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        br_new.withColumn("seq", F.lit(seq).cast("long"))
-        .withColumn("bucket", _band_bucket(buckets))
-        .repartition("bucket")  # normally one file per touched bucket
-        .write.partitionBy("bucket").parquet(os.path.join(tmp, "adds"))
+    staged = br_new.withColumn("seq", F.lit(seq).cast("long")).withColumn(
+        "bucket", _band_bucket(buckets)
     )
+    if legacy:
+        (
+            staged.repartition("bucket")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(tmp, "adds"))
+        )
+    else:
+        (
+            staged.coalesce(1)
+            .sortWithinPartitions("bucket")
+            .write.parquet(os.path.join(tmp, "adds"))
+        )
     (
         spark.createDataFrame([(i,) for i in work_dids], "did long")
         .select("did", F.lit(seq).cast("long").alias("seq"))
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
-    appended = 0
-    tname = [
-        f for f in os.listdir(os.path.join(tmp, "tombs"))
-        if f.endswith(".parquet")
-    ][0]
-    # tombstone FIRST: if the move loop dies midway, every landed add
-    # of this seq is already covered by its (same-seq) tombstone rule
-    os.makedirs(tombs_dir, exist_ok=True)
-    appended += os.path.getsize(os.path.join(tmp, "tombs", tname))
-    os.replace(
-        os.path.join(tmp, "tombs", tname),
-        os.path.join(tombs_dir, f"d{seq}.parquet"),
+    appended = _move_delta_files(
+        tmp, adds_dir, tombs_dir, seq, "bucket=" if legacy else None
     )
-    for name in sorted(os.listdir(os.path.join(tmp, "adds"))):
-        if not name.startswith("bucket="):
-            continue
-        parts = sorted(
-            f for f in os.listdir(os.path.join(tmp, "adds", name))
-            if f.endswith(".parquet")
-        )
-        live_dir = os.path.join(adds_dir, name)
-        os.makedirs(live_dir, exist_ok=True)
-        for i, part in enumerate(parts):
-            appended += os.path.getsize(
-                os.path.join(tmp, "adds", name, part)
-            )
-            os.replace(
-                os.path.join(tmp, "adds", name, part),
-                os.path.join(live_dir, f"d{seq}-{i}.parquet"),
-            )
     shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
@@ -294,14 +289,23 @@ def _pre_clear_band_delta(index_dir: str, seq: int, bkts: list) -> None:
     replay's probes run (the probes need the PRE-batch band state; the
     replay's own recompute rewrites the same d<seq> names)."""
     adds_dir, tombs_dir = _band_delta_paths(index_dir)
+    def _is_seq_file(f: str) -> bool:
+        return f == f"d{seq}.parquet" or (
+            f.startswith(f"d{seq}-") and f.endswith(".parquet")
+        )
+
+    # flat-layout files sit straight under adds_dir
+    if os.path.isdir(adds_dir):
+        for f in os.listdir(adds_dir):
+            if _is_seq_file(f):
+                os.remove(os.path.join(adds_dir, f))
+    # legacy per-bucket layout (pre-r12 artifacts)
     for b in bkts:
         d = os.path.join(adds_dir, f"bucket={b}")
         if not os.path.isdir(d):
             continue
         for f in os.listdir(d):
-            if f == f"d{seq}.parquet" or (
-                f.startswith(f"d{seq}-") and f.endswith(".parquet")
-            ):
+            if _is_seq_file(f):
                 os.remove(os.path.join(d, f))
     f = os.path.join(tombs_dir, f"d{seq}.parquet")
     if os.path.exists(f):
@@ -422,8 +426,12 @@ def upsert_neardup_artifact(
     # amplification; deferred while a pending batch needs healing
     if (
         not pend["ids"]
-        and meta.get("band_delta_bytes", 0)
-        > BAND_COMPACT_FACTOR * max(int(meta.get("band_base_bytes", 0)), 1)
+        and (
+            meta.get("band_delta_bytes", 0)
+            > BAND_COMPACT_FACTOR
+            * max(int(meta.get("band_base_bytes", 0)), 1)
+            or _legacy_delta(_band_delta_paths(index_dir)[0])
+        )
     ):
         folded = _bands_live(spark, index_dir, keep_seq=True).withColumn(
             "bucket", _band_bucket(buckets)
