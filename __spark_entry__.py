@@ -1568,21 +1568,44 @@ def _ann_ladder_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins, maxs = sq8_fit(
         b.filter(F.col("embedding").isNotNull()), "embedding"
     )
-    methods = {
-        "sq8": sq8_knn(q, b, k=10, params=(mins, maxs), **kw),
-        "pq": pq_knn(q, b, k=10, m=8, ks=16, max_iter=3, **kw),
-        "ivfpq": ivfpq_knn(q, b, k=10, nlist=16, nprobe=4, m=8, ks=16,
-                           max_iter=3, **kw),
-        "bq": bq_knn(q, b, k=10, shortlist=60,
-                     thresholds=(mins + maxs) / 2.0, **kw),
+    # each method's build has eager driver phases (codebook fits,
+    # checkpointed code tables) that used to run back-to-back; a small
+    # driver thread pool overlaps those independent job chains (guide
+    # §2.6 — later jobs back-fill the tail of earlier ones). The fits
+    # are deterministic regardless of scheduling, so the rows are
+    # unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = {
+        "sq8": lambda: sq8_knn(q, b, k=10, params=(mins, maxs), **kw),
+        "pq": lambda: pq_knn(q, b, k=10, m=8, ks=16, max_iter=3, **kw),
+        "ivfpq": lambda: ivfpq_knn(q, b, k=10, nlist=16, nprobe=4, m=8,
+                                   ks=16, max_iter=3, **kw),
+        "bq": lambda: bq_knn(q, b, k=10, shortlist=60,
+                             thresholds=(mins + maxs) / 2.0, **kw),
     }
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futs = [(name, pool.submit(fn)) for name, fn in builders.items()]
+        methods = {name: f.result() for name, f in futs}
     n_q = q.count()
-    outs = []
+    # ONE hit-count job for all four rungs (4 sequential join+count
+    # actions before): the union's independent method subtrees schedule
+    # concurrently inside the single job, and the per-method counts are
+    # the same integers the per-method counts produced
+    tagged = None
     for name, res in methods.items():
-        hits = res.select("qid", "neighbor_id").join(
-            exact, ["qid", "neighbor_id"]
-        ).count()
-        outs.append((name, hits))
+        t = res.select(
+            F.lit(name).alias("method"), "qid", "neighbor_id"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hm = {
+        r["method"]: r["n"]
+        for r in tagged.join(exact, ["qid", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    outs = [(name, int(hm.get(name, 0))) for name in methods]
     # round JVM-side (HALF_UP, matching DuckDB's round) — Python's
     # built-in round is half-to-even and would be the one off-convention
     # rounding engine in the repo

@@ -131,6 +131,45 @@ def test_triplets_duckdb_replay_real_embeddings(spark, sf_dir):
     assert min(margins) < 0.5
 
 
+def test_triplets_fused_matches_split(spark):
+    """The fused single-scan kernel (impl='exact' under the broadcast
+    budget) must reproduce the per-label split passes bit-for-bit —
+    on the hand data and on clustered data where every label slice is
+    non-trivial."""
+    import random
+
+    fused = sorted(
+        tuple(r) for r in mine_triplets(_df(spark), k_neg=3).collect()
+    )
+    split = sorted(
+        tuple(r)
+        for r in mine_triplets(_df(spark), k_neg=3, impl="split").collect()
+    )
+    assert fused == split
+    rng = random.Random(11)
+    emb = [
+        (
+            i,
+            [rng.gauss(0, 1) + 3 * (i % 3), rng.gauss(0, 1), rng.gauss(0, 1)],
+            i % 5,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(emb, "id long, vec array<double>, label long")
+    for metric in ("cosine", "l2"):
+        fused = sorted(
+            tuple(r)
+            for r in mine_triplets(df, k_neg=4, metric=metric).collect()
+        )
+        split = sorted(
+            tuple(r)
+            for r in mine_triplets(
+                df, k_neg=4, metric=metric, impl="split"
+            ).collect()
+        )
+        assert fused == split, metric
+
+
 def test_triplets_auto_route_matches_exact_at_small_scale(spark):
     """impl='auto' below every planner threshold routes each slice to
     exact-blocked — the output must equal impl='exact' bit-for-bit

@@ -69,6 +69,144 @@ def _planner_pos_knn(q: DataFrame, same: DataFrame, metric: str,
     )
 
 
+def _mine_triplets_fused(base: DataFrame, k_neg: int, metric: str):
+    """All labels in ONE blocked pass: anchors broadcast with their
+    labels, each Arrow batch computes its pairwise distance block once
+    and emits two label-masked partial top-ks — positive (same label,
+    self masked, top-1) and negative (different label, top-``k_neg``).
+    The per-batch selector and the global (dist, neighbor_id) merge are
+    exactly the split path's conventions, so the surviving rows are the
+    same triplets the 2·L per-label kernel passes produce — for one
+    corpus scan instead of ~2·L, and one collect instead of 2·L+1.
+
+    Returns ``None`` when the anchor side exceeds the broadcast budget
+    (caller falls back to the per-label split passes)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from vectordbindexing_spark.operators.exact_knn import (
+        _BLOCK_TARGET_BYTES,
+        _BLOCKED_THRESHOLD_QUERIES,
+        _pairwise_dist,
+    )
+    from vectordbindexing_spark.operators.topk import batch_topk_by_dist_id
+    from vectordbindexing_spark.plans.partitioning import (
+        repartition_for_compute,
+    )
+
+    spark = base.sparkSession
+    arows = base.limit(_BLOCKED_THRESHOLD_QUERIES + 1).toPandas()
+    if len(arows) == 0 or len(arows) > _BLOCKED_THRESHOLD_QUERIES:
+        return None
+    qids = arows["id"].to_numpy()
+    qlabs = arows["label"].to_numpy()
+    # same bounded-label contract as the split path — checked on the
+    # already-collected anchors, no extra probe job
+    if len(np.unique(qlabs)) > MAX_LABELS:
+        raise ValueError(
+            f"more than MAX_LABELS={MAX_LABELS} distinct labels: triplet "
+            "mining assumes a bounded label set"
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in arows["vec"]])
+    bc = spark.sparkContext.broadcast((qids, qlabs, Q))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bqlabs, bQ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            bids = pdf["id"].to_numpy()
+            blabs = pdf["label"].to_numpy()
+            # chunk the query axis to a fixed byte target, exactly as
+            # the exact_knn kernel does (memory O(target), not O(n_q·n))
+            cq = max(1, _BLOCK_TARGET_BYTES // max(1, 8 * len(bids)))
+            for s in range(0, len(bqids), cq):
+                D = _pairwise_dist(bQ[s : s + cq], B, metric)
+                same = np.equal.outer(bqlabs[s : s + cq], blabs)
+                # positive: same label minus self, per-batch top-1
+                Dp = np.where(
+                    same & ~np.equal.outer(bqids[s : s + cq], bids),
+                    D,
+                    np.inf,
+                )
+                nbr, dd = batch_topk_by_dist_id(Dp, bids, 1)
+                yield pd.DataFrame(
+                    {
+                        "qid": bqids[s : s + cq],
+                        "alab": bqlabs[s : s + cq],
+                        "kind": np.zeros(len(nbr), dtype=np.int32),
+                        "neighbor_id": nbr.ravel(),
+                        "dist": dd.ravel(),
+                    }
+                )
+                # negative: different label, per-batch top-k_neg
+                kk = min(k_neg, len(bids))
+                nbr, dd = batch_topk_by_dist_id(
+                    np.where(same, np.inf, D), bids, kk
+                )
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bqids[s : s + cq], kk),
+                        "alab": np.repeat(bqlabs[s : s + cq], kk),
+                        "kind": np.ones(kk * len(dd), dtype=np.int32),
+                        "neighbor_id": nbr.ravel(),
+                        "dist": dd.ravel(),
+                    }
+                )
+
+    partials = (
+        repartition_for_compute(base)
+        .mapInPandas(
+            partial,
+            schema=(
+                "qid long, alab long, kind int, neighbor_id long, "
+                "dist double"
+            ),
+        )
+        # masked entries (no same-label peer / all-same-label batch)
+        .filter(F.col("dist") != float("inf"))
+    )
+    w = Window.partitionBy("qid", "kind").orderBy("dist", "neighbor_id")
+    ranked = (
+        partials.withColumn("_rk", F.row_number().over(w))
+        .filter(
+            ((F.col("kind") == 0) & (F.col("_rk") == 1))
+            | ((F.col("kind") == 1) & (F.col("_rk") <= k_neg))
+        )
+        # tiny (≤ anchors·(1+k_neg) rows) and consumed by both join
+        # sides below — cut the scan subtree instead of running it twice
+        .localCheckpoint(eager=True)
+    )
+    pos = ranked.filter(F.col("kind") == 0).select(
+        F.col("qid").alias("anchor_id"),
+        F.col("alab").alias("anchor_label"),
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("dist").alias("_pos_raw"),
+    )
+    neg = ranked.filter(F.col("kind") == 1).select(
+        F.col("qid").alias("anchor_id"),
+        F.col("_rk").alias("neg_rank"),
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("dist").alias("_neg_raw"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "pos_id",
+        F.round("_pos_raw", 6).alias("pos_dist"),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "neg_id",
+        F.round("_neg_raw", 6).alias("neg_dist"),
+        F.round(F.col("_neg_raw") - F.col("_pos_raw"), 6).alias("margin"),
+    )
+
+
 def mine_triplets(
     emb: DataFrame,
     k_neg: int = 5,
@@ -88,15 +226,20 @@ def mine_triplets(
     negative are dropped (no triplet exists). ``margin =
     round(neg_dist − pos_dist, 6)`` on the raw distances.
 
-    ``impl``: ``"exact"`` (default — oracle-pinned brute-force slices)
-    or ``"auto"`` — every slice dispatches through
-    plans.knn_planner.knn, which picks exact/IVF/IVF-PQ/SQ8 from the
-    slice sizes, the corpus-scale route (module docstring).
+    ``impl``: ``"exact"`` (default — oracle-pinned brute force; one
+    fused label-masked blocked scan when the anchors fit the broadcast
+    budget, per-label split passes otherwise), ``"split"`` (force the
+    per-label passes — the fused path's parity twin), or ``"auto"`` —
+    every slice dispatches through plans.knn_planner.knn, which picks
+    exact/IVF/IVF-PQ/SQ8 from the slice sizes, the corpus-scale route
+    (module docstring).
     ``planner_kwargs`` forwards planner options (approximate_ok,
     memory_tight, recall_target, threshold overrides for tests).
     """
-    if impl not in ("exact", "auto"):
-        raise ValueError(f"impl must be 'exact' or 'auto', got {impl!r}")
+    if impl not in ("exact", "auto", "split"):
+        raise ValueError(
+            f"impl must be 'exact', 'auto' or 'split', got {impl!r}"
+        )
     pk = {"approximate_ok": True, "repeated_queries": True}
     pk.update(planner_kwargs or {})
     base = emb.select(
@@ -104,6 +247,19 @@ def mine_triplets(
         F.col(vec_col).alias("vec"),
         F.col(label_col).cast("long").alias("label"),
     ).where(F.col("label").isNotNull() & F.col("vec").isNotNull())
+    if impl == "exact":
+        # fused single-scan route: the L per-label slice passes each
+        # re-scanned ~the whole corpus (2·L scans + 2·L broadcast-collect
+        # jobs for L labels); one label-masked blocked kernel computes
+        # every slice's pairwise block in a single pass (selection and
+        # tie conventions unchanged, so the merged output is the same
+        # rows). Falls back to the split passes when the anchor side
+        # exceeds the broadcast budget — the split slices then route
+        # through exact_knn's own expr fallback.
+        fused = _mine_triplets_fused(base, k_neg, metric)
+        if fused is not None:
+            return fused
+        impl = "split"
     # bounded probe: limit(MAX_LABELS+1) caps the driver collect even
     # when the label column is high-cardinality — the overflow raises
     # without ever pulling the full distinct set to the driver
