@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from vectordbindexing_spark import oracles
 from vectordbindexing_spark.io.tables import load_table
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -806,9 +807,10 @@ def _text_lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(
+    lex = local_rows_df(
+        spark,
         [(lg, m) for lg, ms in LANG_MARKERS_FULL.items() for m in ms],
-        schema="lang string, marker string",
+        "lang string, marker string",
     )
     return lang_id(docs, text_col="text", id_col="doc_id", lexicon=lex)
 

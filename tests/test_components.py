@@ -54,7 +54,35 @@ def test_nonconvergence_raises_not_partial(spark):
         pd.DataFrame([(i, i + 1) for i in range(30)], columns=["id_a", "id_b"])
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=1)
+        # local_limit=0 forces the distributed star rounds — the
+        # bounded-collect route has no round budget to exhaust
+        connected_components(pairs, max_rounds=1, local_limit=0)
+
+
+def test_local_route_matches_star_rounds(spark):
+    """The bounded-collect union-find (the small-graph gate) must label
+    identically to the distributed star rounds — chains, cliques,
+    reversed/duplicate edges and singleton roots all covered."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 chains
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260))
+              for _ in range(80)]
+    edges += [(b, a) for a, b in edges[:10]]                # reversed dups
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"])
+    )
+    local = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    star = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, local_limit=0).collect()
+    }
+    assert local == star
 
 
 def test_multiple_components_and_shapes(spark):

@@ -17,6 +17,7 @@ import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 
 def save_edges_parquet(edges: DataFrame, path: str) -> None:
@@ -97,7 +98,7 @@ def load_roargraph_index(
             for dst in nbrs:
                 if dst < n_nodes:  # reference filters out-of-range ids (:443-449)
                     rows.append((0, src, int(dst)))
-    edges = spark.createDataFrame(rows, schema="layer int, src long, dst long")
+    edges = local_rows_df(spark, rows, "layer int, src long, dst long")
     return entry_point, edges
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.text import words
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 END = "</w>"
 
@@ -109,7 +110,7 @@ def bpe_train(
     merges = bpe_merge_loop(wc, num_merges)
     spark = df.sparkSession
     schema = "merge_rank long, lhs string, rhs string, freq long"
-    return spark.createDataFrame(merges or [], schema)
+    return local_rows_df(spark, merges or [], schema)
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from vectordbindexing_spark.functions.vector import pair_dist_udf, to_double_array
 from vectordbindexing_spark.operators.topk import topk_per_group
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 # Default training-sample budget for the driver-side Lloyd fit. Exposed as
 # a module constant so sizing logic (plans.knn_planner) can cap nlist
@@ -242,9 +243,10 @@ def save_ivf_index(
         "id",
     )
     inv.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows_df(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
-        schema="cid long, cvec array<double>",
+        "cid long, cvec array<double>",
     )
     cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -271,9 +273,10 @@ def ivf_search_index(
     Output (qid, nbr_rank, neighbor_id, dist) like ivf_knn."""
     spark = queries.sparkSession
     centroids = load_ivf_centroids(spark, path)
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows_df(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
-        schema="cid long, cvec array<double>",
+        "cid long, cvec array<double>",
     )
     q = queries.filter(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("long").alias("qid"), to_double_array(q_vec).alias("_qv")
@@ -609,9 +612,10 @@ def _ivf_knn_join(
     # query → nprobe nearest centroids (tiny: k×d broadcast matmul on driver
     # side expressed declaratively via a centroid literal table)
     spark = base.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows_df(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
-        schema="cid long, cvec array<double>",
+        "cid long, cvec array<double>",
     )
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
         "cdist", pair_dist_udf("l2")("_qv", "cvec")

@@ -48,6 +48,7 @@ from vectordbindexing_spark.operators.topk import (
     batch_topk_by_dist_id,
     topk_per_group,
 )
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 
 def ivfpq_encode_assign(
@@ -315,20 +316,23 @@ def save_ivfpq_index(
     # whose scheduler + commit-protocol overhead dwarfs the bytes. Only
     # the codes table — the data-scale part — is a distributed write.
     if not _metadata_local(spark, path):  # non-local FS: Spark writer
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (int(i), [float(x) for x in row])
                 for i, row in enumerate(centroids)
             ],
-            schema="cid long, cvec array<double>",
+            "cid long, cvec array<double>",
         ).write.mode("overwrite").parquet(f"{path}/centroids")
         flat = codebooks.reshape(m * ks, dsub)
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(i), [float(x) for x in row]) for i, row in enumerate(flat)],
-            schema="i long, row array<double>",
+            "i long, row array<double>",
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
-        spark.createDataFrame(
-            [(int(m), int(ks), int(dsub))], schema="m long, ks long, dsub long"
+        local_rows_df(
+            spark, [(int(m), int(ks), int(dsub))],
+            "m long, ks long, dsub long",
         ).write.mode("overwrite").parquet(f"{path}/meta")
         return
     import os

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 from vectordbindexing_spark.functions.text import words
 
@@ -186,8 +187,8 @@ def bm25_topk(
     else:
         qterms = _query_terms(queries)
         terms = sorted({t for _, t in qterms})
-        qt = docs.sparkSession.createDataFrame(
-            qterms, "query_id long, term string"
+        qt = local_rows_df(
+            docs.sparkSession, qterms, "query_id long, term string"
         )
 
         def term_filter(occ: DataFrame) -> DataFrame:

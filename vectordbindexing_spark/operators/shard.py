@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 from vectordbindexing_spark.functions.hashing import det_hash64, det_hash64_py
 from vectordbindexing_spark.operators.search import CompactIndex, _beam_search_layer
@@ -397,7 +398,7 @@ def save_compact_index(
                 nbrs.get(1, []),
             )
         )
-    spark.createDataFrame(rows, schema=SHARD_SCHEMA).write.mode(
+    local_rows_df(spark, rows, SHARD_SCHEMA).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(path)
     # raw-numpy mmap sidecar (AFTER the parquet write — overwrite mode

@@ -23,6 +23,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 from vectordbindexing_spark.functions.hashing import det_hash60
 
@@ -256,8 +257,8 @@ def log_histogram_quantiles(
     cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(Window.partitionBy())
     )
-    qdf = cum.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    qdf = local_rows_df(
+        cum.sparkSession, [(float(q),) for q in qs], "q double"
     )
     # target rank = ceil(q * total); first bucket with cum >= target
     pairs = qdf.crossJoin(cum).withColumn(

@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 from vectordbindexing_spark.operators.sketch import cms_counters, cms_merge
 from vectordbindexing_spark.streaming.atomic import recover, swap_in
@@ -74,14 +75,15 @@ def merge_cms_batch(
             return False  # replayed batch: write completed last time
     sketch = cms_counters(batch, col, depth=depth, width=width)
     if prev_rows:
-        prev_local = spark.createDataFrame(prev_rows, sketch.schema)
+        prev_local = local_rows_df(spark, prev_rows, sketch.schema)
         counters, ledger = split_artifact(prev_local)
         merged = cms_merge(counters, sketch)
     else:
         ledger = None
         merged = sketch
-    entry = spark.createDataFrame(
-        [(LEDGER_ROW, batch_id, 1)], "sketch_row long, bucket long, cnt long"
+    entry = local_rows_df(
+        spark, [(LEDGER_ROW, batch_id, 1)],
+        "sketch_row long, bucket long, cnt long",
     )
     out = merged.unionByName(entry)
     if ledger is not None:

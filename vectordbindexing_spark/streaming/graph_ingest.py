@@ -138,6 +138,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 from vectordbindexing_spark.streaming.atomic import (
     delta_empty,
     du_parquet,
@@ -164,6 +165,20 @@ EDGE_SCHEMA = "layer int, src long, dst long, dist double"
 DEFAULT_BUCKETS = 1024
 
 
+def _parallel_swaps(*thunks) -> None:
+    """Run independent artifact writes concurrently (guide §2.6): each
+    swap_in is its own job chain on a distinct path, so overlapping
+    them back-fills the tail of one write with the next one's tasks.
+    Callers keep the VECTORS swap sequential-first where the crash
+    contract needs vectors ⊇ edge endpoints; only the order-free writes
+    go through here."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def _paths(index_dir: str) -> tuple[str, str, str, str]:
     return (
         os.path.join(index_dir, "vectors"),
@@ -182,7 +197,7 @@ def _build_params(M0: int, M1: int, M_level: int, metric: str) -> dict:
 
 
 def _ids_df(spark: SparkSession, ids: list) -> DataFrame:
-    return spark.createDataFrame([(int(i),) for i in ids], "id long")
+    return local_rows_df(spark, [(int(i),) for i in ids], "id long")
 
 
 def _bkts(df: DataFrame, col: str, n_buckets: int) -> list:
@@ -708,7 +723,8 @@ def _write_ivf_delta(
     legacy = _legacy_delta(adds_dir, "cell=")
     tmp = os.path.join(index_dir, "ivf_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
-    staged = spark.createDataFrame(
+    staged = local_rows_df(
+        spark,
         [
             (int(i), [float(x) for x in v], int(seq), int(c))
             for i, v, c in add_rows
@@ -731,8 +747,9 @@ def _write_ivf_delta(
             .write.parquet(os.path.join(tmp, "adds"))
         )
     (
-        spark.createDataFrame(
-            [(int(i), int(seq)) for i, _, _ in add_rows], IVF_TOMBS_SCHEMA
+        local_rows_df(
+            spark, [(int(i), int(seq)) for i, _, _ in add_rows],
+            IVF_TOMBS_SCHEMA,
         )
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
@@ -798,12 +815,13 @@ def _build_ivf_artifact(
     vecs = spark.read.parquet(vec_path).drop("bucket")
     nlist = min(max(16, int(max(n, 1) ** 0.5)), MAX_NLIST)
     centroids = kmeans_fit(vecs, nlist)
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows_df(
+        spark,
         [
             (int(i), [float(x) for x in row])
             for i, row in enumerate(np.asarray(centroids))
         ],
-        schema="cid long, cvec array<double>",
+        "cid long, cvec array<double>",
     )
     swap_in(cent_df, cent_path, coalesce=1)
     swap_in(
@@ -924,7 +942,8 @@ def _ivf_artifact_knn(
         if b_rows
         else []
     )
-    cand_local = spark.createDataFrame(
+    cand_local = local_rows_df(
+        spark,
         [
             (int(i), [float(x) for x in v], int(c))
             for (i, v), c in zip(b_rows, bcells)
@@ -984,14 +1003,16 @@ def init_graph_artifact(
         vecs.withColumn("bucket", _bucket_of("id", buckets)),
         vec_path, coalesce=None, partition_by=["bucket"],
     )
-    swap_in(
-        edges.withColumn("bucket", _bucket_of("src", buckets)),
-        edge_path, coalesce=None, partition_by=["bucket"],
-    )
-    swap_in(
-        edges.withColumn("seq", F.lit(0).cast("long"))
-        .withColumn("bucket", _bucket_of("dst", buckets)),
-        rev_path, coalesce=None, partition_by=["bucket"],
+    _parallel_swaps(
+        lambda: swap_in(
+            edges.withColumn("bucket", _bucket_of("src", buckets)),
+            edge_path, coalesce=None, partition_by=["bucket"],
+        ),
+        lambda: swap_in(
+            edges.withColumn("seq", F.lit(0).cast("long"))
+            .withColumn("bucket", _bucket_of("dst", buckets)),
+            rev_path, coalesce=None, partition_by=["bucket"],
+        ),
     )
     _clear_rev_delta(index_dir)
     _clear_fwd_delta(index_dir)
@@ -1235,8 +1256,8 @@ def upsert_graph_artifact(
     )
 
     def _rows_df(rows: list) -> DataFrame:
-        return spark.createDataFrame(
-            [(int(i), list(v)) for i, v in rows], row_schema
+        return local_rows_df(
+            spark, [(int(i), list(v)) for i, v in rows], row_schema
         )
 
     # Job 2 — the classification probe: stored rows in the batch's
@@ -1408,14 +1429,16 @@ def upsert_graph_artifact(
             union.withColumn("bucket", _bucket_of("id", buckets)),
             vec_path, coalesce=None, partition_by=["bucket"],
         )
-        swap_in(
-            edges.withColumn("bucket", _bucket_of("src", buckets)),
-            edge_path, coalesce=None, partition_by=["bucket"],
-        )
-        swap_in(
-            edges.withColumn("seq", F.lit(0).cast("long"))
-            .withColumn("bucket", _bucket_of("dst", buckets)),
-            rev_path, coalesce=None, partition_by=["bucket"],
+        _parallel_swaps(
+            lambda: swap_in(
+                edges.withColumn("bucket", _bucket_of("src", buckets)),
+                edge_path, coalesce=None, partition_by=["bucket"],
+            ),
+            lambda: swap_in(
+                edges.withColumn("seq", F.lit(0).cast("long"))
+                .withColumn("bucket", _bucket_of("dst", buckets)),
+                rev_path, coalesce=None, partition_by=["bucket"],
+            ),
         )
         _clear_rev_delta(index_dir)  # the fresh bases subsume the logs
         _clear_fwd_delta(index_dir)

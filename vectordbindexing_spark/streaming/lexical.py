@@ -32,6 +32,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 from vectordbindexing_spark.streaming.atomic import recover, swap_in
 from vectordbindexing_spark.operators.retrieval import (
@@ -56,8 +57,8 @@ def merge_lexical_batch(
     recover(artifact_path)  # promote a crash-orphaned complete temp dir
     stats = lexical_stats(batch, text_col=text_col, id_col=id_col)
     entry_term = f"{LEDGER_PREFIX}{batch_id}"
-    entry = spark.createDataFrame(
-        [(entry_term, 1, 0)], "term string, df long, tf long"
+    entry = local_rows_df(
+        spark, [(entry_term, 1, 0)], "term string, df long, tf long"
     )
     if os.path.exists(artifact_path):
         prev = spark.read.parquet(artifact_path)

@@ -107,6 +107,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 from vectordbindexing_spark.streaming.graph_ingest import (
     _legacy_delta,
     _move_delta_files,
@@ -272,7 +273,7 @@ def _write_band_delta(
             .write.parquet(os.path.join(tmp, "adds"))
         )
     (
-        spark.createDataFrame([(i,) for i in work_dids], "did long")
+        local_rows_df(spark, [(i,) for i in work_dids], "did long")
         .select("did", F.lit(seq).cast("long").alias("seq"))
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
@@ -533,7 +534,7 @@ def upsert_neardup_artifact(
     )
     g_work = g_new.join(
         F.broadcast(
-            spark.createDataFrame([(i,) for i in work_ids], "did long")
+            local_rows_df(spark, [(i,) for i in work_ids], "did long")
         ),
         "did",
         "left_semi",
@@ -549,8 +550,9 @@ def upsert_neardup_artifact(
                     sorted(
                         {
                             r[0]
-                            for r in spark.createDataFrame(
-                                [(i,) for i in missing_pend], "did long"
+                            for r in local_rows_df(
+                                spark, [(i,) for i in missing_pend],
+                                "did long",
                             )
                             .select(_did_bucket(buckets))
                             .collect()
@@ -605,12 +607,13 @@ def upsert_neardup_artifact(
         .collect()
     )
     band_bkts = sorted({r["_bkt"] for r in br_rows})
-    br_new = spark.createDataFrame(
+    br_new = local_rows_df(
+        spark,
         [(r["did"], r["band_idx"], r["band_key"]) for r in br_rows],
         "did long, band_idx int, band_key string",
     )
     work_df = F.broadcast(
-        spark.createDataFrame([(i,) for i in work_ids], "did long")
+        local_rows_df(spark, [(i,) for i in work_ids], "did long")
     )
     # anti-join ALL work ids, not just the replaced set: a pending
     # UPDATE whose crash landed between the ledger stamp and the

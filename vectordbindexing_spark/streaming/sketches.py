@@ -25,6 +25,7 @@ from vectordbindexing_spark.operators.sketch import (
     merge_registers,
 )
 from vectordbindexing_spark.streaming.atomic import recover, swap_in
+from vectordbindexing_spark.plans.partitioning import local_rows_df
 
 
 def merge_hll_batch(
@@ -45,7 +46,7 @@ def merge_hll_batch(
     # its plan reads the artifact path being overwritten (an empty
     # localized frame keeps the write legal when rows == [])
     rows = regs.collect()
-    out = spark.createDataFrame(rows, regs.schema)
+    out = local_rows_df(spark, rows, regs.schema)
     # crash-safe swap (streaming/atomic.py): max-merge makes REPLAY
     # idempotent, but an in-place mode('overwrite') is delete-then-
     # write — a crash mid-write would still lose the whole accumulated
