@@ -2445,74 +2445,17 @@ def queries() -> dict[str, Query]:
     # the redundant driver row goes). Never register more than ~10 new
     # queries in one round without retiring an equal number.
     #
-    # Round-12 rotation (registry: 120 after retiring
-    # simhash_text_fingerprints — its library operator keeps its pytest
-    # pins and its driver coverage is a strict subset of simhash_buckets
-    # + simhash_text_neardup — and cluster_silhouette, whose scale route
-    # cluster_silhouette_simplified keeps the driver row while the exact
-    # O(n²) variant stays a pytest-pinned library operator):
-    # (a) positions 1-21 — the 21 remaining entries whose last driver
-    #     row is r09 (check_registry's mechanical priority list). Their
-    #     rows turn 3 rounds old this round — they MUST refresh now.
-    # (b) positions 22-50 — 29 of the 49 entries whose last driver row
-    #     is r10 (oldest-first by registry order).
-    # (c) positions 51-70 — the 20 remaining r10-rowed entries; they
-    #     lead the r13 window.
-    # (d) positions 71-120 — the 50 entries with fresh r11 rows.
+    # Round-13 rotation (registry unchanged at 120):
+    # (a) positions 1-20 — the 20 entries whose last driver row is r10
+    #     (r12's deferred block (c)). Their rows turn 3 rounds old this
+    #     round — they MUST refresh now.
+    # (b) positions 21-50 — 30 of the 50 entries whose last driver row
+    #     is r11 (oldest-first by registry order).
+    # (c) positions 51-70 — the 20 remaining r11-rowed entries; they
+    #     lead the r14 window.
+    # (d) positions 71-120 — the 50 entries with fresh r12 rows.
     return {
-        # (a) last driver row r09 — window-leading, refreshed this round
-        "augment_star_edges": _augment_star_edges,
-        "traced_steps_summary": _traced_steps_summary,
-        "hnsw_level_assignment": _hnsw_levels,
-        "knn_graph_degree_stats": _knn_graph_degree_stats,
-        "whitening_pca_norms": _whitening_pca,
-        "dedup_exact": _dedup_exact,
-        "minhash_neardup": _minhash_neardup,
-        "jaccard_neardup_pairs": _jaccard_pairs,
-        "embedding_neardup": _embedding_neardup,
-        "embedding_neardup_lsh": _embedding_neardup_lsh,
-        "weighted_l2_knn": _weighted_l2_knn,
-        "gt_clean_arrays": _gt_clean,
-        "modality_stats": _modality_stats,
-        "train_test_split": _train_test_split,
-        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
-        "events_value_percentiles": _events_value_percentiles,
-        "text_token_stats": _text_token_stats,
-        "text_quality_score": _text_quality,
-        "text_lang_id": _text_lang_id,
-        "ann_bucketed_recall": _ann_bucketed_recall,
-        "text_duplicated_spans": _text_duplicated_spans,
-        # (b) last driver row r10 — refreshed this round (registry order)
-        "streaming_graph_upsert": _streaming_graph_upsert,
-        "streaming_neardup_upsert": _streaming_neardup_upsert,
-        "bpe_train_merges": _bpe_train_merges,
-        "bpe_encode_stats": _bpe_encode_stats,
-        "zorder_layout_stats": _zorder_layout_stats,
-        "nb_quality_scores": _nb_quality_scores,
-        "hll_registers_events": _hll_registers_events,
-        "kmv_sketch_events": _kmv_sketch_events,
-        "cms_token_counts": _cms_token_counts,
-        "events_quantile_sketch": _events_quantile_sketch,
-        "events_asof_join": _events_asof_join,
-        "events_range_join": _events_range_join,
-        "text_editdist_neardup": _text_editdist_neardup,
-        "events_multires_rollup": _events_multires_rollup,
-        "bloom_join_prune": _bloom_join_prune,
-        "events_funnel_steps": _events_funnel_steps,
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "events_pivot_user_types": _events_pivot_user_types,
-        "events_moving_avg": _events_moving_avg,
-        "source_overlap_kmv": _source_overlap_kmv,
-        "hll_estimate_users": _hll_estimate_users,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "bm25_keyword_topk": _bm25_keyword_topk,
-        "hybrid_rrf_search": _hybrid_rrf_search,
-        "graph_pagerank": _graph_pagerank,
-        "mix_weighted_sample": _mix_weighted_sample,
-        "graph_triangle_stats": _graph_triangle_stats,
-        "graph_kcore": _graph_kcore,
-        "graph_label_prop": _graph_label_prop,
-        # (c) last driver row r10, deferred — MUST lead the r13 window
+        # (a) last driver row r10 — window-leading, refreshed this round
         "graph_ppr": _graph_ppr,
         "graph_random_walks": _graph_random_walks,
         "maxsim_knn": _maxsim_knn,
@@ -2533,7 +2476,7 @@ def queries() -> dict[str, Query]:
         "media_jpeg_decode_stats": _media_jpeg_decode_stats,
         "media_wav_features": _media_wav_features,
         "media_video_stats": _media_video_stats,
-        # (d) fresh r11 driver rows — tail
+        # (b) last driver row r11 — refreshed this round (registry order)
         "semantic_dedup": _semantic_dedup,
         "ann_ladder_recall": _ann_ladder_recall,
         "text_lang_id_lexicon": _text_lang_id_lexicon,
@@ -2564,6 +2507,7 @@ def queries() -> dict[str, Query]:
         "mix_quota_sample": _mix_quota_sample,
         "doc_fingerprint": _doc_fingerprint,
         "tpch_q10_returned_items": _tpch_q10,
+        # (c) last driver row r11, deferred — MUST lead the r14 window
         "tpch_q18_large_volume": _tpch_q18,
         "events_attribution": _events_attribution,
         "text_bpe_token_stats": _bpe_token_stats,
@@ -2584,6 +2528,57 @@ def queries() -> dict[str, Query]:
         "ann_sharded_recall": _ann_sharded_recall,
         "roargraph_recall": _roargraph_recall,
         "khop_reachability": _khop_reachability,
+        # (d) fresh r12 driver rows — tail
+        "augment_star_edges": _augment_star_edges,
+        "traced_steps_summary": _traced_steps_summary,
+        "hnsw_level_assignment": _hnsw_levels,
+        "knn_graph_degree_stats": _knn_graph_degree_stats,
+        "whitening_pca_norms": _whitening_pca,
+        "dedup_exact": _dedup_exact,
+        "minhash_neardup": _minhash_neardup,
+        "jaccard_neardup_pairs": _jaccard_pairs,
+        "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
+        "weighted_l2_knn": _weighted_l2_knn,
+        "gt_clean_arrays": _gt_clean,
+        "modality_stats": _modality_stats,
+        "train_test_split": _train_test_split,
+        "recall_lsh_vs_exact": _recall_lsh_vs_exact,
+        "events_value_percentiles": _events_value_percentiles,
+        "text_token_stats": _text_token_stats,
+        "text_quality_score": _text_quality,
+        "text_lang_id": _text_lang_id,
+        "ann_bucketed_recall": _ann_bucketed_recall,
+        "text_duplicated_spans": _text_duplicated_spans,
+        "streaming_graph_upsert": _streaming_graph_upsert,
+        "streaming_neardup_upsert": _streaming_neardup_upsert,
+        "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode_stats": _bpe_encode_stats,
+        "zorder_layout_stats": _zorder_layout_stats,
+        "nb_quality_scores": _nb_quality_scores,
+        "hll_registers_events": _hll_registers_events,
+        "kmv_sketch_events": _kmv_sketch_events,
+        "cms_token_counts": _cms_token_counts,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
+        "text_editdist_neardup": _text_editdist_neardup,
+        "events_multires_rollup": _events_multires_rollup,
+        "bloom_join_prune": _bloom_join_prune,
+        "events_funnel_steps": _events_funnel_steps,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "events_pivot_user_types": _events_pivot_user_types,
+        "events_moving_avg": _events_moving_avg,
+        "source_overlap_kmv": _source_overlap_kmv,
+        "hll_estimate_users": _hll_estimate_users,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bm25_keyword_topk": _bm25_keyword_topk,
+        "hybrid_rrf_search": _hybrid_rrf_search,
+        "graph_pagerank": _graph_pagerank,
+        "mix_weighted_sample": _mix_weighted_sample,
+        "graph_triangle_stats": _graph_triangle_stats,
+        "graph_kcore": _graph_kcore,
+        "graph_label_prop": _graph_label_prop,
     }
 
 
