@@ -270,6 +270,28 @@ def main() -> None:
         sec = {"queries_secondary": q2, "errors_secondary": sorted(errs2)}
         print("# secondary " + json.dumps(sec), file=sys.stderr)
 
+    # persist the FULL per-query record to a repo file in the same run:
+    # the stdout line below truncates to the slowest ~65 entries under
+    # the driver's ~2 KB tail buffer, which made the driver's PERF diff
+    # misread the fast half of the registry as "dropped_from_bench"
+    # (10 queries in r12) and lost their round-over-round history. The
+    # stdout contract is unchanged — this is an additional artifact.
+    try:
+        full_dir = os.path.join(here, "plans", "r13")
+        os.makedirs(full_dir, exist_ok=True)
+        full = dict(out)
+        full["queries"] = qtimes  # pre-truncation, full precision
+        if errs:
+            full["errors_full"] = errs
+        if "q2" in dir() and q2:
+            full["queries_secondary"] = q2
+            if errs2:
+                full["errors_secondary"] = errs2
+        with open(os.path.join(full_dir, "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except Exception as e:  # never let the artifact write kill the bench
+        print(f"# bench_full.json write failed: {e}", file=sys.stderr)
+
     # ONE compact JSON line on stdout; keep it well under the driver's
     # ~2 KB stdout tail buffer or it cannot be parsed (round 2 lost the
     # whole bench to a truncated line). At 61 queries the healthy line is
