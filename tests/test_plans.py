@@ -372,3 +372,25 @@ def test_pagerank_sum_route_round_plan_has_partial_agg(spark):
     p = _plan(_round_incoming(e, ranks, exact_fold=False))
     assert "partial_sum" in p, p
     assert "Cartesian" not in p, p
+
+
+def test_local_rows_df_plans_as_jvm_local_relation(spark):
+    """local_rows_df must plan as a JVM-only LocalTableScan, never the
+    pickled-Python-RDD ``Scan ExistingRDD`` that re-runs Python workers
+    on EVERY downstream action (measured 6-9 s of fixed latency per
+    tiny write at local[32] — the r12 streaming-upsert discovery). The
+    helper falls back silently on ANY conversion error, so a pandas/
+    Arrow regression would otherwise re-introduce the tax with no test
+    tripping: this pin makes that failure loud."""
+    from vectordbindexing_spark.plans.partitioning import local_rows_df
+
+    # the maintainers' hot shapes: narrow ids, band rows, float vectors
+    for rows, schema in [
+        ([(1,), (2,)], "did long"),
+        ([(1, 0, "3_4"), (2, 1, "5_6")],
+         "did long, band_idx int, band_key string"),
+        ([(1, [0.5, 1.5]), (2, [2.5, 3.5])], "id long, vec array<double>"),
+    ]:
+        p = _plan(local_rows_df(spark, rows, schema))
+        assert "LocalTableScan" in p, p
+        assert "ExistingRDD" not in p, p
