@@ -111,10 +111,10 @@ def connected_components(
     ``component`` is the minimum member id — the canonical keeper.
 
     Alternating large-star/small-star until the edge set is a fixed point
-    (checked with one count + one bounded ``exceptAll`` probe per round;
-    both are cheap relative to the round's own shuffles). Every round is
-    localCheckpoint-ed: the lineage would otherwise double per round and
-    re-execute the whole prefix on each action.
+    (checked with ONE (count, bit_xor-of-row-hash) signature aggregate
+    per round — see ``_sig``). Every round is localCheckpoint-ed: the
+    lineage would otherwise double per round and re-execute the whole
+    prefix on each action.
 
     Nodes with no edges are not emitted (callers union singletons back if
     they need total coverage — ``dedup_groups`` does).
@@ -141,6 +141,11 @@ def connected_components(
     # limit(N+1) caps the transfer, and N+1 rows coming back IS the
     # "too big — stay distributed" probe result. ``local_limit``
     # overrides the gate for tests (0 forces the star rounds).
+    # DELIBERATE: past the gate this collects-and-discards ~32 MB of
+    # Arrow off the already-checkpointed edges (a one-time, bounded
+    # probe tax); probing with limit(N+1).count() first would spare it
+    # but add a whole extra job to the under-gate path, which is the
+    # common case and is dominated by exactly that fixed job latency.
     lim = LOCAL_CC_EDGE_LIMIT if local_limit is None else local_limit
     if lim > 0:
         from vectordbindexing_spark.plans.partitioning import local_rows_df
@@ -152,23 +157,37 @@ def connected_components(
                 _cc_local(pdf["a"].to_numpy(), pdf["b"].to_numpy()),
                 "id long, component long",
             )
-    prev_count = edges.count()
+    # convergence signature: (row count, bit_xor of the row hashes) in
+    # ONE commutative aggregate per round. Equal signatures across a
+    # round ⇒ the distinct edge sets are equal (a false positive needs
+    # equal counts AND a symmetric difference whose xxhash64s XOR to
+    # exactly 0 — ~2⁻⁶⁴ on non-adversarial data), which retires the
+    # separate exceptAll probe: at scale the probe doubled final-round
+    # latency with a full second pass over both edge sets.
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("x"),
+        ).collect()[0]
+        return row["c"], row["x"]
+
+    prev_sig = _sig(edges)
     converged = False
     for _ in range(max_rounds):
         ls = _large_star(edges)
-        # lazy checkpoint: the count() is the ONE action that materializes
-        # it AND feeds the convergence probe (eager + count was 2 jobs)
+        # lazy checkpoint: the signature aggregate is the ONE action
+        # that materializes it AND answers the convergence probe
         nxt = _small_star(ls).localCheckpoint(eager=False)
-        cnt = nxt.count()
-        if cnt == prev_count and nxt.exceptAll(edges).limit(1).count() == 0:
+        sig = _sig(nxt)
+        if sig == prev_sig:
             edges = nxt
             converged = True
             break
-        edges, prev_count = nxt, cnt
+        edges, prev_sig = nxt, sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} "
-            f"rounds ({prev_count} edges at exhaustion) — labels would be "
+            f"rounds ({prev_sig[0]} edges at exhaustion) — labels would be "
             f"partial; raise max_rounds"
         )
     # fixed point: every edge is (member → component-min); roots appear
