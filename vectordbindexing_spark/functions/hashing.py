@@ -216,3 +216,47 @@ def simhash_bits_sql(vec_sql: str, num_bits: int = 16, table: int = 0) -> str:
                   x::DOUBLE * ({plane}))) >= 0
            THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT
     """
+
+
+# ------------------------------------------------------------- xxhash64 twin
+#
+# Spark partitions every streaming artifact by pmod(xxhash64(key), B).
+# The maintainers already hold each micro-batch's keys driver-side (the
+# r12 bounded-collect classification), so computing the same bucket
+# values in Python removes whole fixed-latency Spark jobs per batch
+# (the _bkts distinct+collect probe, the delta-footprint aggregate).
+# This is the xxHash64 single-LONG specialization exactly as Spark
+# evaluates a one-column xxhash64(bigint) with its default seed 42
+# (Catalyst XxHash64 → XXH64.hashLong); pinned bit-for-bit against
+# F.xxhash64 in tests/test_partitioning_hash.py.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def xxhash64_long_py(value: int, seed: int = 42) -> int:
+    """Python twin of Spark ``F.xxhash64(col)`` over ONE non-null
+    BIGINT column (seed 42 — Spark's default). Returns the signed
+    64-bit value Spark returns."""
+    v = value & _U64  # two's-complement view of the long
+    h = (seed + _XXP5 + 8) & _U64
+    h ^= ((((v * _XXP2) & _U64) << 31 | ((v * _XXP2) & _U64) >> 33)
+          & _U64) * _XXP1 & _U64
+    h = ((((h << 27) | (h >> 37)) & _U64) * _XXP1 + _XXP4) & _U64
+    h ^= h >> 33
+    h = (h * _XXP2) & _U64
+    h ^= h >> 29
+    h = (h * _XXP3) & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of_py(value: int, n_buckets: int) -> int:
+    """Python twin of the maintainers' ``pmod(xxhash64(key), B)``
+    bucket expression (graph_ingest._bucket_of / neardup._did_bucket):
+    Python's ``%`` on a positive modulus already equals Spark's pmod."""
+    return xxhash64_long_py(int(value)) % n_buckets
