@@ -200,18 +200,19 @@ def _ids_df(spark: SparkSession, ids: list) -> DataFrame:
     return local_rows_df(spark, [(int(i),) for i in ids], "id long")
 
 
-def _bkts(df: DataFrame, col: str, n_buckets: int) -> list:
-    """Distinct bucket values of ``col`` — collect is bounded by the
-    bucket count, used for partition pruning on the artifact scans."""
-    return sorted(
-        r[0] for r in df.select(_bucket_of(col, n_buckets)).distinct().collect()
-    )
-
-
 #: compact the rev delta log back into its base once the accumulated
 #: delta rows exceed this fraction of the base (bounds probe-side read
 #: amplification; the fold also happens for free at every rebuild)
 REV_COMPACT_FACTOR = 0.25
+
+#: Bounded-collect gate for the incremental upsert's merged dirty
+#: adjacency: mutualize caps it at |dirty| · 2 layers · max_degree
+#: rows (a deterministic bound computed driver-side), and under this
+#: many rows (~64 MB of edge tuples — the CC gate's scale) the rows
+#: collect so the delta footprints and BOTH delta appends run driver-
+#: side (see _write_edge_delta_local). Past it the distributed
+#: checkpoint + Spark writers run unchanged.
+MERGED_LOCAL_LIMIT = 2_000_000
 
 ADDS_SCHEMA = "layer int, src long, dst long, dist double, seq long, bucket int"
 TOMBS_SCHEMA = "src long, seq long"
@@ -367,15 +368,24 @@ def rev_edges_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def _write_rev_delta(
-    adds: DataFrame,
-    dirty_src: DataFrame,
+    adds,
+    dirty_src,
     index_dir: str,
     seq: int,
     buckets: int,
 ) -> int:
     """Append one batch's rev delta (adds bucketed by DST — the
-    mirror's probe key). See :func:`_write_edge_delta`."""
+    mirror's probe key). ``adds``/``dirty_src`` are either DataFrames
+    (the distributed route — :func:`_write_edge_delta`) or driver-local
+    [(layer, src, dst, dist)] rows + an id list (the
+    MERGED_LOCAL_LIMIT route — :func:`_write_edge_delta_local`, no
+    Spark jobs). One entry point for both routes so the crash-matrix
+    tests' injection covers whichever executes."""
     adds_dir, tombs_dir = _delta_paths(index_dir)
+    if isinstance(adds, list):
+        return _write_edge_delta_local(
+            adds, dirty_src, adds_dir, tombs_dir, seq, buckets, "dst"
+        )
     return _write_edge_delta(
         adds, dirty_src, os.path.join(index_dir, "rev_delta.__tmp__"),
         adds_dir, tombs_dir, seq, buckets, "dst",
@@ -383,19 +393,68 @@ def _write_rev_delta(
 
 
 def _write_fwd_delta(
-    adds: DataFrame,
-    dirty_src: DataFrame,
+    adds,
+    dirty_src,
     index_dir: str,
     seq: int,
     buckets: int,
 ) -> int:
     """Append one batch's FORWARD delta (adds bucketed by SRC — the
-    serving key). See :func:`_write_edge_delta`."""
+    serving key). Same dual routes as :func:`_write_rev_delta`."""
     adds_dir, tombs_dir = _fwd_delta_paths(index_dir)
+    if isinstance(adds, list):
+        return _write_edge_delta_local(
+            adds, dirty_src, adds_dir, tombs_dir, seq, buckets, "src"
+        )
     return _write_edge_delta(
         adds, dirty_src, os.path.join(index_dir, "fwd_delta.__tmp__"),
         adds_dir, tombs_dir, seq, buckets, "src",
     )
+
+
+def _write_edge_delta_local(
+    add_rows: list,
+    dirty_ids: list,
+    adds_dir: str,
+    tombs_dir: str,
+    seq: int,
+    buckets: int,
+    bucket_col: str,
+) -> int:
+    """:func:`_write_edge_delta` for DRIVER-LOCAL add rows
+    [(layer, src, dst, dist)] — the r13 fold: the incremental upsert's
+    merged dirty adjacency is |batch|·degree-bounded and already
+    collected under the MERGED_LOCAL_LIMIT gate, so both parquet
+    appends (the global tombstone file, then the bucket-sorted flat
+    adds file) are written straight through pyarrow
+    (atomic.write_local_parquet) instead of paying a Spark job each —
+    four fixed-latency jobs per micro-batch become driver-side
+    millisecond writes. Same crash contract as _move_delta_files: the
+    tombstone lands BEFORE the adds and both carry d<seq> names, so a
+    replay overwrites its own attempt. Bucket values come from the
+    pinned xxhash64 twin (bucket_of_py ≡ _bucket_of bit-for-bit), so
+    probe-side pruning sees identical values. Returns bytes appended."""
+    from vectordbindexing_spark.functions.hashing import bucket_of_py
+    from vectordbindexing_spark.streaming.atomic import write_local_parquet
+
+    key = 1 if bucket_col == "src" else 2
+    staged = sorted(
+        (
+            (int(r[0]), int(r[1]), int(r[2]), float(r[3]), int(seq),
+             bucket_of_py(r[key], buckets))
+            for r in add_rows
+        ),
+        key=lambda t: t[5],
+    )
+    tmp_t = os.path.join(tombs_dir, f".d{seq}.parquet.tmp")
+    tmp_a = os.path.join(adds_dir, f".d{seq}-0.parquet.tmp")
+    appended = write_local_parquet(
+        [(int(i), int(seq)) for i in dirty_ids], TOMBS_SCHEMA, tmp_t
+    )
+    os.replace(tmp_t, os.path.join(tombs_dir, f"d{seq}.parquet"))
+    appended += write_local_parquet(staged, ADDS_SCHEMA, tmp_a)
+    os.replace(tmp_a, os.path.join(adds_dir, f"d{seq}-0.parquet"))
+    return appended
 
 
 def _legacy_delta(adds_dir: str, prefix: str = "bucket=") -> bool:
@@ -718,9 +777,34 @@ def _write_ivf_delta(
     cell. Write I/O ∝ |batch| rows. Returns bytes appended."""
     import shutil
 
-    spark = SparkSession.getActiveSession()
+    from vectordbindexing_spark.streaming.atomic import write_local_parquet
+
     adds_dir, tombs_dir = _ivf_delta_paths(index_dir)
     legacy = _legacy_delta(adds_dir, "cell=")
+    if not legacy:
+        # the rows are driver-local by construction — write both delta
+        # files straight through pyarrow (tombstone first, d<seq>
+        # names: the _move_delta_files crash contract), no Spark jobs
+        tmp_t = os.path.join(tombs_dir, f".d{seq}.parquet.tmp")
+        tmp_a = os.path.join(adds_dir, f".d{seq}-0.parquet.tmp")
+        appended = write_local_parquet(
+            [(int(i), int(seq)) for i, _, _ in add_rows],
+            IVF_TOMBS_SCHEMA, tmp_t,
+        )
+        os.replace(tmp_t, os.path.join(tombs_dir, f"d{seq}.parquet"))
+        staged = sorted(
+            (
+                (int(i), [float(x) for x in v], int(seq), int(c))
+                for i, v, c in add_rows
+            ),
+            key=lambda t: t[3],  # cell-sorted: row-group stats prune
+        )
+        appended += write_local_parquet(staged, IVF_ADDS_SCHEMA, tmp_a)
+        os.replace(tmp_a, os.path.join(adds_dir, f"d{seq}-0.parquet"))
+        return appended
+    # legacy per-cell layout (pre-r12 artifacts): keep the Spark
+    # partitioned writer until the next fold migrates the log
+    spark = SparkSession.getActiveSession()
     tmp = os.path.join(index_dir, "ivf_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
     staged = local_rows_df(
@@ -731,21 +815,11 @@ def _write_ivf_delta(
         ],
         IVF_ADDS_SCHEMA,
     )
-    if legacy:
-        (
-            staged.repartition("cell")
-            .write.partitionBy("cell")
-            .parquet(os.path.join(tmp, "adds"))
-        )
-    else:
-        # flat bucket-sorted file(s): cell rides as a data column, one
-        # file per batch instead of one per touched cell (see
-        # _legacy_delta — listing cost must not grow with batch count)
-        (
-            staged.coalesce(1)
-            .sortWithinPartitions("cell")
-            .write.parquet(os.path.join(tmp, "adds"))
-        )
+    (
+        staged.repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(os.path.join(tmp, "adds"))
+    )
     (
         local_rows_df(
             spark, [(int(i), int(seq)) for i, _, _ in add_rows],
@@ -754,9 +828,7 @@ def _write_ivf_delta(
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
-    appended = _move_delta_files(
-        tmp, adds_dir, tombs_dir, seq, "cell=" if legacy else None
-    )
+    appended = _move_delta_files(tmp, adds_dir, tombs_dir, seq, "cell=")
     shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
@@ -988,7 +1060,16 @@ def init_graph_artifact(
     buckets: int = DEFAULT_BUCKETS,
     exact_base_limit: int | None = None,
 ) -> None:
-    """Bulk-build the artifact from an initial corpus (the backfill)."""
+    """Bulk-build the artifact from an initial corpus (the backfill).
+
+    NOT crash-windowed: init stamps no pending ledger, so a crash
+    mid-init — including between the overlapped edges/rev swaps, in
+    either order — leaves a half-initialized artifact. The contract is
+    that callers re-run init to completion before the artifact is
+    first read or upserted (a backfill is re-runnable by definition);
+    the upsert-path ordering rules (vectors ⊇ edge endpoints, forward
+    before rev) only bind once a ledger-protected batch can observe
+    the intermediate state."""
     from vectordbindexing_spark.operators.graph import build_two_layer_index
 
     os.makedirs(index_dir, exist_ok=True)
@@ -1017,7 +1098,11 @@ def init_graph_artifact(
     _clear_rev_delta(index_dir)
     _clear_fwd_delta(index_dir)
     spark = base.sparkSession
-    n = spark.read.parquet(vec_path).count()
+    # post-swap corpus size from parquet footers — a driver-side
+    # metadata read, not a Spark count job
+    from vectordbindexing_spark.streaming.atomic import count_parquet_rows
+
+    n = count_parquet_rows(vec_path)
     meta = {
         "n_at_rebuild": n,
         "n_live": n,
@@ -1376,7 +1461,6 @@ def upsert_graph_artifact(
     fresh = _rows_df(fresh_rows)
     changed = _rows_df(changed_rows)
     ins = _rows_df(ins_rows)
-    ins_ids = ins.select("id")
     fresh_ids = [i for i, _ in fresh_rows]
     # replaced for EDGE purposes (stale-geometry drop): batch updates
     # plus healed pending updates. Replaced for VECTOR purposes is the
@@ -1442,7 +1526,11 @@ def upsert_graph_artifact(
         )
         _clear_rev_delta(index_dir)  # the fresh bases subsume the logs
         _clear_fwd_delta(index_dir)
-        n_real = spark.read.parquet(vec_path).count()  # reconcile
+        from vectordbindexing_spark.streaming.atomic import (
+            count_parquet_rows,
+        )
+
+        n_real = count_parquet_rows(vec_path)  # reconcile, footers only
         meta.update(
             n_at_rebuild=n_real, n_live=n_real, buckets=buckets, rev=True,
             rev_base_bytes=du_parquet(rev_path), rev_delta_bytes=0,
@@ -1510,30 +1598,48 @@ def upsert_graph_artifact(
             spark, index_dir, ins_rows, ins_rows, M1, metric, 1,
             nprobe=nprobe, level_min=1, M_level=M_level,
         )
-    new_edges = l0.unionByName(l1).localCheckpoint(eager=True)
+    # collect the batch's new edges: |ins|·(M0+M1+2) rows, bounded by
+    # the batch the classification already holds driver-side — ONE job
+    # running both layer kernels (replacing the eager checkpoint), and
+    # every downstream consumer (the dirty set, the mutualize input)
+    # reads the rows as a JVM local relation with no recompute
+    edge_rows = [
+        (r["layer"], r["src"], r["dst"], r["dist"])
+        for r in l0.unionByName(l1).collect()
+    ]
+    new_edges = local_rows_df(spark, edge_rows, EDGE_SCHEMA)
 
     # nodes losing a stale edge to a replaced id: a pure dst-side
     # probe — partition-pruned on the INVERTED log by the replaced
     # ids' buckets instead of scanning every src bucket. Skipped
     # outright for insert-only batches (the replaced list is
     # driver-local — no replaced ids means no stale edges to lose).
+    # The loser list is |replaced|·degree-bounded, so it collects.
+    loser_ids: list = []
     if replaced_e_ids:
-        losers = _rev_live(
-            spark, index_dir, bkts=repl_bkts,
-            dst_df=replaced_e.withColumnRenamed("id", "dst"),
-        ).select(F.col("src").alias("id"))
-    else:
-        losers = ins_ids.limit(0)
+        loser_ids = [
+            r["src"]
+            for r in _rev_live(
+                spark, index_dir, bkts=repl_bkts,
+                dst_df=replaced_e.withColumnRenamed("id", "dst"),
+            ).select("src").distinct().collect()
+        ]
     # DIRTY set: nodes whose adjacency can change — batch ids, new
-    # edges' endpoints, and the losers
-    dirty = (
-        ins_ids.unionByName(new_edges.select(F.col("dst").alias("id")))
-        .unionByName(losers)
-        .distinct()
-        .localCheckpoint(eager=True)
+    # edges' endpoints, and the losers. All three lists are driver-
+    # local now, so the set, its broadcast frame and its bucket
+    # footprint cost ZERO jobs (the r12 path paid an eager checkpoint
+    # + a distinct-collect probe per micro-batch here); bucket values
+    # come from the pinned xxhash64 twin.
+    from vectordbindexing_spark.functions.hashing import bucket_of_py
+
+    dirty_ids = sorted(
+        {i for i, _ in ins_rows}
+        | {d for _, _, d, _ in edge_rows}
+        | set(loser_ids)
     )
+    dirty = _ids_df(spark, dirty_ids)
     dirty_b = F.broadcast(dirty)
-    dirty_bkts = _bkts(dirty, "id", buckets)
+    dirty_bkts = sorted({bucket_of_py(i, buckets) for i in dirty_ids})
 
     # candidate rows for the dirty re-cap, all partition-pruned: rows
     # whose SRC is dirty from the resolved forward log, rows whose DST
@@ -1563,25 +1669,47 @@ def upsert_graph_artifact(
     # reverses of stored rows pointing AT it, and the new edges — all
     # present in (old_rel ∪ new_edges); non-dirty rows are a mutualize
     # fixed point and gain no candidates, so they stay verbatim.
-    # Checkpointed: it feeds BOTH delta appends, and its lineage reads
-    # edge_path/rev_path listings that later batches' folds invalidate.
-    merged_dirty = (
-        mutualize(old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1))
-        .join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
-        .localCheckpoint(eager=True)
+    merged = mutualize(
+        old_rel.unionByName(new_edges), max_degree=2 * max(M0, M1)
+    ).join(dirty_b.withColumnRenamed("id", "src"), "src", "left_semi")
+    # Bounded-collect gate (the CC / blocked-kernel pattern): the
+    # merged adjacency is capped at |dirty| · 2 layers · max_degree
+    # rows by mutualize's own degree cap — a deterministic bound known
+    # driver-side before any job runs. Under the gate the rows collect
+    # in the ONE job that was the eager checkpoint anyway, and then
+    # the delta footprints cost zero jobs (xxhash64 twin) and BOTH
+    # delta appends become driver-side pyarrow writes
+    # (_write_edge_delta_local) — 5 fixed-latency jobs per micro-batch
+    # removed. Past the gate (or while a legacy per-bucket log layout
+    # survives) the distributed checkpoint + footprint aggregate +
+    # Spark delta writers run unchanged — the 100 TB route.
+    est_rows = len(dirty_ids) * 2 * (2 * max(M0, M1))
+    legacy_log = _legacy_delta(_fwd_delta_paths(index_dir)[0]) or _legacy_delta(
+        _delta_paths(index_dir)[0]
     )
-
-    # delta footprints: src/dst buckets of the batch's adds — collected
-    # pre-swap so the ledger can scope a replay's pre-clear. ONE job
-    # for both lists (collect_set aggregates are bucket-count-bounded;
-    # two distinct+collect passes doubled the fixed job latency that
-    # dominates micro-batches)
-    fp = merged_dirty.agg(
-        F.collect_set(_bucket_of("src", buckets)).alias("sb"),
-        F.collect_set(_bucket_of("dst", buckets)).alias("db"),
-    ).collect()[0]
-    fwd_dirty_bkts = sorted(fp["sb"])
-    inv_dirty_bkts = sorted(fp["db"])
+    merged_local = est_rows <= MERGED_LOCAL_LIMIT and not legacy_log
+    if merged_local:
+        md_rows = [
+            (r["layer"], r["src"], r["dst"], r["dist"])
+            for r in merged.collect()
+        ]
+        fwd_dirty_bkts = sorted({bucket_of_py(s, buckets) for _, s, _, _ in md_rows})
+        inv_dirty_bkts = sorted({bucket_of_py(d, buckets) for _, _, d, _ in md_rows})
+    else:
+        # Checkpointed: it feeds BOTH delta appends, and its lineage
+        # reads edge_path/rev_path listings that later batches' folds
+        # invalidate.
+        merged_dirty = merged.localCheckpoint(eager=True)
+        # delta footprints: src/dst buckets of the batch's adds —
+        # collected pre-swap so the ledger can scope a replay's
+        # pre-clear. ONE job for both lists (collect_set aggregates are
+        # bucket-count-bounded)
+        fp = merged_dirty.agg(
+            F.collect_set(_bucket_of("src", buckets)).alias("sb"),
+            F.collect_set(_bucket_of("dst", buckets)).alias("db"),
+        ).collect()[0]
+        fwd_dirty_bkts = sorted(fp["sb"])
+        inv_dirty_bkts = sorted(fp["db"])
 
     # vector rows actually change only for inserts and updates; their
     # bucket list (⊆ batch_bkts, bounded by |batch|) partition-prunes
@@ -1638,12 +1766,14 @@ def upsert_graph_artifact(
     if ivf_add_rows:
         meta["pending"]["ivf_cells"] = sorted({c for _, _, c in ivf_add_rows})
     write_json_atomic(meta_path, meta)
-    fwd_appended = _write_fwd_delta(
-        merged_dirty, dirty, index_dir, rev_seq, buckets
+    # under the gate both appends are |batch|·degree-bounded
+    # driver-local rows → pyarrow writes, no Spark jobs; past it the
+    # distributed writers run on the checkpointed frame as before
+    _adds, _dirty = (
+        (md_rows, dirty_ids) if merged_local else (merged_dirty, dirty)
     )
-    appended = _write_rev_delta(
-        merged_dirty, dirty, index_dir, rev_seq, buckets
-    )
+    fwd_appended = _write_fwd_delta(_adds, _dirty, index_dir, rev_seq, buckets)
+    appended = _write_rev_delta(_adds, _dirty, index_dir, rev_seq, buckets)
     meta["n_live"] = n_union
     meta["rev_seq"] = rev_seq
     meta["fwd_delta_bytes"] = (

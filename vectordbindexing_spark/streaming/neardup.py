@@ -231,56 +231,74 @@ def bands_resolved(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def _write_band_delta(
-    br_new: DataFrame, work_dids: list, index_dir: str, seq: int,
-    buckets: int,
+    spark: SparkSession, br_rows: list, work_dids: list, index_dir: str,
+    seq: int, buckets: int,
 ) -> int:
-    """Append one batch's band delta: the work docs' new band rows as
-    a FEW bucket-sorted flat parquet files (bucket rides as a data
-    column; row-group stats carry the probe pruning — the
-    one-file-per-touched-bucket layout appended |batch|·bands FILES
-    per batch, a listing cost that grows with batch count; see
+    """Append one batch's band delta: the work docs' new band rows
+    (DRIVER-LOCAL ``br_rows`` — [(did, band_idx, band_key, bucket)],
+    the rows the upsert already collected for its probes) as ONE
+    bucket-sorted flat parquet file (bucket rides as a data column;
+    row-group stats carry the probe pruning — the one-file-per-
+    touched-bucket layout appended |batch|·bands FILES per batch, a
+    listing cost that grows with batch count; see
     graph_ingest._legacy_delta for the 2M measurement) plus ONE
     global did-tombstone file, so a crash replay overwrites its own
-    attempt. Write I/O ∝ |batch|·bands rows — never a bucket rewrite.
-    The pre-LSM design swapped every dirty band bucket per batch:
-    dirty fraction ≈ 1 − exp(−|batch|·bands/buckets) ≈ ALL buckets at
-    any real batch size, i.e. an O(corpus·bands/buckets·B) rewrite
-    per micro-batch. While legacy per-bucket dirs exist the writer
-    keeps that layout (mixed layouts break partition discovery); the
+    attempt. Both files are written straight through pyarrow
+    (atomic.write_local_parquet, tombstone first — the
+    _move_delta_files crash contract): the rows are |batch|·bands-
+    bounded by design, so the two Spark write jobs the r12 path paid
+    per micro-batch were pure fixed latency. Write I/O ∝
+    |batch|·bands rows — never a bucket rewrite (the pre-LSM design
+    rewrote ≈ ALL buckets per batch at any real batch size). While
+    legacy per-bucket dirs exist the writer keeps the Spark
+    partitioned layout (mixed layouts break partition discovery); the
     next fold migrates the log to the flat era. Returns the bytes
-    appended (fold-trigger accounting, measured off the moved files —
-    no extra Spark job)."""
+    appended (fold-trigger accounting)."""
     import shutil
 
-    spark = br_new.sparkSession
+    from vectordbindexing_spark.streaming.atomic import write_local_parquet
+
     adds_dir, tombs_dir = _band_delta_paths(index_dir)
     legacy = _legacy_delta(adds_dir)
+    if not legacy:
+        tmp_t = os.path.join(tombs_dir, f".d{seq}.parquet.tmp")
+        tmp_a = os.path.join(adds_dir, f".d{seq}-0.parquet.tmp")
+        appended = write_local_parquet(
+            [(int(i), int(seq)) for i in work_dids],
+            BANDS_TOMBS_SCHEMA, tmp_t,
+        )
+        os.replace(tmp_t, os.path.join(tombs_dir, f"d{seq}.parquet"))
+        staged = sorted(
+            (
+                (int(d), int(bi), str(bk), int(seq), int(bkt))
+                for d, bi, bk, bkt in br_rows
+            ),
+            key=lambda t: t[4],
+        )
+        appended += write_local_parquet(staged, BANDS_ADDS_SCHEMA, tmp_a)
+        os.replace(tmp_a, os.path.join(adds_dir, f"d{seq}-0.parquet"))
+        return appended
     tmp = os.path.join(index_dir, "bands_delta.__tmp__")
     shutil.rmtree(tmp, ignore_errors=True)
+    br_new = local_rows_df(
+        spark, [(d, bi, bk) for d, bi, bk, _ in br_rows],
+        "did long, band_idx int, band_key string",
+    )
     staged = br_new.withColumn("seq", F.lit(seq).cast("long")).withColumn(
         "bucket", _band_bucket(buckets)
     )
-    if legacy:
-        (
-            staged.repartition("bucket")
-            .write.partitionBy("bucket")
-            .parquet(os.path.join(tmp, "adds"))
-        )
-    else:
-        (
-            staged.coalesce(1)
-            .sortWithinPartitions("bucket")
-            .write.parquet(os.path.join(tmp, "adds"))
-        )
+    (
+        staged.repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(os.path.join(tmp, "adds"))
+    )
     (
         local_rows_df(spark, [(i,) for i in work_dids], "did long")
         .select("did", F.lit(seq).cast("long").alias("seq"))
         .coalesce(1)
         .write.parquet(os.path.join(tmp, "tombs"))
     )
-    appended = _move_delta_files(
-        tmp, adds_dir, tombs_dir, seq, "bucket=" if legacy else None
-    )
+    appended = _move_delta_files(tmp, adds_dir, tombs_dir, seq, "bucket=")
     shutil.rmtree(tmp, ignore_errors=True)
     return appended
 
@@ -345,18 +363,30 @@ def init_neardup_artifact(
         df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, impl=impl, hashed_grams=True,
     )
-    swap_in(
-        g.withColumn("bucket", _did_bucket(buckets)),
-        sig_path, coalesce=None, partition_by=["bucket"],
-    )
     br = band_rows(g, bands, num_hashes // bands).withColumn(
         "seq", F.lit(0).cast("long")
     )
-    swap_in(
-        br.withColumn("bucket", _band_bucket(buckets)),
-        band_path, coalesce=None, partition_by=["bucket"],
+    # both writes read the SAME eagerly-checkpointed signature frame
+    # and land on distinct paths — overlap them (guide §2.6) so the
+    # second write's tasks back-fill the first one's tail. Init is not
+    # crash-windowed (same contract as init_graph_artifact: a backfill
+    # re-runs to completion before first read), so ordering is free.
+    from vectordbindexing_spark.streaming.graph_ingest import _parallel_swaps
+
+    _parallel_swaps(
+        lambda: swap_in(
+            g.withColumn("bucket", _did_bucket(buckets)),
+            sig_path, coalesce=None, partition_by=["bucket"],
+        ),
+        lambda: swap_in(
+            br.withColumn("bucket", _band_bucket(buckets)),
+            band_path, coalesce=None, partition_by=["bucket"],
+        ),
     )
-    n_docs = df.sparkSession.read.parquet(sig_path).count()
+    # post-swap doc count from parquet footers — no Spark job
+    from vectordbindexing_spark.streaming.atomic import count_parquet_rows
+
+    n_docs = count_parquet_rows(sig_path)
     write_json_atomic(
         meta_path,
         {
@@ -733,9 +763,16 @@ def upsert_neardup_artifact(
 
     # bands: APPEND to the LSM delta log — tombstone the work dids,
     # add their new band rows; |batch|·bands rows of write I/O, never
-    # a bucket rewrite
+    # a bucket rewrite. The rows (and their buckets) are the ones the
+    # probe collect above already brought driver-side, so the append
+    # is two pyarrow file writes — no Spark jobs.
     appended = _write_band_delta(
-        br_new, work_ids, index_dir, band_seq, buckets
+        spark,
+        [
+            (r["did"], r["band_idx"], r["band_key"], r["_bkt"])
+            for r in br_rows
+        ],
+        work_ids, index_dir, band_seq, buckets,
     )
 
     if batch_id is not None:
