@@ -535,3 +535,55 @@ def test_refine_knn_graph_sparse_64bit_ids(spark):
 
     r0, r2 = rec(start), rec(refined)
     assert r2 > r0, (r0, r2)  # refinement worked on the shifted ids
+
+
+def test_build_fold_matches_per_layer_collects(spark):
+    """r13 fold: build_two_layer_index's ONE bounded collect feeding
+    both layers' blocked kernels must yield the bit-identical edge set
+    the per-layer knn_graph collects produced — including the
+    driver-side layer-1 subset (assign_level_py ≡ the assign_levels
+    column) and exact_knn's query-side NULL filter."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.graph import (
+        assign_level_py,
+        assign_levels,
+        build_two_layer_index,
+        knn_graph,
+        mutualize,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, M0, M1, M_level = 150, 8, 6, 3, 16
+    rows = [(int(i), [float(x) for x in rng.normal(size=d)])
+            for i in range(n)]
+    base = spark.createDataFrame(
+        rows + [(10_000, None)], "id long, vec array<double>"
+    )
+
+    lv = {
+        r["id"]: r["level"]
+        for r in assign_levels(base, id_col="id", M=M_level).collect()
+    }
+    assert all(assign_level_py(i, M_level) == lv[i] for i in lv)
+
+    leveled = assign_levels(base, id_col="id", M=M_level)
+    upper = leveled.filter(F.col("level") >= 1)
+    old = sorted(
+        (r["layer"], r["src"], r["dst"], r["dist"])
+        for r in mutualize(
+            knn_graph(upper, M1, "cosine", "id", "vec",
+                      impl="blocked", layer=1).unionByName(
+                knn_graph(base, M0, "cosine", "id", "vec",
+                          impl="blocked", layer=0)
+            ),
+            max_degree=2 * max(M0, M1),
+        ).collect()
+    )
+    new = sorted(
+        (r["layer"], r["src"], r["dst"], r["dist"])
+        for r in build_two_layer_index(
+            base, M0=M0, M1=M1, metric="cosine", M_level=M_level
+        ).select("layer", "src", "dst", "dist").collect()
+    )
+    assert old == new

@@ -154,7 +154,6 @@ def _exact_knn_blocked(
     queries, base, k, metric, q_id, q_vec, b_id, b_vec, weights=None,
     exclude_self=False,
 ) -> DataFrame:
-    spark = queries.sparkSession
     qsel = queries.select(
         F.col(q_id).cast("long").alias("qid"), F.col(q_vec).alias("v")
     )
@@ -171,6 +170,33 @@ def _exact_knn_blocked(
         )
     qids = qrows["qid"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["v"]])
+    return exact_knn_local_queries(
+        qids, Q, base, k, metric, b_id=b_id, b_vec=b_vec,
+        weights=weights, exclude_self=exclude_self,
+    )
+
+
+def exact_knn_local_queries(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    base: DataFrame,
+    k: int,
+    metric: str,
+    b_id: str = "id",
+    b_vec: str = "vec",
+    weights: np.ndarray | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The blocked kernel with DRIVER-LOCAL queries — for callers that
+    already hold (and bounded-probed) the query rows, so they skip the
+    per-call query-collect job (e.g. build_two_layer_index collects the
+    node set ONCE and feeds both layers' kernels from it). Identical
+    kernel, chunking and merge conventions as :func:`exact_knn`'s
+    blocked impl — the refactor point is only where the (qids, Q)
+    arrays come from. ``base`` rows with NULL vectors are excluded, as
+    in exact_knn."""
+    spark = base.sparkSession
+    base = base.filter(F.col(b_vec).isNotNull())
     bc = spark.sparkContext.broadcast((qids, Q, weights))
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

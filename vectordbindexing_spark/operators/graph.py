@@ -48,6 +48,27 @@ def assign_levels(
     return df.withColumn("level", level)
 
 
+def assign_level_py(i: int, M: int = 16) -> int:
+    """Python twin of :func:`assign_levels` for one integer id — the
+    build fold (one bounded node collect feeding both layers' blocked
+    kernels) derives the layer-1 subset driver-side instead of paying
+    a second filtered collect. Pinned against the Column expression in
+    tests/test_graph_search.py."""
+    import math
+
+    from vectordbindexing_spark.functions.hashing import det_hash64_py
+
+    bits = int(math.log2(M))
+    if 2**bits != M:
+        raise ValueError("M must be a power of two for exact thresholds")
+    h = det_hash64_py(str(int(i)))
+    return sum(
+        1
+        for level in range(1, MAX_LEVEL + 1)
+        if 32 - bits * level > 0 and h < 2 ** (32 - bits * level)
+    )
+
+
 ASSIGN_LEVELS_SQL_TEMPLATE = (
     "(SELECT {cols}, ({terms}) AS level FROM {table})"
 )
@@ -669,6 +690,47 @@ def entry_points(edges: DataFrame, layer: int = 0, n: int = 1) -> DataFrame:
 BLOCKED_BUILD_LIMIT = 100_000  # above this, layer-0 builds go through LSH
 
 
+def _knn_graphs_from_local(
+    qpdf, base, upper, k0, k1, metric, id_col, vec_col, M_level
+):
+    """Both layers' blocked kNN-graph edges from the ONE collected node
+    set (``qpdf`` — (qid, v) in scan order, ≤ BLOCKED_BUILD_LIMIT rows).
+    Exactly knn_graph(impl='blocked') per layer — same null filter,
+    query order, kernel, exclude-self and rank conventions — with the
+    two per-layer query collects replaced by driver-side slicing. The
+    layer-1 query subset filter (assign_level_py) is the Python twin of
+    the assign_levels column the distributed path filters on."""
+    import numpy as np
+
+    from vectordbindexing_spark.operators.exact_knn import (
+        exact_knn_local_queries,
+    )
+
+    def _edges(sub, k, layer, b_df):
+        if len(sub) == 0:
+            # no queries: same empty frame the expr fallback returns
+            return knn_graph(
+                b_df.limit(0), k, metric, id_col, vec_col,
+                impl="blocked", layer=layer,
+            )
+        qids = sub["qid"].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in sub["v"]])
+        knn = exact_knn_local_queries(
+            qids, Q, b_df, k, metric, b_id=id_col, b_vec=vec_col,
+            exclude_self=True,
+        )
+        return knn.select(
+            F.lit(layer).alias("layer"),
+            F.col("qid").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "dist",
+        )
+
+    nn = qpdf[qpdf["v"].notna()]  # exact_knn's query-side null filter
+    up = nn[[assign_level_py(i, M_level) >= 1 for i in nn["qid"]]]
+    return _edges(up, k1, 1, upper), _edges(nn, k0, 0, base)
+
+
 def build_two_layer_index(
     base: DataFrame,
     M0: int = 32,
@@ -705,17 +767,33 @@ def build_two_layer_index(
     distance-concentrated corpora, never worse — pinned by test).
     Opt-in: the recall-pin oracles replay the plain build.
     """
-    if impl == "auto":
-        # bounded probe: limit(N+1).count() stops scanning at N+1 rows, so
-        # strategy selection costs O(BLOCKED_BUILD_LIMIT) even on a
-        # 100 TB corpus (a bare count() would be a full scan here — base
-        # is usually a filtered view, so footer row-counts don't apply).
-        # Past the limit the BUCKETED build, not the lsh equi-join: its
-        # work is ≤ n·tables·cap pairs however skewed the bucket
-        # occupancy, where the equi-join materializes n×bucket_size
-        # candidate rows and hangs on concentrated corpora (r07, 500k)
-        probe = base.limit(BLOCKED_BUILD_LIMIT + 1).count()
-        impl = "bucketed" if probe > BLOCKED_BUILD_LIMIT else "blocked"
+    # ONE bounded collect serves the auto strategy probe AND (when the
+    # blocked route wins) BOTH layers' blocked-kernel query sets: N+1
+    # rows coming back IS the "too big — go bucketed" answer (the old
+    # limit(N+1).count() probe), otherwise the rows are exactly what
+    # exact_knn's blocked impl would have collected per layer — two
+    # more full-scan query collects per build (three jobs → one). The
+    # layer-1 subset is derived driver-side (assign_level_py ≡ the
+    # assign_levels column, pinned by test); row order/content — and
+    # therefore every kernel chunk and BLAS call — are unchanged, so
+    # the edge set stays bit-identical to the per-layer collects.
+    qpdf = None
+    if impl in ("auto", "blocked"):
+        qpdf = (
+            base.select(
+                F.col(id_col).cast("long").alias("qid"),
+                F.col(vec_col).alias("v"),
+            )
+            .limit(BLOCKED_BUILD_LIMIT + 1)
+            .toPandas()
+        )
+        if impl == "auto":
+            impl = (
+                "bucketed" if len(qpdf) > BLOCKED_BUILD_LIMIT else "blocked"
+            )
+        if impl != "blocked" or len(qpdf) > BLOCKED_BUILD_LIMIT:
+            qpdf = None  # forced-blocked past the gate: exact_knn's own
+            # probe/fallback (expr join) handles it as before
     leveled = assign_levels(base, id_col=id_col, M=M_level)
     upper = leveled.filter(F.col("level") >= 1)
     # upper layer is ~n/M_level — usually back under the blocked limit;
@@ -726,10 +804,16 @@ def build_two_layer_index(
     else:
         l1_impl = impl
     cf = max(1, candidate_factor) if heuristic else 1
-    l1 = knn_graph(upper, M1 * cf, metric, id_col, vec_col,
-                   impl=l1_impl, layer=1)
-    l0 = knn_graph(base, M0 * cf, metric, id_col, vec_col,
-                   impl=impl, layer=0)
+    if qpdf is not None:
+        l1, l0 = _knn_graphs_from_local(
+            qpdf, base, upper, M0 * cf, M1 * cf, metric, id_col, vec_col,
+            M_level,
+        )
+    else:
+        l1 = knn_graph(upper, M1 * cf, metric, id_col, vec_col,
+                       impl=l1_impl, layer=1)
+        l0 = knn_graph(base, M0 * cf, metric, id_col, vec_col,
+                       impl=impl, layer=0)
     # "auto" = 0: measured r07 (100k×128 two-blob, ef 256/512) — the
     # bucketed build's hash-random long-range links already navigate
     # BETTER than the exact blocked graph (0.950/0.986 vs the r06
