@@ -568,9 +568,13 @@ def _khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, b = _emb_split(spark, sf_dir)
+    # materialize the build once: entry_points AND khop's internal
+    # adjacency checkpoint both consume it — un-checkpointed, the kNN
+    # kernel + mutualize lineage executed twice per run (same rows
+    # either way; this is purely the job count)
     edges = mutualize(
         knn_graph(b, 16, "cosine", "vec_id", "embedding"), max_degree=32
-    )
+    ).localCheckpoint(eager=True)
     eps = entry_points(edges, layer=0, n=3).select(
         F.col("node_id").alias("id")
     )

@@ -111,6 +111,11 @@ def _mine_triplets_fused(base: DataFrame, k_neg: int, metric: str):
             "mining assumes a bounded label set"
         )
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in arows["vec"]])
+    # session-lifetime broadcast (same retention as the exact_knn
+    # kernel's query broadcast): the returned frame's checkpoint slices
+    # still reference it lazily via the join recompute path, so an
+    # eager unpersist here could stall a late consumer; Spark's
+    # ContextCleaner reclaims it when the frame is GC'd.
     bc = spark.sparkContext.broadcast((qids, qlabs, Q))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,7 +174,15 @@ def _mine_triplets_fused(base: DataFrame, k_neg: int, metric: str):
                 "dist double"
             ),
         )
-        # masked entries (no same-label peer / all-same-label batch)
+        # masked entries (no same-label peer / all-same-label batch).
+        # inf is the MASK sentinel for both kinds here, so this also
+        # drops a hypothetical genuinely-infinite real distance — which
+        # the split path's negative pass would keep. That input class
+        # (vectors with inf/nan components; cosine yields nan, not inf,
+        # there anyway) is OUT OF CONTRACT for both implementations:
+        # keeping masked negative sentinels instead would fabricate
+        # dist=inf "negatives" whenever an anchor has fewer than k_neg
+        # different-label batch peers, a worse degenerate divergence.
         .filter(F.col("dist") != float("inf"))
     )
     w = Window.partitionBy("qid", "kind").orderBy("dist", "neighbor_id")

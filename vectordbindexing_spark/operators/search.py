@@ -67,8 +67,6 @@ def compact_index(
     does both when given artifact_path), so serving sessions never
     re-collect the build DataFrames.
     """
-    from vectordbindexing_spark.operators.graph import entry_points
-
     vec_pdf = (
         base.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
@@ -83,11 +81,11 @@ def compact_index(
 
     has_type = "edge_type" in edges.columns
     cols = ["layer", "src", "dst"] + (["edge_type"] if has_type else [])
-    # materialize the narrow edge projection once: both the Arrow transfer
-    # below AND entry_points() consume it — without this an expensive
-    # upstream build (kNN-graph jobs) would re-run for each action
-    edges = edges.select(*cols).localCheckpoint(eager=True)
-    edge_pdf = edges.toPandas()
+    # ONE consumer since the entry points moved driver-side: the Arrow
+    # transfer below executes the (possibly expensive) upstream build
+    # exactly once, so the eager checkpoint that used to shield a
+    # second consumer is pure overhead now — dropped (one job fewer)
+    edge_pdf = edges.select(*cols).toPandas()
     indptr, indices = {}, {}
     edge_cross: dict[int, np.ndarray] = {}
     n = len(ids)
@@ -123,10 +121,20 @@ def compact_index(
         indices[int(layer)] = dst_p.astype(np.int64)
         edge_cross[int(layer)] = cross
 
-    eps = entry_points(edges, layer=max(indptr) if indptr else 0,
-                       n=num_entry_points).collect()
+    # entry points: degree-top-n of the top layer, computed from the
+    # ALREADY-collected edge table with the same (degree desc, src asc)
+    # order entry_points' rank window applies — one fewer Spark window
+    # job per compact (compact_index fronts every serving query path)
+    top_layer = max(indptr) if indptr else 0
+    grp = edge_pdf[edge_pdf["layer"] == top_layer]
+    deg = grp.groupby("src").size()
+    eps = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
     ep_pos = np.array(
-        [pos_of[r["node_id"]] for r in eps if r["node_id"] in pos_of],
+        [
+            pos_of[int(s)]
+            for s, _ in eps[:num_entry_points]
+            if int(s) in pos_of
+        ],
         dtype=np.int64,
     )
     if len(ep_pos) == 0:
@@ -511,9 +519,17 @@ def frontier_search(
     if entry_df is None:
         from vectordbindexing_spark.operators.graph import entry_points
 
-        entry_df = entry_points(edges, layer=layer, n=3).select(
-            F.col("node_id").alias("neighbor_id")
-        )
+        # derive the entry points from the CHECKPOINTED layer slice:
+        # ``edges`` is typically an un-materialized kNN-graph build, and
+        # reading it here re-executed the whole build lineage a second
+        # time (measured: the dominant cost of the frontier_knn bench
+        # row — the worst line in BENCH_r12). ``e`` holds exactly the
+        # filter(layer)+select rows entry_points would scan, so the
+        # degree top-k is unchanged.
+        entry_df = entry_points(
+            e.select(F.lit(layer).alias("layer"), "src", "dst"),
+            layer=layer, n=3,
+        ).select(F.col("node_id").alias("neighbor_id"))
     # seed: every query starts at the entry points
     frontier = qv.select("qid", "_qv").crossJoin(F.broadcast(entry_df))
     scored = _score_candidates(frontier.join(bv, "neighbor_id"), metric)
