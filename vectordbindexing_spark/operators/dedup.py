@@ -887,20 +887,30 @@ def editdist_neardup_pairs(
     """
     prefix_len = d * q + 1
     s = F.coalesce(F.col(key_col), F.lit(""))
-    n_grams = F.greatest(F.length(s) - F.lit(q - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),  # n_grams >= 1, never descending
-        lambda i: F.substring(s, i, q),
-    )
     base = df.select(
         F.col(id_col).alias("_id"), s.alias("_key"),
-        F.length(s).alias("_len"), grams.alias("_grams"),
+        F.length(s).alias("_len"),
     )
     # occurrence index via one row_number window — measured FASTER at
     # 110k keys than the scan-local O(L²) array-domain alternative
-    # (per-element slice/filter allocation churn beats one shuffle)
+    # (per-element slice/filter allocation churn beats one shuffle).
+    # The explode runs over a POSITION sequence, with the gram sliced
+    # from _key per row, rather than over a materialized gram array: a
+    # Generate over transform(..substring(coalesce(text..))..) plants a
+    # plan constraint that references the pruned input column, which
+    # crashes Spark 4.1's UnionBase.rewriteConstraints downstream
+    # ("key not found: text") once the grouped candidate pass below
+    # asks the prefix ∪ short union for its constraints. A position
+    # sequence's constraint references only _len, which every
+    # downstream projection keeps. Gram values are identical:
+    # substr(_key, p, q) for p = 1..max(len-q+1, 1).
+    n_grams = F.greatest(F.col("_len") - F.lit(q - 1), F.lit(1))
     occ = base.select(
-        "_id", "_len", F.posexplode("_grams").alias("_pos", "_gram")
+        "_id", "_len", "_key",
+        F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_pos", "_p"),
+    ).select(
+        "_id", "_len", "_pos",
+        F.col("_key").substr(F.col("_p"), F.lit(q)).alias("_gram"),
     )
     w_occ = Window.partitionBy("_id", "_gram").orderBy("_pos")
     tokens = occ.withColumn("_k", F.row_number().over(w_occ))
@@ -914,12 +924,18 @@ def editdist_neardup_pairs(
         .filter(F.col("_r") <= prefix_len)
         .select("_id", "_len", "_gram", "_k")
     )
-    short = base.filter(F.size("_grams") <= d * q).select(
+    # the short-doc condition is expressed on _len, NOT size(_grams):
+    # size(_grams) == greatest(_len - (q-1), 1) by construction, and
+    # the _len form keeps the filter's plan constraint on an output
+    # column instead of the pruned input text expression.
+    short = base.filter(
+        F.greatest(F.col("_len") - F.lit(q - 1), F.lit(1)) <= d * q
+    ).select(
         "_id", "_len",
         F.lit("\x00SHORT").alias("_gram"), F.lit(0).alias("_k"),
     )
     inv = prefix.unionByName(short)
-    if cell_cap is not None and df.count() > cell_cap:
+    if cell_cap is not None and df.limit(cell_cap + 1).count() > cell_cap:
         # n_rows <= cap already proves no cell can overflow (one cheap
         # columnar count — the common exact path pays only that).
         # Above it, ONE scan+agg probe (no windows/joins in its
@@ -942,9 +958,27 @@ def editdist_neardup_pairs(
                 .filter(F.col("_cr") <= cell_cap)
                 .drop("_cr")
             )
+    # pairs within each inverted-index cell via ONE groupBy + nested
+    # explode, not inv ⋈ inv: the self-join re-planned the whole inv
+    # subtree (gram explode, occurrence + per-doc windows, frequency
+    # aggregate+join) on BOTH sides with fresh expression ids — no
+    # ReusedExchange fired, so every input scan and shuffle ran twice
+    # (measured 28 Exchanges / 12 parquet scans in the sf0.1 plan,
+    # 11.4 s isolated). The grouped form computes inv once, pays one
+    # exchange on the cell key, and emits the identical (id_a < id_b,
+    # |len diff| ≤ d) candidate set — cell arrays are ≤ cell_cap rows
+    # (the probe-gated window above caps overflow BEFORE the groupBy,
+    # keeping degenerate cells on the spilling sort path rather than
+    # in collect_list memory). A localCheckpoint of inv would also
+    # dedup the subtree but crashes Spark 4.1's constraint rewrite
+    # ("key not found" — the Generate-derived size(transform(text..))
+    # constraint references the pruned input column).
+    cells = inv.groupBy("_gram", "_k").agg(
+        F.collect_list(F.struct("_id", "_len")).alias("_xs")
+    )
     cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), ["_gram", "_k"])
+        cells.select(F.explode("_xs").alias("a"), "_xs")
+        .select("a", F.explode("_xs").alias("b"))
         .filter(
             (F.col("a._id") < F.col("b._id"))
             & (F.abs(F.col("a._len") - F.col("b._len")) <= d)
