@@ -963,31 +963,48 @@ def editdist_neardup_pairs(
     # subtree (gram explode, occurrence + per-doc windows, frequency
     # aggregate+join) on BOTH sides with fresh expression ids — no
     # ReusedExchange fired, so every input scan and shuffle ran twice
-    # (measured 28 Exchanges / 12 parquet scans in the sf0.1 plan,
-    # 11.4 s isolated). The grouped form computes inv once, pays one
-    # exchange on the cell key, and emits the identical (id_a < id_b,
-    # |len diff| ≤ d) candidate set — cell arrays are ≤ cell_cap rows
-    # (the probe-gated window above caps overflow BEFORE the groupBy,
-    # keeping degenerate cells on the spilling sort path rather than
-    # in collect_list memory). A localCheckpoint of inv would also
-    # dedup the subtree but crashes Spark 4.1's constraint rewrite
-    # ("key not found" — the Generate-derived size(transform(text..))
-    # constraint references the pruned input column).
-    cells = inv.groupBy("_gram", "_k").agg(
-        F.collect_list(F.struct("_id", "_len")).alias("_xs")
-    )
-    cand = (
-        cells.select(F.explode("_xs").alias("a"), "_xs")
-        .select("a", F.explode("_xs").alias("b"))
-        .filter(
-            (F.col("a._id") < F.col("b._id"))
-            & (F.abs(F.col("a._len") - F.col("b._len")) <= d)
+    # (measured 28 Exchanges / 48 parquet scans in the sf0.1 plan,
+    # 11.4 s isolated; 8.2 s after). The grouped form computes inv
+    # once, pays one exchange on the cell key, and emits the identical
+    # (id_a < id_b, |len diff| ≤ d) candidate set — cell arrays are
+    # ≤ cell_cap rows (the probe-gated window above caps overflow
+    # BEFORE the groupBy, keeping degenerate cells on the spilling
+    # sort path rather than in collect_list memory). A localCheckpoint
+    # of inv would also dedup the subtree but crashes Spark 4.1's
+    # constraint rewrite ("key not found" — the Generate-derived
+    # size(transform(text..)) constraint references the pruned input
+    # column). With cell_cap=None (the caller's explicit opt-out)
+    # nothing bounds a cell, so the spill-safe self-join is kept for
+    # that path — same pair set either way (pinned by test).
+    if cell_cap is None:
+        cand = (
+            inv.alias("a")
+            .join(inv.alias("b"), ["_gram", "_k"])
+            .filter(
+                (F.col("a._id") < F.col("b._id"))
+                & (F.abs(F.col("a._len") - F.col("b._len")) <= d)
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .distinct()
         )
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+    else:
+        cells = inv.groupBy("_gram", "_k").agg(
+            F.collect_list(F.struct("_id", "_len")).alias("_xs")
         )
-        .distinct()
-    )
+        cand = (
+            cells.select(F.explode("_xs").alias("a"), "_xs")
+            .select("a", F.explode("_xs").alias("b"))
+            .filter(
+                (F.col("a._id") < F.col("b._id"))
+                & (F.abs(F.col("a._len") - F.col("b._len")) <= d)
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .distinct()
+        )
     keys = base.select("_id", "_key")
     verified = (
         cand.join(keys.withColumnRenamed("_id", "id_a")
