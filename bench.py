@@ -287,7 +287,11 @@ def main() -> None:
             full["queries_secondary"] = q2
             if errs2:
                 full["errors_secondary"] = errs2
-        with open(os.path.join(full_dir, "bench_full.json"), "w") as f:
+        # filename carries the SF: the bench-contract test runs this
+        # harness at sf0.001 inside the suite and must not clobber the
+        # committed sf0.1 artifact of the round's recorded run
+        fname = f"bench_full_sf{_sf_of(sf_dir)}.json"
+        with open(os.path.join(full_dir, fname), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except Exception as e:  # never let the artifact write kill the bench
         print(f"# bench_full.json write failed: {e}", file=sys.stderr)
